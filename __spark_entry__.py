@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship 5-way-join query on sf0.001 (smoke).
+queries()      — every implemented operator from SURVEY.md §2,
+                 keyed by query id; callables take (spark, sf_dir).
+oracle_sql()   — matching DuckDB SQL for the differential check;
+                 rows-only ops (streaming state, LSH, ANN, file IO)
+                 are intentionally absent per the contract.
+
+All implementations live in lsd_spark/ (operators/, functions/,
+llm/, streaming/, sources/); this module is just the registry shim.
 """
 
 from __future__ import annotations
@@ -14,25 +18,27 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _registry():
+    from lsd_spark.registry import ORACLES, QUERIES, load_all
+
+    load_all()
+    return QUERIES, ORACLES
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from lsd_spark.session import apply_session_defaults
+
+    apply_session_defaults(spark)
+    queries_, _ = _registry()
+    return queries_["join_multiway"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    queries_, _ = _registry()
+    return dict(queries_)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    _, oracles = _registry()
+    return dict(oracles)

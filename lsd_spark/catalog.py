@@ -1,0 +1,73 @@
+"""Tiny catalog: table name -> parquet path (SURVEY.md §3.1 stage 2).
+
+LSD's DB object maps table names to on-disk cell directories
+[lsd:src/lsd/__init__.py — UNVERIFIED]; here a database is a
+directory of Parquet datasets and Catalyst's analyzer does the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+_DEFAULTED: set[int] = set()
+
+
+def _ensure_defaults(spark: SparkSession) -> None:
+    """Every query path starts with a load(); enforce the parity-
+    critical session defaults here so results don't depend on the
+    caller's session (the driver builds its own: Spark 4 defaults to
+    ANSI on, which changes cast/overflow semantics vs DuckDB)."""
+    if id(spark) in _DEFAULTED:
+        return
+    from lsd_spark.session import apply_session_defaults
+
+    apply_session_defaults(spark)
+    _DEFAULTED.add(id(spark))
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Parquet vectorized reader + Catalyst column
+    pruning/filter pushdown replace LSD's per-cell cgroup opens
+    (SURVEY.md §2.A scan_projection, §4).
+
+    events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
+    default (PARQUET_TYPE_ILLEGAL): read it as raw int64 ns
+    (legacy.parquet.nanosAsLong) and convert to a µs TimestampType —
+    the same truncation DuckDB applies, so both engines see identical
+    values.
+    """
+    _ensure_defaults(spark)
+    path = table_path(sf_dir, name)
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views for spark.sql() use."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,268 @@
+"""§2.H scalar function surface — LSD exposes numpy + registered
+helpers inside query expressions (equgal, ffitskw, ...)
+[lsd:src/lsd/query_parser.py function namespace — UNVERIFIED]. The
+generic engine surface is Catalyst built-ins (JVM-side, codegen'd):
+string, date, math, conditional, cast, array (LSD fixed-width
+subarray columns), and JSON/map access (LSD's FITS-header blob
+lookup analog). No Python in any of these paths.
+
+Cross-engine parity notes baked into each oracle:
+- int widths: Spark length/size/year -> INT; DuckDB -> BIGINT; the
+  oracle casts to INTEGER to match.
+- cast double->int: Spark truncates (ANSI off), DuckDB rounds — use
+  FLOOR explicitly on both sides instead (fn_cast).
+- element-wise float32 -> double casts before any arithmetic so both
+  engines fold identical doubles (fn_array).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lsd_spark.catalog import load
+from lsd_spark.registry import register
+
+
+@register(
+    "fn_string",
+    oracle=(
+        "SELECT c_custkey, LOWER(c_name) AS nm_lower, "
+        "CAST(LENGTH(c_name) AS INTEGER) AS ln, "
+        "CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS INTEGER) AS suffix_num, "
+        "CONCAT(TRIM(c_mktsegment), '_', SUBSTRING(c_name, 1, 8)) AS tag "
+        "FROM customer WHERE c_name LIKE '%Customer%1%'"
+    ),
+)
+def fn_string(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").like("%Customer%1%")).select(
+        "c_custkey",
+        F.lower("c_name").alias("nm_lower"),
+        F.length("c_name").alias("ln"),
+        F.regexp_extract("c_name", "([0-9]+)$", 1).cast("int").alias("suffix_num"),
+        F.concat(F.trim(F.col("c_mktsegment")), F.lit("_"), F.substring("c_name", 1, 8)).alias(
+            "tag"
+        ),
+    )
+
+
+@register(
+    "fn_string_split",
+    oracle=(
+        "SELECT string_split(p_type, ' ')[1] AS tok, count(*) AS cnt "
+        "FROM part GROUP BY tok ORDER BY tok"
+    ),
+)
+def fn_string_split(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select(F.split("p_type", " ").getItem(0).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("tok")
+    )
+
+
+@register(
+    "fn_date",
+    oracle=(
+        "SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS y, "
+        "CAST(MONTH(o_orderdate) AS INTEGER) AS m, count(*) AS cnt, "
+        "CAST(MIN(DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS INTEGER) AS min_days "
+        "FROM orders GROUP BY y, m ORDER BY y, m"
+    ),
+)
+def fn_date(spark, sf_dir):
+    """Epoch/month bucketing — the time-slice half of LSD's cell key."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")))
+            .cast("int")
+            .alias("min_days"),
+        )
+        .orderBy("y", "m")
+    )
+
+
+@register(
+    "fn_math",
+    oracle=(
+        "SELECT o_orderstatus, ROUND(AVG(LN(o_totalprice)), 6) AS avg_ln, "
+        "ROUND(SUM(SQRT(o_totalprice)), 2) AS sum_sqrt, "
+        "ROUND(MAX(ABS(o_totalprice)), 2) AS max_abs, "
+        "CAST(SUM(o_orderkey % 7) AS BIGINT) AS mod_sum, "
+        "count(*) AS cnt FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ),
+)
+def fn_math(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.avg(F.log(F.col("o_totalprice"))), 6).alias("avg_ln"),
+            F.round(F.sum(F.sqrt(F.col("o_totalprice"))), 2).alias("sum_sqrt"),
+            F.round(F.max(F.abs(F.col("o_totalprice"))), 2).alias("max_abs"),
+            F.sum(F.col("o_orderkey") % 7).cast("long").alias("mod_sum"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle=(
+        "SELECT CASE WHEN o_totalprice < 50000 THEN 'low' "
+        "WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS band, "
+        "COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open, "
+        "count(*) AS cnt FROM orders GROUP BY band, status_or_open "
+        "ORDER BY band, status_or_open"
+    ),
+)
+def fn_conditional(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    soo = F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open"))
+    return (
+        o.groupBy(band.alias("band"), soo.alias("status_or_open"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("band", "status_or_open")
+    )
+
+
+@register(
+    "fn_cast",
+    oracle=(
+        "SELECT CAST(FLOOR(l_quantity) AS INTEGER) AS qi, count(*) AS cnt, "
+        "strftime(MIN(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS mn_date, "
+        "strftime(MAX(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS mx_date "
+        "FROM lineitem GROUP BY qi ORDER BY qi"
+    ),
+)
+def fn_cast(spark, sf_dir):
+    """Dtype casts (LSD numpy astype). double->int via FLOOR on both
+    sides (Spark's bare cast truncates while DuckDB's rounds); DATE
+    results serialized to ISO strings — pandas bridges render Spark
+    dates as date objects but DuckDB dates as midnight timestamps."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.floor("l_quantity").cast("int").alias("qi"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.date_format(F.min(F.col("l_shipdate").cast("date")), "yyyy-MM-dd").alias("mn_date"),
+            F.date_format(F.max(F.col("l_shipdate").cast("date")), "yyyy-MM-dd").alias("mx_date"),
+        )
+        .orderBy("qi")
+    )
+
+
+# Sequential double fold over a float32 list — identical on both
+# engines because every element is cast to double BEFORE summing.
+_SUM_SPARK = "AGGREGATE({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE))"
+_SUM_DUCK = "list_sum(CAST({a} AS DOUBLE[]))"
+
+
+@register(
+    "fn_array",
+    oracle=(
+        "SELECT label, count(*) AS cnt, "
+        "CAST(MIN(len(embedding)) AS INTEGER) AS min_sz, "
+        "ROUND(AVG(" + _SUM_DUCK.format(a="embedding") + "), 4) AS avg_vec_sum, "
+        "ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS avg_first "
+        "FROM embeddings GROUP BY label ORDER BY label"
+    ),
+)
+def fn_array(spark, sf_dir):
+    """LSD fixed-width array columns (per-epoch mags f4[5]) →
+    ArrayType(Float): size / element access / higher-order fold."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.size("embedding").alias("sz"),
+            F.expr(_SUM_SPARK.format(a="embedding")).alias("vec_sum"),
+            F.element_at("embedding", 1).cast("double").alias("first_el"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("sz").alias("min_sz"),
+            F.round(F.avg("vec_sum"), 4).alias("avg_vec_sum"),
+            F.round(F.avg("first_el"), 6).alias("avg_first"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "fn_array_explode",
+    oracle=(
+        "SELECT vec_id, p.pos AS pos, "
+        "ROUND(CAST(embedding[p.pos + 1] AS DOUBLE), 6) AS val "
+        "FROM embeddings, (VALUES (0), (1), (2), (3)) p(pos) "
+        "WHERE vec_id < 10 ORDER BY vec_id, pos"
+    ),
+)
+def fn_array_explode(spark, sf_dir):
+    """Array -> rows (UDTF-ish): posexplode of the first 4 dims."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("vec_id") < 10)
+        .select("vec_id", F.posexplode(F.slice("embedding", 1, 4)).alias("pos", "v"))
+        .select("vec_id", "pos", F.round(F.col("v").cast("double"), 6).alias("val"))
+        .orderBy("vec_id", "pos")
+    )
+
+
+@register(
+    "fn_json",
+    oracle=(
+        "SELECT event_type, count(*) AS cnt, "
+        "ROUND(AVG(CAST(props ->> 'k' AS INTEGER)), 4) AS avg_k, "
+        "CAST(MAX(CAST(props ->> 'k' AS INTEGER)) AS INTEGER) AS max_k "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+)
+def fn_json(spark, sf_dir):
+    """Semi-structured access — LSD's FITS-keyword blob lookup analog
+    [lsd:ffitskw — UNVERIFIED]: JSON path extraction, JVM-side."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "fn_map",
+    oracle=(
+        "SELECT event_type, "
+        "ROUND(SUM(CAST(props ->> 'k' AS INTEGER) * value), 2) AS weighted "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+)
+def fn_map(spark, sf_dir):
+    """MapType access: parse props into map<string,int> then key it."""
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        ev.select("event_type", (m.getItem("k") * F.col("value")).alias("kv"))
+        .groupBy("event_type")
+        .agg(F.round(F.sum("kv"), 2).alias("weighted"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,115 @@
+"""§2.J similarity search over embedding columns.
+
+- `llm_simsearch_knn`: brute-force cosine top-k for a small query
+  set — broadcast the queries, keep the 100 TB corpus side
+  stationary; sim is a JVM higher-order-function fold (no Python).
+- `knn_ivf`: the scale path — IVF-style bucketing: assign every
+  vector to its nearest centroid (the 'zone'), probe only the top
+  nprobe centroids per query. Candidate generation becomes an
+  equi-join on centroid id: the zones technique for vector space,
+  exactly how lsd-xmatch's cells bound spatial match candidates
+  [lsd:lsd-xmatch — UNVERIFIED].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lsd_spark.catalog import load
+from lsd_spark.operators.joins import COS_DUCK, COS_SPARK
+from lsd_spark.registry import register
+
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+@register(
+    "llm_simsearch_knn",
+    oracle=(
+        "SELECT vec_id, neighbor_id, sim FROM ("
+        "SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+        "ROUND(" + COS_DUCK.format(a="a.embedding", b="b.embedding") + ", 6) AS sim, "
+        "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY "
+        "ROUND(" + COS_DUCK.format(a="a.embedding", b="b.embedding") + ", 6) DESC, "
+        "b.vec_id ASC) AS rn "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id "
+        "WHERE a.vec_id < 5) WHERE rn <= 5"
+    ),
+)
+def llm_simsearch_knn(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors 0..4 (the exact
+    baseline an ANN variant is judged against). Ranks on the rounded
+    sim with vec_id tiebreak so both engines order identically."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < 5).alias("a")
+    b = emb.alias("b")
+    sim = F.round(F.expr(COS_SPARK.format(a="a.embedding", b="b.embedding")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        F.broadcast(a)
+        .join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("vec_id", "neighbor_id", "sim")
+    )
+
+
+@register("knn_ivf", oracle=None)  # rows-only: ANN recall is engine/param-specific
+def knn_ivf(spark, sf_dir):
+    """IVF-bucketed approximate top-5 for query vectors 0..4.
+
+    Deterministic 'training': centroids = the first N_CENTROIDS
+    vectors by vec_id (fixed, seedless). Every corpus vector is
+    assigned to its max-cosine centroid; each query probes its
+    N_PROBE nearest centroids and brute-forces only those buckets.
+    At 100 TB: centroids are a broadcast table, assignment is one
+    narrow pass, and the candidate join is equi on centroid_id."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    sim_vc = F.expr(COS_SPARK.format(a="v.embedding", b="c.c_emb"))
+
+    def nearest_centroids(vectors, n):
+        v = vectors.alias("v")
+        c = F.broadcast(cent).alias("c")
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("csim").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            v.crossJoin(c)
+            .select("v.*", F.col("c.centroid_id"), sim_vc.alias("csim"))
+            .withColumn("crn", F.row_number().over(w))
+            .filter(F.col("crn") <= n)
+            .drop("csim", "crn")
+        )
+
+    assigned = nearest_centroids(emb, 1)  # corpus: 1 bucket each
+    queries = nearest_centroids(emb.filter(F.col("vec_id") < 5), N_PROBE).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("centroid_id"),
+    )
+    sim_qb = F.round(F.expr(COS_SPARK.format(a="q.q_emb", b="b.embedding")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        queries.alias("q")
+        .join(assigned.alias("b"), "centroid_id")  # equi join on the IVF zone
+        .filter(F.col("q.q_id") != F.col("b.vec_id"))
+        .select(
+            F.col("q.q_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            sim_qb.alias("sim"),
+        )
+        .dropDuplicates(["vec_id", "neighbor_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("vec_id", "rn")
+        .select("vec_id", "neighbor_id", "sim")
+    )

@@ -1,0 +1,152 @@
+"""§2.J text analysis — language-ID, quality scoring, token counting,
+tf-idf. All hot paths are Catalyst built-ins (split/regexp/agg);
+the language-ID heuristic is a two-pass vocabulary-profile pipeline
+(deterministic, no external models — none exist in this container).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lsd_spark.catalog import load
+from lsd_spark.registry import register
+
+
+@register(
+    "llm_text_stats",
+    oracle=(
+        "SELECT lang, count(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars, "
+        "count(DISTINCT source) AS n_sources FROM documents "
+        "GROUP BY lang ORDER BY lang"
+    ),
+)
+def llm_text_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "llm_quality_score",
+    oracle=(
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, "
+        "CAST(FLOOR((LEAST(n_chars / 400.0, 1.0) * 0.5 + "
+        "LEAST(len(string_split(text, ' ')) / 80.0, 1.0) * 0.5) * 10000 + 0.5) / 10000 "
+        "AS DOUBLE) AS qscore FROM documents"
+    ),
+)
+def llm_quality_score(spark, sf_dir):
+    """Quality scoring: length + token-density heuristics (the
+    punct/stopword terms degenerate on word-soup fixtures but the
+    formula shape is the real pipeline's)."""
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    score = (
+        F.least(F.col("n_chars") / 400.0, F.lit(1.0)) * 0.5
+        + F.least(ntok / 80.0, F.lit(1.0)) * 0.5
+    )
+    q4 = (F.floor(score * 10000 + F.lit(0.5)) / 10000).cast("double")
+    return docs.select("doc_id", ntok.alias("n_tokens"), q4.alias("qscore"))
+
+
+@register(
+    "llm_token_count",
+    oracle=(
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws, "
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe "
+        "FROM documents"
+    ),
+)
+def llm_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex segmenter
+    (letters / digits / other runs)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))).alias(
+            "n_bpe"
+        ),
+    )
+
+
+@register(
+    "llm_tfidf_topterms",
+    oracle=(
+        "WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token "
+        "FROM documents), tot AS (SELECT count(*) AS n FROM documents) "
+        "SELECT token, df, ROUND(LN(n / df), 6) AS idf FROM ("
+        "SELECT token, count(*) AS df FROM tok GROUP BY token), tot "
+        "ORDER BY df DESC, token ASC LIMIT 10"
+    ),
+)
+def llm_tfidf_topterms(spark, sf_dir):
+    """Top-10 tokens by document frequency + idf. The doc-frequency
+    agg is the reusable df half of tf-idf; the per-(doc,term) tf side
+    is udtf_flatmap's output."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    tot = docs.agg(F.count("*").alias("n"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "df",
+            F.round(F.log(F.col("n") / F.col("df")), 6).alias("idf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(10)
+    )
+
+
+@register("llm_lang_id", oracle=None)  # rows-only: heuristic classifier
+def llm_lang_id(spark, sf_dir):
+    """n-gram/vocabulary language-ID heuristic, two deterministic
+    passes: (1) profile = top-20 most-frequent tokens per language
+    (df-weighted, tiebreak token); (2) classify each doc to the
+    language whose profile it hits most (tiebreak lang asc). Returns
+    per-lang accuracy vs the fixture's ground-truth lang column."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    w = Window.partitionBy("lang").orderBy(F.col("df").desc(), F.col("token").asc())
+    profile = (
+        tok.groupBy("lang", "token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 20)
+        .select(F.col("lang").alias("p_lang"), "token")
+    )
+    hits = (
+        tok.select("doc_id", F.col("lang").alias("true_lang"), "token")
+        .join(F.broadcast(profile), "token")
+        .groupBy("doc_id", "true_lang", "p_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("p_lang").asc())
+    guessed = (
+        hits.withColumn("r", F.row_number().over(w2))
+        .filter(F.col("r") == 1)
+        .select("doc_id", "true_lang", F.col("p_lang").alias("guess"))
+    )
+    return (
+        guessed.groupBy("true_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("guess") == F.col("true_lang"), 1).otherwise(0)).alias(
+                "n_correct"
+            ),
+        )
+        .orderBy("true_lang")
+    )

@@ -1,0 +1,177 @@
+"""§2.D aggregations — LSD has no GROUP BY; aggregation is map/reduce
+kernels over cells with keyed reducers [lsd:src/lsd/pool2.py
+map_reduce_chain — UNVERIFIED]. That partial-per-cell/final-per-key
+pattern IS Spark's partial+final hash aggregation, so everything here
+is a built-in (map-side combine happens automatically; no shuffle of
+raw rows, only of partial states — the property that matters at
+100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lsd_spark.catalog import load
+from lsd_spark.registry import register
+
+
+@register(
+    "agg_global",
+    oracle=(
+        "SELECT count(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sq, "
+        "ROUND(AVG(l_discount), 6) AS ad, MIN(l_shipdate) AS mn, "
+        "MAX(l_shipdate) AS mx FROM lineitem"
+    ),
+)
+def agg_global(spark, sf_dir):
+    """Single-reducer kernel analog: whole-table aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sq"),
+        F.round(F.avg("l_discount"), 6).alias("ad"),
+        F.min("l_shipdate").alias("mn"),
+        F.max("l_shipdate").alias("mx"),
+    )
+
+
+@register(
+    "agg_groupby_hash",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_base, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+        "ROUND(AVG(l_quantity), 4) AS avg_qty, ROUND(AVG(l_extendedprice), 4) AS avg_price, "
+        "ROUND(AVG(l_discount), 6) AS avg_disc, count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+    ),
+)
+def agg_groupby_hash(spark, sf_dir):
+    """TPC-H Q1 pricing summary — the per-object-statistics kernel
+    pattern (e.g. lightcurve stats per object) as a hash aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority",
+)
+def agg_distinct(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderpriority").distinct().orderBy("o_orderpriority")
+
+
+@register(
+    "agg_count_distinct",
+    oracle="SELECT count(DISTINCT o_custkey) AS u FROM orders",
+)
+def agg_count_distinct(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.agg(F.countDistinct("o_custkey").alias("u"))
+
+
+@register("agg_approx_distinct", oracle=None)  # rows-only: HLL estimates differ per engine
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) — a 100 TB necessity:
+    one pass, fixed memory, no exact-distinct shuffle."""
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+
+
+@register(
+    "agg_having",
+    oracle=(
+        "SELECT count(*) AS cnt FROM ("
+        "SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) > 5)"
+    ),
+)
+def agg_having(spark, sf_dir):
+    """Post-reduce filter (LSD: filter inside the reducer kernel)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 5)
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, "
+        "ROUND(SUM(o_totalprice), 2) AS total "
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+    ),
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Rollup — the multi-resolution footprint-map pattern
+    (LSD density maps at several healpix levels) in one pass."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "agg_multi_column",
+    oracle=(
+        "SELECT event_type, count(*) AS cnt, ROUND(SUM(value), 2) AS sv, "
+        "ROUND(AVG(value), 4) AS av, ROUND(MIN(value), 2) AS mnv, "
+        "ROUND(MAX(value), 2) AS mxv FROM events "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+)
+def agg_multi_column(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sv"),
+            F.round(F.avg("value"), 4).alias("av"),
+            F.round(F.min("value"), 2).alias("mnv"),
+            F.round(F.max("value"), 2).alias("mxv"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle=(
+        "SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket, count(*) AS cnt "
+        "FROM events GROUP BY bucket ORDER BY bucket"
+    ),
+)
+def agg_histogram(spark, sf_dir):
+    """1-D histogram — LSD's footprint/density map
+    [lsd:lsd-footprint — UNVERIFIED] is the 2-D version of exactly
+    this derived-bucket groupBy; at 100 TB it is a map-side-combined
+    agg with as many groups as buckets (tiny shuffle)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 50.0).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bucket")
+    )

@@ -1,0 +1,290 @@
+"""§2.C joins — LSD's repertoire is equi-joins through pre-computed
+xmatch tables, an `(outer)` modifier, and nearest-neighbor-within-
+radius spatial matching [lsd:src/lsd/join_ops.py, lsd-xmatch —
+UNVERIFIED]. Spark supplies the full join zoo natively; the spatial/
+nearest ops are expressed with the **zones technique** (SURVEY.md
+§2.C design note): derive a bucket column, equi-join on bucket (so it
+stays a shuffle/broadcast HASH join, never a cross product), refine
+with the true predicate, then rank. That is LSD's cell + margin-cache
+strategy re-expressed as a query shape — no custom Catalyst rule.
+
+Scale notes (100 TB):
+- dimension joins (nation, region) are broadcast — zero shuffle.
+- fact-fact joins shuffle on the equi key; pre-bucketed layouts
+  (sources/io_ops.sink_into writes partitioned/bucketed parquet)
+  make them co-located.
+- band joins keep an equality conjunct (user_id) so Spark picks
+  SortMergeJoin/ShuffledHashJoin with a residual filter, never BNLJ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lsd_spark.catalog import load
+from lsd_spark.registry import register
+
+
+@register(
+    "join_inner_hash",
+    oracle=(
+        "SELECT o_orderstatus, count(*) AS cnt FROM orders "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ),
+)
+def join_inner_hash(spark, sf_dir):
+    """Object↔detection equi join (LSD's implicit _ID join)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle=(
+        "SELECT count(*) AS cnt FROM customer LEFT JOIN orders "
+        "ON c_custkey = o_custkey WHERE o_orderkey IS NULL"
+    ),
+)
+def join_left_outer(spark, sf_dir):
+    """LSD's `(outer)` table modifier: keep unmatched left rows."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .filter(F.col("o_orderkey").isNull())
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "join_multiway",
+    oracle=(
+        "SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name"
+    ),
+)
+def join_multiway(spark, sf_dir):
+    """Flagship 5-way join (TPC-H-Q5 style): chained joins through the
+    declared join graph. nation/region are broadcast (dims); the
+    orders↔lineitem join shuffles on the key. Catalyst reorders and
+    pushes r_name down before the big join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle=(
+        "SELECT c_custkey FROM customer WHERE EXISTS ("
+        "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_orderpriority = '1-URGENT')"
+    ),
+)
+def join_semi(spark, sf_dir):
+    """Footprint-membership filtering: customers with ≥1 urgent order.
+    left_semi never duplicates or widens the left side."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+@register(
+    "join_anti",
+    oracle=(
+        "SELECT p_partkey FROM part WHERE NOT EXISTS ("
+        "SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)"
+    ),
+)
+def join_anti(spark, sf_dir):
+    """Negated membership: parts never shipped."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select("p_partkey")
+
+
+@register(
+    "join_broadcast",
+    oracle=(
+        "SELECT n_name FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'EUROPE' ORDER BY n_name"
+    ),
+)
+def join_broadcast(spark, sf_dir):
+    """Small-dim join: explicit broadcast (LSD: per-cell dict lookup).
+    Zero shuffle — the 100 TB fact side never moves."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_name")
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "join_theta_range",
+    oracle=(
+        "SELECT count(*) AS cnt FROM events e1 JOIN events e2 "
+        "ON e1.user_id = e2.user_id AND e2.ts > e1.ts "
+        "AND e2.ts <= e1.ts + INTERVAL 5 MINUTE "
+        "AND e1.event_id <> e2.event_id"
+    ),
+)
+def join_theta_range(spark, sf_dir):
+    """Temporal band join. The user_id equality conjunct keeps this a
+    hash/sort-merge join with the ts-band as a residual predicate —
+    the zones technique degenerate case (partition key = zone)."""
+    ev = load(spark, sf_dir, "events")
+    e1 = ev.alias("e1")
+    e2 = ev.alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("e1.event_id") != F.col("e2.event_id"))
+    )
+    return e1.join(e2, cond, "inner").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "join_asof_nearest",
+    oracle=(
+        "SELECT purchase_id, click_id FROM ("
+        "SELECT p.event_id AS purchase_id, c.event_id AS click_id, "
+        "ROW_NUMBER() OVER (PARTITION BY p.event_id "
+        "ORDER BY c.ts DESC, c.event_id DESC) AS rn "
+        "FROM events p JOIN events c ON p.user_id = c.user_id "
+        "AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR "
+        "WHERE p.event_type = 'purchase' AND c.event_type = 'click') "
+        "WHERE rn = 1"
+    ),
+)
+def join_asof_nearest(spark, sf_dir):
+    """LSD's signature xmatch(nmax=1) semantics: for each left row the
+    single nearest match within a radius. Here: for each purchase, the
+    latest prior click by the same user within 1 hour. Shape = band
+    join (equi on user_id + time-band residual) then a window rank —
+    exactly how lsd-xmatch's cell+margin matching re-expresses in
+    Spark (SURVEY.md §3.3). Ties broken by event_id."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") < F.col("p.ts"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    w = Window.partitionBy(F.col("p.event_id")).orderBy(
+        F.col("c.ts").desc(), F.col("c.event_id").desc()
+    )
+    return (
+        p.join(c, cond, "inner")
+        .select(
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.event_id").alias("click_id"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "click_id")
+    )
+
+
+# Cross-engine-deterministic cosine similarity: cast float32 -> double
+# elementwise, sequential fold (both engines sum left-to-right), then
+# rank on the ROUNDED value with an id tiebreak so ordering never
+# depends on sub-ulp differences.
+COS_SPARK = (
+    "AGGREGATE(ZIP_WITH({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "0D, (acc, v) -> acc + v) / "
+    "(SQRT(AGGREGATE({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) * "
+    "SQRT(AGGREGATE({b}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+)
+COS_DUCK = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+    "(SQRT(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+    "SQRT(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+
+@register(
+    "join_xmatch_radius_knn",
+    oracle=(
+        "SELECT vec_id, neighbor_id, sim FROM ("
+        "SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+        "ROUND(" + COS_DUCK.format(a="a.embedding", b="b.embedding") + ", 6) AS sim, "
+        "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY "
+        "ROUND(" + COS_DUCK.format(a="a.embedding", b="b.embedding") + ", 6) DESC, "
+        "b.vec_id ASC) AS rn "
+        "FROM embeddings a JOIN embeddings b "
+        "ON a.label = b.label AND a.vec_id <> b.vec_id "
+        "WHERE a.vec_id < 20) WHERE rn <= 3"
+    ),
+)
+def join_xmatch_radius_knn(spark, sf_dir):
+    """lsd-xmatch with nmax=k over real vectors: top-3 cosine
+    neighbors among same-label peers for the first 20 vectors. The
+    label equi-key is the 'zone': the join is hash-partitioned by
+    label, never a cross product. At 100 TB the zone key becomes an
+    LSH/IVF bucket (see llm/simsearch.py knn_ivf)."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < 20).alias("a")
+    b = emb.alias("b")
+    sim = F.round(
+        F.expr(COS_SPARK.format(a="a.embedding", b="b.embedding")), 6
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+            "inner",
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("vec_id", "neighbor_id", "sim")
+    )
+
+
+@register(
+    "join_cross",
+    oracle="SELECT count(*) AS cnt FROM region CROSS JOIN nation",
+)
+def join_cross(spark, sf_dir):
+    """Explicit Cartesian product (building block only; every scale
+    operator in this engine prunes with a bucket equi-key first)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).agg(F.count("*").alias("cnt"))

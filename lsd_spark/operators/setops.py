@@ -1,0 +1,65 @@
+"""§2.G set operations — row-level analog of LSD's footprint algebra
+(union/intersection of sky regions [lsd:src/lsd/bounds.py —
+UNVERIFIED]). Spark set ops are hash-based distinct shuffles; at
+100 TB prefer pre-partitioned inputs on the compared key so the
+distinct is co-located.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lsd_spark.catalog import load
+from lsd_spark.registry import register
+
+
+@register(
+    "set_union_all",
+    oracle=(
+        "SELECT o_custkey AS k FROM orders "
+        "UNION ALL SELECT s_suppkey AS k FROM supplier"
+    ),
+)
+def set_union_all(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+    return o.unionByName(s)
+
+
+@register(
+    "set_union_distinct",
+    oracle=(
+        "SELECT c_nationkey AS k FROM customer "
+        "UNION SELECT s_nationkey AS k FROM supplier ORDER BY k"
+    ),
+)
+def set_union_distinct(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.unionByName(s).distinct().orderBy("k")
+
+
+@register(
+    "set_intersect",
+    oracle=(
+        "SELECT c_nationkey AS k FROM customer "
+        "INTERSECT SELECT s_nationkey AS k FROM supplier ORDER BY k"
+    ),
+)
+def set_intersect(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s).orderBy("k")
+
+
+@register(
+    "set_except",
+    oracle=(
+        "SELECT c_nationkey AS k FROM customer "
+        "EXCEPT SELECT s_nationkey AS k FROM supplier ORDER BY k"
+    ),
+)
+def set_except(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.subtract(s).orderBy("k")  # subtract == SQL EXCEPT (distinct)

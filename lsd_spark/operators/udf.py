@@ -1,0 +1,143 @@
+"""§2.J UDF / UDAF / UDTF surface — LSD's whole aggregation story is
+arbitrary Python kernels mapped over cells with keyed reducers
+[lsd:src/lsd/pool2.py map_reduce_chain — UNVERIFIED]. The Spark-first
+re-expression is Arrow-vectorized Python (SURVEY.md §3.2): a mapper
+kernel = `mapInPandas` (1:N record batches), a keyed reducer =
+`groupBy().applyInPandas`, a per-row derived quantity =
+scalar `pandas_udf`. Row-at-a-time `udf()` is never used — LSD's
+everything-is-numpy-vectorized invariant (SURVEY.md §1.3) carries
+over as everything-is-Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from lsd_spark.catalog import load
+from lsd_spark.operators.filters import R2_SQL
+from lsd_spark.registry import register
+
+
+def _charge_kernel(ext: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+    # floor(x*100+0.5)/100 == the engines' positive-value ROUND but
+    # bit-deterministic across Spark/DuckDB/numpy (filters.r2 note).
+    x = ext * (1.0 - disc) * (1.0 + tax)
+    return np.floor(x * 100.0 + 0.5) / 100.0
+
+
+def _charge_udf():
+    # built lazily: pandas_udf needs an active session to parse the
+    # return type, so it cannot be a module-level decorator.
+    return pandas_udf(_charge_kernel, T.DoubleType())
+
+
+@register(
+    "udf_scalar_vectorized",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        + R2_SQL.format(x="l_extendedprice * (1 - l_discount) * (1 + l_tax)")
+        + " AS charge FROM lineitem WHERE l_orderkey < 1000"
+    ),
+)
+def udf_scalar_vectorized(spark, sf_dir):
+    """Scalar kernel as an Arrow-vectorized pandas_udf. The oracle is
+    the equivalent SQL expression — proving the Python kernel computes
+    exactly what the declarative path would. (Production guidance:
+    prefer the built-in expression; this exists for kernels Catalyst
+    can't express.)"""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    udf = _charge_udf()
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        udf("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+_VAR_SCHEMA = T.StructType(
+    [
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("n_orders", T.LongType()),
+        T.StructField("var_price", T.LongType()),
+    ]
+)
+
+
+def _var_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Keyed reducer kernel: sample variance (ddof=1, matching
+    # var_samp) of order totals per customer. Emits nothing for
+    # singleton groups (variance undefined -> avoids NaN-vs-NULL
+    # mismatches).
+    if len(pdf) < 2:
+        return pd.DataFrame(columns=["o_custkey", "n_orders", "var_price"]).astype(
+            {"o_custkey": "int64", "n_orders": "int64", "var_price": "int64"}
+        )
+    v = float(np.var(pdf["o_totalprice"].to_numpy(), ddof=1))
+    # variance of ~1e5-scale prices is ~1e10: numpy's two-pass and
+    # DuckDB's streaming var_samp agree only to ~1e-2 absolute, so
+    # quantize to a 1e4 grid instead of decimal places.
+    v = int(np.floor(v / 10000.0 + 0.5))
+    return pd.DataFrame(
+        {
+            "o_custkey": [int(pdf["o_custkey"].iloc[0])],
+            "n_orders": [len(pdf)],
+            "var_price": [v],
+        }
+    )
+
+
+@register(
+    "udaf_grouped_agg",
+    oracle=(
+        "SELECT o_custkey, count(*) AS n_orders, "
+        "CAST(FLOOR(var_samp(o_totalprice) / 10000.0 + 0.5) AS BIGINT) AS var_price "
+        "FROM orders GROUP BY o_custkey HAVING count(*) >= 2"
+    ),
+)
+def udaf_grouped_agg(spark, sf_dir):
+    """Keyed reducer kernel via applyInPandas — LSD's
+    `query.execute([(mapper,), (reducer,)])` chain: Spark shuffles by
+    key, hands each group to the kernel as one Arrow batch."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_custkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .applyInPandas(_var_kernel, schema=_VAR_SCHEMA)
+    )
+
+
+_TOK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("token", T.StringType()),
+    ]
+)
+
+
+def _tokenize_kernel(batches):
+    # Mapper kernel emitting N rows per input row (LSD kernels may
+    # yield many values per cell row). Pure pandas ops per batch.
+    for pdf in batches:
+        toks = pdf["text"].str.split(" ")
+        out = pdf[["doc_id"]].copy()
+        out["token"] = toks
+        yield out.explode("token").dropna()[["doc_id", "token"]]
+
+
+@register(
+    "udtf_flatmap",
+    oracle=(
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+    ),
+)
+def udtf_flatmap(spark, sf_dir):
+    """1:N mapper kernel via mapInPandas: tokenize documents into
+    (doc_id, token) rows. Arrow batches in, Arrow batches out — the
+    ColGroup-block streaming model verbatim."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(_tokenize_kernel, schema=_TOK_SCHEMA)

@@ -1,0 +1,154 @@
+"""§2.E window functions — LSD's per-object time-ordered kernel work
+(lightcurves: sort an object's detections by MJD, compute deltas)
+[lsd:src/lsd/pool2.py reducers — UNVERIFIED] maps to Spark Window
+specs partitioned by the object key: one shuffle on the partition
+key, then per-partition sorted evaluation. At 100 TB the partition
+key (user/object id) must be high-cardinality — all of these are —
+and single-partition global windows are avoided except for bounded
+outputs (win_ntile_percent notes the caveat).
+
+Determinism: every ORDER BY inside a window carries a unique-key
+tiebreak; time arithmetic uses integer microseconds (unix_micros /
+epoch_us) on both engines so no float or second-truncation skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lsd_spark.catalog import load
+from lsd_spark.registry import register
+
+
+@register(
+    "win_row_number",
+    oracle=(
+        "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn FROM orders) "
+        "WHERE rn <= 2 ORDER BY o_custkey, rn LIMIT 100"
+    ),
+)
+def win_row_number(spark, sf_dir):
+    """Top-2 orders per customer by price (tiebreak o_orderkey)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 2)
+        .orderBy("o_custkey", "rn")
+        .limit(100)
+    )
+
+
+@register(
+    "win_rank_dense",
+    oracle=(
+        "SELECT s_suppkey, s_nationkey, "
+        "CAST(RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INTEGER) AS rnk, "
+        "CAST(DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INTEGER) AS drnk "
+        "FROM supplier"
+    ),
+)
+def win_rank_dense(spark, sf_dir):
+    """Rank suppliers by account balance within nation. rank/dense_rank
+    are tie-stable (equal values share a rank) so no tiebreak needed."""
+    s = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle=(
+        "SELECT user_id, event_id, "
+        "epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS gap_us "
+        "FROM events"
+    ),
+)
+def win_lag_lead(spark, sf_dir):
+    """Per-object inter-detection gap (lightcurve delta-t kernel)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "user_id", "event_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+
+
+@register(
+    "win_running_frame",
+    oracle=(
+        "SELECT user_id, event_id, "
+        "ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum "
+        "FROM events"
+    ),
+)
+def win_running_frame(spark, sf_dir):
+    """Running sum per user in event-time order. Both engines add
+    left-to-right in frame order -> bit-identical before rounding."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id", F.round(F.sum("value").over(w), 2).alias("running_sum")
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle=(
+        "SELECT user_id, event_id, "
+        "CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) "
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt_1h "
+        "FROM events"
+    ),
+)
+def win_range_frame(spark, sf_dir):
+    """Trailing 1-hour event count per user — a value-range frame over
+    integer microseconds (RANGE frames need a numeric order key in
+    Spark; µs keeps it exact on both engines)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select("user_id", "event_id", F.count("*").over(w).alias("cnt_1h"))
+
+
+@register(
+    "win_ntile_percent",
+    oracle=(
+        "SELECT o_orderkey, "
+        "CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile, "
+        "ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pr "
+        "FROM orders"
+    ),
+)
+def win_ntile_percent(spark, sf_dir):
+    """Quartile + percent_rank of order totalprice. NOTE (scale): this
+    is a single global window — fine for bounded outputs, but at
+    100 TB use approx percentiles (percentile_approx) or a range-
+    partitioned two-pass rank instead of one giant partition."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )

@@ -1,0 +1,61 @@
+"""SparkSession factory with engine defaults (SURVEY.md §4, §6).
+
+Defaults chosen for oracle parity and scale posture:
+- UTC session timezone (timestamp literals match DuckDB).
+- ANSI OFF: Spark 4 enables ANSI by default; LSD/DuckDB-style
+  permissive semantics (div-by-zero -> NULL, silent casts) need it off.
+- AQE on (skew joins, partition coalescing) — the Spark analog of
+  LSD pool2's dynamic load balancing [lsd:src/lsd/pool2.py — UNVERIFIED].
+- Arrow on for all pandas UDF / toPandas paths (LSD's ColGroup
+  batches ≈ Arrow record batches, SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "lsd-spark",
+    shuffle_partitions: int | None = None,
+    master: str | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``shuffle_partitions`` should be sized to the data: ~2-3x total
+    cores for local test SFs; at 100 TB leave it to AQE
+    (`spark.sql.adaptive.coalescePartitions.enabled`) with a high
+    initial value.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sp = shuffle_partitions or int(os.environ.get("LSD_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.driver.memory", os.environ.get("LSD_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def apply_session_defaults(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-built
+    session (the driver passes us its own SparkSession)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    except Exception:
+        pass  # non-runtime-settable on some builds; queries avoid ANSI traps
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

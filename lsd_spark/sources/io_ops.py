@@ -1,0 +1,105 @@
+"""§2.A sources & sinks — LSD's `lsd-import` ingests text/FITS/SMF
+with explicit schemas and appends to cells [lsd:src/lsd/smf.py,
+sdss.py — UNVERIFIED]; `... INTO newtable` writes query results as a
+new table [lsd:src/lsd/query_parser.py INTO — UNVERIFIED].
+
+Spark mapping: `spark.read.schema(...).csv/json` for ingest (schema
+is always explicit — never inference in engine paths, SURVEY.md
+§1.2), and CTAS = `df.write.partitionBy(...).parquet` for INTO. The
+partitionBy layout is what turns LSD's footprint→cell pruning into
+Catalyst partition pruning at 100 TB: fact tables are written
+bucketed by a derived epoch/zone column at ingest.
+
+All three ops are rows-only (driver contract): they exercise real
+filesystem round-trips, not SQL-expressible transforms.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lsd_spark.catalog import load
+from lsd_spark.registry import register
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+@register("source_text_import", oracle=None)  # rows-only: filesystem round-trip
+def source_text_import(spark, sf_dir):
+    """lsd-import analog: write `documents` to CSV, re-ingest with an
+    explicit schema, prove row/field fidelity (returns per-lang counts
+    so the rows-only check has stable content)."""
+    # tmp dir intentionally outlives this call: the returned DataFrame
+    # is lazy and re-reads it when the driver collects.
+    tmp = tempfile.mkdtemp(prefix="lsd_import_")
+    docs = load(spark, sf_dir, "documents")
+    docs.coalesce(4).write.mode("overwrite").option("header", "true").csv(f"{tmp}/csv")
+    back = spark.read.schema(DOC_SCHEMA).option("header", "true").csv(f"{tmp}/csv")
+    return (
+        back.groupBy("lang")
+        .agg(F.count("*").alias("cnt"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
+@register("sink_into", oracle=None)  # rows-only: CTAS round-trip
+def sink_into(spark, sf_dir):
+    """`INTO newtable` analog: CTAS to *partitioned* parquet (the
+    engine's cell layout: orders partitioned by status ≈ detections
+    partitioned by epoch bucket), read back, verify partition pruning
+    applies, return per-partition counts."""
+    tmp = tempfile.mkdtemp(prefix="lsd_ctas_")
+    o = load(spark, sf_dir, "orders")
+    (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(f"{tmp}/orders_by_year")
+    )
+    back = spark.read.parquet(f"{tmp}/orders_by_year")
+    # Filter on the partition column -> Catalyst reads only those dirs.
+    res = (
+        back.filter(F.col("o_year") >= 1997)
+        .groupBy("o_year")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_year")
+    )
+    out = res.localCheckpoint(eager=True) if hasattr(res, "localCheckpoint") else res
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register("sink_output_formats", oracle=None)  # rows-only: export round-trip
+def sink_output_formats(spark, sf_dir):
+    """lsd-query's FITS/text writers analog: export a result to CSV
+    and JSON, read both back, return counts per format."""
+    tmp = tempfile.mkdtemp(prefix="lsd_export_")
+    n = load(spark, sf_dir, "nation")
+    n.coalesce(1).write.mode("overwrite").option("header", "true").csv(f"{tmp}/csv")
+    n.coalesce(1).write.mode("overwrite").json(f"{tmp}/json")
+    csv_schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    c = spark.read.schema(csv_schema).option("header", "true").csv(f"{tmp}/csv").count()
+    j = spark.read.json(f"{tmp}/json").count()
+    res = spark.createDataFrame(
+        [(int(c), int(j))], "csv_rows BIGINT, json_rows BIGINT"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res

@@ -1,0 +1,171 @@
+"""§2.I streaming — LSD is batch-only, but its detection tables are
+append-only time-series and the 'process new epochs as they arrive'
+workflow is the streaming analog (SURVEY.md §2.I).
+
+Strategy per the driver contract:
+- window aggregations (tumbling / sliding / session) are registered
+  as their batch-equivalent DataFrame queries — `F.window` /
+  `F.session_window` are the SAME operators batch or streamed, so
+  the DuckDB oracle checks the exact semantics the stream computes.
+  tests/test_streaming.py replays events.parquet through a real
+  `readStream` (availableNow trigger) and asserts stream == batch.
+- genuinely stateful behaviors (watermark late-drop, streaming
+  dedup, update-mode running counts) run a REAL Structured
+  Streaming job into a memory sink and are rows-only.
+
+Scale notes: watermarks bound state; session windows shuffle by
+(user, gap-merge) — the per-object epoch-processing kernel of LSD
+re-expressed; file source becomes Kafka at production scale with
+identical query bodies.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from lsd_spark.catalog import load, table_path
+from lsd_spark.registry import register
+
+
+@register(
+    "stream_tumbling",
+    oracle=(
+        "SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS cnt, "
+        "ROUND(SUM(value), 2) AS sv FROM events "
+        "GROUP BY win_start, event_type ORDER BY win_start, event_type"
+    ),
+)
+def stream_tumbling(spark, sf_dir):
+    """Tumbling 1h window x event_type. Epoch-aligned F.window start
+    == date_trunc('hour') for integral-hour widths."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "cnt", "sv")
+        .orderBy("win_start", "event_type")
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle=(
+        "SELECT make_timestamp(((epoch_us(ts) // 1800000000) - k.k) * 1800000000) "
+        "AS win_start, count(*) AS cnt FROM events, (VALUES (0), (1)) k(k) "
+        "GROUP BY win_start ORDER BY win_start"
+    ),
+)
+def stream_sliding(spark, sf_dir):
+    """1h window sliding every 30min: each event lands in exactly two
+    epoch-aligned windows — the oracle enumerates them arithmetically."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("win_start"), "cnt")
+        .orderBy("win_start")
+    )
+
+
+@register(
+    "stream_session",
+    oracle=(
+        "WITH g AS (SELECT user_id, CASE WHEN "
+        "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+        "OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        ">= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s FROM events) "
+        "SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, "
+        "count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id"
+    ),
+)
+def stream_session(spark, sf_dir):
+    """Session windows (10min gap) per user. Oracle hand-rolls the
+    gap-flag cumulative logic (DuckDB has no session_window); a new
+    session starts when the inter-event gap >= the gap duration —
+    matching session_window's [ts, ts+gap) extension rule."""
+    ev = load(spark, sf_dir, "events")
+    sessions = ev.groupBy(F.session_window("ts", "10 minutes"), "user_id").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n").cast("long").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def _run_stream(spark, sf_dir, build, mode: str):
+    """Replay events.parquet through a real file-source stream
+    (availableNow) into a memory sink; return the sink table."""
+    # the file stream source wants a directory: expose the single
+    # parquet file through a symlinked staging dir
+    path = table_path(sf_dir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="lsd_stream_src_")
+    os.symlink(os.path.abspath(path), f"{stage}/events.parquet")
+    src = spark.readStream.schema(spark.read.parquet(path).schema).parquet(stage)
+    # same ts normalization as the batch loader (ns int64 -> µs ts)
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    name = "lsd_stream_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="lsd_ckpt_")
+    q = (
+        build(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register("stream_watermark_late", oracle=None)  # rows-only: watermark semantics
+def stream_watermark_late(spark, sf_dir):
+    """Real stream: 2h watermark + tumbling agg, update mode. The
+    watermark bounds state (late rows beyond 2h are dropped at scale);
+    the shuffled-replay equivalence test lives in tests/."""
+
+    def build(src):
+        return (
+            src.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("win_start"), "event_type", "cnt")
+        )
+
+    return _run_stream(spark, sf_dir, build, "update")
+
+
+@register("stream_dedup", oracle=None)  # rows-only: stateful dedup
+def stream_dedup(spark, sf_dir):
+    """Real stream: stateful dropDuplicates within the watermark —
+    emits each (user_id, event_type) once."""
+
+    def build(src):
+        return (
+            src.withWatermark("ts", "2 hours")
+            .select("user_id", "event_type", "ts")
+            .dropDuplicates(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+
+    return _run_stream(spark, sf_dir, build, "append")
+
+
+@register("stream_stateful_count", oracle=None)  # rows-only: update-mode state
+def stream_stateful_count(spark, sf_dir):
+    """Real stream: running per-user counts in update mode — the
+    memory sink holds the final state per key (LSD's incremental
+    'new epochs arrive' reduction)."""
+
+    def build(src):
+        return src.groupBy("user_id").agg(F.count("*").alias("n_events"))
+
+    return _run_stream(spark, sf_dir, build, "update")

@@ -1,0 +1,127 @@
+"""Driver simulation — verification harness, NOT pytest.
+
+Mimics the external driver's contract against __spark_entry__.py:
+builds its OWN SparkSession with stock defaults (ANSI on in Spark 4,
+200 shuffle partitions, no UTC preset — deliberately NOT our tuned
+session), then:
+  t1: entry(spark) on sf0.001, expects rows > 0 and a stable schema
+  t2: every queries()[name] at sf0.01, hash-compared to
+      oracle_sql()[name] via DuckDB (column names + rowcount +
+      order-insensitive canonical rows); rows-only ops must run
+      twice and return identical results.
+
+Usage: python scripts/driver_sim.py [--sample N]
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def canon_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return "NaN" if math.isnan(f) else repr(f)
+    if isinstance(v, (np.bool_, bool)):
+        return bool(v)
+    if isinstance(v, (np.integer, int)):
+        return int(v)
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if v is pd.NaT:
+        return None
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(canon_cell(x) for x in v)
+    return v
+
+
+def canon(pdf):
+    cols = sorted(pdf.columns)
+    rows = [tuple(canon_cell(c) for c in row) for row in pdf[cols].itertuples(index=False)]
+    rows.sort(key=repr)
+    return cols, rows
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    # stock driver-ish session: NO engine defaults applied
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    print("ansi default:", spark.conf.get("spark.sql.ansi.enabled"))
+    print("tz default:", spark.conf.get("spark.sql.session.timeZone"))
+
+    import __spark_entry__ as entrymod
+
+    # t1 smoke
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    print(f"t1 entry: {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
+    assert len(rows) > 0
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF01}/{t}.parquet'")
+
+    failed = []
+    for name in sorted(qs):
+        try:
+            sdf = qs[name](spark, SF01).toPandas()
+            if name in oracles:
+                ddf = con.sql(oracles[name]).df()
+                sc, sr = canon(sdf)
+                dc, dr = canon(ddf)
+                if sc != dc:
+                    failed.append((name, f"cols {sc} != {dc}"))
+                elif len(sr) != len(dr):
+                    failed.append((name, f"rows {len(sr)} != {len(dr)}"))
+                elif sr != dr:
+                    d = [(a, b) for a, b in zip(sr, dr) if a != b][:2]
+                    failed.append((name, f"values {d}"))
+                else:
+                    print(f"  OK   {name} ({len(sr)} rows, oracle match)")
+            else:
+                sdf2 = qs[name](spark, SF01).toPandas()
+                _, r1 = canon(sdf)
+                _, r2 = canon(sdf2)
+                if r1 != r2:
+                    failed.append((name, "rows-only op not deterministic across runs"))
+                else:
+                    print(f"  OK   {name} ({len(r1)} rows, rows-only, stable x2)")
+        except Exception as e:  # noqa: BLE001
+            failed.append((name, f"EXC {type(e).__name__}: {str(e)[:200]}"))
+
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} ok")
+    for n, msg in failed:
+        print(f"  FAIL {n}: {msg}")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
