@@ -1,0 +1,76 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Metrics mirror BASELINE.md's DuckDB measurements (q_scan_filter_agg,
+q_join3, q_window, q_topk, q_events_tumbling, q_knn_brute): warm
+medians on a warmed SparkSession — Spark's fixed per-query scheduling
+overhead (~0.1s) is part of the number, so the engine must keep plans
+shallow (broadcast dims, coalesced shuffles) to stay within the 2x
+budget at sf0.1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+RUNS = 3
+
+# headline query id -> registry id
+HEADLINE = {
+    "q_scan_filter_agg": "agg_groupby_hash",
+    "q_join3": "join_multiway",
+    "q_window": "win_row_number",
+    "q_topk": "topk_agg",
+    "q_events_tumbling": "stream_tumbling",
+    "q_knn_brute": "llm_simsearch_knn",
+}
+
+
+def main() -> None:
+    os.environ.setdefault("LSD_SHUFFLE_PARTITIONS", "8")
+    from lsd_spark.registry import QUERIES, load_all
+    from lsd_spark.session import get_spark
+
+    load_all()
+    spark = get_spark(app_name="lsd-bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footer caches once per query
+    for qid in HEADLINE.values():
+        QUERIES[qid](spark, SF_DIR).collect()
+
+    times: dict[str, float] = {}
+    for name, qid in HEADLINE.items():
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            QUERIES[qid](spark, SF_DIR).collect()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(samples), 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "warm_median_total_sec",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

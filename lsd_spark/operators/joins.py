@@ -76,21 +76,32 @@ def join_left_outer(spark, sf_dir):
     ),
 )
 def join_multiway(spark, sf_dir):
-    """Flagship 5-way join (TPC-H-Q5 style): chained joins through the
-    declared join graph. nation/region are broadcast (dims); the
-    orders↔lineitem join shuffles on the key. Catalyst reorders and
-    pushes r_name down before the big join."""
+    """Flagship 5-way join (TPC-H-Q5 style), planned for scale:
+
+    - build the selective dimension chain first (region['ASIA'] ->
+      nation -> customer) and BROADCAST it: the region filter prunes
+      ~4/5 of customers before they ever meet a fact row;
+    - join facts once on their natural key (orders ⋈ lineitem on
+      orderkey) — a single shuffle; the naive c⋈o⋈li order would
+      shuffle orders twice (custkey then orderkey);
+    - the final agg groups 25 nations: map-side combine makes the
+      post-join shuffle negligible.
+    At 100 TB the same shape holds: dims stay broadcastable, the one
+    fact-fact shuffle is unavoidable (or zero if both facts are
+    bucketed by orderkey at write time — see sources/io_ops)."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     n = load(spark, sf_dir, "nation")
-    r = load(spark, sf_dir, "region")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .filter(F.col("r_name") == "ASIA")
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))

@@ -1,0 +1,112 @@
+"""Streaming replay equivalence (SURVEY.md §5.4): the window
+aggregations registered as batch queries must produce IDENTICAL
+results when the same parquet is replayed through a real Structured
+Streaming file source (availableNow trigger) — including a
+shuffled-order replay for watermark robustness.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from lsd_spark.catalog import load
+from lsd_spark.registry import QUERIES, load_all
+from tests.conftest import SF_DIR
+from tests.test_oracle import canon_rows
+
+load_all()
+
+
+def _replay(spark, src_df, build, mode="complete"):
+    """Write src_df to a staging dir, stream it back with
+    availableNow, apply `build`, collect via memory sink."""
+    stage = tempfile.mkdtemp(prefix="lsd_replay_")
+    # many small files + maxFilesPerTrigger -> a genuinely incremental
+    # multi-microbatch replay, not one big batch
+    src_df.repartition(8).write.mode("overwrite").parquet(f"{stage}/data")
+    schema = spark.read.parquet(f"{stage}/data").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{stage}/data")
+    )
+    name = "replay_" + uuid.uuid4().hex[:10]
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).toPandas()
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
+def _tumbling(src):
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "cnt", "sv")
+    )
+
+
+@pytest.mark.parametrize("shuffled", [False, True])
+def test_tumbling_stream_equals_batch(spark, shuffled):
+    ev = load(spark, SF_DIR, "events")
+    if shuffled:
+        # adversarial replay order: late data everywhere
+        ev = ev.orderBy(F.xxhash64("event_id"))
+    batch = QUERIES["stream_tumbling"](spark, SF_DIR).toPandas()
+    stream = _replay(spark, ev, _tumbling)
+    assert canon_rows(batch) == canon_rows(stream)
+
+
+def test_sliding_stream_equals_batch(spark):
+    ev = load(spark, SF_DIR, "events")
+
+    def build(src):
+        return (
+            src.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("win_start"), "cnt")
+        )
+
+    batch = QUERIES["stream_sliding"](spark, SF_DIR).toPandas()
+    stream = _replay(spark, ev, build)
+    assert canon_rows(batch) == canon_rows(stream)
+
+
+def test_session_stream_equals_batch(spark):
+    ev = load(spark, SF_DIR, "events")
+
+    def build(src):
+        # watermark must exceed the fixture's full time span: the replay
+        # feeds files in arbitrary order, and session aggregation drops
+        # input older than the watermark even in complete mode
+        return (
+            src.withWatermark("ts", "400 days")
+            .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n"))
+            .select("user_id", "n")
+        )
+
+    # stream emits one row per (session, user); roll up to per-user
+    stream = _replay(spark, ev, build)
+    per_user = (
+        stream.groupby("user_id")
+        .agg(n_sessions=("n", "size"), n_events=("n", "sum"))
+        .reset_index()
+    )
+    batch = QUERIES["stream_session"](spark, SF_DIR).toPandas()
+    merged = batch.merge(per_user, on="user_id", suffixes=("_b", "_s"))
+    assert len(merged) == len(batch)
+    assert (merged["n_sessions_b"] == merged["n_sessions_s"]).all()
+    assert (merged["n_events_b"] == merged["n_events_s"]).all()
