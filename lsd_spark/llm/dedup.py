@@ -125,6 +125,206 @@ def llm_dedup_near(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# SimHash near-dedup — fully oracle-checked.
+#
+# Portability trick: both engines derive the SAME 60-bit token hash
+# from md5 hex (Spark: conv(hex,16,10); DuckDB: '0x'||hex cast), so
+# the signatures — and therefore the candidate pairs — are bit-exact
+# across engines and the op gets a full DuckDB oracle instead of a
+# rows-only check.
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits a signed BIGINT
+SIMHASH_BANDS = 4  # 4 x 15-bit bands; hamming<=3 guaranteed found (pigeonhole)
+HAM_T = 2
+
+HASH60_SPARK = "CAST(conv(substr(md5({t}),1,15),16,10) AS BIGINT)"
+HASH60_DUCK = "('0x' || substring(md5({t}),1,15))::BIGINT"
+
+
+def _simhash_terms(dialect: str) -> str:
+    """Sum-of-bit-values expression computing the simhash from the
+    per-token hash array `hs` — pure higher-order functions, no
+    shuffle: at 100 TB this is a map-only pass."""
+    terms = []
+    for b in range(SIMHASH_BITS):
+        if dialect == "spark":
+            vote = (
+                f"aggregate(hs, 0L, (acc, h) -> acc + "
+                f"(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END))"
+            )
+            terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << b}L ELSE 0L END)")
+        else:
+            vote = (
+                f"list_sum(list_transform(hs, h -> "
+                f"CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END))"
+            )
+            terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_SIMHASH_ORACLE = (
+    "WITH hs AS (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')), "
+    "t -> " + HASH60_DUCK.format(t="t") + ") AS hs FROM documents), "
+    "sh AS (SELECT doc_id, (" + _simhash_terms("duck") + ")::BIGINT AS simhash FROM hs), "
+    "bands AS (SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767 AS bk "
+    "FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+    "FROM bands a JOIN bands b ON a.j = b.j AND a.bk = b.bk AND a.doc_id < b.doc_id) "
+    f"SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {HAM_T} "
+    "ORDER BY doc_a, doc_b"
+)
+
+
+@register("llm_dedup_simhash", oracle=_SIMHASH_ORACLE)
+def llm_dedup_simhash(spark, sf_dir):
+    """SimHash near-duplicate pairs at hamming distance <= 2 over
+    60-bit signatures of distinct tokens. With 4 bands of 15 bits,
+    any pair at hamming <= 3 shares a whole band (pigeonhole), so at
+    this threshold the banded candidate set is EXACT — which is why
+    this op can carry a full oracle.
+
+    Scale shape (100 TB): signature = map-only higher-order fold per
+    row (no Python, no shuffle); candidates = equi self-join on
+    (band, 15-bit band key) — the zones technique on hash space —
+    then hamming refinement on the 8-byte signature. The shuffle key
+    is 2 ints/doc regardless of document size."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.selectExpr(
+        "doc_id",
+        "transform(array_distinct(split(text, ' ')), t -> "
+        + HASH60_SPARK.format(t="t")
+        + ") AS hs",
+    ).selectExpr("doc_id", f"({_simhash_terms('spark')}) AS simhash")
+    bands = sh.selectExpr(
+        "doc_id",
+        "simhash",
+        "explode(array(0, 1, 2, 3)) AS j",
+    ).selectExpr("doc_id", "simhash", "j", "(shiftright(simhash, 15 * j) & 32767) AS bk")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.expr("a.simhash ^ b.simhash")).cast("long").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= HAM_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dedup via an inverted index — the
+# candidate join is on the shingle itself (posting lists), with a
+# hot-shingle cap so one ubiquitous shingle can't go quadratic.
+# ---------------------------------------------------------------------------
+
+NGRAM_DF_CAP = 100  # drop shingles appearing in more docs than this
+NGRAM_T = 0.5
+
+_NGRAM_ORACLE = (
+    "WITH sg AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, greatest(len(t) - 2, 1) + 1), i -> array_to_string(t[i:i+2], ' '))) AS sh "
+    "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)), "
+    "tok AS (SELECT doc_id, unnest(sh) AS s FROM sg), "
+    f"ok AS (SELECT s FROM tok GROUP BY s HAVING count(*) <= {NGRAM_DF_CAP}), "
+    "tk AS (SELECT tok.doc_id, tok.s FROM tok JOIN ok USING (s)), "
+    "sz AS (SELECT doc_id, count(*) AS c FROM tk GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+    "FROM tk a JOIN tk b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT doc_a, doc_b, ROUND(i * 1.0 / (sa.c + sb.c - i), 4) AS jaccard "
+    "FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id "
+    f"WHERE ROUND(i * 1.0 / (sa.c + sb.c - i), 4) >= {NGRAM_T} "
+    "ORDER BY doc_a, doc_b"
+)
+
+
+@register("llm_dedup_ngram", oracle=_NGRAM_ORACLE)
+def llm_dedup_ngram(spark, sf_dir):
+    """Exact 3-gram-shingle Jaccard pairs at >= 0.5 via an inverted
+    index: explode shingles, drop shingles with document frequency >
+    NGRAM_DF_CAP (the skew guard — without it one boilerplate shingle
+    makes the posting-list self-join quadratic at 100 TB), equi-join
+    postings, then Jaccard from intersection + set sizes. Unlike
+    MinHash this has no false negatives among surviving shingles, and
+    it is fully oracle-checked."""
+    docs = load(spark, sf_dir, "documents")
+    tok = _shingled(docs).select("doc_id", F.explode("shingles").alias("s"))
+    # anti-join against the (few) over-cap shingles: the broadcast side
+    # is the hot set, never the vocabulary
+    hot = tok.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > NGRAM_DF_CAP)
+    tk = tok.join(F.broadcast(hot.select("s")), "s", "left_anti")
+    sz = tk.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a, b = tk.alias("a"), tk.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    jac = F.round(F.col("i") / (F.col("ca") + F.col("cb") - F.col("i")), 4)
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= NGRAM_T)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dedup: semantic duplicates.
+# ---------------------------------------------------------------------------
+
+EMBCOS_T = 0.45
+
+from lsd_spark.operators.joins import COS_DUCK, COS_SPARK  # noqa: E402
+
+_EMBCOS_ORACLE = (
+    "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+    "ROUND(" + COS_DUCK.format(a="a.embedding", b="b.embedding") + ", 6) AS sim "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE ROUND(" + COS_DUCK.format(a="a.embedding", b="b.embedding") + f", 6) >= {EMBCOS_T} "
+    "ORDER BY vec_a, vec_b"
+)
+
+
+@register("llm_dedup_embcos", oracle=_EMBCOS_ORACLE)
+def llm_dedup_embcos(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (sim >= 0.45), the
+    semantic-dedup primitive. Registered as the exact all-pairs
+    variant so the oracle can verify it; the 100 TB path reuses
+    knn_ivf's centroid bucketing (equi-join candidates on centroid
+    id, then this same refine) — exactness here is what the ANN
+    variant's recall is measured against."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = F.round(F.expr(COS_SPARK.format(a="a.embedding", b="b.embedding")), 6)
+    return (
+        F.broadcast(a)
+        .join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= EMBCOS_T)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 @register(
     "llm_fingerprint",
     oracle=(

@@ -1,0 +1,92 @@
+"""Friends-of-friends clustering — the `lsd-make-object-catalog`
+analog [lsd:lsd-make-object-catalog — UNVERIFIED, SURVEY.md §3.3].
+
+LSD's object-catalog build clusters detections into objects by
+linking every pair within a match radius and taking connected
+components. Here the same algorithm runs over the embedding table:
+edges = cosine-similarity pairs above a threshold (semantic
+friends), components via iterative min-label propagation.
+
+Scale shape (100 TB):
+- edge generation is the zones-technique candidate join (here the
+  exact small variant; production reuses knn_ivf's centroid buckets);
+- label propagation is the standard distributed connected-components
+  loop: each iteration is one shuffle (join labels to edges +
+  min-aggregate); iterations are bounded by the component diameter,
+  which for dedup graphs is tiny (~2-4). Each iteration's result is
+  localCheckpoint()-ed so the lineage doesn't grow unboundedly —
+  the classic iterative-DataFrame pitfall.
+- the convergence test (count of changed labels) is one scalar
+  action per iteration, not a collect of the data.
+
+Oracle: DuckDB recursive CTE computing min-reachable-label over the
+undirected edge set — exact same fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lsd_spark.catalog import load
+from lsd_spark.llm.dedup import EMBCOS_T
+from lsd_spark.operators.joins import COS_DUCK, COS_SPARK
+from lsd_spark.registry import register
+
+MAX_ITERS = 20
+
+_FOF_ORACLE = (
+    "WITH RECURSIVE pairs AS ("
+    "SELECT a.vec_id AS u, b.vec_id AS v "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE ROUND(" + COS_DUCK.format(a="a.embedding", b="b.embedding") + f", 6) >= {EMBCOS_T}), "
+    "e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs), "
+    "reach(src, node) AS ("
+    "SELECT vec_id, vec_id FROM embeddings "
+    "UNION "
+    "SELECT r.src, e.v FROM reach r JOIN e ON r.node = e.u) "
+    "SELECT src AS vec_id, min(node) AS object_id FROM reach "
+    "GROUP BY src ORDER BY vec_id"
+)
+
+
+@register("cluster_fof", oracle=_FOF_ORACLE)
+def cluster_fof(spark, sf_dir):
+    """Friends-of-friends object catalog: every vector labeled with
+    the min vec_id of its connected component (cosine >= EMBCOS_T
+    edges). Iterative min-label propagation to the exact fixpoint."""
+    emb = load(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    sim = F.round(F.expr(COS_SPARK.format(a="a.embedding", b="b.embedding")), 6)
+    pairs = (
+        F.broadcast(a)
+        .join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"), sim.alias("sim"))
+        .filter(F.col("sim") >= EMBCOS_T)
+        .select("u", "v")
+    )
+    edges = pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = edges.localCheckpoint(eager=True)  # edge gen runs once, not per iteration
+
+    labels = emb.select(F.col("vec_id"), F.col("vec_id").alias("object_id"))
+    for _ in range(MAX_ITERS):
+        # candidate new label: min over own label and neighbors' labels
+        nbr = (
+            edges.join(labels, edges.v == labels.vec_id)
+            .groupBy(F.col("u").alias("vec_id"))
+            .agg(F.min("object_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(nbr, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.least(F.col("object_id"), F.coalesce(F.col("nbr_min"), F.col("object_id"))).alias(
+                    "new_id"
+                ),
+                F.col("object_id"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("new_id") < F.col("object_id")).limit(1).count()
+        labels = updated.select("vec_id", F.col("new_id").alias("object_id"))
+        if changed == 0:
+            break
+    return labels.orderBy("vec_id")
