@@ -30,6 +30,7 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 _DEFAULTED: set[int] = set()
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def _ensure_defaults(spark: SparkSession) -> None:
@@ -57,14 +58,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     values.
     """
     _ensure_defaults(spark)
+    key = (id(spark), sf_dir, name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     path = table_path(sf_dir, name)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    # cache the logical plan (immutable), not the data: repeated load()
+    # calls skip footer/schema re-reads; Catalyst still prunes per query
+    _DF_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
