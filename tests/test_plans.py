@@ -1,0 +1,130 @@
+"""Physical-plan regression tests — the 100 TB scale contract.
+
+Correctness tests prove the operators compute the right answer at
+sf0.01; these prove the PLANS are the ones that survive a 1000x
+scale-up (SURVEY.md §4): filters reach the parquet scan, projections
+prune columns, small dims broadcast, candidate-generation joins are
+equi-joins (zones technique) and never cartesian products, and
+aggregations are partial+final (map-side combine).
+
+A regression here means an operator silently degraded into a shape
+that works at 60k rows and dies at 100 TB — exactly the failure mode
+plan inspection exists to catch.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from lsd_spark.registry import QUERIES, load_all
+from tests.conftest import SF_DIR
+
+load_all()
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def qplan(name: str, spark, mode: str = "formatted") -> str:
+    return plan(QUERIES[name](spark, SF_DIR), mode)
+
+
+# --- scans: pruning and pushdown reach the parquet reader -----------------
+
+
+def test_scan_projection_prunes_columns(spark):
+    p = qplan("scan_projection", spark)
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read, p
+    schema = read[0].split("ReadSchema:")[1]
+    assert "l_orderkey" in schema and "l_quantity" in schema
+    # the 14 other lineitem columns must NOT be read
+    assert "l_comment" not in schema and "l_extendedprice" not in schema
+
+
+def test_scan_partition_prune_pushes_filter(spark):
+    p = qplan("scan_partition_prune", spark)
+    assert "PushedFilters: [" in p, p
+    pushed = p.split("PushedFilters:")[1].splitlines()[0]
+    assert "ts" in pushed and "IsNotNull" in pushed or "GreaterThan" in pushed, pushed
+
+
+def test_filter_simple_pushes_predicates(spark):
+    p = qplan("filter_simple", spark)
+    assert "GreaterThan(o_totalprice" in p, p
+    assert "EqualTo(o_orderstatus" in p, p
+
+
+def test_scans_use_wholestage_codegen(spark):
+    """`*(n)` spans in the executed plan = whole-stage codegen; AQE
+    only materializes them after an action."""
+    for q in ("agg_groupby_hash", "project_expr", "filter_compound"):
+        df = QUERIES[q](spark, SF_DIR)
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "*(1)" in p, f"{q} fell out of codegen:\n{p}"
+
+
+# --- joins: broadcast where bounded, equi-candidates everywhere -----------
+
+
+def test_join_broadcast_is_broadcast(spark):
+    p = qplan("join_broadcast", spark)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p
+
+
+def test_join_multiway_single_fact_shuffle_join(spark):
+    """The 5-way Q5: dims broadcast; at most ONE shuffle-requiring
+    join (orders x lineitem) may remain."""
+    p = qplan("join_multiway", spark)
+    non_broadcast = p.count("SortMergeJoin") + p.count("ShuffledHashJoin")
+    assert non_broadcast <= 1, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """The zones technique promise: candidate generation for
+    nearest/radius/dedup ops is an equi-join, never a cartesian
+    product. join_cross is the one deliberate exception."""
+    for q in (
+        "join_asof_nearest",
+        "join_theta_range",
+        "join_xmatch_radius_knn",
+        "knn_ivf",
+        "llm_dedup_near",
+        "llm_dedup_simhash",
+        "llm_dedup_ngram",
+    ):
+        p = qplan(q, spark, mode="simple")
+        assert "CartesianProduct" not in p, f"{q} degraded to cartesian:\n{p}"
+
+
+def test_knn_brute_broadcasts_query_side(spark):
+    """All-pairs ops (exact-baseline variants) must at least broadcast
+    the bounded query side — a BroadcastNestedLoopJoin, never a
+    CartesianProduct over the corpus."""
+    for q in ("llm_simsearch_knn", "llm_dedup_embcos"):
+        p = qplan(q, spark, mode="simple")
+        assert "BroadcastNestedLoopJoin" in p, p
+        assert "CartesianProduct" not in p, p
+
+
+# --- aggregation: map-side combine ----------------------------------------
+
+
+def test_agg_partial_final(spark):
+    p = qplan("agg_groupby_hash", spark, mode="simple")
+    assert p.count("HashAggregate") >= 2, p  # partial + final
+
+
+def test_topk_uses_take_ordered(spark):
+    p = qplan("sort_multi", spark, mode="simple")
+    assert "TakeOrderedAndProject" in p, p
