@@ -169,3 +169,72 @@ def stream_stateful_count(spark, sf_dir):
         return src.groupBy("user_id").agg(F.count("*").alias("n_events"))
 
     return _run_stream(spark, sf_dir, build, "update")
+
+
+@register(
+    "stream_custom_state",
+    oracle=(
+        "SELECT user_id, count(*) AS n_events, "
+        "ROUND(SUM(COALESCE(value, 0)), 2) AS sv FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ),
+)
+def stream_custom_state(spark, sf_dir):
+    """Custom stateful operator via applyInPandasWithState — the
+    arbitrary-Python keyed reducer LSD runs as pool2 kernels
+    [lsd:src/lsd/pool2.py — UNVERIFIED], expressed as Structured
+    Streaming state.
+
+    Each micro-batch folds its rows into per-user state (count, sum)
+    and emits the running totals in update mode. Because both
+    accumulators are monotone, max-per-user over every emitted update
+    equals the final state regardless of how availableNow slices the
+    replay into batches — which is what makes this streaming op
+    batch-equivalent and therefore fully oracle-checkable.
+
+    Scale shape: state is 16 bytes/user in the state store, shuffled
+    once by user_id; Arrow batches in/out (no per-row Python)."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sv_raw", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("cnt", LongType()), StructField("sm", DoubleType())]
+    )
+
+    def fold(key, pdfs, state):
+        cnt, sm = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            sm += float(pdf["value"].fillna(0.0).sum())
+        state.update((cnt, sm))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "sv_raw": [sm]}
+        )
+
+    def build(src):
+        return src.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+            fold, out_schema, state_schema, "update", "NoTimeout"
+        )
+
+    updates = _run_stream(spark, sf_dir, build, "update")
+    return (
+        updates.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max("sv_raw"), 2).alias("sv"),
+        )
+        .orderBy("user_id")
+    )
