@@ -1,0 +1,96 @@
+"""Algebraic invariant spot-checks (SURVEY.md §5.5).
+
+Cross-operator equivalences that must hold on any input: if one of
+these breaks, an operator's semantics drifted even if its oracle
+query happens to still pass (e.g. a semi-join that starts
+duplicating rows, a window rank that loses its tiebreak).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lsd_spark.catalog import load
+from tests.conftest import SF_DIR
+
+
+def rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_semi_join_equals_inner_distinct(spark):
+    c = load(spark, SF_DIR, "customer")
+    o = load(spark, SF_DIR, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+    inner = (
+        c.join(o, c.c_custkey == o.o_custkey, "inner").select("c_custkey").distinct()
+    )
+    assert rows(semi) == rows(inner)
+
+
+def test_anti_join_equals_complement(spark):
+    c = load(spark, SF_DIR, "customer")
+    o = load(spark, SF_DIR, "orders")
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+    assert rows(anti) == rows(c.select("c_custkey").exceptAll(semi))
+    assert anti.count() + semi.count() == c.count()
+
+
+def test_window_top1_equals_groupby_max(spark):
+    o = load(spark, SF_DIR, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    top1 = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_totalprice")
+    )
+    gmax = o.groupBy("o_custkey").agg(F.max("o_totalprice").alias("o_totalprice"))
+    assert rows(top1) == rows(gmax)
+
+
+def test_union_distinct_is_idempotent(spark):
+    n = load(spark, SF_DIR, "nation").select("n_nationkey")
+    once = n.union(n).distinct()
+    assert rows(once) == rows(n.distinct())
+
+
+def test_rollup_total_matches_global(spark):
+    o = load(spark, SF_DIR, "orders")
+    ru = (
+        o.rollup("o_orderstatus")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("o_orderstatus").isNull())
+    )
+    assert ru.collect()[0]["cnt"] == o.count()
+
+
+def test_dedup_exact_idempotent(spark):
+    docs = load(spark, SF_DIR, "documents")
+    once = docs.dropDuplicates(["text"])
+    twice = once.dropDuplicates(["text"])
+    assert once.count() == twice.count()
+    # and the dedup count agrees with the distinct-fingerprint count
+    assert once.count() == docs.select(F.md5(F.col("text").cast("binary"))).distinct().count()
+
+
+def test_histogram_buckets_partition_rows(spark):
+    ev = load(spark, SF_DIR, "events").filter(F.col("value").isNotNull())
+    hist = ev.groupBy(F.floor(F.col("value") / 50).alias("b")).count()
+    assert hist.agg(F.sum("count")).collect()[0][0] == ev.count()
+
+
+def test_minhash_bounds_jaccard(spark):
+    """Every MinHash/LSH near-dup candidate pair must satisfy the
+    Jaccard threshold it claims (no false positives post-refinement),
+    and the pair list must be symmetric-free (a < b)."""
+    from lsd_spark.registry import QUERIES, load_all
+
+    load_all()
+    pairs = QUERIES["llm_dedup_near"](spark, SF_DIR).collect()
+    for r in pairs:
+        assert r.doc_a < r.doc_b
+        assert r.jaccard >= 0.6
