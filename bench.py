@@ -43,6 +43,13 @@ def main() -> None:
     load_all()
     spark = get_spark(app_name="lsd-bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
+    # sf0.1 files are ~25 MB: the default 128 MB maxPartitionBytes puts
+    # each whole scan in ONE task. 4 MB spreads it across cores at this
+    # scale; production at 100 TB keeps the default (fewer, fuller tasks).
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        os.environ.get("LSD_MAX_PARTITION_BYTES", "4m"),
+    )
 
     # warm the JVM + parquet footer caches once per query
     for qid in HEADLINE.values():

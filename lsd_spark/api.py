@@ -1,0 +1,170 @@
+"""User-facing LSD-style API — the `lsd.DB` surface re-expressed
+over Spark [lsd:src/lsd/__init__.py DB; query.py Query — UNVERIFIED].
+
+LSD's public workflow:
+
+    db = lsd.DB('db_dir')
+    rows = db.query("SELECT ra, dec FROM obj WHERE r < 16").fetch()
+    for block in db.query(...).iterate(): ...
+    db.query(...).execute([(kernel, args), (reducer, args)])
+    ... INTO newtable
+
+The same workflow here:
+
+    db = DB(spark, '/root/testdata/sf0.01')
+    pdf = db.query("SELECT l_orderkey, l_quantity FROM lineitem "
+                   "WHERE l_quantity > 45").fetch()
+    for row in db.query(...).iterate(): ...
+    db.query(...).execute([Map(fn, schema), Reduce(fn, schema, key)])
+    db.query(...).into('newtable')
+
+Divergences from LSD, by design:
+- SQL is real Spark SQL (Catalyst), not LSD's mini-language; WHERE
+  supports full SQL instead of numpy expression strings.
+- Kernels receive/emit pandas DataFrames over Arrow batches (LSD:
+  numpy ColGroups over pickled pipes) and must declare an output
+  schema — Spark needs it at plan time, LSD inferred it at runtime.
+- INTO writes partitioned Parquet into the DB's writable warehouse
+  dir (LSD: cells inside the db directory).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lsd_spark.catalog import TABLES, load
+from lsd_spark.session import apply_session_defaults
+
+
+@dataclass
+class Map:
+    """pool2 mapper analog: fn(pdf: pandas.DataFrame, *args) ->
+    pandas.DataFrame (0..n rows per input batch), run via
+    mapInPandas. `schema` is the output schema (DDL string)."""
+
+    fn: Callable[..., Any]
+    schema: str
+    args: tuple = field(default_factory=tuple)
+
+
+@dataclass
+class Reduce:
+    """pool2 keyed-reducer analog: fn(key: tuple, pdf, *args) ->
+    pandas.DataFrame, run via groupBy(*key).applyInPandas."""
+
+    fn: Callable[..., Any]
+    schema: str
+    key: list[str] = field(default_factory=list)
+    args: tuple = field(default_factory=tuple)
+
+
+class Query:
+    """A lazily-planned query over a DB (LSD Query analog)."""
+
+    def __init__(self, db: "DB", sql: str):
+        self._db = db
+        self._sql = sql
+
+    def df(self) -> DataFrame:
+        """The DataFrame plan (LSD had no such escape hatch; Spark's
+        whole point is that the plan is first-class)."""
+        self._db._ensure_views()
+        return self._db.spark.sql(self._sql)
+
+    def fetch(self):
+        """Materialize to a pandas DataFrame (Arrow path) — LSD's
+        fetch() returned a numpy structured array."""
+        return self.df().toPandas()
+
+    def iterate(self) -> Iterator:
+        """Stream rows to the driver without materializing the full
+        result (LSD fetch-by-cell analog)."""
+        return self.df().toLocalIterator()
+
+    def count(self) -> int:
+        return self.df().count()
+
+    def into(self, name: str, partition_by: list[str] | None = None) -> DataFrame:
+        """`... INTO newtable`: CTAS as (optionally partitioned)
+        Parquet in the DB's warehouse dir; the new table is queryable
+        immediately."""
+        out = os.path.join(self._db.warehouse, name)
+        w = self.df().write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(out)
+        self._db._extra[name] = out
+        self._db._views_done = False
+        return self._db.table(name)
+
+    def execute(self, kernels: list[Map | Reduce]) -> DataFrame:
+        """LSD map/reduce chain [lsd:src/lsd/pool2.py map_reduce_chain
+        — UNVERIFIED]: stage 0 is this query's result; each Map runs
+        as mapInPandas (1:N Arrow batches), each Reduce shuffles by
+        its key and runs as applyInPandas. Everything stays
+        distributed; only the final DataFrame reaches the driver."""
+        df = self.df()
+        for k in kernels:
+            if isinstance(k, Map):
+                fn, schema, args = k.fn, k.schema, k.args
+
+                def run_map(batches, _fn=fn, _args=args):
+                    for pdf in batches:
+                        out = _fn(pdf, *_args)
+                        if out is not None and len(out):
+                            yield out
+
+                df = df.mapInPandas(run_map, schema)
+            elif isinstance(k, Reduce):
+                if not k.key:
+                    raise ValueError("Reduce kernel needs a grouping key")
+                # applyInPandas inspects the callable's arity: build a
+                # clean 2-arg closure via a factory
+                def make_reduce(_fn, _args):
+                    def run_reduce(key, pdf):
+                        return _fn(key, pdf, *_args)
+
+                    return run_reduce
+
+                df = df.groupBy(*k.key).applyInPandas(make_reduce(k.fn, k.args), k.schema)
+            else:
+                raise TypeError(f"kernel must be Map or Reduce, got {type(k)}")
+        return df
+
+
+class DB:
+    """A warehouse directory of Parquet tables (LSD DB analog).
+
+    `path` is the read-only table directory (e.g. an sf dir);
+    `warehouse` is where INTO writes (defaults to a temp dir)."""
+
+    def __init__(self, spark: SparkSession, path: str, warehouse: str | None = None):
+        self.spark = apply_session_defaults(spark)
+        self.path = path
+        self.warehouse = warehouse or tempfile.mkdtemp(prefix="lsd_db_")
+        self._extra: dict[str, str] = {}
+        self._views_done = False
+
+    def tables(self) -> list[str]:
+        base = [t for t in TABLES if os.path.exists(os.path.join(self.path, f"{t}.parquet"))]
+        return base + sorted(self._extra)
+
+    def table(self, name: str) -> DataFrame:
+        if name in self._extra:
+            return self.spark.read.parquet(self._extra[name])
+        return load(self.spark, self.path, name)
+
+    def _ensure_views(self) -> None:
+        if self._views_done:
+            return
+        for t in self.tables():
+            self.table(t).createOrReplaceTempView(t)
+        self._views_done = True
+
+    def query(self, sql: str) -> Query:
+        return Query(self, sql)

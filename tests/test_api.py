@@ -1,0 +1,102 @@
+"""LSD-style public API façade (lsd_spark/api.py): the db.query /
+fetch / iterate / INTO / kernel-chain workflow a reference user
+migrates to."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lsd_spark.api import DB, Map, Reduce
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def db(spark):
+    return DB(spark, SF_DIR)
+
+
+def test_query_fetch_matches_oracle(db, duck):
+    pdf = db.query(
+        "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag"
+    ).fetch()
+    want = dict(
+        duck.sql("SELECT l_returnflag, count(*) FROM lineitem GROUP BY 1").fetchall()
+    )
+    got = dict(zip(pdf.l_returnflag, pdf.cnt))
+    assert got == want
+
+
+def test_iterate_streams_all_rows(db):
+    n = sum(1 for _ in db.query("SELECT r_name FROM region").iterate())
+    assert n == db.query("SELECT * FROM region").count() == 5
+
+
+def test_into_ctas_roundtrip(db):
+    db.query("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders").into(
+        "orders_slim", partition_by=["o_orderstatus"]
+    )
+    assert "orders_slim" in db.tables()
+    back = db.query("SELECT count(*) AS c FROM orders_slim").fetch()
+    orig = db.query("SELECT count(*) AS c FROM orders").fetch()
+    assert back.c[0] == orig.c[0]
+
+
+def test_kernel_chain_matches_sql(db, duck):
+    """Map (project charge) -> Reduce (per-flag mean) must equal the
+    equivalent plain SQL: the pool2-chain surface is semantics-free
+    plumbing."""
+
+    def charge(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "flag": pdf["l_returnflag"],
+                "charge": pdf["l_extendedprice"] * (1 - pdf["l_discount"]),
+            }
+        )
+
+    def mean_charge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"flag": [key[0]], "avg_charge": [pdf["charge"].mean()]})
+
+    out = (
+        db.query("SELECT l_returnflag, l_extendedprice, l_discount FROM lineitem")
+        .execute(
+            [
+                Map(charge, "flag string, charge double"),
+                Reduce(mean_charge, "flag string, avg_charge double", key=["flag"]),
+            ]
+        )
+        .toPandas()
+    )
+    want = dict(
+        duck.sql(
+            "SELECT l_returnflag, AVG(l_extendedprice * (1 - l_discount)) "
+            "FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    got = dict(zip(out.flag, out.avg_charge))
+    assert set(got) == set(want)
+    for k in want:
+        assert np.isclose(got[k], want[k], rtol=1e-9)
+
+
+def test_map_kernel_can_expand_rows(db):
+    """A Map kernel may emit != 1 output row per input row (LSD
+    kernels yield freely)."""
+
+    def tokenize(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            {"doc_id": d, "token": t}
+            for d, txt in zip(pdf["doc_id"], pdf["text"])
+            for t in str(txt).split()[:3]
+        ]
+        return pd.DataFrame(rows, columns=["doc_id", "token"])
+
+    out = (
+        db.query("SELECT doc_id, text FROM documents WHERE doc_id < 20")
+        .execute([Map(tokenize, "doc_id bigint, token string")])
+        .toPandas()
+    )
+    assert len(out) > 20  # expanded
+    assert set(out.columns) == {"doc_id", "token"}
