@@ -175,3 +175,33 @@ def agg_histogram(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "agg_density_map_2d",
+    oracle=(
+        "SELECT CAST(FLOOR(epoch_us(ts) / 21600000000) AS BIGINT) AS t_cell, "
+        "CAST(FLOOR(COALESCE(value, 0) / 100.0) AS BIGINT) AS v_cell, "
+        "count(*) AS cnt, FLOOR(AVG(COALESCE(value, 0)) * 100 + 0.5) / 100 AS av "
+        "FROM events GROUP BY t_cell, v_cell ORDER BY t_cell, v_cell"
+    ),
+)
+def agg_density_map_2d(spark, sf_dir):
+    """2-D density map — the actual `lsd-footprint` product
+    [lsd:lsd-footprint — UNVERIFIED]: sky maps bin (ra, dec) into
+    BHpix cells and count; here the two axes are a 6h time cell and
+    a value cell. One map-side-combined aggregation whose group count
+    is the CELL count, independent of row count — the reason density
+    maps over 100 TB return in one shuffle of a few thousand rows."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.unix_micros("ts") / F.lit(21_600_000_000)).cast("long").alias("t_cell"),
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) / 100.0).cast("long").alias("v_cell"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.floor(F.avg(F.coalesce(F.col("value"), F.lit(0.0))) * 100 + 0.5) / 100).alias("av"),
+        )
+        .orderBy("t_cell", "v_cell")
+    )

@@ -53,4 +53,5 @@ def load_all() -> None:
     import lsd_spark.sources.io_ops  # noqa: F401
     import lsd_spark.plans.xmatch  # noqa: F401
     import lsd_spark.plans.cluster  # noqa: F401
+    import lsd_spark.plans.skew  # noqa: F401
     _LOADED = True
