@@ -103,3 +103,47 @@ def sink_output_formats(spark, sf_dir):
     )
     shutil.rmtree(tmp, ignore_errors=True)
     return res
+
+
+@register("sink_bucketed", oracle=None)  # rows-only: filesystem round-trip
+def sink_bucketed(spark, sf_dir):
+    """Bucketed CTAS — the write-time co-location that removes the
+    one shuffle the flagship join can't avoid (join_multiway
+    docstring): both fact tables written bucketed by the join key
+    into the session warehouse; a subsequent orderkey join reads
+    bucket i of each side in the same task, no Exchange.
+
+    At 100 TB this is THE fact-fact join strategy: pay one shuffle at
+    ingest, join shuffle-free forever after. Returns the per-status
+    counts from the bucket-local join (identical to the shuffled
+    plan's answer), plus the exchange count of the executed plan so
+    the rows-only determinism check also pins the plan shape."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    # a fresh session's in-memory metastore doesn't know about a
+    # previous run's managed-table dirs: drop AND remove the location
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace("file:", "")
+    for name, df, key in (("lsd_b_orders", o, "o_orderkey"), ("lsd_b_lineitem", li, "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+        df.write.mode("overwrite").bucketBy(8, key).sortBy(key).format("parquet").saveAsTable(name)
+    ob = spark.table("lsd_b_orders")
+    lb = spark.table("lsd_b_lineitem")
+    joined = (
+        ob.hint("merge")
+        .join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"))
+    )
+    joined.collect()
+    # AQE's toString appends an "== Initial Plan ==" section; count
+    # exchanges in the final plan only. Expect exactly 1: the groupBy.
+    # The join inputs read bucket-aligned (SelectedBucketsCount: 8/8,
+    # no Exchange) — the point of this op.
+    plan_str = joined._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan_str.split("== Initial Plan ==")[0]
+    n_exchanges = final_plan.count("Exchange hashpartitioning")
+    return (
+        joined.withColumn("join_exchanges", F.lit(n_exchanges))
+        .orderBy("o_orderstatus")
+    )

@@ -128,3 +128,11 @@ def test_agg_partial_final(spark):
 def test_topk_uses_take_ordered(spark):
     p = qplan("sort_multi", spark, mode="simple")
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """sink_bucketed writes both facts bucketed by the join key; the
+    subsequent join must read bucket-aligned: the ONLY exchange in
+    the final plan is the groupBy's (join_exchanges column == 1)."""
+    rows = QUERIES["sink_bucketed"](spark, SF_DIR).collect()
+    assert rows and all(r.join_exchanges == 1 for r in rows)
