@@ -152,3 +152,100 @@ def llm_multimodal_join(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.round(F.avg("n_chars"), 2).alias("avg_chars"))
         .orderBy("label")
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("out_bytes", T.LongType()),
+    ]
+)
+
+TARGET_W, TARGET_H = 224, 224
+
+
+def _resize_kernel(batches):
+    """STUB resize: real pixel resampling needs an image lib; the
+    deterministic fake derives source dims from the payload digest
+    (same rule as decode_image) and models an aspect-preserving fit
+    into TARGET_WxTARGET_H. Batch shape / schema / partition behavior
+    are the real 100 TB plumbing."""
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            h = hashlib.md5(bytes(payload)).digest()
+            w = 64 + h[0] % 192  # fake source dims, deterministic
+            ht = 64 + h[1] % 192
+            scale = min(TARGET_W / w, TARGET_H / ht, 1.0)
+            ow, oh = max(1, int(w * scale)), max(1, int(ht * scale))
+            rows.append((doc_id, w, ht, ow, oh, ow * oh * 3))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "out_width", "out_height", "out_bytes"]
+        )
+
+
+@register("mm_resize_stub", oracle=None)  # rows-only: decode/resize is stubbed
+def mm_resize_stub(spark, sf_dir):
+    """Image-resize kernel over opaque binary payloads via
+    mapInPandas (Arrow batches in/out, column pruning drops the
+    payload for any query not touching it). Deterministic stub per
+    the brief; the plumbing is real."""
+    docs = load(spark, sf_dir, "documents")
+    mm = with_binary_payload(docs.filter(F.col("doc_id") < 200))
+    return mm.select("doc_id", "payload").mapInPandas(_resize_kernel, RESIZE_SCHEMA).orderBy(
+        "doc_id"
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame_sig", T.StringType()),
+    ]
+)
+
+N_FRAMES = 4
+
+
+def _frame_sample_kernel(batches):
+    """STUB video frame sampler: emits N_FRAMES evenly-spaced 'frames'
+    per payload (1:N row expansion — the same shape a real ffmpeg
+    keyframe sampler produces), each with a deterministic content
+    signature from the sampled byte window."""
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            step = max(1, len(b) // N_FRAMES)
+            for i in range(N_FRAMES):
+                off = i * step
+                window = b[off : off + 16]
+                if not window:
+                    break
+                rows.append((doc_id, i, off, hashlib.md5(window).hexdigest()[:12]))
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_offset", "frame_sig"])
+
+
+@register("mm_frame_sample_stub", oracle=None)  # rows-only: sampler is stubbed
+def mm_frame_sample_stub(spark, sf_dir):
+    """Frame sampling for video-like payloads: mapInPandas 1:N
+    expansion (doc -> frames), deterministic offsets and signatures.
+    At 100 TB the frame rows are orders of magnitude smaller than
+    the payloads — the kernel projects payload away immediately."""
+    docs = load(spark, sf_dir, "documents")
+    mm = with_binary_payload(docs.filter(F.col("doc_id") < 100))
+    return (
+        mm.select("doc_id", "payload")
+        .mapInPandas(_frame_sample_kernel, FRAME_SCHEMA)
+        .orderBy("doc_id", "frame_idx")
+    )
