@@ -205,3 +205,29 @@ def agg_density_map_2d(spark, sf_dir):
         )
         .orderBy("t_cell", "v_cell")
     )
+
+
+@register(
+    "agg_percentiles",
+    oracle=(
+        "SELECT event_type, "
+        "FLOOR(quantile_cont(value, 0.25) * 10000 + 0.5) / 10000 AS q25, "
+        "FLOOR(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS q50, "
+        "FLOOR(quantile_cont(value, 0.75) * 10000 + 0.5) / 10000 AS q75 "
+        "FROM events WHERE value IS NOT NULL "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated quartiles per group (Spark `percentile` and
+    DuckDB `quantile_cont` share linear interpolation, verified
+    bit-equal after 1e-4 quantization). Exact percentile is a
+    sort-based agg; at 100 TB swap in `percentile_approx` (t-digest
+    sketch, mergeable map-side) — same query shape, rows-only check."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    q = lambda p: F.floor(F.expr(f"percentile(value, {p})") * 10000 + 0.5) / 10000  # noqa: E731
+    return (
+        ev.groupBy("event_type")
+        .agg(q(0.25).alias("q25"), q(0.5).alias("q50"), q(0.75).alias("q75"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,95 @@
+"""Margin-duplicated write layout — LSD's neighbor cache, literally
+[lsd:src/lsd/table.py neighbor-cache machinery — UNVERIFIED;
+SURVEY.md §1.1, §4 stretch].
+
+LSD stores, inside every cell, read-only copies of rows from
+adjacent cells within the match radius, flagged `_CACHED=True`, so
+spatial joins never need cross-cell communication. The Spark
+re-expression: a **build job** writes the probe-side table with each
+row duplicated into the NEXT zone (flagged `_cached=true`) and the
+dataset partitioned by zone. A radius/as-of join against the margin
+table is then a plain equi-join on zone alone — no probe-side
+explode at query time, and with both sides partitioned by zone on
+disk, no shuffle of the big side either (partition-local tasks).
+
+Trade: +1x write amplification inside the margin (here: the whole
+row set, since margin width == zone width) for shuffle-free reads —
+the classic LSD bet, worth it when one write serves many queries.
+
+`join_asof_margin` is the FOURTH physically-distinct implementation
+of the same as-of semantics (direct band join / zoned equi-join /
+materialized xmatch / margin layout), all sharing one oracle: the
+engine's plan diversity is itself differential-tested.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lsd_spark.catalog import load
+from lsd_spark.plans.xmatch import ASOF_ORACLE
+from lsd_spark.plans.zones import rank_nearest
+from lsd_spark.registry import register
+
+HOUR_US = 3_600_000_000
+
+
+def build_margin_table(
+    spark: SparkSession,
+    df: DataFrame,
+    ts: str = "ts",
+    zone_width_us: int = HOUR_US,
+    out_path: str | None = None,
+) -> str:
+    """Write `df` partitioned by zone with margin copies: every row
+    also appears in zone+1 flagged `_cached=true` (it can satisfy
+    lookups from rows early in the next zone). Returns the path."""
+    out = out_path or tempfile.mkdtemp(prefix="lsd_margin_") + "/margin"
+    zone = F.floor(F.unix_micros(F.col(ts)) / F.lit(zone_width_us))
+    own = df.withColumn("zone", zone).withColumn("_cached", F.lit(False))
+    margin = df.withColumn("zone", zone + 1).withColumn("_cached", F.lit(True))
+    own.unionByName(margin).write.mode("overwrite").partitionBy("zone").parquet(out)
+    return out
+
+
+@register("join_asof_margin", oracle=ASOF_ORACLE)
+def join_asof_margin(spark, sf_dir):
+    """As-of (latest prior click <=1h per purchase) against the
+    margin-duplicated click table: the left side probes ONLY its own
+    zone — the margin copies stand in for zone-1 — so the join is a
+    single-key-pair equi-join over a zone-partitioned layout."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    path = build_margin_table(spark, clicks, ts="ts", zone_width_us=HOUR_US)
+    margin = spark.read.parquet(path).select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        "zone",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("l_user_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+        F.floor(F.unix_micros("ts") / F.lit(HOUR_US)).alias("zone"),
+    )
+    cands = purchases.join(
+        margin,
+        (purchases.zone == margin.zone)
+        & (F.col("l_user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") < F.col("l_ts"))
+        & (F.unix_micros("l_ts") - F.unix_micros("r_ts") <= HOUR_US),
+        "inner",
+    )
+    best = rank_nearest(
+        cands,
+        partition_cols=["l_event_id"],
+        order_cols=[F.col("r_ts").desc(), F.col("r_event_id").desc()],
+        nmax=1,
+    )
+    return best.select(
+        F.col("l_event_id").alias("purchase_id"), F.col("r_event_id").alias("click_id")
+    )

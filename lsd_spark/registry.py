@@ -54,4 +54,5 @@ def load_all() -> None:
     import lsd_spark.plans.xmatch  # noqa: F401
     import lsd_spark.plans.cluster  # noqa: F401
     import lsd_spark.plans.skew  # noqa: F401
+    import lsd_spark.plans.margin  # noqa: F401
     _LOADED = True
