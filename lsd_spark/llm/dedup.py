@@ -338,3 +338,58 @@ def llm_fingerprint(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     fp = F.md5(F.lower(F.col("text")).cast("binary"))
     return docs.select("doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp8"))
+
+
+@register(
+    "llm_dedup_keep_first",
+    oracle=(
+        "WITH k AS (SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n "
+        "FROM documents GROUP BY fp) "
+        "SELECT d.doc_id, k.n AS group_size FROM documents d "
+        "JOIN k ON md5(d.text) = k.fp AND d.doc_id = k.keeper "
+        "ORDER BY d.doc_id"
+    ),
+)
+def llm_dedup_keep_first(spark, sf_dir):
+    """Representative selection — the other half of dedup: keep ONE
+    doc per exact-duplicate group (min doc_id policy). Shape at
+    100 TB: agg on the 16-byte fingerprint (map-side combined), then
+    an equi-join back on (fp, doc_id) — never a window over the full
+    corpus sorted by text."""
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    keepers = (
+        docs.select(fp.alias("k_fp"), "doc_id")
+        .groupBy("k_fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("group_size"))
+    )
+    return (
+        docs.select("doc_id", fp.alias("fp"))
+        .join(keepers, (F.col("fp") == F.col("k_fp")) & (F.col("doc_id") == F.col("keeper")))
+        .select("doc_id", "group_size")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "llm_sample_hash",
+    oracle=(
+        "SELECT lang, count(*) AS cnt FROM documents "
+        "WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 10 = 0 "
+        "GROUP BY lang ORDER BY lang"
+    ),
+)
+def llm_sample_hash(spark, sf_dir):
+    """Deterministic 10% sample via the portable content hash — the
+    reproducible-subsampling primitive for training-data pipelines:
+    the same doc_id is always in or out, on any engine, any run, any
+    partitioning (rand()-based sampling guarantees none of that).
+    Scale: a map-only filter, pushdown-friendly, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.expr(HASH60_SPARK.format(t="CAST(doc_id AS STRING)"))
+    return (
+        docs.filter(h % 10 == 0)
+        .groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("lang")
+    )

@@ -231,3 +231,33 @@ def agg_percentiles(spark, sf_dir):
         .agg(q(0.25).alias("q25"), q(0.5).alias("q50"), q(0.75).alias("q75"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_pivot",
+    oracle=(
+        "SELECT o_orderpriority, "
+        "CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS f, "
+        "CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS o, "
+        "CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS p "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot (cross-tab): status columns per priority row. With the
+    pivot values DECLARED (not discovered), this is one pass and one
+    shuffle — same cost as the groupBy. Never let Spark infer pivot
+    values at 100 TB (that's an extra distinct scan)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("f"),
+            F.coalesce("O", F.lit(0)).alias("o"),
+            F.coalesce("P", F.lit(0)).alias("p"),
+        )
+        .orderBy("o_orderpriority")
+    )
