@@ -113,3 +113,85 @@ def knn_ivf(spark, sf_dir):
         .orderBy("vec_id", "rn")
         .select("vec_id", "neighbor_id", "sim")
     )
+
+
+N_PLANES = 8
+
+
+def _hyperplanes(dim: int = 64):
+    """Deterministic pseudo-random hyperplanes: component h[p][d]
+    derives from a fixed arithmetic hash of (p, d) — no RNG state,
+    identical on every executor and every run."""
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(dim):
+            # xorshift-ish integer mix, mapped to [-1, 1)
+            x = (p * 1_000_003 + d * 8_191 + 12_345) & 0xFFFFFFFF
+            x ^= (x << 13) & 0xFFFFFFFF
+            x ^= x >> 17
+            x ^= (x << 5) & 0xFFFFFFFF
+            row.append((x % 2_000_000) / 1_000_000.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def _lsh_bucket_expr(emb_col: str) -> str:
+    """SQL expression: 8-bit random-hyperplane signature of an
+    embedding — sign bits of the projections, folded into an int.
+    Pure JVM arithmetic over the array column."""
+    planes = _hyperplanes()
+    bits = []
+    for p, row in enumerate(planes):
+        dot = " + ".join(
+            f"(CAST(element_at({emb_col}, {d + 1}) AS DOUBLE) * {w!r})"
+            for d, w in enumerate(row)
+            if abs(w) > 1e-12
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+@register("knn_lsh", oracle=None)  # rows-only: ANN recall is param-specific
+def knn_lsh(spark, sf_dir):
+    """Random-hyperplane LSH approximate top-5 for query vectors
+    0..4 — the other scale path next to knn_ivf: bucket = 8 sign
+    bits, candidates = equi-join on bucket id (vectors whose cosine
+    is high share sign bits with high probability), refine with true
+    cosine, rank. At 100 TB the bucket id is computed at ingest and
+    the corpus is partitioned by it; a query touches only its own
+    bucket's partitions (multi-probe = enumerate 1-bit flips)."""
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.selectExpr("vec_id", "embedding", _lsh_bucket_expr("embedding") + " AS bucket")
+    # multi-probe: each query also probes every 1- and 2-bit-flip
+    # neighbor bucket (37 of 256) — the recall/cost dial. This corpus
+    # is near-random (best cosine ~0.5 => ~60 degree angles), the
+    # hardest case for sign-bit LSH; clustered real embeddings need
+    # far fewer probes. The corpus side stays single-bucket
+    # (partition-pruned at scale).
+    flips = [f"bucket ^ {1 << i}" for i in range(N_PLANES)] + [
+        f"bucket ^ {(1 << i) | (1 << j)}"
+        for i in range(N_PLANES)
+        for j in range(i + 1, N_PLANES)
+    ]
+    probes = "array(bucket, " + ", ".join(flips) + ")"
+    queries = (
+        b.filter(F.col("vec_id") < 5)
+        .selectExpr("vec_id AS q_id", "embedding AS q_emb", f"explode({probes}) AS bucket")
+    )
+    sim = F.round(F.expr(COS_SPARK.format(a="q.q_emb", b="c.embedding")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        queries.alias("q")
+        .join(b.alias("c"), "bucket")  # zones technique in Hamming space
+        .filter(F.col("q.q_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.q_id").alias("vec_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("vec_id", "rn")
+        .select("vec_id", "neighbor_id", "sim")
+    )
