@@ -16,6 +16,7 @@ filesystem round-trips, not SQL-expressible transforms.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -147,3 +148,56 @@ def sink_bucketed(spark, sf_dir):
         joined.withColumn("join_exchanges", F.lit(n_exchanges))
         .orderBy("o_orderstatus")
     )
+
+
+@register("source_schema_evolution", oracle=None)  # rows-only: filesystem round-trip
+def source_schema_evolution(spark, sf_dir):
+    """LSD grows tables by adding column groups to existing cells
+    [lsd:src/lsd/table.py cgroup add — UNVERIFIED]; the Parquet
+    equivalent is schema-on-read merging: append new files carrying
+    the new column, read with mergeSchema, old rows surface NULLs.
+    At 100 TB this is the zero-rewrite schema evolution path (never
+    ALTER + rewrite); pin the merged schema in the catalog afterwards
+    so later scans skip footer merging."""
+    tmp = tempfile.mkdtemp(prefix="lsd_evolve_")
+    n = load(spark, sf_dir, "nation")
+    n.write.mode("overwrite").parquet(f"{tmp}/t")  # v1 schema
+    n.withColumn("n_population", F.col("n_nationkey") * 1000).write.mode("append").parquet(
+        f"{tmp}/t"
+    )  # v2 adds a column
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{tmp}/t")
+    res = (
+        merged.groupBy(F.col("n_population").isNull().alias("is_old_schema"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("is_old_schema")
+    )
+    out = res.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register("sink_snapshot", oracle=None)  # rows-only: filesystem round-trip
+def sink_snapshot(spark, sf_dir):
+    """Snapshot isolation for bulk loads, LSD-style [lsd:src/lsd/
+    table.py snapshot logic — UNVERIFIED]: writers build a complete
+    new snapshot directory, then an atomic rename publishes it;
+    readers resolve the 'current' pointer once at plan time and are
+    never exposed to partial writes. (Delta/Iceberg generalize this;
+    plain dir-swap covers LSD's append-mostly semantics.)"""
+    base = tempfile.mkdtemp(prefix="lsd_snap_")
+    n = load(spark, sf_dir, "nation")
+    # snapshot v1 published
+    n.write.mode("overwrite").parquet(f"{base}/v1")
+    os.symlink(f"{base}/v1", f"{base}/current_tmp")
+    os.rename(f"{base}/current_tmp", f"{base}/current")  # atomic publish
+    v1_count = spark.read.parquet(f"{base}/current").count()
+    # snapshot v2 built alongside, then atomically swapped
+    n.unionAll(n).write.mode("overwrite").parquet(f"{base}/v2")
+    os.symlink(f"{base}/v2", f"{base}/swap_tmp")
+    os.rename(f"{base}/swap_tmp", f"{base}/current")  # readers see v1 XOR v2
+    v2_count = spark.read.parquet(f"{base}/current").count()
+    res = spark.createDataFrame(
+        [(int(v1_count), int(v2_count))], "v1_rows BIGINT, v2_rows BIGINT"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return res
