@@ -71,21 +71,6 @@ _FEAT_SCHEMA = T.StructType(
 )
 
 
-def _feature_kernel(batches):
-    # Arrow-batched feature extraction over opaque binary payloads —
-    # the exact shape a real decode/resize/embed kernel has.
-    for pdf in batches:
-        payloads = pdf["payload"]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "n_bytes": payloads.map(len).astype("int64"),
-                "head_byte": payloads.map(lambda b: b[0]).astype("int32"),
-                "tail_byte": payloads.map(lambda b: b[-1]).astype("int32"),
-            }
-        )
-
-
 @register(
     "mm_binary_features",
     oracle=(
@@ -99,7 +84,26 @@ def mm_binary_features(spark, sf_dir):
     byte-level features in an Arrow-batched kernel. Oracle recomputes
     the same features from the source text (payload is its UTF-8)."""
     mm = with_binary_payload(load(spark, sf_dir, "documents"))
-    return mm.select("doc_id", "payload").mapInPandas(_feature_kernel, schema=_FEAT_SCHEMA)
+
+    def feature_kernel(batches):
+        # Nested => cloudpickle ships it by value: workers never need
+        # lsd_spark importable. Arrow-batched feature extraction over
+        # opaque binary payloads — the exact shape a real
+        # decode/resize/embed kernel has.
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "head_byte": payloads.map(lambda b: b[0]).astype("int32"),
+                    "tail_byte": payloads.map(lambda b: b[-1]).astype("int32"),
+                }
+            )
+
+    return mm.select("doc_id", "payload").mapInPandas(feature_kernel, schema=_FEAT_SCHEMA)
 
 
 _DECODE_SCHEMA = T.StructType(
@@ -112,26 +116,36 @@ _DECODE_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode_kernel(batches):
-    for pdf in batches:
-        feats = pdf["payload"].map(lambda b: decode_image(b, fake=True))
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "width": feats.map(lambda d: d["width"]).astype("int32"),
-                "height": feats.map(lambda d: d["height"]).astype("int32"),
-                "channels": feats.map(lambda d: d["channels"]).astype("int32"),
-            }
-        )
-
-
 @register("mm_decode_stub", oracle=None)  # rows-only: decode is a stubbed kernel
 def mm_decode_stub(spark, sf_dir):
     """Deterministic fake decode over binary payloads (see
     decode_image docstring): proves the decode pipeline's schema,
     batching and distribution without codec libs."""
     mm = with_binary_payload(load(spark, sf_dir, "documents"))
-    return mm.select("doc_id", "payload").mapInPandas(_fake_decode_kernel, schema=_DECODE_SCHEMA)
+
+    def fake_decode_kernel(batches):
+        # Nested => by-value; re-implements decode_image(fake=True)
+        # locally so no lsd_spark reference travels to the worker.
+        import hashlib
+
+        import pandas as pd
+
+        def fake_decode(b):
+            h = hashlib.md5(bytes(b)).digest()
+            return {"width": 64 + h[0], "height": 64 + h[1], "channels": 3}
+
+        for pdf in batches:
+            feats = pdf["payload"].map(fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": feats.map(lambda d: d["width"]).astype("int32"),
+                    "height": feats.map(lambda d: d["height"]).astype("int32"),
+                    "channels": feats.map(lambda d: d["channels"]).astype("int32"),
+                }
+            )
+
+    return mm.select("doc_id", "payload").mapInPandas(fake_decode_kernel, schema=_DECODE_SCHEMA)
 
 
 @register(
@@ -168,28 +182,6 @@ RESIZE_SCHEMA = T.StructType(
 TARGET_W, TARGET_H = 224, 224
 
 
-def _resize_kernel(batches):
-    """STUB resize: real pixel resampling needs an image lib; the
-    deterministic fake derives source dims from the payload digest
-    (same rule as decode_image) and models an aspect-preserving fit
-    into TARGET_WxTARGET_H. Batch shape / schema / partition behavior
-    are the real 100 TB plumbing."""
-    import hashlib
-
-    for pdf in batches:
-        rows = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            h = hashlib.md5(bytes(payload)).digest()
-            w = 64 + h[0] % 192  # fake source dims, deterministic
-            ht = 64 + h[1] % 192
-            scale = min(TARGET_W / w, TARGET_H / ht, 1.0)
-            ow, oh = max(1, int(w * scale)), max(1, int(ht * scale))
-            rows.append((doc_id, w, ht, ow, oh, ow * oh * 3))
-        yield pd.DataFrame(
-            rows, columns=["doc_id", "width", "height", "out_width", "out_height", "out_bytes"]
-        )
-
-
 @register("mm_resize_stub", oracle=None)  # rows-only: decode/resize is stubbed
 def mm_resize_stub(spark, sf_dir):
     """Image-resize kernel over opaque binary payloads via
@@ -198,7 +190,33 @@ def mm_resize_stub(spark, sf_dir):
     the brief; the plumbing is real."""
     docs = load(spark, sf_dir, "documents")
     mm = with_binary_payload(docs.filter(F.col("doc_id") < 200))
-    return mm.select("doc_id", "payload").mapInPandas(_resize_kernel, RESIZE_SCHEMA).orderBy(
+    tw, th = TARGET_W, TARGET_H  # closure-captured (pickled by value)
+
+    def resize_kernel(batches):
+        # STUB resize (nested => shipped by value): real pixel
+        # resampling needs an image lib; the deterministic fake
+        # derives source dims from the payload digest and models an
+        # aspect-preserving fit into tw x th. Batch shape / schema /
+        # partition behavior are the real 100 TB plumbing.
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h = hashlib.md5(bytes(payload)).digest()
+                w = 64 + h[0] % 192  # fake source dims, deterministic
+                ht = 64 + h[1] % 192
+                scale = min(tw / w, th / ht, 1.0)
+                ow, oh = max(1, int(w * scale)), max(1, int(ht * scale))
+                rows.append((doc_id, w, ht, ow, oh, ow * oh * 3))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "out_width", "out_height", "out_bytes"],
+            )
+
+    return mm.select("doc_id", "payload").mapInPandas(resize_kernel, RESIZE_SCHEMA).orderBy(
         "doc_id"
     )
 
@@ -215,27 +233,6 @@ FRAME_SCHEMA = T.StructType(
 N_FRAMES = 4
 
 
-def _frame_sample_kernel(batches):
-    """STUB video frame sampler: emits N_FRAMES evenly-spaced 'frames'
-    per payload (1:N row expansion — the same shape a real ffmpeg
-    keyframe sampler produces), each with a deterministic content
-    signature from the sampled byte window."""
-    import hashlib
-
-    for pdf in batches:
-        rows = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            b = bytes(payload)
-            step = max(1, len(b) // N_FRAMES)
-            for i in range(N_FRAMES):
-                off = i * step
-                window = b[off : off + 16]
-                if not window:
-                    break
-                rows.append((doc_id, i, off, hashlib.md5(window).hexdigest()[:12]))
-        yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_offset", "frame_sig"])
-
-
 @register("mm_frame_sample_stub", oracle=None)  # rows-only: sampler is stubbed
 def mm_frame_sample_stub(spark, sf_dir):
     """Frame sampling for video-like payloads: mapInPandas 1:N
@@ -244,8 +241,35 @@ def mm_frame_sample_stub(spark, sf_dir):
     the payloads — the kernel projects payload away immediately."""
     docs = load(spark, sf_dir, "documents")
     mm = with_binary_payload(docs.filter(F.col("doc_id") < 100))
+    n_frames = N_FRAMES  # closure-captured (pickled by value)
+
+    def frame_sample_kernel(batches):
+        # STUB video frame sampler (nested => shipped by value):
+        # emits n_frames evenly-spaced 'frames' per payload (1:N row
+        # expansion — the same shape a real ffmpeg keyframe sampler
+        # produces), each with a deterministic content signature from
+        # the sampled byte window.
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                step = max(1, len(b) // n_frames)
+                for i in range(n_frames):
+                    off = i * step
+                    window = b[off : off + 16]
+                    if not window:
+                        break
+                    rows.append((doc_id, i, off, hashlib.md5(window).hexdigest()[:12]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_offset", "frame_sig"]
+            )
+
     return (
         mm.select("doc_id", "payload")
-        .mapInPandas(_frame_sample_kernel, FRAME_SCHEMA)
+        .mapInPandas(frame_sample_kernel, FRAME_SCHEMA)
         .orderBy("doc_id", "frame_idx")
     )

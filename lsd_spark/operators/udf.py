@@ -23,17 +23,19 @@ from lsd_spark.operators.filters import R2_SQL
 from lsd_spark.registry import register
 
 
-def _charge_kernel(ext: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
-    # floor(x*100+0.5)/100 == the engines' positive-value ROUND but
-    # bit-deterministic across Spark/DuckDB/numpy (filters.r2 note).
-    x = ext * (1.0 - disc) * (1.0 + tax)
-    return np.floor(x * 100.0 + 0.5) / 100.0
-
-
 def _charge_udf():
-    # built lazily: pandas_udf needs an active session to parse the
-    # return type, so it cannot be a module-level decorator.
-    return pandas_udf(_charge_kernel, T.DoubleType())
+    # Built lazily (pandas_udf needs an active session) and NESTED so
+    # cloudpickle ships the kernel BY VALUE: Python workers must not
+    # need lsd_spark importable (the driver may run from any cwd).
+    def charge_kernel(ext: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        import numpy as np
+
+        # floor(x*100+0.5)/100 == the engines' positive-value ROUND but
+        # bit-deterministic across Spark/DuckDB/numpy (filters.r2 note).
+        x = ext * (1.0 - disc) * (1.0 + tax)
+        return np.floor(x * 100.0 + 0.5) / 100.0
+
+    return pandas_udf(charge_kernel, T.DoubleType())
 
 
 @register(
@@ -68,29 +70,6 @@ _VAR_SCHEMA = T.StructType(
 )
 
 
-def _var_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    # Keyed reducer kernel: sample variance (ddof=1, matching
-    # var_samp) of order totals per customer. Emits nothing for
-    # singleton groups (variance undefined -> avoids NaN-vs-NULL
-    # mismatches).
-    if len(pdf) < 2:
-        return pd.DataFrame(columns=["o_custkey", "n_orders", "var_price"]).astype(
-            {"o_custkey": "int64", "n_orders": "int64", "var_price": "int64"}
-        )
-    v = float(np.var(pdf["o_totalprice"].to_numpy(), ddof=1))
-    # variance of ~1e5-scale prices is ~1e10: numpy's two-pass and
-    # DuckDB's streaming var_samp agree only to ~1e-2 absolute, so
-    # quantize to a 1e4 grid instead of decimal places.
-    v = int(np.floor(v / 10000.0 + 0.5))
-    return pd.DataFrame(
-        {
-            "o_custkey": [int(pdf["o_custkey"].iloc[0])],
-            "n_orders": [len(pdf)],
-            "var_price": [v],
-        }
-    )
-
-
 @register(
     "udaf_grouped_agg",
     oracle=(
@@ -104,10 +83,36 @@ def udaf_grouped_agg(spark, sf_dir):
     `query.execute([(mapper,), (reducer,)])` chain: Spark shuffles by
     key, hands each group to the kernel as one Arrow batch."""
     o = load(spark, sf_dir, "orders")
+
+    def var_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Nested => shipped by value (workers don't import lsd_spark).
+        # Sample variance (ddof=1, matching var_samp) of order totals
+        # per customer; singleton groups emit nothing (variance
+        # undefined -> avoids NaN-vs-NULL mismatches).
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["o_custkey", "n_orders", "var_price"]).astype(
+                {"o_custkey": "int64", "n_orders": "int64", "var_price": "int64"}
+            )
+        v = float(np.var(pdf["o_totalprice"].to_numpy(), ddof=1))
+        # variance of ~1e5-scale prices is ~1e10: numpy's two-pass and
+        # DuckDB's streaming var_samp agree only to ~1e-2 absolute, so
+        # quantize to a 1e4 grid instead of decimal places.
+        v = int(np.floor(v / 10000.0 + 0.5))
+        return pd.DataFrame(
+            {
+                "o_custkey": [int(pdf["o_custkey"].iloc[0])],
+                "n_orders": [len(pdf)],
+                "var_price": [v],
+            }
+        )
+
     return (
         o.select("o_custkey", "o_totalprice")
         .groupBy("o_custkey")
-        .applyInPandas(_var_kernel, schema=_VAR_SCHEMA)
+        .applyInPandas(var_kernel, schema=_VAR_SCHEMA)
     )
 
 
@@ -117,16 +122,6 @@ _TOK_SCHEMA = T.StructType(
         T.StructField("token", T.StringType()),
     ]
 )
-
-
-def _tokenize_kernel(batches):
-    # Mapper kernel emitting N rows per input row (LSD kernels may
-    # yield many values per cell row). Pure pandas ops per batch.
-    for pdf in batches:
-        toks = pdf["text"].str.split(" ")
-        out = pdf[["doc_id"]].copy()
-        out["token"] = toks
-        yield out.explode("token").dropna()[["doc_id", "token"]]
 
 
 @register(
@@ -140,4 +135,14 @@ def udtf_flatmap(spark, sf_dir):
     (doc_id, token) rows. Arrow batches in, Arrow batches out — the
     ColGroup-block streaming model verbatim."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.mapInPandas(_tokenize_kernel, schema=_TOK_SCHEMA)
+
+    def tokenize_kernel(batches):
+        # Nested => shipped by value. Emits N rows per input row
+        # (LSD kernels may yield many values per cell row).
+        for pdf in batches:
+            toks = pdf["text"].str.split(" ")
+            out = pdf[["doc_id"]].copy()
+            out["token"] = toks
+            yield out.explode("token").dropna()[["doc_id", "token"]]
+
+    return docs.mapInPandas(tokenize_kernel, schema=_TOK_SCHEMA)

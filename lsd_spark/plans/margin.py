@@ -35,13 +35,19 @@ from lsd_spark.plans.zones import rank_nearest
 from lsd_spark.registry import register
 
 HOUR_US = 3_600_000_000
+# Zone width for the physical layout: must be >= the match delta
+# (margin copies cover one full previous zone). 6h cells keep the
+# partition-dir count bounded (hourly cells at sf0.1 = 1440 dirs and
+# directory churn dominates the build; at 100 TB you size cells so
+# each holds O(100 MB-1 GB), exactly like LSD's BHpix subdivision).
+ZONE_US = 6 * HOUR_US
 
 
 def build_margin_table(
     spark: SparkSession,
     df: DataFrame,
     ts: str = "ts",
-    zone_width_us: int = HOUR_US,
+    zone_width_us: int = ZONE_US,
     out_path: str | None = None,
 ) -> str:
     """Write `df` partitioned by zone with margin copies: every row
@@ -51,7 +57,16 @@ def build_margin_table(
     zone = F.floor(F.unix_micros(F.col(ts)) / F.lit(zone_width_us))
     own = df.withColumn("zone", zone).withColumn("_cached", F.lit(False))
     margin = df.withColumn("zone", zone + 1).withColumn("_cached", F.lit(True))
-    own.unionByName(margin).write.mode("overwrite").partitionBy("zone").parquet(out)
+    # repartition by zone first: without it, every one of the N write
+    # tasks emits a sliver into every zone dir (tasks x zones tiny
+    # files — 18s at sf0.1); with it, one file per zone.
+    (
+        own.unionByName(margin)
+        .repartition("zone")
+        .write.mode("overwrite")
+        .partitionBy("zone")
+        .parquet(out)
+    )
     return out
 
 
@@ -63,7 +78,7 @@ def join_asof_margin(spark, sf_dir):
     single-key-pair equi-join over a zone-partitioned layout."""
     ev = load(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
-    path = build_margin_table(spark, clicks, ts="ts", zone_width_us=HOUR_US)
+    path = build_margin_table(spark, clicks, ts="ts", zone_width_us=ZONE_US)
     margin = spark.read.parquet(path).select(
         F.col("user_id").alias("r_user_id"),
         F.col("ts").alias("r_ts"),
@@ -74,7 +89,7 @@ def join_asof_margin(spark, sf_dir):
         F.col("user_id").alias("l_user_id"),
         F.col("ts").alias("l_ts"),
         F.col("event_id").alias("l_event_id"),
-        F.floor(F.unix_micros("ts") / F.lit(HOUR_US)).alias("zone"),
+        F.floor(F.unix_micros("ts") / F.lit(ZONE_US)).alias("zone"),
     )
     cands = purchases.join(
         margin,

@@ -18,6 +18,7 @@ from __future__ import annotations
 import datetime
 import decimal
 import math
+import os
 import sys
 
 import duckdb
@@ -60,7 +61,14 @@ def canon(pdf):
 
 
 def main():
+    import tempfile
+
     from pyspark.sql import SparkSession
+
+    # Run from a NEUTRAL cwd: the real driver may launch from
+    # anywhere, and Python workers must not depend on lsd_spark being
+    # importable (kernels must ship by value — caught a real bug).
+    os.chdir(tempfile.mkdtemp(prefix="lsd_driver_cwd_"))
 
     # stock driver-ish session: NO engine defaults applied
     spark = (
