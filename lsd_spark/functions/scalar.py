@@ -266,3 +266,32 @@ def fn_map(spark, sf_dir):
         .agg(F.round(F.sum("kv"), 2).alias("weighted"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle=(
+        "SELECT (o_orderkey & 7) AS bucket, count(*) AS cnt, "
+        "CAST(MIN(xor(o_orderkey, o_custkey)) AS BIGINT) AS mn_xor, "
+        "CAST(MAX((o_orderkey << 1) | (o_custkey >> 2)) AS BIGINT) AS mx_sh "
+        "FROM orders GROUP BY bucket ORDER BY bucket"
+    ),
+)
+def fn_bitwise(spark, sf_dir):
+    """Bitwise operators (& | ^ << >>) — the key-packing arithmetic
+    LSD uses for its 64-bit _ID cells. Dialect note: DuckDB spells
+    xor as a function (its ^ is exponentiation); Spark's ^ is xor."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy((F.col("o_orderkey").bitwiseAND(7)).alias("bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.col("o_orderkey").bitwiseXOR(F.col("o_custkey"))).cast("long").alias("mn_xor"),
+            F.max(
+                F.shiftleft(F.col("o_orderkey"), 1).bitwiseOR(F.shiftright(F.col("o_custkey"), 2))
+            )
+            .cast("long")
+            .alias("mx_sh"),
+        )
+        .orderBy("bucket")
+    )

@@ -261,3 +261,32 @@ def agg_pivot(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_stats_corr",
+    oracle=(
+        "SELECT o_orderstatus, "
+        "FLOOR(corr(o_totalprice, o_custkey) * 1e6 + 0.5) / 1e6 AS r, "
+        "CAST(FLOOR(covar_samp(o_totalprice, o_custkey) / 1e4 + 0.5) AS BIGINT) AS cv4, "
+        "CAST(FLOOR(stddev_samp(o_totalprice) / 100 + 0.5) AS BIGINT) AS sd2 "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ),
+)
+def agg_stats_corr(spark, sf_dir):
+    """Statistical aggregates (corr / covar_samp / stddev_samp) per
+    group — LSD's per-cell statistics kernels as built-ins. All are
+    single-pass partial+final aggregations (sum/sum-of-products
+    moments merge associatively), so they cost exactly one shuffle of
+    one row per group at any scale. Quantized: two-pass numpy-style
+    vs streaming-moment implementations agree only to ~1e-6 relative."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            (F.floor(F.corr("o_totalprice", "o_custkey") * 1e6 + 0.5) / 1e6).alias("r"),
+            F.floor(F.covar_samp("o_totalprice", "o_custkey") / 1e4 + 0.5).alias("cv4"),
+            F.floor(F.stddev_samp("o_totalprice") / 100 + 0.5).alias("sd2"),
+        )
+        .orderBy("o_orderstatus")
+    )

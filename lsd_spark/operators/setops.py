@@ -63,3 +63,21 @@ def set_except(spark, sf_dir):
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
     return c.subtract(s).orderBy("k")  # subtract == SQL EXCEPT (distinct)
+
+
+@register(
+    "set_except_all",
+    oracle=(
+        "SELECT c AS custkey FROM ("
+        "SELECT o_custkey AS c FROM orders "
+        "EXCEPT ALL "
+        "SELECT DISTINCT c_custkey AS c FROM customer) t ORDER BY custkey"
+    ),
+)
+def set_except_all(spark, sf_dir):
+    """Multiset EXCEPT ALL: each customer's first order is cancelled
+    by their catalog row, repeat orders survive with multiplicity —
+    the bag-semantics complement (set_except is the set version)."""
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey")).distinct()
+    return o.exceptAll(c).orderBy("custkey")

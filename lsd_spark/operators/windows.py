@@ -152,3 +152,36 @@ def win_ntile_percent(spark, sf_dir):
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pr"),
     )
+
+
+@register(
+    "win_first_last",
+    oracle=(
+        "SELECT event_id, user_id, "
+        "first_value(event_id) OVER w AS first_ev, "
+        "last_value(event_id) OVER w AS last_ev, "
+        "nth_value(event_id, 2) OVER w AS second_ev "
+        "FROM events WHERE user_id < 20 "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+        "ORDER BY user_id, event_id"
+    ),
+)
+def win_first_last(spark, sf_dir):
+    """first/last/nth value over an unbounded frame per user — the
+    per-object lightcurve endpoints kernel (first/latest detection of
+    an object) as window built-ins. Deterministic tiebreak (ts,
+    event_id) so both engines agree on frame order."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_id").over(w).alias("first_ev"),
+        F.last("event_id").over(w).alias("last_ev"),
+        F.nth_value("event_id", 2).over(w).alias("second_ev"),
+    ).orderBy("user_id", "event_id")
