@@ -150,3 +150,54 @@ def llm_lang_id(spark, sf_dir):
         )
         .orderBy("true_lang")
     )
+
+
+_E2E_ORACLE = (
+    "WITH q AS (SELECT * FROM documents WHERE n_chars >= 10), "
+    "k AS (SELECT md5(text) AS fp, min(doc_id) AS keeper FROM q GROUP BY fp), "
+    "d AS (SELECT q.* FROM q JOIN k ON md5(q.text) = k.fp AND q.doc_id = k.keeper), "
+    "s AS (SELECT * FROM d WHERE "
+    "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0) "
+    "SELECT lang, count(*) AS docs, "
+    "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens, "
+    "FLOOR(AVG(n_chars) * 100 + 0.5) / 100 AS avg_chars "
+    "FROM s GROUP BY lang ORDER BY lang"
+)
+
+
+@register("llm_pipeline_e2e", oracle=_E2E_ORACLE)
+def llm_pipeline_e2e(spark, sf_dir):
+    """End-to-end training-data pipeline: quality gate -> exact-dedup
+    keep-first -> deterministic 50% subsample -> per-language corpus
+    stats. The composition the individual §2.J operators exist for,
+    in one lazy plan: Catalyst fuses the quality filter into the
+    scan, the dedup is one fingerprint agg + equi-join, the sample is
+    a map-only hash filter, and the final stats are a partial+final
+    agg — three shuffles total end-to-end, each on keys orders of
+    magnitude smaller than the corpus. At 100 TB this plan shape IS
+    the curation job."""
+    from lsd_spark.llm.dedup import HASH60_SPARK
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 10)
+    fp = F.md5(F.col("text").cast("binary"))
+    keepers = (
+        docs.select(fp.alias("k_fp"), "doc_id")
+        .groupBy("k_fp")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    deduped = docs.withColumn("fp", fp).join(
+        keepers,
+        (F.col("fp") == F.col("k_fp")) & (F.col("doc_id") == F.col("keeper")),
+    )
+    sampled = deduped.filter(
+        F.expr(HASH60_SPARK.format(t="CAST(doc_id AS STRING)")) % 2 == 0
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens"),
+            (F.floor(F.avg("n_chars") * 100 + 0.5) / 100).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
