@@ -300,14 +300,84 @@ _EMBCOS_ORACLE = (
 )
 
 
-@register("llm_dedup_embcos", oracle=_EMBCOS_ORACLE)
+EMBCOS_NPROBE = 2
+
+
+def embcos_candidate_pairs(spark, sf_dir):
+    """IVF-bucketed candidate pairs for semantic dedup: assign every
+    vector to its EMBCOS_NPROBE nearest centroids, self-equi-join on
+    centroid_id (vec_a < vec_b), dedupe pairs seen in two shared
+    buckets, refine with the true cosine. Returns
+    (vec_a, vec_b, sim) for ALL candidate pairs (unfiltered).
+
+    Scale: the join is equi on centroid_id — per-bucket work is
+    O(sum of bucket_size^2) instead of corpus^2, and buckets are
+    individually shuffle-partitionable. This is the same shape as
+    knn_ivf's probe join and LSD's cell-bounded xmatch candidates."""
+    from lsd_spark.llm.simsearch import ivf_assignments
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign = ivf_assignments(emb, EMBCOS_NPROBE)
+    a = assign.alias("a")
+    b = assign.alias("b")
+    sim = F.round(F.expr(COS_SPARK.format(a="e_a", b="e_b")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("e_a"),
+            F.col("b.embedding").alias("e_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b", sim.alias("sim"))
+    )
+
+
+def embcos_candidate_pairs_sql() -> str:
+    """DuckDB mirror of embcos_candidate_pairs() (no sim filter)."""
+    from lsd_spark.llm.simsearch import ivf_assign_sql
+
+    cos = "ROUND(" + COS_DUCK.format(a="a.embedding", b="b.embedding") + ", 6)"
+    return (
+        f"SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS sim "
+        f"FROM ({ivf_assign_sql(EMBCOS_NPROBE)}) a "
+        f"JOIN ({ivf_assign_sql(EMBCOS_NPROBE)}) b "
+        "ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id"
+    )
+
+
+@register(
+    "llm_dedup_embcos",
+    oracle=(
+        f"SELECT vec_a, vec_b, sim FROM ({embcos_candidate_pairs_sql()}) "
+        f"WHERE sim >= {EMBCOS_T} ORDER BY vec_a, vec_b"
+    ),
+)
 def llm_dedup_embcos(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (sim >= 0.45), the
-    semantic-dedup primitive. Registered as the exact all-pairs
-    variant so the oracle can verify it; the 100 TB path reuses
-    knn_ivf's centroid bucketing (equi-join candidates on centroid
-    id, then this same refine) — exactness here is what the ANN
-    variant's recall is measured against."""
+    semantic-dedup primitive — IVF-BUCKETED candidate generation
+    (this is the form that survives 100 TB; the all-pairs exact
+    variant below is the recall baseline). The oracle mirrors the
+    deterministic bucket assignment, so this stays fully
+    hash-checkable rather than rows-only: the op's contract IS
+    'dedup over IVF candidates', not 'pretend-exact'."""
+    return (
+        embcos_candidate_pairs(spark, sf_dir)
+        .filter(F.col("sim") >= EMBCOS_T)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register("llm_dedup_embcos_exact", oracle=_EMBCOS_ORACLE)
+def llm_dedup_embcos_exact(spark, sf_dir):
+    """The exact all-pairs baseline (O(n^2) compare count — fixture
+    scale only): what llm_dedup_embcos's recall is measured against
+    (tests/test_invariants.py). Never the production path."""
     emb = load(spark, sf_dir, "embeddings")
     a = emb.alias("a")
     b = emb.alias("b")

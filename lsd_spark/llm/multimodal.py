@@ -81,8 +81,13 @@ _FEAT_SCHEMA = T.StructType(
 )
 def mm_binary_features(spark, sf_dir):
     """Binary-column round trip: build payloads JVM-side, extract
-    byte-level features in an Arrow-batched kernel. Oracle recomputes
-    the same features from the source text (payload is its UTF-8)."""
+    features in an Arrow-batched kernel. Oracle recomputes the same
+    features from the source text (payload is its UTF-8).
+
+    head/tail are CODEPOINTS of the first/last character (matching
+    DuckDB `ascii()`, which is codepoint-based, not byte-based — they
+    differ on any non-ASCII text), and empty payloads yield 0 exactly
+    as `ascii(substring(...))` does on ''."""
     mm = with_binary_payload(load(spark, sf_dir, "documents"))
 
     def feature_kernel(batches):
@@ -92,14 +97,22 @@ def mm_binary_features(spark, sf_dir):
         # decode/resize/embed kernel has.
         import pandas as pd
 
+        def head_cp(b):
+            s = bytes(b).decode("utf-8")
+            return ord(s[0]) if s else 0
+
+        def tail_cp(b):
+            s = bytes(b).decode("utf-8")
+            return ord(s[-1]) if s else 0
+
         for pdf in batches:
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "n_bytes": payloads.map(len).astype("int64"),
-                    "head_byte": payloads.map(lambda b: b[0]).astype("int32"),
-                    "tail_byte": payloads.map(lambda b: b[-1]).astype("int32"),
+                    "head_byte": payloads.map(head_cp).astype("int32"),
+                    "tail_byte": payloads.map(tail_cp).astype("int32"),
                 }
             )
 

@@ -24,6 +24,50 @@ N_CENTROIDS = 8
 N_PROBE = 2
 
 
+def ivf_assignments(emb, nprobe: int):
+    """(vec_id, embedding, centroid_id): every vector assigned to its
+    `nprobe` nearest centroids (centroids = first N_CENTROIDS vectors
+    by vec_id — deterministic, engine-portable 'training').
+
+    Ranks on the ROUNDED centroid cosine with centroid_id tiebreak so
+    an oracle engine reproduces the identical assignment — this is
+    what lets bucketed (ANN) operators keep a full hash-match oracle:
+    the oracle mirrors the bucketing instead of pretending the op is
+    exact. See ivf_assign_sql() for the DuckDB mirror.
+
+    Scale: centroids broadcast (N_CENTROIDS rows), one narrow pass
+    over the corpus, no shuffle until the consumer's equi-join on
+    centroid_id — the zones technique in vector space."""
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    v = emb.alias("v")
+    c = F.broadcast(cent).alias("c")
+    csim = F.round(F.expr(COS_SPARK.format(a="v.embedding", b="c.c_emb")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
+    return (
+        v.crossJoin(c)
+        .select("v.vec_id", "v.embedding", F.col("c.centroid_id"), csim.alias("csim"))
+        .withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") <= nprobe)
+        .drop("csim", "crn")
+    )
+
+
+def ivf_assign_sql(nprobe: int) -> str:
+    """DuckDB mirror of ivf_assignments(): same centroids, same
+    rounded-cosine ranking, same tiebreak."""
+    csim = "ROUND(" + COS_DUCK.format(a="v.embedding", b="c.c_emb") + ", 6)"
+    return (
+        "SELECT vec_id, embedding, centroid_id FROM ("
+        "SELECT v.vec_id, v.embedding, c.centroid_id, "
+        f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {csim} DESC, "
+        "c.centroid_id ASC) AS crn FROM embeddings v CROSS JOIN "
+        "(SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings "
+        f"WHERE vec_id < {N_CENTROIDS}) c) WHERE crn <= {nprobe}"
+    )
+
+
 @register(
     "llm_simsearch_knn",
     oracle=(

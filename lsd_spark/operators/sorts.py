@@ -54,20 +54,39 @@ def topk_agg(spark, sf_dir):
 @register(
     "limit_offset",
     oracle=(
-        "SELECT o_orderkey, o_totalprice, rn FROM ("
         "SELECT o_orderkey, o_totalprice, "
-        "CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS INTEGER) AS rn FROM orders) "
-        "WHERE rn BETWEEN 11 AND 20"
+        "CAST(10 + ROW_NUMBER() OVER (ORDER BY o_orderkey) AS INTEGER) AS rn "
+        "FROM orders WHERE o_orderkey > ("
+        "SELECT MAX(k) FROM (SELECT o_orderkey AS k FROM orders "
+        "ORDER BY o_orderkey LIMIT 10)) "
+        "ORDER BY o_orderkey LIMIT 10"
     ),
 )
 def limit_offset(spark, sf_dir):
-    """Deterministic pagination: bare LIMIT/OFFSET is nondeterministic
-    in a distributed engine, so page via row_number over a total order.
-    (At 100 TB prefer keyset pagination — WHERE key > last_seen —
-    which prunes instead of numbering every row; noted here.)"""
-    o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
-    return (
-        o.select("o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn").between(11, 20))
+    """Deterministic pagination, KEYSET style (page 2, size 10):
+    `WHERE o_orderkey > last_seen ORDER BY o_orderkey LIMIT 10`.
+
+    The boundary key (max of page 1) is itself a 1-row Spark plan
+    broadcast into the predicate — no driver collect, and both the
+    boundary and the page compile to TakeOrderedAndProject
+    (per-partition top-k, merge of K rows). Unlike numbering every
+    row through a single-partition window, the filter is pushdown-
+    friendly: at 100 TB a sorted/bucketed layout prunes all cells
+    below the boundary. The tiny row_number at the end runs on the
+    10-row page (post-limit single partition of 10 rows), only to
+    surface the page's absolute offsets."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    boundary = (
+        o.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(10)
+        .agg(F.max("o_orderkey").alias("page1_end"))
     )
+    page = (
+        o.join(F.broadcast(boundary), o.o_orderkey > F.col("page1_end"))
+        .drop("page1_end")
+        .orderBy("o_orderkey")
+        .limit(10)
+    )
+    w = Window.orderBy("o_orderkey")  # 10 rows only: post-limit
+    return page.withColumn("rn", (F.lit(10) + F.row_number().over(w)).cast("int"))

@@ -8,8 +8,11 @@ edges = cosine-similarity pairs above a threshold (semantic
 friends), components via iterative min-label propagation.
 
 Scale shape (100 TB):
-- edge generation is the zones-technique candidate join (here the
-  exact small variant; production reuses knn_ivf's centroid buckets);
+- edge generation for `cluster_fof` is the zones-technique candidate
+  join: IVF centroid buckets (equi-join on centroid_id), the vector-
+  space analog of LSD's cell-bounded pair search. The all-pairs
+  exact variant survives as `cluster_fof_exact` (fixture-scale
+  recall baseline only).
 - label propagation is the standard distributed connected-components
   loop: each iteration is one shuffle (join labels to edges +
   min-aggregate); iterations are bounded by the component diameter,
@@ -17,53 +20,57 @@ Scale shape (100 TB):
   localCheckpoint()-ed so the lineage doesn't grow unboundedly —
   the classic iterative-DataFrame pitfall.
 - the convergence test (count of changed labels) is one scalar
-  action per iteration, not a collect of the data.
+  action per iteration, not a collect of the data. Exiting via the
+  iteration cap RAISES — a non-converged labeling is a wrong answer,
+  never returned silently.
 
-Oracle: DuckDB recursive CTE computing min-reachable-label over the
-undirected edge set — exact same fixpoint.
+Oracles: DuckDB recursive CTE computing min-reachable-label over the
+same edge set — the bucketed op's CTE mirrors the deterministic IVF
+assignment (see llm/simsearch.ivf_assign_sql), the exact op's uses
+the all-pairs edges. Both are full hash-match oracles.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from lsd_spark.catalog import load
-from lsd_spark.llm.dedup import EMBCOS_T
+from lsd_spark.llm.dedup import EMBCOS_T, embcos_candidate_pairs, embcos_candidate_pairs_sql
 from lsd_spark.operators.joins import COS_DUCK, COS_SPARK
 from lsd_spark.registry import register
 
-MAX_ITERS = 20
+MAX_ITERS = 25
 
-_FOF_ORACLE = (
-    "WITH RECURSIVE pairs AS ("
+
+def _fof_oracle(pairs_sql: str) -> str:
+    return (
+        "WITH RECURSIVE pairs AS (" + pairs_sql + "), "
+        "e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs), "
+        "reach(src, node) AS ("
+        "SELECT vec_id, vec_id FROM embeddings "
+        "UNION "
+        "SELECT r.src, e.v FROM reach r JOIN e ON r.node = e.u) "
+        "SELECT src AS vec_id, min(node) AS object_id FROM reach "
+        "GROUP BY src ORDER BY vec_id"
+    )
+
+
+_EXACT_PAIRS_SQL = (
     "SELECT a.vec_id AS u, b.vec_id AS v "
     "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-    "WHERE ROUND(" + COS_DUCK.format(a="a.embedding", b="b.embedding") + f", 6) >= {EMBCOS_T}), "
-    "e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs), "
-    "reach(src, node) AS ("
-    "SELECT vec_id, vec_id FROM embeddings "
-    "UNION "
-    "SELECT r.src, e.v FROM reach r JOIN e ON r.node = e.u) "
-    "SELECT src AS vec_id, min(node) AS object_id FROM reach "
-    "GROUP BY src ORDER BY vec_id"
+    "WHERE ROUND(" + COS_DUCK.format(a="a.embedding", b="b.embedding") + f", 6) >= {EMBCOS_T}"
+)
+
+_BUCKETED_PAIRS_SQL = (
+    f"SELECT vec_a AS u, vec_b AS v FROM ({embcos_candidate_pairs_sql()}) "
+    f"WHERE sim >= {EMBCOS_T}"
 )
 
 
-@register("cluster_fof", oracle=_FOF_ORACLE)
-def cluster_fof(spark, sf_dir):
-    """Friends-of-friends object catalog: every vector labeled with
-    the min vec_id of its connected component (cosine >= EMBCOS_T
-    edges). Iterative min-label propagation to the exact fixpoint."""
-    emb = load(spark, sf_dir, "embeddings")
-    a, b = emb.alias("a"), emb.alias("b")
-    sim = F.round(F.expr(COS_SPARK.format(a="a.embedding", b="b.embedding")), 6)
-    pairs = (
-        F.broadcast(a)
-        .join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"), sim.alias("sim"))
-        .filter(F.col("sim") >= EMBCOS_T)
-        .select("u", "v")
-    )
+def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Connected components by min-label propagation to the exact
+    fixpoint. `pairs` is the undirected edge set as (u, v) one-way;
+    returns (vec_id, object_id)."""
     edges = pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     edges = edges.localCheckpoint(eager=True)  # edge gen runs once, not per iteration
 
@@ -79,14 +86,54 @@ def cluster_fof(spark, sf_dir):
             labels.join(nbr, "vec_id", "left")
             .select(
                 "vec_id",
-                F.least(F.col("object_id"), F.coalesce(F.col("nbr_min"), F.col("object_id"))).alias(
-                    "new_id"
-                ),
+                F.least(
+                    F.col("object_id"), F.coalesce(F.col("nbr_min"), F.col("object_id"))
+                ).alias("new_id"),
                 F.col("object_id"),
             )
         ).localCheckpoint(eager=True)
         changed = updated.filter(F.col("new_id") < F.col("object_id")).limit(1).count()
         labels = updated.select("vec_id", F.col("new_id").alias("object_id"))
         if changed == 0:
-            break
-    return labels.orderBy("vec_id")
+            return labels.orderBy("vec_id")
+    raise RuntimeError(
+        f"cluster_fof: min-label propagation did not converge in {MAX_ITERS} "
+        "iterations (component diameter exceeds the cap) — refusing to return "
+        "a non-converged labeling"
+    )
+
+
+@register("cluster_fof", oracle=_fof_oracle(_BUCKETED_PAIRS_SQL))
+def cluster_fof(spark, sf_dir):
+    """Friends-of-friends object catalog over IVF-bucketed edges:
+    every vector labeled with the min vec_id of its connected
+    component (cosine >= EMBCOS_T within shared centroid buckets).
+    The oracle CTE mirrors the deterministic bucketing, so the op is
+    hash-checked end to end. Edge generation is an equi-join on
+    centroid_id — the shape that survives 100 TB."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = (
+        embcos_candidate_pairs(spark, sf_dir)
+        .filter(F.col("sim") >= EMBCOS_T)
+        .select(F.col("vec_a").alias("u"), F.col("vec_b").alias("v"))
+    )
+    return min_label_fixpoint(emb, pairs)
+
+
+@register("cluster_fof_exact", oracle=_fof_oracle(_EXACT_PAIRS_SQL))
+def cluster_fof_exact(spark, sf_dir):
+    """FoF over the exact all-pairs edge set — the fixture-scale
+    baseline the bucketed op's edge recall is measured against
+    (tests/test_invariants.py). O(n^2) edge generation; never the
+    production path."""
+    emb = load(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    sim = F.round(F.expr(COS_SPARK.format(a="a.embedding", b="b.embedding")), 6)
+    pairs = (
+        F.broadcast(a)
+        .join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"), sim.alias("sim"))
+        .filter(F.col("sim") >= EMBCOS_T)
+        .select("u", "v")
+    )
+    return min_label_fixpoint(emb, pairs)

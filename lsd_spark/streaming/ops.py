@@ -113,16 +113,27 @@ def _run_stream(spark, sf_dir, build, mode: str):
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     name = "lsd_stream_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix="lsd_ckpt_")
-    q = (
-        build(src)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # The state-store partition count is frozen into the checkpoint at
+    # first start; a stock session's 200 partitions means 200 state
+    # dirs + 200 Python workers per micro-batch for a ~100k-row
+    # fixture. 16 is plenty here; at 100 TB you'd size this to the
+    # key cardinality BEFORE the first checkpoint write (it is not
+    # re-sizeable after).
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            build(src)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return spark.table(name)
 
 
@@ -186,11 +197,13 @@ def stream_custom_state(spark, sf_dir):
     Streaming state.
 
     Each micro-batch folds its rows into per-user state (count, sum)
-    and emits the running totals in update mode. Because both
-    accumulators are monotone, max-per-user over every emitted update
-    equals the final state regardless of how availableNow slices the
-    replay into batches — which is what makes this streaming op
-    batch-equivalent and therefore fully oracle-checkable.
+    and emits the running totals in update mode. The COUNT is strictly
+    monotone per user (every emitted update adds >=1 row), so the
+    update carrying the max n_events IS the final state; sv is read
+    from that same row via max_by — NOT max-ed independently, which
+    would be wrong for negative values. This makes the streaming op
+    batch-equivalent regardless of how availableNow slices the replay,
+    and therefore fully oracle-checkable.
 
     Scale shape: state is 16 bytes/user in the state store, shuffled
     once by user_id; Arrow batches in/out (no per-row Python)."""
@@ -234,7 +247,7 @@ def stream_custom_state(spark, sf_dir):
         updates.groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
-            F.round(F.max("sv_raw"), 2).alias("sv"),
+            F.round(F.max_by("sv_raw", "n_events"), 2).alias("sv"),
         )
         .orderBy("user_id")
     )

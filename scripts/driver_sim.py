@@ -97,8 +97,17 @@ def main():
     ]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF01}/{t}.parquet'")
 
+    import time
+
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+
     failed = []
     for name in sorted(qs):
+        if only is not None and name not in only:
+            continue
+        t_op = time.perf_counter()
         try:
             sdf = qs[name](spark, SF01).toPandas()
             if name in oracles:
@@ -113,7 +122,7 @@ def main():
                     d = [(a, b) for a, b in zip(sr, dr) if a != b][:2]
                     failed.append((name, f"values {d}"))
                 else:
-                    print(f"  OK   {name} ({len(sr)} rows, oracle match)")
+                    print(f"  OK   {name} ({len(sr)} rows, oracle match, {time.perf_counter() - t_op:.1f}s)")
             else:
                 sdf2 = qs[name](spark, SF01).toPandas()
                 _, r1 = canon(sdf)
@@ -121,7 +130,7 @@ def main():
                 if r1 != r2:
                     failed.append((name, "rows-only op not deterministic across runs"))
                 else:
-                    print(f"  OK   {name} ({len(r1)} rows, rows-only, stable x2)")
+                    print(f"  OK   {name} ({len(r1)} rows, rows-only, stable x2, {time.perf_counter() - t_op:.1f}s)")
         except Exception as e:  # noqa: BLE001
             failed.append((name, f"EXC {type(e).__name__}: {str(e)[:200]}"))
 

@@ -30,3 +30,35 @@ def test_ann_recall_vs_exact(spark):
         got = {(r.vec_id, r.neighbor_id) for r in QUERIES[ann](spark, SF_B).collect()}
         recall = len(got & exact) / len(exact)
         assert recall >= 0.2, (ann, recall)  # buckets must find real neighbors
+
+
+def test_embcos_bucketed_recall_vs_exact(spark):
+    """The IVF-bucketed semantic-dedup op must recover most of the
+    exact all-pairs duplicate set. At nprobe=2 over near-random
+    fixture vectors (the hardest case for bucketing — real duplicate
+    clusters co-locate far better) the measured recall is ~0.86 at
+    sf0.01; pin a conservative floor, and precision must be 1.0
+    (bucketing only ever drops candidates, never invents them)."""
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["llm_dedup_embcos_exact"](spark, SF_B).collect()
+    }
+    bucketed = {
+        (r.vec_a, r.vec_b) for r in QUERIES["llm_dedup_embcos"](spark, SF_B).collect()
+    }
+    assert bucketed <= exact, bucketed - exact  # precision == 1.0
+    assert len(bucketed & exact) / len(exact) >= 0.5, (len(bucketed), len(exact))
+
+
+def test_fof_bucketed_refines_exact_components(spark):
+    """Bucketed FoF edges are a subset of exact edges, so its
+    components REFINE the exact ones: any two vectors the bucketed
+    op puts in the same object must also share an exact object."""
+    exact = {r.vec_id: r.object_id for r in QUERIES["cluster_fof_exact"](spark, SF_B).collect()}
+    bucketed = {r.vec_id: r.object_id for r in QUERIES["cluster_fof"](spark, SF_B).collect()}
+    assert set(exact) == set(bucketed)
+    by_obj: dict[int, list[int]] = {}
+    for vid, oid in bucketed.items():
+        by_obj.setdefault(oid, []).append(vid)
+    for members in by_obj.values():
+        assert len({exact[v] for v in members}) == 1, members

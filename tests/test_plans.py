@@ -111,10 +111,44 @@ def test_knn_brute_broadcasts_query_side(spark):
     """All-pairs ops (exact-baseline variants) must at least broadcast
     the bounded query side — a BroadcastNestedLoopJoin, never a
     CartesianProduct over the corpus."""
-    for q in ("llm_simsearch_knn", "llm_dedup_embcos"):
+    for q in ("llm_simsearch_knn", "llm_dedup_embcos_exact"):
         p = qplan(q, spark, mode="simple")
         assert "BroadcastNestedLoopJoin" in p, p
         assert "CartesianProduct" not in p, p
+
+
+def test_bucketed_candidate_gen_is_equi_join(spark):
+    """The production semantic-dedup and FoF paths generate candidate
+    pairs via an equi-join on centroid_id — the candidate join itself
+    must never be a nested-loop over the corpus. (The only BNLJ
+    allowed in these plans is the corpus x N_CENTROIDS assignment,
+    which is linear in the corpus; assert it by requiring every BNLJ
+    line to involve the tiny broadcast centroid side.)"""
+    from lsd_spark.llm.dedup import embcos_candidate_pairs
+
+    # embcos_candidate_pairs is the single candidate generator behind
+    # BOTH llm_dedup_embcos and cluster_fof (cluster_fof's builder is
+    # eager — its returned plan is the checkpointed labels — so the
+    # shared generator's plan is the thing to pin).
+    for q, df in (
+        ("llm_dedup_embcos", QUERIES["llm_dedup_embcos"](spark, SF_DIR)),
+        ("embcos_candidate_pairs", embcos_candidate_pairs(spark, SF_DIR)),
+    ):
+        p = plan(df, mode="simple")
+        assert "CartesianProduct" not in p, f"{q}:\n{p}"
+        pair_joins = [
+            ln
+            for ln in p.splitlines()
+            if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln)
+            and "centroid_id" in ln
+        ]
+        assert pair_joins, f"{q} candidate join not equi on centroid_id:\n{p}"
+        # every nested-loop line is the linear corpus x centroids
+        # assignment (broadcast side = N_CENTROIDS rows), never a
+        # corpus x corpus pair join
+        for ln in p.splitlines():
+            if "BroadcastNestedLoopJoin" in ln:
+                assert "Cross" in ln or "BuildRight" in ln, f"{q}:\n{p}"
 
 
 # --- aggregation: map-side combine ----------------------------------------
