@@ -1,0 +1,177 @@
+"""2-D spatial cross-match — the actual LSD geometry, re-expressed.
+
+LSD's signature operation is the angular-radius cross-match over
+(ra, dec) with BHpix cells bounding candidates
+[lsd:src/lsd/bhpix.py, lsd-xmatch — UNVERIFIED]. The driver fixtures
+carry no sky coordinates, so the geometry runs over a deterministic
+synthetic plane: every event gets (x, y) in [0, 100)^2 derived from
+integer arithmetic on event_id — bit-identical in Spark and DuckDB,
+which is what lets a *spatial* join carry a full hash-match oracle.
+
+The query shape is the zones technique in 2-D (plans/zones.py, here
+with a 2-D cell key):
+
+    1. cell = (floor(x/R), floor(y/R)) with cell size == match
+       radius R — the BHpix-pixel analog;
+    2. the probe side explodes to its 3x3 neighbor cells (constant
+       9x fan-out, the margin-cache analog), the data side stays
+       stationary in its single cell;
+    3. EQUI-join on (cell_x, cell_y) — each qualifying pair meets in
+       exactly ONE cell (the data point's own), so no dedup pass;
+    4. refine with the exact euclidean predicate, rank nmax=1.
+
+Candidate count scales with points-per-cell — at 100 TB the cell key
+is computed at ingest, the catalog is partitioned by it, and a match
+touches only its 9 neighbor partitions, exactly LSD's cell-local
+join contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from lsd_spark.catalog import load
+from lsd_spark.plans.zones import rank_nearest
+from lsd_spark.registry import register
+
+RADIUS = 0.5
+CELL = RADIUS  # cell size == radius => 3x3 probe is sufficient
+
+# deterministic synthetic plane: md5-derived portable 60-bit hash of
+# event_id (the same engine-portable hash llm_sample_hash uses; two
+# independent salts so x and y are uncorrelated — a pair of affine
+# maps of event_id would put every point on a 1-D lattice with no
+# close pairs) onto a 0.001-step grid in [0, 100) — identical
+# doubles in both engines.
+_X_SQL = (
+    "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'x'), 1, 15))::BIGINT "
+    "% 100000 AS DOUBLE) / 1000.0"
+)
+_Y_SQL = (
+    "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'y'), 1, 15))::BIGINT "
+    "% 100000 AS DOUBLE) / 1000.0"
+)
+
+_DIST_SQL = "sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))"
+
+
+def _points_sql(etype: str) -> str:
+    return (
+        f"SELECT event_id, {_X_SQL} AS x, {_Y_SQL} AS y "
+        f"FROM events WHERE event_type = '{etype}'"
+    )
+
+
+_CAND_SQL = (
+    f"SELECT a.event_id AS l_id, b.event_id AS r_id, {_DIST_SQL} AS dist "
+    f"FROM ({_points_sql('purchase')}) a JOIN ({_points_sql('click')}) b "
+    f"ON {_DIST_SQL} <= {RADIUS}"
+)
+
+
+def points(spark, sf_dir: str, etype: str) -> DataFrame:
+    """(event_id, x, y) for one event type on the synthetic plane."""
+    ev = load(spark, sf_dir, "events")
+    x = (
+        F.expr(
+            "CAST(conv(substr(md5(CAST(event_id AS STRING) || 'x'), 1, 15), 16, 10) AS BIGINT)"
+        )
+        % 100000
+    ).cast("double") / 1000.0
+    y = (
+        F.expr(
+            "CAST(conv(substr(md5(CAST(event_id AS STRING) || 'y'), 1, 15), 16, 10) AS BIGINT)"
+        )
+        % 100000
+    ).cast("double") / 1000.0
+    return ev.filter(F.col("event_type") == etype).select(
+        "event_id", x.alias("x"), y.alias("y")
+    )
+
+
+def radius_candidates(spark, sf_dir: str) -> DataFrame:
+    """All (purchase, click) pairs within RADIUS, via the 3x3 cell
+    equi-join. Columns: l_id, r_id, dist (exact euclidean)."""
+    cell = lambda c: F.floor(F.col(c) / F.lit(CELL))  # noqa: E731
+    probe_cells = F.array(
+        *[
+            F.struct(
+                (cell("x") + dx).alias("cx"), (cell("y") + dy).alias("cy")
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    l = (
+        points(spark, sf_dir, "purchase")
+        .select(
+            F.col("event_id").alias("l_id"),
+            F.col("x").alias("lx"),
+            F.col("y").alias("ly"),
+            F.explode(probe_cells).alias("pc"),
+        )
+        .select("l_id", "lx", "ly", F.col("pc.cx").alias("cx"), F.col("pc.cy").alias("cy"))
+    )
+    r = points(spark, sf_dir, "click").select(
+        F.col("event_id").alias("r_id"),
+        F.col("x").alias("rx"),
+        F.col("y").alias("ry"),
+        cell("x").alias("r_cx"),
+        cell("y").alias("r_cy"),
+    )
+    dist = F.sqrt(
+        (F.col("lx") - F.col("rx")) * (F.col("lx") - F.col("rx"))
+        + (F.col("ly") - F.col("ry")) * (F.col("ly") - F.col("ry"))
+    )
+    return (
+        l.join(r, (F.col("cx") == F.col("r_cx")) & (F.col("cy") == F.col("r_cy")))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= RADIUS)
+        .select("l_id", "r_id", "dist")
+    )
+
+
+@register(
+    "join_xmatch_2d",
+    oracle=(
+        f"WITH cand AS ({_CAND_SQL}) "
+        "SELECT l_id, r_id, ROUND(dist, 9) AS dist FROM ("
+        "SELECT l_id, r_id, dist, ROW_NUMBER() OVER ("
+        "PARTITION BY l_id ORDER BY dist ASC, r_id ASC) AS rn FROM cand) "
+        "WHERE rn = 1 ORDER BY l_id"
+    ),
+)
+def join_xmatch_2d(spark, sf_dir):
+    """lsd-xmatch in 2-D: nearest click within RADIUS of each
+    purchase (nmax=1), candidates bounded by the 3x3 cell probe.
+    The oracle is DuckDB's brute-force distance join — physically
+    different plan, identical answer."""
+    best = rank_nearest(
+        radius_candidates(spark, sf_dir),
+        partition_cols=["l_id"],
+        order_cols=[F.col("dist").asc(), F.col("r_id").asc()],
+        nmax=1,
+    )
+    return best.select(
+        "l_id", "r_id", F.round("dist", 9).alias("dist")
+    ).orderBy("l_id")
+
+
+@register(
+    "xmatch_2d_count",
+    oracle=(
+        f"WITH cand AS ({_CAND_SQL}) "
+        "SELECT l_id, count(*) AS n_neighbors FROM cand "
+        "GROUP BY l_id ORDER BY l_id"
+    ),
+)
+def xmatch_2d_count(spark, sf_dir):
+    """Radius-join aggregate: neighbor count within RADIUS per
+    purchase — the source-density / blend-detection primitive. Same
+    candidate plan, map-side-combined count."""
+    return (
+        radius_candidates(spark, sf_dir)
+        .groupBy("l_id")
+        .agg(F.count("*").alias("n_neighbors"))
+        .orderBy("l_id")
+    )

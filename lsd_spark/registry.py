@@ -131,5 +131,6 @@ def load_all() -> None:
     import lsd_spark.plans.cluster  # noqa: F401
     import lsd_spark.plans.skew  # noqa: F401
     import lsd_spark.plans.margin  # noqa: F401
+    import lsd_spark.plans.spatial  # noqa: F401
     _reorder_for_ledger()
     _LOADED = True

@@ -154,6 +154,24 @@ def test_bucketed_candidate_gen_is_equi_join(spark):
 # --- aggregation: map-side combine ----------------------------------------
 
 
+def test_spatial_xmatch_is_cell_equi_join(spark):
+    """The 2-D cross-match candidate join must be an equi-join on the
+    (cell_x, cell_y) pair — never a distance-predicate nested loop."""
+    from lsd_spark.plans.spatial import radius_candidates
+
+    p = plan(radius_candidates(spark, SF_DIR), mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    hash_joins = [
+        ln
+        for ln in p.splitlines()
+        if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln)
+        and "cx" in ln
+        and "cy" in ln
+    ]
+    assert hash_joins, f"cell join not equi:\n{p}"
+
+
 def test_agg_partial_final(spark):
     p = qplan("agg_groupby_hash", spark, mode="simple")
     assert p.count("HashAggregate") >= 2, p  # partial + final
