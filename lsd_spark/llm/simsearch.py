@@ -104,38 +104,28 @@ def llm_simsearch_knn(spark, sf_dir):
     )
 
 
-@register("knn_ivf", oracle=None)  # rows-only: ANN recall is engine/param-specific
-def knn_ivf(spark, sf_dir):
-    """IVF-bucketed approximate top-5 for query vectors 0..4.
-
-    Deterministic 'training': centroids = the first N_CENTROIDS
-    vectors by vec_id (fixed, seedless). Every corpus vector is
-    assigned to its max-cosine centroid; each query probes its
-    N_PROBE nearest centroids and brute-forces only those buckets.
-    At 100 TB: centroids are a broadcast table, assignment is one
-    narrow pass, and the candidate join is equi on centroid_id."""
-    emb = load(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
+def _nearest_centroids(vectors, cent, n: int):
+    """Assign each vector to its n max-cosine centroids (broadcast
+    centroid table, linear corpus pass)."""
+    v = vectors.alias("v")
+    c = F.broadcast(cent).alias("c")
     sim_vc = F.expr(COS_SPARK.format(a="v.embedding", b="c.c_emb"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
+    return (
+        v.crossJoin(c)
+        .select("v.*", F.col("c.centroid_id"), sim_vc.alias("csim"))
+        .withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") <= n)
+        .drop("csim", "crn")
+    )
 
-    def nearest_centroids(vectors, n):
-        v = vectors.alias("v")
-        c = F.broadcast(cent).alias("c")
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("csim").desc(), F.col("centroid_id").asc()
-        )
-        return (
-            v.crossJoin(c)
-            .select("v.*", F.col("c.centroid_id"), sim_vc.alias("csim"))
-            .withColumn("crn", F.row_number().over(w))
-            .filter(F.col("crn") <= n)
-            .drop("csim", "crn")
-        )
 
-    assigned = nearest_centroids(emb, 1)  # corpus: 1 bucket each
-    queries = nearest_centroids(emb.filter(F.col("vec_id") < 5), N_PROBE).select(
+def ivf_search(emb, cent, nprobe: int = N_PROBE, topk: int = 5):
+    """IVF probe: corpus assigned 1 bucket each, queries (vec_id<5)
+    probe their nprobe nearest buckets; candidates = equi-join on
+    centroid_id, refine with true cosine, rank topk."""
+    assigned = _nearest_centroids(emb, cent, 1)  # corpus: 1 bucket each
+    queries = _nearest_centroids(emb.filter(F.col("vec_id") < 5), cent, nprobe).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("centroid_id"),
@@ -153,10 +143,79 @@ def knn_ivf(spark, sf_dir):
         )
         .dropDuplicates(["vec_id", "neighbor_id"])
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
+        .filter(F.col("rn") <= topk)
         .orderBy("vec_id", "rn")
         .select("vec_id", "neighbor_id", "sim")
     )
+
+
+def _seed_centroids(emb):
+    return emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+
+
+@register("knn_ivf", oracle=None)  # rows-only: ANN recall is engine/param-specific
+def knn_ivf(spark, sf_dir):
+    """IVF-bucketed approximate top-5 for query vectors 0..4.
+
+    Deterministic 'training': centroids = the first N_CENTROIDS
+    vectors by vec_id (fixed, seedless — the mirror-able assignment
+    llm_dedup_embcos's oracle relies on). Every corpus vector is
+    assigned to its max-cosine centroid; each query probes its
+    N_PROBE nearest centroids and brute-forces only those buckets.
+    At 100 TB: centroids are a broadcast table, assignment is one
+    narrow pass, and the candidate join is equi on centroid_id.
+    For data-adaptive centroids see knn_ivf_kmeans."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_search(emb, _seed_centroids(emb))
+
+
+def kmeans_centroids(spark, emb, k: int = N_CENTROIDS, iters: int = 3):
+    """Deterministic spherical-k-means-style Lloyd refinement of the
+    seed centroids: `iters` fixed rounds of (max-cosine assignment ->
+    element-wise mean). No RNG: init = first k vectors, iteration
+    count fixed, and each new centroid is ROUNDED to 6 decimals so
+    float-sum ordering noise can't flip downstream assignments.
+
+    Each round is one linear corpus pass (broadcast centroids) + one
+    shuffle of corpus x dim (pos, partial-avg) rows — map-side
+    combined, so the shuffle is ~k x dim per partition, not corpus-
+    sized. The k x dim result is collected per round (it IS the next
+    broadcast table — bounded by k, independent of corpus size;
+    identical to MLlib's own iterate-and-broadcast loop)."""
+    cent = _seed_centroids(emb)
+    dim_cols = None
+    for _ in range(iters):
+        assigned = _nearest_centroids(emb, cent, 1)
+        means = (
+            assigned.select("centroid_id", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: F.round(s["m"], 6),
+                ).alias("c_emb")
+            )
+        )
+        rows = means.collect()  # k rows: the next broadcast table
+        cent = spark.createDataFrame(
+            [(r["centroid_id"], [float(v) for v in r["c_emb"]]) for r in rows],
+            "centroid_id BIGINT, c_emb ARRAY<DOUBLE>",
+        )
+    return cent
+
+
+@register("knn_ivf_kmeans", oracle=None)  # rows-only: ANN recall is param-specific
+def knn_ivf_kmeans(spark, sf_dir):
+    """knn_ivf with Lloyd-refined centroids: same probe plan, but the
+    buckets adapt to the data distribution — the variant whose recall
+    survives non-fixture (clustered) corpora. Recall floor vs the
+    exact baseline pinned in tests/test_invariants.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_search(emb, kmeans_centroids(spark, emb))
 
 
 N_PLANES = 8

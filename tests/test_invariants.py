@@ -22,11 +22,22 @@ def test_counts_scale_linearly(spark):
 
 
 def test_ann_recall_vs_exact(spark):
+    """Measured recall@5 vs the exact baseline at sf0.01 (near-random
+    vectors — the hardest case for bucketing):
+
+        centroids   nprobe=1  2     3     4
+        seed        0.92      0.92  0.92  0.96
+        kmeans      0.80      0.92  0.96  0.96
+
+    (knn_lsh with 2-bit multi-probe lands ~0.2-0.4 here; clustered
+    real embeddings co-locate far better.) The floor below is kept
+    loose on purpose — it guards 'buckets find real neighbors', not
+    a particular tuning."""
     exact = {
         (r.vec_id, r.neighbor_id)
         for r in QUERIES["llm_simsearch_knn"](spark, SF_B).collect()
     }
-    for ann in ("knn_ivf", "knn_lsh"):
+    for ann in ("knn_ivf", "knn_ivf_kmeans", "knn_lsh"):
         got = {(r.vec_id, r.neighbor_id) for r in QUERIES[ann](spark, SF_B).collect()}
         recall = len(got & exact) / len(exact)
         assert recall >= 0.2, (ann, recall)  # buckets must find real neighbors
