@@ -1,0 +1,101 @@
+"""Training-batch assembly ops: sequence packing and source mixing —
+the last mile of an LLM data pipeline (after filtering + dedup, the
+corpus is packed into fixed token budgets and mixed across sources
+at target rates).
+
+Scale notes baked into the shapes:
+- packing needs a running token total in a defined order. A single
+  global ordered window is a one-partition funnel at 100 TB, so the
+  corpus is packed per SHARD (hash of doc_id): each shard's cumsum
+  is an independent window partition, bins never cross shards, and
+  shard count scales with the cluster. This mirrors how real
+  pretraining pipelines pack per output file.
+- mixing is a pure map-side filter on a portable deterministic hash
+  (same reproducibility contract as llm_sample_hash): no shuffle
+  until the audit aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lsd_spark.catalog import load
+from lsd_spark.llm.dedup import HASH60_DUCK, HASH60_SPARK
+from lsd_spark.registry import register
+
+N_SHARDS = 8
+TOKEN_BUDGET = 2048  # tokens per packed sequence bin
+
+
+@register(
+    "llm_pack_sequences",
+    oracle=(
+        "SELECT doc_id, shard, "
+        f"CAST(shard * 100000 + FLOOR((cum - n_tokens) / {TOKEN_BUDGET}.0) AS BIGINT) AS bin_id, "
+        "n_tokens FROM ("
+        "SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+        "SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER ("
+        "PARTITION BY doc_id % 8 ORDER BY doc_id) AS cum FROM documents) "
+        "ORDER BY doc_id"
+    ),
+)
+def llm_pack_sequences(spark, sf_dir):
+    """Sequence packing: assign each document to a token-budget bin
+    (TOKEN_BUDGET whitespace tokens) by running offset within its
+    shard, in doc_id order. bin_id = shard * 100000 + local bin, so
+    bins are globally unique and shard-local. A doc lands in the bin
+    where its first token starts (contiguous concat-then-chunk
+    packing, the GPT-style pretraining layout)."""
+    docs = load(spark, sf_dir, "documents")
+    shard = (F.col("doc_id") % N_SHARDS).cast("bigint")
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard"), n_tokens.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "shard",
+            (
+                F.col("shard") * 100000
+                + F.floor((F.col("cum") - F.col("n_tokens")) / float(TOKEN_BUDGET))
+            ).cast("bigint").alias("bin_id"),
+            "n_tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# per-source keep rate in percent, derived arithmetically from the
+# source index so both engines compute it (a real pipeline would
+# broadcast a configured dict; the formula stands in for it):
+# src<k>  ->  10 + (7k mod 90) percent
+_RATE_SQL = "(10 + (CAST(substring(source, 4) AS INTEGER) * 7) % 90)"
+
+
+@register(
+    "llm_mix_sources",
+    oracle=(
+        "SELECT source, count(*) AS kept, "
+        f"{_RATE_SQL} AS target_pct FROM documents "
+        "WHERE (" + HASH60_DUCK.format(t="CAST(doc_id AS VARCHAR) || source") + ") % 100 "
+        f"< {_RATE_SQL} "
+        "GROUP BY source ORDER BY source"
+    ),
+)
+def llm_mix_sources(spark, sf_dir):
+    """Deterministic source mixing: each source kept at its target
+    rate via the portable content hash — the same doc survives on
+    any engine, any run, any partitioning. Map-only filter; the
+    output is the per-source audit (kept count vs target rate)."""
+    docs = load(spark, sf_dir, "documents")
+    rate = 10 + (F.substring("source", 4, 10).cast("int") * 7) % 90
+    h = F.expr(HASH60_SPARK.format(t="CAST(doc_id AS STRING) || source"))
+    return (
+        docs.filter((h % 100) < rate)
+        .groupBy("source")
+        .agg(F.count("*").alias("kept"), F.first(rate).alias("target_pct"))
+        .orderBy("source")
+    )
