@@ -295,3 +295,27 @@ def fn_bitwise(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "fn_unpivot",
+    oracle=(
+        "SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value "
+        "FROM orders WHERE o_orderkey < 5000 "
+        "UNION ALL "
+        "SELECT o_orderkey, 'custkey' AS metric, "
+        "CAST(o_custkey AS DOUBLE) AS value "
+        "FROM orders WHERE o_orderkey < 5000"
+    ),
+)
+def fn_unpivot(spark, sf_dir):
+    """UNPIVOT/melt via stack(): wide metrics to (key, metric, value)
+    long form — one projection pass, no shuffle, the inverse of
+    agg_pivot. (LSD fetches wide numpy blocks; long form is the
+    relational equivalent of its per-column arrays.)"""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    return o.selectExpr(
+        "o_orderkey",
+        "stack(2, 'totalprice', o_totalprice, "
+        "'custkey', CAST(o_custkey AS DOUBLE)) AS (metric, value)",
+    )

@@ -463,3 +463,48 @@ def llm_sample_hash(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
         .orderBy("lang")
     )
+
+
+EDIT_BLOCK_CHARS = 50
+EDIT_REL_T = 0.2  # max edit distance as a fraction of the longer text
+
+
+@register(
+    "llm_dedup_edit",
+    oracle=(
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist "
+        "FROM documents a JOIN documents b "
+        f"ON md5(substring(a.text, 1, {EDIT_BLOCK_CHARS})) = "
+        f"md5(substring(b.text, 1, {EDIT_BLOCK_CHARS})) "
+        "AND a.doc_id < b.doc_id "
+        f"WHERE levenshtein(a.text, b.text) <= {EDIT_REL_T} * "
+        "greatest(length(a.text), length(b.text)) "
+        "ORDER BY doc_a, doc_b"
+    ),
+)
+def llm_dedup_edit(spark, sf_dir):
+    """Edit-distance near-dedup with prefix blocking: candidates =
+    pairs sharing the md5 of their first EDIT_BLOCK_CHARS chars (an
+    equi-join — levenshtein is O(len^2) per pair, so it only ever
+    runs on block-bounded candidates, never all pairs), refined with
+    levenshtein <= 20% of the longer text. Catches exact dups
+    (dist 0) and suffix-edited variants; combine with llm_dedup_ngram
+    for mid-string edits."""
+    docs = load(spark, sf_dir, "documents")
+    blk = F.md5(F.substring("text", 1, EDIT_BLOCK_CHARS).cast("binary"))
+    d = docs.select("doc_id", "text", blk.alias("blk"))
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("bigint").alias("dist"),
+            (F.greatest(F.length("a.text"), F.length("b.text"))).alias("mx"),
+        )
+        .filter(F.col("dist") <= EDIT_REL_T * F.col("mx"))
+        .select("doc_a", "doc_b", "dist")
+        .orderBy("doc_a", "doc_b")
+    )

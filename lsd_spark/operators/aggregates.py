@@ -290,3 +290,23 @@ def agg_stats_corr(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "agg_cube",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid, "
+        "count(*) AS cnt FROM orders "
+        "GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+    ),
+)
+def agg_cube(spark, sf_dir):
+    """CUBE over (status, priority) with an explicit grouping_id so
+    total/subtotal rows are distinguishable from genuine NULL groups.
+    One pass, one shuffle — Spark expands the grouping sets map-side."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("*").alias("cnt"),
+    ).select("o_orderstatus", "o_orderpriority", "gid", "cnt")

@@ -299,3 +299,26 @@ def join_cross(spark, sf_dir):
     r = load(spark, sf_dir, "region")
     n = load(spark, sf_dir, "nation")
     return r.crossJoin(n).agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "join_full_outer",
+    oracle=(
+        "SELECT c.c_custkey, o.o_orderkey FROM "
+        "(SELECT * FROM customer WHERE c_acctbal > 5000) c "
+        "FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) o "
+        "ON c.c_custkey = o.o_custkey"
+    ),
+)
+def join_full_outer(spark, sf_dir):
+    """FULL OUTER: both inputs filtered so both null sides are
+    populated (high-balance customers without big orders, big orders
+    from low-balance customers). Shuffle hash/merge join on the key;
+    full-outer can't broadcast either side, so at 100 TB this is the
+    one join type that always pays the two-sided shuffle — bucketed
+    layout (sink_bucketed) removes it."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        "c_custkey", "o_orderkey"
+    )
