@@ -3,12 +3,17 @@ payloads with typed metadata (LSD's BLOB columns
 [lsd:src/lsd/table.py blobs — UNVERIFIED], stored via Parquet's
 native var-length binary instead of PyTables VLArray).
 
-The real decode step needs codec libraries absent from this
-container, so `decode_image` is a clearly-marked stub: it raises
-NotImplementedError unless `fake=True`, in which case it produces a
-deterministic fake (dimensions derived from the payload hash). The
-Spark-side plumbing — schema, Arrow batch shape, mapInPandas
-signature, partition behavior — is real and tested.
+Decode status by format: PNG and WAV decode are REAL — stdlib-only
+codecs implemented in this module (zlib chunk/filter layer, wave
+RIFF), exercised end-to-end by mm_decode_png / mm_decode_wav with
+full hash-match oracles and unit-tested against handcrafted files
+(tests/test_codecs.py). Formats whose spec needs external codec
+libraries (JPEG, MP4/video) remain clearly-marked stubs:
+`decode_image` raises NotImplementedError unless `fake=True`, in
+which case it produces a deterministic fake (dimensions derived
+from the payload hash). The Spark-side plumbing — schema, Arrow
+batch shape, mapInPandas signature, partition behavior — is real
+and tested for both.
 """
 
 from __future__ import annotations
@@ -286,3 +291,251 @@ def mm_frame_sample_stub(spark, sf_dir):
         .mapInPandas(frame_sample_kernel, FRAME_SCHEMA)
         .orderBy("doc_id", "frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs, stdlib-only: PNG (zlib + hand-rolled chunk/filter
+# layer) and WAV (wave module). These replace the "decode is blocked
+# without codec libs" stub for the two formats whose spec needs
+# nothing beyond the standard library — the decode path below is a
+# genuine PNG decoder (all five scanline filters), not a fake.
+# ---------------------------------------------------------------------------
+
+
+def _make_png_codec():
+    """Returns (encode, decode) closures so kernels ship them by
+    value (workers never import lsd_spark).
+
+    encode(arr): HxWx3 uint8 -> PNG bytes (8-bit RGB, filter 0).
+    decode(data): PNG bytes -> (height, width, channels, HxWxC uint8)
+    — handles filters 0-4 (None/Sub/Up/Average/Paeth) and color
+    types 0 (grey), 2 (RGB), 6 (RGBA), the 8-bit baseline."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def _chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def encode(arr) -> bytes:
+        arr = np.asarray(arr, dtype=np.uint8)
+        h, w, _ = arr.shape
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+
+    def decode(data: bytes):
+        data = bytes(data)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+        pos, idat, meta = 8, b"", None
+        while pos < len(data):
+            (ln,) = struct.unpack(">I", data[pos : pos + 4])
+            typ = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + ln]
+            if typ == b"IHDR":
+                w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", body)
+                assert depth == 8 and interlace == 0, "8-bit non-interlaced only"
+                meta = (w, h, {0: 1, 2: 3, 6: 4}[ctype])
+            elif typ == b"IDAT":
+                idat += body
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        w, h, nch = meta
+        stride = w * nch
+        raw = zlib.decompress(idat)
+        out = np.zeros((h, stride), dtype=np.uint8)
+        for y in range(h):
+            f = raw[y * (stride + 1)]
+            line = np.frombuffer(
+                raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], np.uint8
+            ).astype(np.int32)
+            prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0  # left
+                b = prev[x]  # up
+                c = prev[x - nch] if x >= nch else 0  # up-left
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+            out[y] = cur.astype(np.uint8)
+        return h, w, nch, out.reshape(h, w, nch)
+
+    return encode, decode
+
+
+def _make_wav_codec():
+    """(encode, decode) for 16-bit mono PCM WAV via the stdlib wave
+    module — a real RIFF container round trip."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def encode(samples, rate: int = 8000) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+        return buf.getvalue()
+
+    def decode(data: bytes):
+        with wave.open(io.BytesIO(bytes(data)), "rb") as w:
+            n, rate = w.getnframes(), w.getframerate()
+            samples = np.frombuffer(w.readframes(n), dtype="<i2")
+        return n, rate, samples
+
+    return encode, decode
+
+
+_PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+# mean of the 16 md5 bytes — equal to every channel mean of the
+# tiled 8x8x3 image (each byte position lands on each channel
+# exactly 192/48 = 4 times; see test_multimodal round-trip proof)
+_MD5_BYTE_AVG = (
+    "list_avg(list_transform(generate_series(0,15), "
+    "k -> CAST(('0x' || substring(md5(text), 2*k+1, 2))::INT AS DOUBLE)))"
+)
+
+
+@register(
+    "mm_decode_png",
+    oracle=(
+        "SELECT doc_id, 8 AS width, 8 AS height, "
+        f"ROUND({_MD5_BYTE_AVG}, 4) AS mean_r, "
+        f"ROUND({_MD5_BYTE_AVG}, 4) AS mean_g, "
+        f"ROUND({_MD5_BYTE_AVG}, 4) AS mean_b "
+        "FROM documents ORDER BY doc_id"
+    ),
+)
+def mm_decode_png(spark, sf_dir):
+    """REAL image decode, no codec libraries: per document an 8x8 RGB
+    image (pixel bytes = md5(text) digest tiled) is encoded to an
+    actual PNG in one Arrow kernel and decoded back by the hand-
+    rolled PNG decoder in a second kernel, which emits per-channel
+    means. The oracle recomputes the means directly from the md5 hex
+    (channel mean == mean of the 16 digest bytes, exactly — the tile
+    width is coprime with the channel stride). A fully hash-checked
+    encode->decode round trip through a real on-disk format."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # factory called DRIVER-side: the kernels capture the returned
+    # closures, which cloudpickle ships by value (a direct reference
+    # to the module-level factory would pickle by module path and
+    # require lsd_spark importable on workers)
+    encode, decode = _make_png_codec()
+
+    def encode_kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                d = hashlib.md5(t.encode("utf-8")).digest()
+                arr = np.frombuffer((d * 12)[:192], np.uint8).reshape(8, 8, 3)
+                payloads.append(encode(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "png": payloads})
+
+    def decode_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, png in zip(pdf["doc_id"], pdf["png"]):
+                h, w, nch, arr = decode(png)
+                m = arr.astype(np.float64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        round(float(m[:, :, 0].mean()), 4),
+                        round(float(m[:, :, 1].mean()), 4),
+                        round(float(m[:, :, 2].mean()), 4),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"]
+            )
+
+    encoded = docs.mapInPandas(encode_kernel, schema="doc_id bigint, png binary")
+    return encoded.mapInPandas(decode_kernel, schema=_PNG_STATS_SCHEMA).orderBy("doc_id")
+
+
+_WAV_SQL_SAMPLE = "(CAST(('0x' || substring(md5(text), 2*k+1, 2))::INT AS DOUBLE) - 128) * 256"
+
+
+@register(
+    "mm_decode_wav",
+    oracle=(
+        "SELECT doc_id, CAST(160 AS BIGINT) AS n_frames, 8000 AS rate, "
+        "ROUND(sqrt(list_avg(list_transform(generate_series(0,15), "
+        f"k -> POW({_WAV_SQL_SAMPLE}, 2)))), 4) AS rms "
+        "FROM documents ORDER BY doc_id"
+    ),
+)
+def mm_decode_wav(spark, sf_dir):
+    """REAL audio decode via the stdlib RIFF/WAV codec: 160 16-bit
+    PCM samples per document (md5-derived, tiled 10x) encoded to a
+    real WAV container and decoded back; emits frame count, rate and
+    RMS. Oracle recomputes RMS from the md5 hex."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    encode, decode = _make_wav_codec()  # driver-side; closures ship by value
+
+    def roundtrip_kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.md5(t.encode("utf-8")).digest()
+                s = (np.frombuffer(d, np.uint8).astype(np.int64) - 128) * 256
+                wav = encode(np.tile(s, 10).astype("<i2"))
+                n, rate, back = decode(wav)
+                rms = float(np.sqrt((back.astype(np.float64) ** 2).mean()))
+                rows.append((int(doc_id), n, rate, round(rms, 4)))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "rate", "rms"])
+
+    return docs.mapInPandas(
+        roundtrip_kernel, schema="doc_id bigint, n_frames bigint, rate int, rms double"
+    ).orderBy("doc_id")
