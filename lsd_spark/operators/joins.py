@@ -322,3 +322,63 @@ def join_full_outer(spark, sf_dir):
     return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
         "c_custkey", "o_orderkey"
     )
+
+
+INTERVAL_ZONE_US = 1_800_000_000  # 30 min >= the max interval length
+
+
+@register(
+    "join_interval_overlap",
+    oracle=(
+        "WITH p AS (SELECT event_id AS l_id, epoch_us(ts) AS ls, "
+        "epoch_us(ts) + (5 + event_id % 25) * 60000000 AS le "
+        "FROM events WHERE event_type = 'purchase'), "
+        "c AS (SELECT event_id AS r_id, epoch_us(ts) AS rs, "
+        "epoch_us(ts) + (5 + event_id % 25) * 60000000 AS re "
+        "FROM events WHERE event_type = 'click') "
+        "SELECT l_id, count(*) AS n_overlaps FROM p JOIN c "
+        "ON ls < re AND rs < le GROUP BY l_id ORDER BY l_id"
+    ),
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-overlap join via the zones technique: every interval
+    (5-29 min, derived from event_id) explodes to the 30-min zones it
+    touches (<=2), candidates meet in a zone equi-join, pair dedup,
+    exact overlap refine, per-left count. The classic range-join that
+    would otherwise be an O(n^2) theta join; zone width >= max
+    interval length caps the fan-out at 2 — at 100 TB both sides are
+    zone-partitioned on disk and the join is partition-local."""
+    ev = load(spark, sf_dir, "events")
+    dur_us = (5 + F.col("event_id") % 25) * 60_000_000
+
+    def intervals(etype, id_alias, s_alias, e_alias):
+        return ev.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(id_alias),
+            F.unix_micros("ts").alias(s_alias),
+            (F.unix_micros("ts") + dur_us).alias(e_alias),
+        )
+
+    p = intervals("purchase", "l_id", "ls", "le").withColumn(
+        "zone",
+        F.explode(
+            F.sequence(
+                F.expr(f"ls div {INTERVAL_ZONE_US}"), F.expr(f"le div {INTERVAL_ZONE_US}")
+            )
+        ),
+    )
+    c = intervals("click", "r_id", "rs", "re").withColumn(
+        "zone",
+        F.explode(
+            F.sequence(
+                F.expr(f"rs div {INTERVAL_ZONE_US}"), F.expr(f"re div {INTERVAL_ZONE_US}")
+            )
+        ),
+    )
+    return (
+        p.join(c, "zone")
+        .dropDuplicates(["l_id", "r_id"])
+        .filter((F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le")))
+        .groupBy("l_id")
+        .agg(F.count("*").alias("n_overlaps"))
+        .orderBy("l_id")
+    )

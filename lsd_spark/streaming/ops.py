@@ -251,3 +251,27 @@ def stream_custom_state(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_static_join",
+    oracle=(
+        "SELECT e.event_id, n.n_name, e.event_type FROM events e "
+        "JOIN nation n ON e.user_id % 25 = n.n_nationkey"
+    ),
+)
+def stream_static_join(spark, sf_dir):
+    """Real stream joined to a STATIC broadcast dimension (the
+    enrich-on-ingest pattern): each micro-batch hash-joins against
+    the small static table; stateless, so the streamed result equals
+    the batch join exactly — full oracle. At 100 TB the static side
+    refreshes per trigger without restarting the stream."""
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def build(src):
+        return (
+            src.join(F.broadcast(n), src.user_id % 25 == n.n_nationkey)
+            .select("event_id", "n_name", "event_type")
+        )
+
+    return _run_stream(spark, sf_dir, build, "append")
