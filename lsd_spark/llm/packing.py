@@ -99,3 +99,76 @@ def llm_mix_sources(spark, sf_dir):
         .agg(F.count("*").alias("kept"), F.first(rate).alias("target_pct"))
         .orderBy("source")
     )
+
+
+TESTSET_MAX_ID = 50
+SHINGLE_W = 5
+
+
+@register(
+    "llm_decontaminate",
+    oracle=(
+        "WITH sh AS (SELECT doc_id, unnest(list_transform("
+        f"generate_series(1, len(w) - {SHINGLE_W - 1}), "
+        f"i -> array_to_string(w[i:i+{SHINGLE_W - 1}], ' '))) AS s "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents "
+        f"WHERE len(string_split(text, ' ')) >= {SHINGLE_W})), "
+        f"t AS (SELECT DISTINCT s FROM sh WHERE doc_id < {TESTSET_MAX_ID}) "
+        "SELECT sh.doc_id, count(*) AS n_hits FROM sh JOIN t USING (s) "
+        f"WHERE sh.doc_id >= {TESTSET_MAX_ID} GROUP BY sh.doc_id ORDER BY doc_id"
+    ),
+)
+def llm_decontaminate(spark, sf_dir):
+    """Train/test decontamination — the canonical pre-training check:
+    flag every training document sharing a SHINGLE_W-word shingle
+    with the held-out set (here: doc_id < TESTSET_MAX_ID stands in
+    for the eval benchmark). Test shingles are DISTINCT and broadcast
+    (eval sets are tiny vs the corpus); the train side streams
+    through an equi-join on the shingle — at 100 TB this is one scan
+    + broadcast probe, no shuffle of the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= SHINGLE_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {SHINGLE_W - 1}), "
+                    f"i -> concat_ws(' ', slice(w, i, {SHINGLE_W})))"
+                )
+            ).alias("s"),
+        )
+    )
+    test_sh = base.filter(F.col("doc_id") < TESTSET_MAX_ID).select("s").distinct()
+    return (
+        base.filter(F.col("doc_id") >= TESTSET_MAX_ID)
+        .join(F.broadcast(test_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "llm_repetition_score",
+    oracle=(
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "
+        "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct, "
+        "ROUND(1.0 - len(list_distinct(string_split(text, ' '))) * 1.0 / "
+        "len(string_split(text, ' ')), 4) AS rep_ratio "
+        "FROM documents ORDER BY doc_id"
+    ),
+)
+def llm_repetition_score(spark, sf_dir):
+    """Repetition/boilerplate score: 1 - distinct-word ratio. High
+    values mark template/boilerplate docs a quality gate drops.
+    Map-only (no shuffle)."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("n_distinct"),
+        F.round(1.0 - F.size(F.array_distinct(w)) / F.size(w), 4).alias("rep_ratio"),
+    ).orderBy("doc_id")

@@ -310,3 +310,33 @@ def agg_cube(spark, sf_dir):
         F.grouping_id().cast("bigint").alias("gid"),
         F.count("*").alias("cnt"),
     ).select("o_orderstatus", "o_orderpriority", "gid", "cnt")
+
+
+@register(
+    "agg_filtered",
+    oracle=(
+        "SELECT event_type, count(*) AS cnt, "
+        "count(*) FILTER (WHERE value > 50) AS n_big, "
+        "ROUND(COALESCE(SUM(value) FILTER (WHERE value > 50), 0), 2) AS sv_big, "
+        "count(DISTINCT user_id) FILTER (WHERE value IS NOT NULL) AS u_valued "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+)
+def agg_filtered(spark, sf_dir):
+    """Conditional aggregates (SQL FILTER clause): count_if /
+    filtered sum / filtered distinct in ONE pass over the data — the
+    multi-predicate statistics kernel without multiple scans."""
+    ev = load(spark, sf_dir, "events")
+    big = F.when(F.col("value") > 50, F.col("value"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.count(big).alias("n_big"),
+            F.round(F.coalesce(F.sum(big), F.lit(0.0)), 2).alias("sv_big"),
+            F.count_distinct(
+                F.when(F.col("value").isNotNull(), F.col("user_id"))
+            ).alias("u_valued"),
+        )
+        .orderBy("event_type")
+    )

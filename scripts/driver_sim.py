@@ -28,6 +28,8 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 SF01 = "/root/testdata/sf0.01"
+if "--sf" in sys.argv:
+    SF01 = "/root/testdata/sf" + sys.argv[sys.argv.index("--sf") + 1]
 
 
 def canon_cell(v):
