@@ -172,6 +172,27 @@ def test_spatial_xmatch_is_cell_equi_join(spark):
     assert hash_joins, f"cell join not equi:\n{p}"
 
 
+def test_interval_overlap_is_zone_equi_join(spark):
+    """Interval-overlap candidates must meet in a zone equi-join; the
+    overlap predicate is a residual filter, never the join driver."""
+    p = qplan("join_interval_overlap", spark, mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert any(
+        ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln)
+        and "zone" in ln
+        for ln in p.splitlines()
+    ), p
+
+
+def test_decontaminate_broadcasts_testset(spark):
+    """The held-out shingle set must be the broadcast side; the train
+    corpus must never shuffle for the probe."""
+    p = qplan("llm_decontaminate", spark, mode="simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
 def test_agg_partial_final(spark):
     p = qplan("agg_groupby_hash", spark, mode="simple")
     assert p.count("HashAggregate") >= 2, p  # partial + final
