@@ -201,3 +201,46 @@ def sink_snapshot(spark, sf_dir):
     )
     shutil.rmtree(base, ignore_errors=True)
     return res
+
+
+@register(
+    "merge_upsert",
+    oracle=(
+        "WITH u AS ("
+        "SELECT c_custkey, c_acctbal + 100 AS c_acctbal FROM customer "
+        "WHERE c_custkey % 10 = 0 "
+        "UNION ALL SELECT c_custkey + 1000000 AS c_custkey, 0.0 AS c_acctbal "
+        "FROM customer WHERE c_custkey % 17 = 0) "
+        "SELECT COALESCE(u.c_custkey, c.c_custkey) AS c_custkey, "
+        "ROUND(COALESCE(u.c_acctbal, c.c_acctbal), 2) AS c_acctbal "
+        "FROM customer c FULL OUTER JOIN u ON c.c_custkey = u.c_custkey "
+        "ORDER BY c_custkey"
+    ),
+)
+def merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics (update-matched + insert-unmatched) as a
+    full-outer join + coalesce — the upsert pattern for plain-Parquet
+    tables without a transaction log: matched keys take the update's
+    values, unmatched updates insert, unmatched targets persist.
+    Updates here are derived deterministically from the target
+    (acctbal bump for custkey%10, synthetic inserts for custkey%17).
+    At 100 TB both sides hash-partition on the key once; with the
+    target bucketed by key the shuffle drops to the update side only
+    — and the rewrite is cell-local, LSD's per-cell append."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    upd = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("u_custkey"), (F.col("c_acctbal") + 100).alias("u_acctbal")
+    )
+    ins = c.filter(F.col("c_custkey") % 17 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("u_custkey"),
+        F.lit(0.0).alias("u_acctbal"),
+    )
+    u = upd.unionByName(ins)
+    return (
+        c.join(u, c.c_custkey == u.u_custkey, "full_outer")
+        .select(
+            F.coalesce(F.col("u_custkey"), F.col("c_custkey")).alias("c_custkey"),
+            F.round(F.coalesce(F.col("u_acctbal"), F.col("c_acctbal")), 2).alias("c_acctbal"),
+        )
+        .orderBy("c_custkey")
+    )
