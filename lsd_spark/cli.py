@@ -81,6 +81,20 @@ def cmd_footprint(args, spark=None):
     _emit(QUERIES["agg_density_map_2d"](_spark(args, spark), args.db), args.format, args.out)
 
 
+def cmd_xmatch2d(args, spark=None):
+    from lsd_spark.registry import QUERIES, load_all
+
+    load_all()
+    _emit(QUERIES["join_xmatch_2d"](_spark(args, spark), args.db), args.format, args.out)
+
+
+def cmd_decontaminate(args, spark=None):
+    from lsd_spark.registry import QUERIES, load_all
+
+    load_all()
+    _emit(QUERIES["llm_decontaminate"](_spark(args, spark), args.db), args.format, args.out)
+
+
 def cmd_make_object_catalog(args, spark=None):
     from lsd_spark.registry import QUERIES, load_all
 
@@ -124,6 +138,18 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--format", choices=["csv", "json", "parquet"], default="csv")
     f.add_argument("--out", default=None)
     f.set_defaults(fn=cmd_footprint)
+
+    x2 = sub.add_parser("xmatch2d", help="2-D spatial nearest-neighbor cross-match")
+    x2.add_argument("--db", default=os.environ.get("LSD_DB", "/root/testdata/sf0.01"))
+    x2.add_argument("--format", choices=["csv", "json", "parquet"], default="csv")
+    x2.add_argument("--out", default=None)
+    x2.set_defaults(fn=cmd_xmatch2d)
+
+    dc = sub.add_parser("decontaminate", help="train/test shingle-overlap check")
+    dc.add_argument("--db", default=os.environ.get("LSD_DB", "/root/testdata/sf0.01"))
+    dc.add_argument("--format", choices=["csv", "json", "parquet"], default="csv")
+    dc.add_argument("--out", default=None)
+    dc.set_defaults(fn=cmd_decontaminate)
 
     m = sub.add_parser(
         "make-object-catalog", help="FoF clustering build (lsd-make-object-catalog)"

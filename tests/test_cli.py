@@ -54,3 +54,16 @@ def test_cli_xmatch_and_footprint(spark, tmp_path, capsys):
     main(["footprint", "--db", SF_DIR, "--out", str(tmp_path / "fp"),
           "--format", "parquet"], spark=spark)
     assert spark.read.parquet(str(tmp_path / "fp")).count() > 0
+
+
+def test_cli_xmatch2d_and_decontaminate(capsys, spark):
+    from lsd_spark.cli import main
+
+    main(["xmatch2d", "--db", "/root/testdata/sf0.001"], spark=spark)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert all(len(ln.split("\t")) == 3 for ln in out)  # l_id, r_id, dist
+
+    main(["decontaminate", "--db", "/root/testdata/sf0.001"], spark=spark)
+    out = capsys.readouterr().out.strip()
+    # 0+ contaminated rows, each (doc_id, n_hits)
+    assert all(len(ln.split("\t")) == 2 for ln in out.splitlines() if ln)
