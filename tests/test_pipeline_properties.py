@@ -1,0 +1,63 @@
+"""Independent re-implementations (numpy/pandas — neither Spark nor
+DuckDB) of packing and spatial matching, compared exactly at
+sf0.001: a third opinion beyond the oracle harness."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from lsd_spark.registry import QUERIES, load_all
+
+load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pack_sequences_matches_pandas_reimpl(spark):
+    from lsd_spark.llm.packing import N_SHARDS, TOKEN_BUDGET
+
+    got = QUERIES["llm_pack_sequences"](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    docs["n_tokens"] = docs["text"].map(lambda t: len(t.split(" ")))
+    docs["shard"] = docs["doc_id"] % N_SHARDS
+    docs = docs.sort_values("doc_id")
+    docs["cum"] = docs.groupby("shard")["n_tokens"].cumsum()
+    docs["bin_id"] = docs["shard"] * 100000 + (docs["cum"] - docs["n_tokens"]) // TOKEN_BUDGET
+    exp = docs[["doc_id", "shard", "bin_id", "n_tokens"]].reset_index(drop=True)
+    got = got.sort_values("doc_id").reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(got, exp.astype("int64"))
+
+
+def _coords(event_ids):
+    xs, ys = [], []
+    for e in event_ids:
+        hx = int(hashlib.md5(f"{e}x".encode()).hexdigest()[:15], 16) % 100000
+        hy = int(hashlib.md5(f"{e}y".encode()).hexdigest()[:15], 16) % 100000
+        xs.append(hx / 1000.0)
+        ys.append(hy / 1000.0)
+    return np.array(xs), np.array(ys)
+
+
+def test_xmatch_2d_matches_numpy_brute_force(spark):
+    from lsd_spark.plans.spatial import RADIUS
+
+    got = {
+        (r.l_id, r.r_id) for r in QUERIES["join_xmatch_2d"](spark, SF).collect()
+    }
+    ev = pd.read_parquet(f"{SF}/events.parquet")[["event_id", "event_type"]]
+    p = ev[ev.event_type == "purchase"]["event_id"].to_numpy()
+    c = ev[ev.event_type == "click"]["event_id"].to_numpy()
+    px, py = _coords(p)
+    cx, cy = _coords(c)
+    d = np.sqrt((px[:, None] - cx[None, :]) ** 2 + (py[:, None] - cy[None, :]) ** 2)
+    exp = set()
+    for i in range(len(p)):
+        within = np.where(d[i] <= RADIUS)[0]
+        if len(within):
+            # nearest with (dist, r_id) tiebreak — same rule as the op
+            order = sorted(within, key=lambda j: (d[i, j], c[j]))
+            exp.add((int(p[i]), int(c[order[0]])))
+    assert got == exp
