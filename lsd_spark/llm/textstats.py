@@ -201,3 +201,34 @@ def llm_pipeline_e2e(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "llm_char_entropy",
+    oracle=(
+        "SELECT doc_id, ROUND(entropy(c), 6) AS h FROM ("
+        "SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents) "
+        "GROUP BY doc_id ORDER BY doc_id"
+    ),
+)
+def llm_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy (bits) per document —
+    the gibberish/compression-quality signal (machine-generated or
+    base64-ish text scores far from natural-language ~4.1 bits).
+    Computed as log2(N) - sum(n*log2(n))/N from per-char counts: one
+    explode + two map-side-combined aggs, no window."""
+    docs = load(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.log2(F.sum("n")) - F.sum(F.col("n") * F.log2("n")) / F.sum("n"), 6
+            ).alias("h")
+        )
+        .orderBy("doc_id")
+    )

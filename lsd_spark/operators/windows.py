@@ -185,3 +185,23 @@ def win_first_last(spark, sf_dir):
         F.last("event_id").over(w).alias("last_ev"),
         F.nth_value("event_id", 2).over(w).alias("second_ev"),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "win_cume_dist",
+    oracle=(
+        "SELECT o_orderkey, o_orderstatus, "
+        "ROUND(cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice), 6) "
+        "AS cd FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"
+    ),
+)
+def win_cume_dist(spark, sf_dir):
+    """cume_dist per status partition — value-based (tie rows share a
+    value), so deterministic without an explicit tiebreak column."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    ).orderBy("o_orderkey")
