@@ -172,3 +172,71 @@ def llm_repetition_score(spark, sf_dir):
         F.size(F.array_distinct(w)).cast("bigint").alias("n_distinct"),
         F.round(1.0 - F.size(F.array_distinct(w)) / F.size(w), 4).alias("rep_ratio"),
     ).orderBy("doc_id")
+
+
+MM_QSCORE_T = 0.5
+MM_SAMPLE_PCT = 50
+_QSCORE_SQL = (
+    "CAST(FLOOR((LEAST(n_chars / 400.0, 1.0) * 0.5 + "
+    "LEAST(len(string_split(text, ' ')) / 80.0, 1.0) * 0.5) * 10000 + 0.5) / 10000 "
+    "AS DOUBLE)"
+)
+
+
+def _mm_pipeline_oracle() -> str:
+    from lsd_spark.llm.dedup import EMBCOS_T, embcos_candidate_pairs_sql
+
+    return (
+        # 1. semantic near-dup victims (higher id of each pair) via the
+        #    SAME IVF-bucketed candidates the engine uses
+        f"WITH dup AS (SELECT DISTINCT vec_b AS doc_id FROM "
+        f"({embcos_candidate_pairs_sql()}) WHERE sim >= {EMBCOS_T}), "
+        # 2. quality gate + dedup + deterministic sample
+        "kept AS (SELECT d.doc_id, d.lang, len(string_split(d.text, ' ')) AS n_tok "
+        "FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id "
+        f"WHERE {_QSCORE_SQL} >= {MM_QSCORE_T} AND dup.doc_id IS NULL "
+        "AND (" + HASH60_DUCK.format(t="CAST(d.doc_id AS VARCHAR) || 'mm'") + ") % 100 "
+        f"< {MM_SAMPLE_PCT}) "
+        # 3. per-lang audit
+        "SELECT lang, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens "
+        "FROM kept GROUP BY lang ORDER BY lang"
+    )
+
+
+@register("llm_pipeline_mm", oracle=_mm_pipeline_oracle())
+def llm_pipeline_mm(spark, sf_dir):
+    """End-to-end MULTIMODAL curation job: quality gate (length/
+    density score) -> semantic near-dup removal through the
+    IVF-bucketed embedding pairs (vectors joined on doc_id=vec_id,
+    higher id of each pair dropped) -> deterministic hash subsample
+    -> per-lang token audit. One lazy plan: the anti-join against
+    dup victims broadcasts (duplicate sets are small), the gate and
+    sample are map-side, the audit is one combined agg — the shape a
+    100 TB curation run has."""
+    from lsd_spark.llm.dedup import EMBCOS_T, embcos_candidate_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    dup = (
+        embcos_candidate_pairs(spark, sf_dir)
+        .filter(F.col("sim") >= EMBCOS_T)
+        .select(F.col("vec_b").alias("dup_id"))
+        .distinct()
+    )
+    ntok = F.size(F.split("text", " "))
+    score = (
+        F.least(F.col("n_chars") / 400.0, F.lit(1.0)) * 0.5
+        + F.least(ntok / 80.0, F.lit(1.0)) * 0.5
+    )
+    q4 = (F.floor(score * 10000 + F.lit(0.5)) / 10000).cast("double")
+    h = F.expr(HASH60_SPARK.format(t="CAST(doc_id AS STRING) || 'mm'"))
+    return (
+        docs.join(F.broadcast(dup), docs.doc_id == F.col("dup_id"), "left_anti")
+        .filter((q4 >= MM_QSCORE_T) & ((h % 100) < MM_SAMPLE_PCT))
+        .select("lang", ntok.alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )
