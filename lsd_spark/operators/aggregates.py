@@ -340,3 +340,37 @@ def agg_filtered(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+
+@register(
+    "profile_table",
+    oracle=(
+        " UNION ALL ".join(
+            f"SELECT '{c}' AS col, count(*) - count({c}) AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct FROM orders"
+            for c in _PROFILE_COLS
+        )
+        + " ORDER BY col"
+    ),
+)
+def profile_table(spark, sf_dir):
+    """Table profiling: per-column null count + exact distinct count
+    for every orders column, in ONE scan (Spark expands the
+    multi-distinct agg map-side; the oracle's 6-scan UNION ALL is the
+    semantic spec, not the plan). The ingest-validation primitive a
+    pipeline runs before trusting a new drop of data."""
+    o = load(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("_n")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"_nd_{c}"))
+    row = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _n - _nn_{c}, _nd_{c}" for c in _PROFILE_COLS
+    )
+    return row.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col, n_nulls, n_distinct)"
+    ).orderBy("col")
