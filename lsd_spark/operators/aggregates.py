@@ -361,7 +361,9 @@ def profile_table(spark, sf_dir):
     for every orders column, in ONE scan (Spark expands the
     multi-distinct agg map-side; the oracle's 6-scan UNION ALL is the
     semantic spec, not the plan). The ingest-validation primitive a
-    pipeline runs before trusting a new drop of data."""
+    pipeline runs before trusting a new drop of data. At 100 TB swap
+    count_distinct for approx_count_distinct (agg_approx_distinct's
+    HLL) — exact multi-distinct expands rows per column."""
     o = load(spark, sf_dir, "orders")
     aggs = [F.count("*").alias("_n")]
     for c in _PROFILE_COLS:

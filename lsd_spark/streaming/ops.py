@@ -275,3 +275,52 @@ def stream_static_join(spark, sf_dir):
         )
 
     return _run_stream(spark, sf_dir, build, "append")
+
+
+@register(
+    "stream_stream_join",
+    oracle=(
+        "SELECT p.event_id AS purchase_id, c.event_id AS click_id "
+        "FROM events p JOIN events c ON p.user_id = c.user_id "
+        "AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR "
+        "WHERE p.event_type = 'purchase' AND c.event_type = 'click'"
+    ),
+)
+def stream_stream_join(spark, sf_dir):
+    """STREAM-STREAM interval self-join: purchases joined to prior
+    clicks within 1h, both sides watermarked (the watermark + time
+    bound lets Spark evict join state — unbounded otherwise). With
+    the availableNow single-batch replay nothing is late, so the
+    streamed result equals the batch band join exactly — full
+    oracle, the 5th physically-distinct implementation of the as-of
+    candidate set. At 100 TB this is the live enrich path: state is
+    bounded to 1h of clicks per key, shuffled once on user_id."""
+
+    def build(src):
+        p = (
+            src.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "2 hours")
+        )
+        c = (
+            src.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "2 hours")
+        )
+        return p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") < F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+            "inner",
+        ).select("purchase_id", "click_id")
+
+    return _run_stream(spark, sf_dir, build, "append")
