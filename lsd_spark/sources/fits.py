@@ -253,3 +253,155 @@ def source_fits_import(spark, sf_dir):
     is the thing under test and is one-task-per-file parallel."""
     path = _fixture_path(spark, sf_dir)
     return read_fits(spark, os.path.dirname(path)).orderBy("n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python DataSource: spark.read.format("fits") — the
+# idiomatic connector form of read_fits(). One InputPartition per
+# file; each partition parses independently. The class is built
+# inside a factory so cloudpickle ships it BY VALUE: Python data
+# sources are instantiated inside Spark's Python workers, which must
+# not need lsd_spark importable (same rule as the kernels).
+# ---------------------------------------------------------------------------
+
+try:
+    from pyspark.sql.datasource import (  # noqa: F401
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    HAVE_DATASOURCE_API = True
+except ImportError:  # pragma: no cover - older pyspark
+    HAVE_DATASOURCE_API = False
+
+
+def make_fits_datasource():
+    """Return a self-contained FitsDataSource class (no references to
+    this module — safe to pickle into Spark's Python workers)."""
+    import os as _os
+
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    BLOCK_ = 2880
+
+    def read_cards(buf, off):
+        cards = {}
+        while True:
+            block = buf[off : off + BLOCK_]
+            for i in range(0, BLOCK_, 80):
+                card = block[i : i + 80].decode("ascii", "replace")
+                key = card[:8].strip()
+                if key == "END":
+                    return cards, off + BLOCK_
+                if card[8:10] == "= ":
+                    v = card[10:].split("/")[0].strip()
+                    cards[key] = v.strip("' ").strip() if v.startswith("'") else v
+            off += BLOCK_
+
+    def table_dtypes(hdr):
+        np_map = {"J": ">i4", "K": ">i8", "D": ">f8"}
+        out = []
+        for i in range(1, int(hdr["TFIELDS"]) + 1):
+            name, form = hdr[f"TTYPE{i}"], hdr[f"TFORM{i}"]
+            out.append((name, f"S{int(form[:-1])}" if form.endswith("A") else np_map[form]))
+        return out
+
+    class _FitsPartition(InputPartition):
+        def __init__(self, path):
+            self.path = path
+
+    class FitsDataSourceReader(DataSourceReader):
+        def __init__(self, schema, options):
+            self._schema = schema
+            self._path = options.get("path")
+
+        def partitions(self):
+            p = self._path
+            if _os.path.isdir(p):
+                files = sorted(
+                    _os.path.join(p, f) for f in _os.listdir(p) if f.endswith(".fits")
+                )
+            else:
+                files = [p]
+            return [_FitsPartition(f) for f in files]
+
+        def read(self, partition):
+            import numpy as np
+
+            with open(partition.path, "rb") as fh:
+                buf = fh.read()
+            _, off = read_cards(buf, 0)
+            hdr, data_off = read_cards(buf, off)
+            dtypes = table_dtypes(hdr)
+            rec = np.frombuffer(
+                buf, dtype=np.dtype(dtypes), count=int(hdr["NAXIS2"]), offset=data_off
+            )
+            wanted = [f.name for f in self._schema.fields]
+            for row in rec:
+                out = []
+                for name, dt in dtypes:
+                    if name not in wanted:
+                        continue
+                    v = row[name]
+                    if dt.startswith("S"):
+                        out.append(v.decode("ascii").rstrip(" "))
+                    elif dt == ">f8":
+                        out.append(float(v))
+                    else:
+                        out.append(int(v))
+                yield tuple(out)
+
+    class FitsDataSource(DataSource):
+        """`spark.read.format("fits").load(path)`; register with
+        `spark.dataSource.register(make_fits_datasource())`."""
+
+        @classmethod
+        def name(cls):
+            return "fits"
+
+        def schema(self):
+            path = self.options.get("path")
+            if _os.path.isdir(path):
+                files = sorted(
+                    _os.path.join(path, f) for f in _os.listdir(path) if f.endswith(".fits")
+                )
+            else:
+                files = [path]
+            with open(files[0], "rb") as fh:
+                head = fh.read(6 * BLOCK_)
+            _, off = read_cards(head, 0)
+            hdr, _ = read_cards(head, off)
+            cols = []
+            for name, dt in table_dtypes(hdr):
+                typ = "string" if dt.startswith("S") else ("double" if dt == ">f8" else "bigint")
+                cols.append(f"{name} {typ}")
+            return ", ".join(cols)
+
+        def reader(self, schema):
+            return FitsDataSourceReader(schema, self.options)
+
+    return FitsDataSource
+
+
+@register("source_fits_datasource", oracle=(
+    "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, "
+    "CAST(n_regionkey AS BIGINT) AS n_regionkey, "
+    "CAST(n_nationkey AS DOUBLE) / 4.0 AS w "
+    "FROM nation ORDER BY n_nationkey"
+))
+def source_fits_datasource(spark, sf_dir):
+    """The same FITS round trip through the Spark 4 PYTHON DATA
+    SOURCE API (`spark.read.format("fits")`): one InputPartition per
+    file, executor-side stdlib parse — the connector form of
+    read_fits(), sharing its oracle."""
+    if not HAVE_DATASOURCE_API:
+        return read_fits(spark, os.path.dirname(_fixture_path(spark, sf_dir))).orderBy(
+            "n_nationkey"
+        )
+    path = _fixture_path(spark, sf_dir)
+    try:
+        spark.dataSource.register(make_fits_datasource())
+    except Exception:
+        pass  # already registered in this session
+    return spark.read.format("fits").load(path).orderBy("n_nationkey")
