@@ -175,3 +175,51 @@ def xmatch_2d_count(spark, sf_dir):
         .agg(F.count("*").alias("n_neighbors"))
         .orderBy("l_id")
     )
+
+
+def _morton_sql(x: str, y: str, bits: int = 8) -> str:
+    """Bit-interleave expression (Morton/Z-order) portable to both
+    engines: sum over bit k of x's bit at 2k and y's bit at 2k+1."""
+    terms = []
+    for k in range(bits):
+        terms.append(f"(((({x}) >> {k}) & 1) * {1 << (2 * k)})")
+        terms.append(f"(((({y}) >> {k}) & 1) * {1 << (2 * k + 1)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "fn_morton_key",
+    oracle=(
+        "SELECT event_id, cx, cy, "
+        + _morton_sql("cx", "cy")
+        + " AS morton FROM ("
+        "SELECT event_id, "
+        "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'x'), 1, 15))::BIGINT "
+        "% 100000 AS BIGINT) // 500 AS cx, "
+        "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'y'), 1, 15))::BIGINT "
+        "% 100000 AS BIGINT) // 500 AS cy "
+        "FROM events WHERE event_type = 'purchase') ORDER BY event_id"
+    ),
+)
+def fn_morton_key(spark, sf_dir):
+    """Morton (Z-order) cell key — the BHpix-style space-filling
+    index [lsd:src/lsd/bhpix.py — UNVERIFIED]: interleave the bits of
+    the 2-D cell coordinates so that sorting by one integer clusters
+    spatial neighbors. Writing data ordered by this key gives
+    min/max row-group pruning on BOTH spatial dimensions from a
+    single sort — the lakehouse Z-ORDER primitive, computed here as
+    pure JVM bitwise arithmetic (no UDF)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    hx = (
+        "CAST(conv(substr(md5(CAST(event_id AS STRING) || 'x'), 1, 15), 16, 10) AS BIGINT)"
+        " % 100000"
+    )
+    hy = (
+        "CAST(conv(substr(md5(CAST(event_id AS STRING) || 'y'), 1, 15), 16, 10) AS BIGINT)"
+        " % 100000"
+    )
+    return (
+        ev.selectExpr("event_id", f"({hx}) div 500 AS cx", f"({hy}) div 500 AS cy")
+        .selectExpr("event_id", "cx", "cy", _morton_sql("cx", "cy") + " AS morton")
+        .orderBy("event_id")
+    )

@@ -244,3 +244,65 @@ def merge_upsert(spark, sf_dir):
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "sink_compact",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+)
+def sink_compact(spark, sf_dir):
+    """Small-files compaction: write nation fragmented (8 files),
+    rewrite coalesced (1 file), read back — byte-identical data,
+    1/8th the file-open cost. At 100 TB compaction is the periodic
+    maintenance job that keeps cell directories at O(100 MB) files
+    after many incremental appends (LSD's per-cell repack); the
+    pytest side asserts the physical file counts."""
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    base = tempfile.mkdtemp(prefix="lsd_compact_")
+    n.repartition(8).write.mode("overwrite").parquet(f"{base}/fragmented")
+    frag = spark.read.parquet(f"{base}/fragmented")
+    frag.coalesce(1).write.mode("overwrite").parquet(f"{base}/compacted")
+    out = spark.read.parquet(f"{base}/compacted").orderBy("n_nationkey")
+    return out.localCheckpoint(eager=True) if hasattr(out, "localCheckpoint") else out
+
+
+@register("stream_foreach_sink", oracle=None)  # rows-only: filesystem sink
+def stream_foreach_sink(spark, sf_dir):
+    """foreachBatch sink with idempotent batch-keyed writes: each
+    micro-batch lands at out/batch=<id> (re-running a batch
+    overwrites its own directory — exactly-once under retries, the
+    standard production sink pattern). Returns the per-type counts
+    read back from the sink files."""
+    import tempfile as _tf
+
+    from lsd_spark.streaming.ops import _run_stream  # lazy: avoid cycle
+
+    out_dir = _tf.mkdtemp(prefix="lsd_fsink_") + "/out"
+
+    # _run_stream expects a memory sink; here we drive our own query
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = _tf.mkdtemp(prefix="lsd_fsink_src_")
+    os.symlink(os.path.abspath(path), f"{stage}/events.parquet")
+    src = spark.readStream.schema(spark.read.parquet(path).schema).parquet(stage)
+    agg = src.groupBy("event_type").count()
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    ckpt = _tf.mkdtemp(prefix="lsd_fsink_ckpt_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            agg.writeStream.foreachBatch(write_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    res = spark.read.parquet(f"{out_dir}/batch=*").orderBy("event_type")
+    return res.localCheckpoint(eager=True)

@@ -100,3 +100,20 @@ def test_map_kernel_can_expand_rows(db):
     )
     assert len(out) > 20  # expanded
     assert set(out.columns) == {"doc_id", "token"}
+
+
+def test_sink_compact_reduces_files(spark, tmp_path):
+    """Compaction: 8 fragment files -> 1, identical rows."""
+    from lsd_spark.catalog import load
+
+    n = load(spark, "/root/testdata/sf0.001", "nation").select("n_nationkey")
+    frag_dir, comp_dir = str(tmp_path / "frag"), str(tmp_path / "comp")
+    n.repartition(8).write.parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    frag.coalesce(1).write.parquet(comp_dir)
+    import glob
+
+    n_frag = len(glob.glob(f"{frag_dir}/part-*"))
+    n_comp = len(glob.glob(f"{comp_dir}/part-*"))
+    assert n_frag == 8 and n_comp == 1, (n_frag, n_comp)
+    assert spark.read.parquet(comp_dir).count() == n.count()
