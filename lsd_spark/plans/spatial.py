@@ -223,3 +223,31 @@ def fn_morton_key(spark, sf_dir):
         .selectExpr("event_id", "cx", "cy", _morton_sql("cx", "cy") + " AS morton")
         .orderBy("event_id")
     )
+
+
+@register(
+    "join_xmatch_2d_knn",
+    oracle=(
+        f"WITH cand AS ({_CAND_SQL}) "
+        "SELECT l_id, r_id, ROUND(dist, 9) AS dist, rn FROM ("
+        "SELECT l_id, r_id, dist, CAST(ROW_NUMBER() OVER ("
+        "PARTITION BY l_id ORDER BY dist ASC, r_id ASC) AS INTEGER) AS rn FROM cand) "
+        "WHERE rn <= 3 ORDER BY l_id, rn"
+    ),
+)
+def join_xmatch_2d_knn(spark, sf_dir):
+    """lsd-xmatch nmax=3 in 2-D: up to three nearest clicks within
+    RADIUS per purchase — same cell-bounded candidates as
+    join_xmatch_2d, rank depth 3 (LSD's nmax parameter)."""
+    best = rank_nearest(
+        radius_candidates(spark, sf_dir),
+        partition_cols=["l_id"],
+        order_cols=[F.col("dist").asc(), F.col("r_id").asc()],
+        nmax=3,
+    )
+    return best.select(
+        "l_id",
+        "r_id",
+        F.round("dist", 9).alias("dist"),
+        F.col("_rn").cast("int").alias("rn"),
+    ).orderBy("l_id", "rn")
