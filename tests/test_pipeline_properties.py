@@ -61,3 +61,24 @@ def test_xmatch_2d_matches_numpy_brute_force(spark):
             order = sorted(within, key=lambda j: (d[i, j], c[j]))
             exp.add((int(p[i]), int(c[order[0]])))
     assert got == exp
+
+def test_interval_overlap_matches_numpy_brute_force(spark):
+    got = {
+        (r.l_id, r.n_overlaps)
+        for r in QUERIES["join_interval_overlap"](spark, SF).collect()
+    }
+    ev = pd.read_parquet(f"{SF}/events.parquet")[["event_id", "event_type", "ts"]]
+    ev["us"] = ev["ts"].astype("int64") // 1000  # ns -> us
+    ev["dur"] = (5 + ev["event_id"] % 25) * 60_000_000
+    p = ev[ev.event_type == "purchase"]
+    c = ev[ev.event_type == "click"]
+    ls, le = p["us"].to_numpy(), (p["us"] + p["dur"]).to_numpy()
+    rs, re = c["us"].to_numpy(), (c["us"] + c["dur"]).to_numpy()
+    overlap = (ls[:, None] < re[None, :]) & (rs[None, :] < le[:, None])
+    counts = overlap.sum(axis=1)
+    exp = {
+        (int(eid), int(n))
+        for eid, n in zip(p["event_id"].to_numpy(), counts)
+        if n > 0
+    }
+    assert got == exp
