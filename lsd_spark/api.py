@@ -168,3 +168,16 @@ class DB:
 
     def query(self, sql: str) -> Query:
         return Query(self, sql)
+
+    def op(self, name: str) -> DataFrame:
+        """Run any registered engine operator (SURVEY.md §2 id)
+        against this DB's tables — the programmatic face of the
+        lsd-xmatch / lsd-footprint / make-object-catalog tool set:
+        `db.op("join_xmatch_2d")`, `db.op("llm_decontaminate")`,
+        `db.op("cluster_fof")`, ..."""
+        from lsd_spark.registry import QUERIES, load_all
+
+        load_all()
+        if name not in QUERIES:
+            raise KeyError(f"unknown operator {name!r}; see lsd_spark.registry")
+        return QUERIES[name](self.spark, self.path)

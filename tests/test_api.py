@@ -117,3 +117,16 @@ def test_sink_compact_reduces_files(spark, tmp_path):
     n_comp = len(glob.glob(f"{comp_dir}/part-*"))
     assert n_frag == 8 and n_comp == 1, (n_frag, n_comp)
     assert spark.read.parquet(comp_dir).count() == n.count()
+
+
+def test_db_op_accessor(spark):
+    from lsd_spark.api import DB
+
+    db = DB(spark, "/root/testdata/sf0.001")
+    rows = db.op("agg_distinct").collect()
+    assert len(rows) > 0
+    try:
+        db.op("nonexistent_op")
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
