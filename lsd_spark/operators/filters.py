@@ -97,3 +97,26 @@ def filter_between_range(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "filter_scalar_subquery",
+    oracle=(
+        "SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders "
+        "WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders) "
+        "ORDER BY o_orderkey"
+    ),
+)
+def filter_scalar_subquery(spark, sf_dir):
+    """Scalar-subquery predicate: rows above 1.5x the table mean.
+    Catalyst computes the scalar once (one-row subquery broadcast
+    into the filter) — at 100 TB that's one agg pass + one map-side
+    filter pass, never a per-row re-evaluation."""
+    from lsd_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders "
+        "WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders) "
+        "ORDER BY o_orderkey"
+    )

@@ -81,3 +81,22 @@ def set_except_all(spark, sf_dir):
     o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
     c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey")).distinct()
     return o.exceptAll(c).orderBy("custkey")
+
+
+@register(
+    "set_intersect_all",
+    oracle=(
+        "SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F' "
+        "INTERSECT ALL "
+        "SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O' "
+        "ORDER BY o_orderpriority"
+    ),
+)
+def set_intersect_all(spark, sf_dir):
+    """Multiset INTERSECT ALL (bag semantics — min of the two
+    multiplicities), completing the set-op family next to
+    set_except_all."""
+    o = load(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    op_ = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return f.intersectAll(op_).orderBy("o_orderpriority")
