@@ -376,3 +376,38 @@ def profile_table(spark, sf_dir):
     return row.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col, n_nulls, n_distinct)"
     ).orderBy("col")
+
+
+@register(
+    "agg_lightcurve_stats",
+    oracle=(
+        "SELECT user_id, count(*) AS n_epochs, "
+        "CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS span_us, "
+        "CAST(FLOOR((max(epoch_us(ts)) - min(epoch_us(ts))) * 1.0 / "
+        "NULLIF(count(*) - 1, 0) + 0.5) AS BIGINT) AS avg_gap_us, "
+        "CAST(FLOOR(stddev_samp(value) * 100 + 0.5) AS BIGINT) AS var2 "
+        "FROM events GROUP BY user_id ORDER BY user_id"
+    ),
+)
+def agg_lightcurve_stats(spark, sf_dir):
+    """Per-object lightcurve statistics — LSD's killer-app query
+    shape (detections grouped per object): epoch count, time span,
+    mean cadence (span/(n-1), exact integer arithmetic), and
+    variability (stddev of the measured value, FLOOR-quantized like
+    agg_stats_corr). One hash aggregate, one shuffle of one row per
+    object at any scale."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    span = F.max(us) - F.min(us)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_epochs"),
+            span.cast("bigint").alias("span_us"),
+            F.floor(
+                span * 1.0 / F.nullif(F.count("*") - 1, F.lit(0)) + 0.5
+            ).cast("bigint").alias("avg_gap_us"),
+            F.floor(F.stddev_samp("value") * 100 + 0.5).cast("bigint").alias("var2"),
+        )
+        .orderBy("user_id")
+    )
