@@ -105,8 +105,12 @@ def main():
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
 
+    # default: alphabetical; --reg-order mimics the real driver's
+    # registration-order iteration (catches order-dependent state)
+    names = list(qs) if "--reg-order" in sys.argv else sorted(qs)
+
     failed = []
-    for name in sorted(qs):
+    for name in names:
         if only is not None and name not in only:
             continue
         t_op = time.perf_counter()
