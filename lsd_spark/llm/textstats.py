@@ -232,3 +232,66 @@ def llm_char_entropy(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+BM25_QUERY = ["data", "scan", "join"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY)
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+        "FROM documents), "
+        "dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n, avg(len) AS avgdl FROM dl), "
+        f"q(term) AS (VALUES {terms}), "
+        "tf AS (SELECT doc_id, term, count(*) AS f FROM tok "
+        "WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(DISTINCT doc_id) AS d FROM tf GROUP BY term) "
+        "SELECT doc_id, CAST(FLOOR(SUM("
+        "LN((stats.n - df.d + 0.5) / (df.d + 0.5) + 1) * "
+        f"tf.f * ({BM25_K1} + 1) / "
+        f"(tf.f + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.len / stats.avgdl))"
+        ") * 10000 + 0.5) AS BIGINT) AS score4 "
+        "FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats "
+        "GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+@register("llm_bm25_score", oracle=_bm25_oracle())
+def llm_bm25_score(spark, sf_dir):
+    """BM25 relevance scoring of the corpus against a fixed query —
+    the retrieval half of data curation (finding docs about a topic
+    at 100 TB is a broadcast of the tiny query-term stats against a
+    single corpus scan). tf per (doc, queried term) + df per term +
+    doc lengths feed the standard BM25 formula (k1=1.2, b=0.75);
+    score quantized at 1e-4 (3-term float sum order). Only query
+    terms survive the first filter, so the shuffled state is
+    O(matched docs x |query|), never the vocabulary."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg("len").alias("avgdl")
+    )
+    tf = (
+        tok.filter(F.col("term").isin(BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("f"))
+    )
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("d"))
+    idf = F.log((F.col("n") - F.col("d") + 0.5) / (F.col("d") + 0.5) + 1)
+    denom = F.col("f") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("len") / F.col("avgdl"))
+    contrib = idf * F.col("f") * (BM25_K1 + 1) / denom
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.floor(F.sum(contrib) * 10000 + 0.5).cast("bigint").alias("score4")
+        )
+        .orderBy("doc_id")
+    )
