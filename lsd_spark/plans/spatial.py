@@ -251,3 +251,122 @@ def join_xmatch_2d_knn(spark, sf_dir):
         F.round("dist", 9).alias("dist"),
         F.col("_rn").cast("int").alias("rn"),
     ).orderBy("l_id", "rn")
+
+
+# --- 2-D margin layout: LSD's neighbor cache in its native geometry ------
+
+MARGIN_CELL = 10.0  # coarse layout cell (20x RADIUS): 100 dirs over the plane
+
+_MARGIN_BUILD_CACHE: dict[tuple[int, str], str] = {}
+
+
+def build_margin_2d(spark, sf_dir: str) -> str:
+    """Write the click catalog partitioned by coarse 2-D cell, with
+    every point ALSO copied into each adjacent cell whose boundary it
+    sits within RADIUS of (flagged _cached=true) — LSD's neighbor
+    cache, literally [lsd:src/lsd/table.py — UNVERIFIED]. Write
+    amplification is only the boundary strip (~2R/W per axis, ~20%
+    here), not 9x: copies are emitted conditionally per direction.
+    Reads become cell-local: a cross-match probes ONE cell."""
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    path = _MARGIN_BUILD_CACHE.get(key)
+    if path is not None:
+        return path
+    pts = points(spark, sf_dir, "click")
+    W, R = MARGIN_CELL, RADIUS
+    cx = F.floor(F.col("x") / W)
+    cy = F.floor(F.col("y") / W)
+    copies = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0:
+                cond_x = F.lit(True)
+            elif dx == 1:
+                cond_x = F.col("x") >= (cx + 1) * W - R
+            else:
+                cond_x = F.col("x") < cx * W + R
+            if dy == 0:
+                cond_y = F.lit(True)
+            elif dy == 1:
+                cond_y = F.col("y") >= (cy + 1) * W - R
+            else:
+                cond_y = F.col("y") < cy * W + R
+            copies.append(
+                F.when(
+                    cond_x & cond_y,
+                    F.struct(
+                        (cx + dx).alias("mcx"),
+                        (cy + dy).alias("mcy"),
+                        F.lit(dx != 0 or dy != 0).alias("_cached"),
+                    ),
+                )
+            )
+    expanded = (
+        pts.withColumn("copy", F.explode(F.array(*copies)))
+        .filter(F.col("copy").isNotNull())
+        .select(
+            F.col("event_id").alias("r_id"),
+            F.col("x").alias("rx"),
+            F.col("y").alias("ry"),
+            F.col("copy.mcx").alias("mcx"),
+            F.col("copy.mcy").alias("mcy"),
+            F.col("copy._cached").alias("_cached"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="lsd_margin2d_") + "/clicks"
+    # repartition by cell first: one file per cell dir, no task x cell
+    # sliver explosion (same lesson as plans/margin.py)
+    expanded.repartition("mcx", "mcy").write.mode("overwrite").partitionBy(
+        "mcx", "mcy"
+    ).parquet(out)
+    _MARGIN_BUILD_CACHE[key] = out
+    return out
+
+
+@register(
+    "join_xmatch_2d_margin",
+    oracle=(
+        f"WITH cand AS ({_CAND_SQL}) "
+        "SELECT l_id, r_id, ROUND(dist, 9) AS dist FROM ("
+        "SELECT l_id, r_id, dist, ROW_NUMBER() OVER ("
+        "PARTITION BY l_id ORDER BY dist ASC, r_id ASC) AS rn FROM cand) "
+        "WHERE rn = 1 ORDER BY l_id"
+    ),
+)
+def join_xmatch_2d_margin(spark, sf_dir):
+    """2-D cross-match against the margin-duplicated layout: the
+    probe side joins ONLY its own coarse cell (margin copies stand in
+    for the 8 neighbors — no probe-side explode at query time), then
+    exact-distance refine + rank. Third physically-distinct plan for
+    the same spatial semantics (3x3 probe / brute oracle / margin
+    layout), one oracle. At 100 TB both sides are partitioned by cell
+    on disk: the join is partition-local, zero shuffle of the
+    catalog."""
+    path = build_margin_2d(spark, sf_dir)
+    margin = spark.read.parquet(path)
+    W = MARGIN_CELL
+    l = points(spark, sf_dir, "purchase").select(
+        F.col("event_id").alias("l_id"),
+        F.col("x").alias("lx"),
+        F.col("y").alias("ly"),
+        F.floor(F.col("x") / W).alias("mcx"),
+        F.floor(F.col("y") / W).alias("mcy"),
+    )
+    dist = F.sqrt(
+        (F.col("lx") - F.col("rx")) * (F.col("lx") - F.col("rx"))
+        + (F.col("ly") - F.col("ry")) * (F.col("ly") - F.col("ry"))
+    )
+    cands = (
+        l.join(margin, ["mcx", "mcy"])
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= RADIUS)
+    )
+    best = rank_nearest(
+        cands,
+        partition_cols=["l_id"],
+        order_cols=[F.col("dist").asc(), F.col("r_id").asc()],
+        nmax=1,
+    )
+    return best.select("l_id", "r_id", F.round("dist", 9).alias("dist")).orderBy("l_id")
