@@ -411,3 +411,80 @@ def agg_lightcurve_stats(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "agg_density_multilevel",
+    oracle=(
+        "SELECT level, t_cell, count(*) AS cnt FROM ("
+        "SELECT 0 AS level, CAST(FLOOR(epoch_us(ts) / 21600000000) AS BIGINT) AS t_cell FROM events "
+        "UNION ALL "
+        "SELECT 1 AS level, CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS t_cell FROM events "
+        "UNION ALL "
+        "SELECT 2 AS level, CAST(FLOOR(epoch_us(ts) / 604800000000) AS BIGINT) AS t_cell FROM events"
+        ") GROUP BY level, t_cell ORDER BY level, t_cell"
+    ),
+)
+def agg_density_multilevel(spark, sf_dir):
+    """Multi-resolution density maps (LSD's healpix-level pyramid
+    [lsd:lsd-footprint — UNVERIFIED]): counts at 6h / 1d / 1w cells
+    in ONE pass — the row explodes to its three levels map-side
+    (3x narrow rows, not 3 scans), then a single combined agg whose
+    group count is the total cell count across levels."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    levels = F.array(
+        F.struct(F.lit(0).alias("level"), F.floor(us / F.lit(21_600_000_000)).cast("long").alias("t_cell")),
+        F.struct(F.lit(1).alias("level"), F.floor(us / F.lit(86_400_000_000)).cast("long").alias("t_cell")),
+        F.struct(F.lit(2).alias("level"), F.floor(us / F.lit(604_800_000_000)).cast("long").alias("t_cell")),
+    )
+    return (
+        ev.select(F.explode(levels).alias("lc"))
+        .select("lc.level", "lc.t_cell")
+        .groupBy("level", "t_cell")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("level", "t_cell")
+    )
+
+
+@register(
+    "agg_funnel_conversion",
+    oracle=(
+        "WITH pairs AS (SELECT DISTINCT p.user_id FROM events p "
+        "JOIN events c ON p.user_id = c.user_id AND c.ts < p.ts "
+        "AND c.ts >= p.ts - INTERVAL 1 HOUR "
+        "WHERE p.event_type = 'purchase' AND c.event_type = 'click'), "
+        "purchasers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') "
+        "SELECT (SELECT count(*) FROM purchasers) AS n_purchasers, "
+        "(SELECT count(*) FROM pairs) AS n_converted, "
+        "ROUND((SELECT count(*) FROM pairs) * 1.0 / "
+        "(SELECT count(*) FROM purchasers), 4) AS conversion"
+    ),
+)
+def agg_funnel_conversion(spark, sf_dir):
+    """Funnel analysis: of users who purchased, how many clicked
+    within the prior hour (the attribution/conversion query). Reuses
+    the zoned as-of candidate machinery — at 100 TB the click->
+    purchase pair search is the same bounded zone equi-join as
+    join_asof_zoned, never a time-theta join."""
+    from lsd_spark.plans.xmatch import HOUR_US
+    from lsd_spark.plans.zones import zoned_asof_candidates
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    converted = (
+        zoned_asof_candidates(purchases, clicks, key="user_id", ts="ts", max_delta_us=HOUR_US)
+        .select("l_key")
+        .distinct()
+        .agg(F.count("*").alias("n_converted"))
+    )
+    purchasers = purchases.select("user_id").distinct().agg(F.count("*").alias("n_purchasers"))
+    return (
+        purchasers.crossJoin(F.broadcast(converted))
+        .select(
+            "n_purchasers",
+            "n_converted",
+            F.round(F.col("n_converted") * 1.0 / F.col("n_purchasers"), 4).alias("conversion"),
+        )
+    )
