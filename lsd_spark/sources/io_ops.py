@@ -306,3 +306,51 @@ def stream_foreach_sink(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     res = spark.read.parquet(f"{out_dir}/batch=*").orderBy("event_type")
     return res.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_diff",
+    oracle=(
+        "WITH v1 AS (SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal FROM customer), "
+        "v2 AS (SELECT c_custkey, ROUND(CASE WHEN c_custkey % 10 = 0 "
+        "THEN c_acctbal + 100 ELSE c_acctbal END, 2) AS c_acctbal FROM customer "
+        "UNION ALL SELECT c_custkey + 1000000, 0.0 FROM customer WHERE c_custkey % 17 = 0) "
+        "SELECT 'added' AS change, c_custkey, c_acctbal FROM (SELECT * FROM v2 EXCEPT SELECT * FROM v1) "
+        "UNION ALL "
+        "SELECT 'removed' AS change, c_custkey, c_acctbal FROM (SELECT * FROM v1 EXCEPT SELECT * FROM v2) "
+        "ORDER BY change, c_custkey"
+    ),
+)
+def snapshot_diff(spark, sf_dir):
+    """Change-data capture between two table versions (v2 = v1 with
+    merge_upsert's update set applied): added / removed row images
+    via two anti-semantics EXCEPTs — the snapshot-comparison job that
+    audits what an incremental pipeline changed. Both EXCEPTs shuffle
+    on the full row hash once; at 100 TB partition both versions the
+    same way and the diff is partition-local."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    v2 = (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.round(
+                F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100).otherwise(
+                    F.col("c_acctbal")
+                ),
+                2,
+            ).alias("c_acctbal"),
+        )
+        .unionByName(
+            load(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") % 17 == 0)
+            .select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    added = v2.exceptAll(c).distinct().select(F.lit("added").alias("change"), "c_custkey", "c_acctbal")
+    removed = c.exceptAll(v2).distinct().select(F.lit("removed").alias("change"), "c_custkey", "c_acctbal")
+    return added.unionByName(removed).orderBy("change", "c_custkey")
