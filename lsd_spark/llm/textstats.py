@@ -295,3 +295,38 @@ def llm_bm25_score(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "llm_unigram_logprob",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), "
+        "tot AS (SELECT count(*) AS n FROM tok), "
+        "p AS (SELECT term, count(*) AS c FROM tok GROUP BY term) "
+        "SELECT doc_id, CAST(FLOOR(AVG(LN(p.c * 1.0 / tot.n)) * 10000 + 0.5) AS BIGINT) "
+        "AS avg_lp4 FROM tok JOIN p USING (term), tot "
+        "GROUP BY doc_id ORDER BY doc_id"
+    ),
+)
+def llm_unigram_logprob(spark, sf_dir):
+    """Unigram language-model scoring (the CCNet-style LM quality
+    filter, with the corpus itself as the LM): per-doc mean log
+    probability of its tokens under corpus unigram frequencies.
+    Out-of-distribution/gibberish docs score low. The LM table
+    (term -> count) broadcasts; scoring is one scan + one per-doc
+    agg. Quantized at 1e-4 (float-sum order)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tot = tok.agg(F.count("*").alias("n"))
+    p = tok.groupBy("term").agg(F.count("*").alias("c"))
+    return (
+        tok.join(F.broadcast(p), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.floor(F.avg(F.log(F.col("c") * 1.0 / F.col("n"))) * 10000 + 0.5)
+            .cast("bigint")
+            .alias("avg_lp4")
+        )
+        .orderBy("doc_id")
+    )

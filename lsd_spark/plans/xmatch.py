@@ -125,3 +125,18 @@ def xmatch_consume(spark, sf_dir):
         purchases.join(mapping, purchases.event_id == mapping.m1)
         .select(F.col("m1").alias("purchase_id"), F.col("m2").alias("click_id"))
     )
+
+
+@register("join_asof_union_window", oracle=ASOF_ORACLE)
+def join_asof_union_window(spark, sf_dir):
+    """As-of via union + ordered window — the SIXTH physically-
+    distinct implementation of the shared as-of semantics (direct
+    band join / zoned / materialized / margin / stream-stream /
+    union-window), and the only one with no join operator at all:
+    one shuffle, one sort, carried state."""
+    from lsd_spark.plans.zones import asof_union_window
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    return asof_union_window(purchases, clicks, HOUR_US)

@@ -68,3 +68,47 @@ def rank_nearest(
     """Step 4: keep the nmax best candidates per left row."""
     w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
     return cands.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= nmax)
+
+
+def asof_union_window(purchases: DataFrame, clicks: DataFrame, max_delta_us: int):
+    """As-of matching with NO JOIN AT ALL: union both event kinds,
+    one shuffle by key, one ordered window pass carrying the last
+    click forward; purchases then read their answer off the carried
+    columns. At equal timestamps the purchase sorts BEFORE the click
+    (kind 0 < 1), preserving the strict c.ts < p.ts contract; among
+    equal click timestamps the largest event_id wins (last in
+    order) — identical tie rules to the ranked-join variants.
+
+    The most shuffle-frugal as-of shape: at 100 TB it is exactly one
+    hash partition + per-partition sort, state one row per key."""
+    u = purchases.select(
+        F.col("user_id"), F.col("ts"), F.lit(0).alias("kind"), F.col("event_id")
+    ).unionByName(
+        clicks.select(F.col("user_id"), F.col("ts"), F.lit(1).alias("kind"), F.col("event_id"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("kind").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("kind") == 1, F.col("event_id"))
+    click_ts = F.when(F.col("kind") == 1, F.unix_micros("ts"))
+    carried = u.select(
+        "user_id",
+        "ts",
+        "kind",
+        "event_id",
+        F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("last_click_us"),
+    )
+    return (
+        carried.filter(F.col("kind") == 0)
+        .filter(
+            F.col("last_click_id").isNotNull()
+            & (F.unix_micros("ts") - F.col("last_click_us") <= max_delta_us)
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("last_click_id").alias("click_id"),
+        )
+    )

@@ -324,3 +324,36 @@ def stream_stream_join(spark, sf_dir):
         ).select("purchase_id", "click_id")
 
     return _run_stream(spark, sf_dir, build, "append")
+
+
+@register(
+    "stream_session_real",
+    oracle=(
+        "WITH g AS (SELECT user_id, CASE WHEN "
+        "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+        "OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        ">= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s FROM events) "
+        "SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, "
+        "count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id"
+    ),
+)
+def stream_session_real(spark, sf_dir):
+    """Session windows through a REAL stream (watermark + complete
+    replay in one availableNow batch => equals the batch
+    session_window result, so the streaming path shares the batch
+    op's oracle). State per (user, open session), merged as events
+    arrive — the live-sessionization deployment shape."""
+
+    def build(src):
+        return (
+            src.withWatermark("ts", "2 hours")
+            .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+            .agg(F.count("*").alias("n"))
+        )
+
+    sessions = _run_stream(spark, sf_dir, build, "complete")
+    return (
+        sessions.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n").cast("long").alias("n_events"))
+        .orderBy("user_id")
+    )
