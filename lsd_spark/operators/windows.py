@@ -205,3 +205,50 @@ def win_cume_dist(spark, sf_dir):
         "o_orderstatus",
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "win_rolling_median",
+    oracle=(
+        "SELECT event_id, user_id, "
+        "CAST(FLOOR(median(value) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) "
+        "* 10000 + 0.5) AS BIGINT) AS med4 "
+        "FROM events WHERE value IS NOT NULL ORDER BY event_id"
+    ),
+)
+def win_rolling_median(spark, sf_dir):
+    """Rolling median of the last 11 observations per user — the
+    robust-trend / outlier-resistant detrending primitive (LSD-style
+    lightcurve detrending uses exactly this). An order statistic in a
+    moving frame: Spark evaluates median per frame natively; at
+    100 TB the frame is bounded (11 rows) so per-row cost is
+    constant. Spark's median() refuses ordered frames, so the frame
+    is gathered with collect_list (bounded: <=11 values) and the
+    median read off the sorted array — still JVM-side, no UDF.
+    Quantized at 1e-4 for cross-engine interpolation."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-10, Window.currentRow)
+    )
+    med = F.expr(
+        "CASE WHEN size(frame) % 2 = 1 "
+        "THEN element_at(array_sort(frame), CAST((size(frame) + 1) div 2 AS INT)) "
+        "ELSE (element_at(array_sort(frame), CAST(size(frame) div 2 AS INT)) "
+        "+ element_at(array_sort(frame), CAST(size(frame) div 2 + 1 AS INT))) / 2 END"
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.collect_list("value").over(w).alias("frame"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(med * 10000 + 0.5).cast("bigint").alias("med4"),
+        )
+        .orderBy("event_id")
+    )
