@@ -319,3 +319,31 @@ def fn_unpivot(spark, sf_dir):
         "stack(2, 'totalprice', o_totalprice, "
         "'custkey', CAST(o_custkey AS DOUBLE)) AS (metric, value)",
     )
+
+
+@register(
+    "fn_vector_math",
+    oracle=(
+        "SELECT vec_id, "
+        "ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "CAST(embedding AS DOUBLE[]))), 6) AS l2, "
+        "ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS s, "
+        "ROUND(CAST(embedding[1] AS DOUBLE) * 2.0 + 1.0, 6) AS first_scaled "
+        "FROM embeddings ORDER BY vec_id"
+    ),
+)
+def fn_vector_math(spark, sf_dir):
+    """Vector arithmetic over array<float> columns as JVM
+    higher-order functions (no UDF, no MLlib): L2 norm, component
+    sum, affine transform of a component — the building blocks under
+    cosine search and normalization, map-only at any scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    dbl = "CAST(x AS DOUBLE)"
+    l2 = F.expr(
+        f"ROUND(SQRT(AGGREGATE(embedding, 0D, (acc, x) -> acc + {dbl} * {dbl})), 6)"
+    )
+    s = F.expr(f"ROUND(AGGREGATE(embedding, 0D, (acc, x) -> acc + {dbl}), 6)")
+    fs = F.expr("ROUND(CAST(element_at(embedding, 1) AS DOUBLE) * 2.0 + 1.0, 6)")
+    return emb.select(
+        "vec_id", l2.alias("l2"), s.alias("s"), fs.alias("first_scaled")
+    ).orderBy("vec_id")

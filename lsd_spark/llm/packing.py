@@ -240,3 +240,36 @@ def llm_pipeline_mm(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+STRATUM_N = 5
+
+
+@register(
+    "llm_sample_stratified",
+    oracle=(
+        "SELECT doc_id, lang FROM ("
+        "SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang "
+        "ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'strat'), 1, 15))::BIGINT, "
+        "doc_id) AS rn FROM documents) "
+        f"WHERE rn <= {STRATUM_N} ORDER BY lang, doc_id"
+    ),
+)
+def llm_sample_stratified(spark, sf_dir):
+    """Stratified sampling with EXACT per-stratum counts: the first
+    STRATUM_N docs per language in deterministic hash order — every
+    engine, every run, every partitioning picks the same docs (the
+    eval-set construction primitive; rand()-based sampling guarantees
+    neither exactness nor reproducibility). Per-stratum window over
+    the hash; at 100 TB strata are the window partitions, no global
+    funnel."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.expr(HASH60_SPARK.format(t="CAST(doc_id AS STRING) || 'strat'"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRATUM_N)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )

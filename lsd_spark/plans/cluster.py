@@ -137,3 +137,35 @@ def cluster_fof_exact(spark, sf_dir):
         .select("u", "v")
     )
     return min_label_fixpoint(emb, pairs)
+
+
+@register(
+    "graph_degree_hist",
+    oracle=(
+        "WITH pairs AS (" + _BUCKETED_PAIRS_SQL + "), "
+        "e AS (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs), "
+        "deg AS (SELECT node, count(*) AS degree FROM e GROUP BY node) "
+        "SELECT degree, count(*) AS n_nodes FROM deg "
+        "GROUP BY degree ORDER BY degree"
+    ),
+)
+def graph_degree_hist(spark, sf_dir):
+    """Degree distribution of the near-duplicate graph — the dedup
+    health metric (a fat tail means boilerplate clusters; spikes mean
+    template families). Two map-side-combined aggs over the bucketed
+    edge list; output size = number of distinct degrees."""
+    pairs = (
+        embcos_candidate_pairs(spark, sf_dir)
+        .filter(F.col("sim") >= EMBCOS_T)
+        .select(F.col("vec_a").alias("u"), F.col("vec_b").alias("v"))
+    )
+    nodes = pairs.select(F.col("u").alias("node")).unionAll(
+        pairs.select(F.col("v").alias("node"))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count("*").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("degree")
+    )
