@@ -169,3 +169,68 @@ def graph_degree_hist(spark, sf_dir):
         .agg(F.count("*").alias("n_nodes"))
         .orderBy("degree")
     )
+
+
+_QSCORE_SQL = (
+    "CAST(FLOOR((LEAST(n_chars / 400.0, 1.0) * 0.5 + "
+    "LEAST(len(string_split(text, ' ')) / 80.0, 1.0) * 0.5) * 10000 + 0.5) / 10000 "
+    "AS DOUBLE)"
+)
+
+
+@register(
+    "llm_dedup_keep_best",
+    oracle=(
+        "WITH RECURSIVE pairs AS (" + _BUCKETED_PAIRS_SQL + "), "
+        "e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs), "
+        "reach(src, node) AS ("
+        "SELECT vec_id, vec_id FROM embeddings "
+        "UNION "
+        "SELECT r.src, e.v FROM reach r JOIN e ON r.node = e.u), "
+        "comp AS (SELECT src AS vec_id, min(node) AS object_id FROM reach GROUP BY src), "
+        f"q AS (SELECT doc_id, {_QSCORE_SQL} AS qs FROM documents) "
+        "SELECT object_id, doc_id AS keeper, group_size FROM ("
+        "SELECT comp.object_id, q.doc_id, q.qs, "
+        "count(*) OVER (PARTITION BY comp.object_id) AS group_size, "
+        "ROW_NUMBER() OVER (PARTITION BY comp.object_id "
+        "ORDER BY q.qs DESC, q.doc_id ASC) AS rn "
+        "FROM comp JOIN q ON comp.vec_id = q.doc_id) "
+        "WHERE rn = 1 AND group_size > 1 ORDER BY object_id"
+    ),
+)
+def llm_dedup_keep_best(spark, sf_dir):
+    """Representative selection by QUALITY over semantic clusters —
+    the production dedup policy: within each friends-of-friends
+    near-duplicate component (embeddings joined to documents on
+    doc_id = vec_id), keep the highest-quality-score document
+    (doc_id tiebreak). Only multi-member clusters are reported.
+    Composition of three already-verified pieces: bucketed FoF
+    labels, the quality score, and a per-component rank — each
+    shuffle is on component ids (tiny), never the corpus."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = (
+        embcos_candidate_pairs(spark, sf_dir)
+        .filter(F.col("sim") >= EMBCOS_T)
+        .select(F.col("vec_a").alias("u"), F.col("vec_b").alias("v"))
+    )
+    comp = min_label_fixpoint(emb, pairs)
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    score = (
+        F.least(F.col("n_chars") / 400.0, F.lit(1.0)) * 0.5
+        + F.least(ntok / 80.0, F.lit(1.0)) * 0.5
+    )
+    q4 = (F.floor(score * 10000 + F.lit(0.5)) / 10000).cast("double")
+    q = docs.select("doc_id", q4.alias("qs"))
+    joined = comp.join(q, comp.vec_id == q.doc_id).select("object_id", "doc_id", "qs")
+    wc = Window.partitionBy("object_id")
+    wr = Window.partitionBy("object_id").orderBy(F.col("qs").desc(), F.col("doc_id").asc())
+    return (
+        joined.withColumn("group_size", F.count("*").over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter((F.col("rn") == 1) & (F.col("group_size") > 1))
+        .select("object_id", F.col("doc_id").alias("keeper"), "group_size")
+        .orderBy("object_id")
+    )
