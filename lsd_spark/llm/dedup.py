@@ -14,6 +14,7 @@
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from lsd_spark.catalog import load
@@ -508,3 +509,83 @@ def llm_dedup_edit(spark, sf_dir):
         .select("doc_a", "doc_b", "dist")
         .orderBy("doc_a", "doc_b")
     )
+
+
+WINNOW_K = 4  # k-gram (words) per hash
+WINNOW_W = 5  # winnowing window (hashes)
+
+
+@register(
+    "llm_winnowing",
+    oracle=(
+        "WITH grams AS ("
+        "SELECT doc_id, i AS pos, "
+        "('0x' || substring(md5(array_to_string(w[i:i+" + str(WINNOW_K - 1) + "], ' ')), 1, 15))::BIGINT AS h "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents "
+        f"WHERE len(string_split(text, ' ')) >= {WINNOW_K}), "
+        f"LATERAL (SELECT unnest(generate_series(1, len(w) - {WINNOW_K - 1})) AS i)), "
+        "wm AS (SELECT doc_id, pos, h, "
+        f"MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin, "
+        f"count(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wn "
+        "FROM grams), "
+        "sel AS (SELECT doc_id, wmin AS fp, "
+        f"MAX(pos) FILTER (WHERE h = wmin) OVER (PARTITION BY doc_id, wmin ORDER BY pos ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fpos "
+        "FROM wm WHERE wn = " + str(WINNOW_W) + ") "
+        "SELECT DISTINCT doc_id, fp, fpos FROM sel WHERE fpos IS NOT NULL "
+        "ORDER BY doc_id, fpos"
+    ),
+)
+def llm_winnowing(spark, sf_dir):
+    """Robust winnowing fingerprints (the MOSS algorithm): hash every
+    K-word gram, slide a W-hash window, select each window's minimum
+    hash at its RIGHTMOST position — the guarantee is that any shared
+    substring of length K+W-1 words yields at least one shared
+    selected fingerprint, with fingerprint density ~2/(W+1). Pure
+    window algebra, per-doc partitions: two chained bounded-frame
+    passes, no UDF, no shuffle beyond the doc partition.
+
+    Selected set = DISTINCT (doc, window-min hash, rightmost position
+    of that hash within the window) over full windows only — the
+    canonical robust-winnowing selection."""
+    docs = load(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= WINNOW_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {WINNOW_K - 1}), "
+                    f"i -> concat_ws(' ', slice(w, i, {WINNOW_K})))"
+                )
+            ).alias("p0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            F.expr(HASH60_SPARK.format(t="gram")).alias("h"),
+        )
+    )
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    wm = grams.select(
+        "doc_id",
+        "pos",
+        "h",
+        F.min("h").over(wf).alias("wmin"),
+        F.count("*").over(wf).alias("wn"),
+    ).filter(F.col("wn") == WINNOW_W)
+    wf2 = (
+        Window.partitionBy("doc_id", "wmin")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    sel = wm.select(
+        "doc_id",
+        F.col("wmin").alias("fp"),
+        F.max(F.when(F.col("h") == F.col("wmin"), F.col("pos"))).over(wf2).alias("fpos"),
+    ).filter(F.col("fpos").isNotNull())
+    return sel.select("doc_id", "fp", "fpos").distinct().orderBy("doc_id", "fpos")
