@@ -347,3 +347,32 @@ def fn_vector_math(spark, sf_dir):
     return emb.select(
         "vec_id", l2.alias("l2"), s.alias("s"), fs.alias("first_scaled")
     ).orderBy("vec_id")
+
+
+@register(
+    "fn_anonymize",
+    oracle=(
+        "SELECT substring(md5('salt2026' || CAST(user_id AS VARCHAR)), 1, 12) AS user_token, "
+        "count(*) AS n_events, count(DISTINCT event_type) AS n_types "
+        "FROM events GROUP BY user_token HAVING count(*) >= 5 ORDER BY user_token"
+    ),
+)
+def fn_anonymize(spark, sf_dir):
+    """PII tokenization + k-anonymity gate: user ids replaced by a
+    salted deterministic token (joinable across tables, not
+    reversible without the salt), and only cohorts with >= 5 events
+    released — the privacy shape every shared dataset export needs.
+    Map-only hash + one agg."""
+    ev = load(spark, sf_dir, "events")
+    token = F.substring(
+        F.md5(F.concat(F.lit("salt2026"), F.col("user_id").cast("string")).cast("binary")), 1, 12
+    )
+    return (
+        ev.groupBy(token.alias("user_token"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+        .filter(F.col("n_events") >= 5)
+        .orderBy("user_token")
+    )

@@ -9,6 +9,7 @@ raw rows, only of partial states — the property that matters at
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from lsd_spark.catalog import load
@@ -487,4 +488,41 @@ def agg_funnel_conversion(spark, sf_dir):
             "n_converted",
             F.round(F.col("n_converted") * 1.0 / F.col("n_purchasers"), 4).alias("conversion"),
         )
+    )
+
+
+@register(
+    "agg_path_sequences",
+    oracle=(
+        "WITH seq AS (SELECT user_id, "
+        "array_to_string((list(event_type ORDER BY ts, event_id))[1:5], '>') AS path "
+        "FROM events GROUP BY user_id) "
+        "SELECT path, count(*) AS n_users FROM seq "
+        "GROUP BY path ORDER BY n_users DESC, path LIMIT 20"
+    ),
+)
+def agg_path_sequences(spark, sf_dir):
+    """User-journey analysis: each user's first five event types in
+    time order as a path string, then the top-20 most common paths.
+    Ordered collection runs as a window over the user partition (a
+    deterministic total order), never a driver-side sort; the path
+    agg shuffles one row per user."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    per_user = (
+        ev.select(
+            "user_id",
+            F.array_join(F.slice(F.collect_list("event_type").over(w), 1, 5), ">").alias("path"),
+        )
+        .dropDuplicates(["user_id"])
+    )
+    return (
+        per_user.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(20)
     )
