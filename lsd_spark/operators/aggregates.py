@@ -526,3 +526,36 @@ def agg_path_sequences(spark, sf_dir):
         .orderBy(F.col("n_users").desc(), F.col("path").asc())
         .limit(20)
     )
+
+
+@register(
+    "agg_retention_cohorts",
+    oracle=(
+        "WITH first AS (SELECT user_id, "
+        "CAST(FLOOR(epoch_us(min(ts)) / 86400000000) AS BIGINT) AS cohort "
+        "FROM events GROUP BY user_id) "
+        "SELECT cohort, "
+        "CAST(FLOOR(epoch_us(e.ts) / 86400000000) AS BIGINT) - cohort AS day_offset, "
+        "count(DISTINCT e.user_id) AS n_users "
+        "FROM events e JOIN first USING (user_id) "
+        "GROUP BY cohort, day_offset ORDER BY cohort, day_offset"
+    ),
+)
+def agg_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users bucketed by first-seen day, activity
+    counted per day offset — the (cohort x offset) retention matrix.
+    The first-seen table is one agg (one row per user, broadcastable
+    when cohorts << events); the matrix is a second combined agg.
+    Day arithmetic in integer microseconds: exact on both engines."""
+    ev = load(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
+    first = ev.groupBy("user_id").agg(
+        F.floor(F.min(F.unix_micros("ts")) / F.lit(86_400_000_000)).cast("bigint").alias("cohort")
+    )
+    return (
+        ev.select("user_id", day.alias("day"))
+        .join(F.broadcast(first), "user_id")
+        .groupBy("cohort", (F.col("day") - F.col("cohort")).alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort", "day_offset")
+    )
