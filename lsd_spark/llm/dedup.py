@@ -524,29 +524,26 @@ WINNOW_W = 5  # winnowing window (hashes)
         "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents "
         f"WHERE len(string_split(text, ' ')) >= {WINNOW_K}), "
         f"LATERAL (SELECT unnest(generate_series(1, len(w) - {WINNOW_K - 1})) AS i)), "
-        "wm AS (SELECT doc_id, pos, h, "
-        f"MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin, "
-        f"count(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wn "
-        "FROM grams), "
-        "sel AS (SELECT doc_id, wmin AS fp, "
-        f"MAX(pos) FILTER (WHERE h = wmin) OVER (PARTITION BY doc_id, wmin ORDER BY pos ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fpos "
-        "FROM wm WHERE wn = " + str(WINNOW_W) + ") "
-        "SELECT DISTINCT doc_id, fp, fpos FROM sel WHERE fpos IS NOT NULL "
-        "ORDER BY doc_id, fpos"
+        "frames AS (SELECT doc_id, pos, "
+        f"list(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS arr "
+        "FROM grams) "
+        "SELECT DISTINCT doc_id, list_min(arr) AS fp, "
+        f"pos + {WINNOW_W} - list_position(list_reverse(arr), list_min(arr)) AS fpos "
+        f"FROM frames WHERE len(arr) = {WINNOW_W} ORDER BY doc_id, fpos"
     ),
 )
 def llm_winnowing(spark, sf_dir):
     """Robust winnowing fingerprints (the MOSS algorithm): hash every
     K-word gram, slide a W-hash window, select each window's minimum
     hash at its RIGHTMOST position — the guarantee is that any shared
-    substring of length K+W-1 words yields at least one shared
-    selected fingerprint, with fingerprint density ~2/(W+1). Pure
-    window algebra, per-doc partitions: two chained bounded-frame
-    passes, no UDF, no shuffle beyond the doc partition.
+    run of at least K+W-1 words yields at least one shared selected
+    fingerprint (tests/test_pipeline_properties.py pins it), with
+    fingerprint density ~2/(W+1).
 
-    Selected set = DISTINCT (doc, window-min hash, rightmost position
-    of that hash within the window) over full windows only — the
-    canonical robust-winnowing selection."""
+    Each window's selection is read off its collected frame array
+    (min + rightmost position) — per-row state is the W-element
+    frame, pure JVM array functions, one window pass, no shuffle
+    beyond the doc partition."""
     docs = load(spark, sf_dir, "documents")
     grams = (
         docs.select("doc_id", F.split("text", " ").alias("w"))
@@ -571,21 +568,17 @@ def llm_winnowing(spark, sf_dir):
         .orderBy("pos")
         .rowsBetween(Window.currentRow, WINNOW_W - 1)
     )
-    wm = grams.select(
-        "doc_id",
-        "pos",
-        "h",
-        F.min("h").over(wf).alias("wmin"),
-        F.count("*").over(wf).alias("wn"),
-    ).filter(F.col("wn") == WINNOW_W)
-    wf2 = (
-        Window.partitionBy("doc_id", "wmin")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    frames = grams.select(
+        "doc_id", "pos", F.collect_list("h").over(wf).alias("arr")
+    ).filter(F.size("arr") == WINNOW_W)
+    m = F.array_min("arr")
+    fpos = (
+        F.col("pos")
+        + WINNOW_W
+        - F.array_position(F.reverse(F.col("arr")), m).cast("int")
     )
-    sel = wm.select(
-        "doc_id",
-        F.col("wmin").alias("fp"),
-        F.max(F.when(F.col("h") == F.col("wmin"), F.col("pos"))).over(wf2).alias("fpos"),
-    ).filter(F.col("fpos").isNotNull())
-    return sel.select("doc_id", "fp", "fpos").distinct().orderBy("doc_id", "fpos")
+    return (
+        frames.select("doc_id", m.alias("fp"), fpos.alias("fpos"))
+        .distinct()
+        .orderBy("doc_id", "fpos")
+    )

@@ -82,3 +82,34 @@ def test_interval_overlap_matches_numpy_brute_force(spark):
         if n > 0
     }
     assert got == exp
+
+
+def test_winnowing_guarantee_on_near_dups(spark):
+    """Winnowing's contract: any two docs sharing a run of at least
+    K+W-1 words share at least one selected fingerprint. The
+    llm_dedup_edit pairs share a 50-char prefix (> 8 words here), so
+    every such pair must collide in fingerprint space."""
+    pairs = [(r.doc_a, r.doc_b) for r in QUERIES["llm_dedup_edit"](spark, SF).collect()]
+    if not pairs:
+        return  # no near-dups at this SF: vacuous
+    fps: dict[int, set] = {}
+    for r in QUERIES["llm_winnowing"](spark, SF).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    text = dict(zip(docs.doc_id, docs.text))
+    checked = 0
+    for a, b in pairs:
+        # the guarantee applies only when the shared WORD run is
+        # >= K+W-1 = 8 complete words (a 50-char prefix can split
+        # mid-word, making the true shared run shorter)
+        wa, wb = text[a].split(" "), text[b].split(" ")
+        shared = 0
+        for x, y in zip(wa, wb):
+            if x != y:
+                break
+            shared += 1
+        if shared < 8:
+            continue
+        checked += 1
+        assert fps.get(a, set()) & fps.get(b, set()), (a, b, shared)
+    assert checked > 0  # the fixture's near-dups do include long runs
