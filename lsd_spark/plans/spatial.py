@@ -370,3 +370,95 @@ def join_xmatch_2d_margin(spark, sf_dir):
         nmax=1,
     )
     return best.select("l_id", "r_id", F.round("dist", 9).alias("dist")).orderBy("l_id")
+
+
+# --- 2-D friends-of-friends: the literal make-object-catalog ------------
+
+FOF2D_R = 1.0  # linking length (plane units)
+
+
+def _points_sql_type(etype: str) -> str:
+    return (
+        f"SELECT event_id, {_X_SQL} AS x, {_Y_SQL} AS y "
+        f"FROM events WHERE event_type = '{etype}'"
+    )
+
+
+_FOF2D_PAIRS_SQL = (
+    "SELECT a.event_id AS u, b.event_id AS v "
+    f"FROM ({_points_sql_type('view')}) a JOIN ({_points_sql_type('view')}) b "
+    f"ON a.event_id < b.event_id AND {_DIST_SQL} <= {FOF2D_R}"
+)
+
+
+def self_radius_pairs(spark, sf_dir: str, etype: str, radius: float):
+    """Same-set pairs within `radius` via the 3x3 cell equi-join
+    (cell size == radius, a.id < b.id)."""
+    cell = lambda c: F.floor(F.col(c) / F.lit(radius))  # noqa: E731
+    probe_cells = F.array(
+        *[
+            F.struct((cell("x") + dx).alias("cx"), (cell("y") + dy).alias("cy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    pts = points(spark, sf_dir, etype)
+    l = pts.select(
+        F.col("event_id").alias("u"),
+        F.col("x").alias("lx"),
+        F.col("y").alias("ly"),
+        F.explode(probe_cells).alias("pc"),
+    ).select("u", "lx", "ly", F.col("pc.cx").alias("cx"), F.col("pc.cy").alias("cy"))
+    r = pts.select(
+        F.col("event_id").alias("v"),
+        F.col("x").alias("rx"),
+        F.col("y").alias("ry"),
+        cell("x").alias("r_cx"),
+        cell("y").alias("r_cy"),
+    )
+    dist = F.sqrt(
+        (F.col("lx") - F.col("rx")) * (F.col("lx") - F.col("rx"))
+        + (F.col("ly") - F.col("ry")) * (F.col("ly") - F.col("ry"))
+    )
+    return (
+        l.join(
+            r,
+            (F.col("cx") == F.col("r_cx"))
+            & (F.col("cy") == F.col("r_cy"))
+            & (F.col("u") < F.col("v")),
+        )
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= radius)
+        .select("u", "v")
+    )
+
+
+@register(
+    "cluster_fof_2d",
+    oracle=(
+        "WITH RECURSIVE pairs AS (" + _FOF2D_PAIRS_SQL + "), "
+        "e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs), "
+        "reach(src, node) AS ("
+        f"SELECT event_id, event_id FROM ({_points_sql_type('view')}) "
+        "UNION "
+        "SELECT r.src, e.v FROM reach r JOIN e ON r.node = e.u) "
+        "SELECT src AS point_id, min(node) AS object_id FROM reach "
+        "GROUP BY src ORDER BY point_id"
+    ),
+)
+def cluster_fof_2d(spark, sf_dir):
+    """Friends-of-friends in the REAL 2-D geometry — the literal
+    lsd-make-object-catalog semantics: link every pair of 'view'
+    points within the linking length (cell-bounded candidate join,
+    never all-pairs), take connected components via the shared
+    min-label fixpoint. Oracle = recursive CTE over DuckDB's
+    brute-force distance pairs — a physically different candidate
+    plan reaching the identical component labeling."""
+    from lsd_spark.plans.cluster import min_label_fixpoint
+
+    pts = points(spark, sf_dir, "view").select(F.col("event_id").alias("vec_id"))
+    pairs = self_radius_pairs(spark, sf_dir, "view", FOF2D_R)
+    labels = min_label_fixpoint(pts, pairs)
+    return labels.select(
+        F.col("vec_id").alias("point_id"), "object_id"
+    ).orderBy("point_id")
