@@ -39,7 +39,7 @@ from lsd_spark.llm.dedup import EMBCOS_T, embcos_candidate_pairs, embcos_candida
 from lsd_spark.operators.joins import COS_DUCK, COS_SPARK
 from lsd_spark.registry import register
 
-MAX_ITERS = 25
+MAX_ITERS = 60
 
 
 def _fof_oracle(pairs_sql: str) -> str:
@@ -69,12 +69,43 @@ _BUCKETED_PAIRS_SQL = (
 
 def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     """Connected components by min-label propagation to the exact
-    fixpoint. `pairs` is the undirected edge set as (u, v) one-way;
-    returns (vec_id, object_id)."""
+    fixpoint (Pregel-style, like GraphX CC). `pairs` is the
+    undirected edge set as (u, v) one-way; returns
+    (vec_id, object_id).
+
+    Convergence needs O(min-label eccentricity) rounds, so this is
+    for SUBCRITICAL match graphs — the only physically meaningful
+    regime for FoF (a supercritical linking length percolates the
+    catalog into one giant "object"). The cap raises rather than
+    returning non-converged labels. A per-iteration pointer-jumping
+    variant was tried and reverted: the label-of-label self-join
+    re-executed pathologically (iteration cost doubled per round on
+    Spark 4.1 despite truncated logical AND RDD lineage) — the
+    log-round alternative at true scale is the large-star/small-star
+    formulation, noted in SCALING.md.
+
+    Memory hygiene (found the hard way at sf0.1 on a stock 1g
+    session): iteration checkpoints are DISK_ONLY, the previous
+    iteration's checkpoint is unpersisted once superseded, and the
+    loop runs on bounded shuffle partitions."""
+    spark = emb.sparkSession
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_sp), 16)))
+    try:
+        return _fixpoint_loop(emb, pairs)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def _fixpoint_loop(emb: DataFrame, pairs: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    level = StorageLevel.DISK_ONLY
     edges = pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    edges = edges.localCheckpoint(eager=True)  # edge gen runs once, not per iteration
+    edges = edges.localCheckpoint(eager=True, storageLevel=level)  # edge gen runs once
 
     labels = emb.select(F.col("vec_id"), F.col("vec_id").alias("object_id"))
+    prev = None
     for _ in range(MAX_ITERS):
         # candidate new label: min over own label and neighbors' labels
         nbr = (
@@ -91,15 +122,19 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
                 ).alias("new_id"),
                 F.col("object_id"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True, storageLevel=level)
+        if prev is not None:
+            prev.unpersist()
+        prev = updated
         changed = updated.filter(F.col("new_id") < F.col("object_id")).limit(1).count()
         labels = updated.select("vec_id", F.col("new_id").alias("object_id"))
         if changed == 0:
+            edges.unpersist()
             return labels.orderBy("vec_id")
     raise RuntimeError(
         f"cluster_fof: min-label propagation did not converge in {MAX_ITERS} "
-        "iterations (component diameter exceeds the cap) — refusing to return "
-        "a non-converged labeling"
+        "iterations (min-label eccentricity exceeds the cap; is the match "
+        "graph supercritical?) — refusing to return a non-converged labeling"
     )
 
 
