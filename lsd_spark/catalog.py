@@ -7,9 +7,27 @@ directory of Parquet datasets and Catalyst's analyzer does the rest.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def session_key(spark: SparkSession) -> str:
+    """Stable identifier for a *live* session.
+
+    ``id(spark)`` is unsafe as a cache key: CPython reuses addresses
+    after garbage collection, so a brand-new session can be handed
+    cache entries bound to a dead one (stale plans referencing a
+    stopped JVM context). Instead stamp a uuid on the session object
+    itself — it lives and dies with the session and never collides.
+    """
+    k = spark.__dict__.get("_lsd_session_key")
+    if k is None:
+        k = uuid.uuid4().hex
+        spark._lsd_session_key = k
+    return k
 
 TABLES = [
     "region",
@@ -29,8 +47,8 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
-_DEFAULTED: set[int] = set()
-_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_DEFAULTED: set[str] = set()
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _ensure_defaults(spark: SparkSession) -> None:
@@ -38,12 +56,13 @@ def _ensure_defaults(spark: SparkSession) -> None:
     critical session defaults here so results don't depend on the
     caller's session (the driver builds its own: Spark 4 defaults to
     ANSI on, which changes cast/overflow semantics vs DuckDB)."""
-    if id(spark) in _DEFAULTED:
+    sk = session_key(spark)
+    if sk in _DEFAULTED:
         return
     from lsd_spark.session import apply_session_defaults
 
     apply_session_defaults(spark)
-    _DEFAULTED.add(id(spark))
+    _DEFAULTED.add(sk)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -58,7 +77,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     values.
     """
     _ensure_defaults(spark)
-    key = (id(spark), sf_dir, name)
+    key = (session_key(spark), sf_dir, name)
     cached = _DF_CACHE.get(key)
     if cached is not None:
         return cached

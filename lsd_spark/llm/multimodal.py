@@ -134,36 +134,70 @@ _DECODE_SCHEMA = T.StructType(
 )
 
 
-@register("mm_decode_stub", oracle=None)  # rows-only: decode is a stubbed kernel
-def mm_decode_stub(spark, sf_dir):
-    """Deterministic fake decode over binary payloads (see
-    decode_image docstring): proves the decode pipeline's schema,
-    batching and distribution without codec libs."""
-    mm = with_binary_payload(load(spark, sf_dir, "documents"))
+# md5 digest byte k (0-indexed) of `text`, as the DuckDB expression
+_MD5B = "CAST(('0x' || substring(md5(text), 2*{k}+1, 2))::INT AS BIGINT)"
+_MD5_LIST = (
+    "list_transform(generate_series(0,15), "
+    "k -> CAST(('0x' || substring(md5(text), 2*k+1, 2))::INT AS BIGINT))"
+)
 
-    def fake_decode_kernel(batches):
-        # Nested => by-value; re-implements decode_image(fake=True)
-        # locally so no lsd_spark reference travels to the worker.
+
+@register(
+    "mm_decode",
+    oracle=(
+        "WITH d AS (SELECT doc_id, " + _MD5_LIST + " AS L, "
+        "4 + " + _MD5B.format(k=0) + " % 13 AS w, "
+        "4 + " + _MD5B.format(k=1) + " % 13 AS h, "
+        "CASE WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN 3 "
+        "ELSE 4 END AS nch FROM documents) "
+        "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+        "CAST(nch AS INT) AS channels, "
+        "CAST((w*h*nch // 16) * list_sum(L) "
+        "+ COALESCE(list_sum(L[1:CAST(w*h*nch % 16 AS INT)]), 0) AS BIGINT) "
+        "AS px_sum FROM d ORDER BY doc_id"
+    ),
+)
+def mm_decode(spark, sf_dir):
+    """REAL image decode over per-document PNG payloads (formerly the
+    mm_decode_stub fake — now wired to the stdlib PNG codec below).
+
+    Per document: dimensions (4..16 each axis) come from the first
+    two md5 bytes, the color type cycles grey/RGB/RGBA with doc_id,
+    pixel bytes are the digest tiled to w*h*nch. The ENCODER applies
+    scanline filter y%5 — so every PNG here exercises None/Sub/Up/
+    Average/Paeth — and the decode kernel reverses them and emits
+    (width, height, channels, px_sum). The oracle recomputes px_sum
+    arithmetically from the md5 hex: (N//16)*sum(digest) + sum of the
+    first N%16 digest bytes. Exact integers end to end."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    encode, decode = _make_png_codec()  # driver-side; ships by value
+
+    def roundtrip_kernel(batches):
         import hashlib
 
+        import numpy as np
         import pandas as pd
 
-        def fake_decode(b):
-            h = hashlib.md5(bytes(b)).digest()
-            return {"width": 64 + h[0], "height": 64 + h[1], "channels": 3}
-
         for pdf in batches:
-            feats = pdf["payload"].map(fake_decode)
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.md5(t.encode("utf-8")).digest()
+                w, h = 4 + d[0] % 13, 4 + d[1] % 13
+                nch = {0: 1, 1: 3, 2: 4}[int(doc_id) % 3]
+                n = w * h * nch
+                px = np.frombuffer((d * (n // 16 + 1))[:n], np.uint8).reshape(h, w, nch)
+                png = encode(px, filters="cycle")
+                dh, dw, dnch, arr = decode(png)
+                assert (dh, dw, dnch) == (h, w, nch) and (arr == px).all()
+                rows.append((int(doc_id), dw, dh, dnch, int(arr.sum(dtype=np.int64))))
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "width": feats.map(lambda d: d["width"]).astype("int32"),
-                    "height": feats.map(lambda d: d["height"]).astype("int32"),
-                    "channels": feats.map(lambda d: d["channels"]).astype("int32"),
-                }
+                rows, columns=["doc_id", "width", "height", "channels", "px_sum"]
             )
 
-    return mm.select("doc_id", "payload").mapInPandas(fake_decode_kernel, schema=_DECODE_SCHEMA)
+    return docs.mapInPandas(
+        roundtrip_kernel,
+        schema="doc_id bigint, width int, height int, channels int, px_sum bigint",
+    ).orderBy("doc_id")
 
 
 @register(
@@ -193,50 +227,75 @@ RESIZE_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("out_width", T.IntegerType()),
         T.StructField("out_height", T.IntegerType()),
-        T.StructField("out_bytes", T.LongType()),
+        T.StructField("out_sum", T.LongType()),
     ]
 )
 
-TARGET_W, TARGET_H = 224, 224
 
-
-@register("mm_resize_stub", oracle=None)  # rows-only: decode/resize is stubbed
-def mm_resize_stub(spark, sf_dir):
-    """Image-resize kernel over opaque binary payloads via
-    mapInPandas (Arrow batches in/out, column pruning drops the
-    payload for any query not touching it). Deterministic stub per
-    the brief; the plumbing is real."""
-    docs = load(spark, sf_dir, "documents")
-    mm = with_binary_payload(docs.filter(F.col("doc_id") < 200))
-    tw, th = TARGET_W, TARGET_H  # closure-captured (pickled by value)
+@register(
+    "mm_resize",
+    oracle=(
+        "WITH d AS (SELECT doc_id, " + _MD5_LIST + " AS L, "
+        "2 * (2 + " + _MD5B.format(k=0) + " % 7) AS w, "
+        "2 * (2 + " + _MD5B.format(k=1) + " % 7) AS h, "
+        "CASE WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN 3 "
+        "ELSE 4 END AS nch FROM documents), "
+        "px AS (SELECT doc_id, w, h, nch, L, "
+        "unnest(generate_series(0, w*h*nch - 1)) AS i FROM d), "
+        "px2 AS (SELECT doc_id, w, h, "
+        "i // (w*nch) AS y, (i % (w*nch)) // nch AS x, i % nch AS c, "
+        "L[CAST(i % 16 AS INT) + 1] AS v FROM px), "
+        "boxes AS (SELECT doc_id, w, h, y // 2 AS by, x // 2 AS bx, c, "
+        "SUM(v) AS s FROM px2 GROUP BY doc_id, w, h, by, bx, c) "
+        "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+        "CAST(w // 2 AS INT) AS out_width, CAST(h // 2 AS INT) AS out_height, "
+        "CAST(SUM(s // 4) AS BIGINT) AS out_sum "
+        "FROM boxes GROUP BY doc_id, w, h ORDER BY doc_id"
+    ),
+)
+def mm_resize(spark, sf_dir):
+    """REAL image resize (formerly mm_resize_stub's fake): each
+    document becomes a w x h x nch image (even dims 4..16 from the
+    first two md5 bytes, channels cycling grey/RGB/RGBA, pixels =
+    digest tiled), encoded to an actual PNG (scanline filter y%5),
+    decoded back by the stdlib codec, then 2x2 integer BOX-FILTER
+    downsampled: out[Y,X,c] = floor(mean of the 2x2 block). Emits
+    the output-pixel sum; the oracle re-enumerates every pixel in SQL
+    (unnest/generate_series), groups 2x2 blocks and recomputes the
+    identical integer arithmetic. Exact end to end."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    encode, decode = _make_png_codec()  # driver-side; ships by value
 
     def resize_kernel(batches):
-        # STUB resize (nested => shipped by value): real pixel
-        # resampling needs an image lib; the deterministic fake
-        # derives source dims from the payload digest and models an
-        # aspect-preserving fit into tw x th. Batch shape / schema /
-        # partition behavior are the real 100 TB plumbing.
         import hashlib
 
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                h = hashlib.md5(bytes(payload)).digest()
-                w = 64 + h[0] % 192  # fake source dims, deterministic
-                ht = 64 + h[1] % 192
-                scale = min(tw / w, th / ht, 1.0)
-                ow, oh = max(1, int(w * scale)), max(1, int(ht * scale))
-                rows.append((doc_id, w, ht, ow, oh, ow * oh * 3))
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.md5(t.encode("utf-8")).digest()
+                w, h = 2 * (2 + d[0] % 7), 2 * (2 + d[1] % 7)
+                nch = {0: 1, 1: 3, 2: 4}[int(doc_id) % 3]
+                n = w * h * nch
+                px = np.frombuffer((d * (n // 16 + 1))[:n], np.uint8).reshape(h, w, nch)
+                dh, dw, dnch, arr = decode(encode(px, filters="cycle"))
+                assert (dh, dw, dnch) == (h, w, nch) and (arr == px).all()
+                # 2x2 box filter, integer mean (floor) per block
+                a = arr.astype(np.int64)
+                boxed = (
+                    a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]
+                ) // 4
+                rows.append(
+                    (int(doc_id), w, h, w // 2, h // 2, int(boxed.sum(dtype=np.int64)))
+                )
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "width", "height", "out_width", "out_height", "out_bytes"],
+                columns=["doc_id", "width", "height", "out_width", "out_height", "out_sum"],
             )
 
-    return mm.select("doc_id", "payload").mapInPandas(resize_kernel, RESIZE_SCHEMA).orderBy(
-        "doc_id"
-    )
+    return docs.mapInPandas(resize_kernel, RESIZE_SCHEMA).orderBy("doc_id")
 
 
 FRAME_SCHEMA = T.StructType(
@@ -306,10 +365,13 @@ def _make_png_codec():
     """Returns (encode, decode) closures so kernels ship them by
     value (workers never import lsd_spark).
 
-    encode(arr): HxWx3 uint8 -> PNG bytes (8-bit RGB, filter 0).
+    encode(arr, filters=0): HxWxC uint8 (C in 1/3/4 -> grey/RGB/RGBA)
+    -> PNG bytes. filters=0 writes every scanline unfiltered;
+    filters="cycle" filters row y with type y%5, so one image
+    exercises all five spec filters (None/Sub/Up/Average/Paeth).
     decode(data): PNG bytes -> (height, width, channels, HxWxC uint8)
-    — handles filters 0-4 (None/Sub/Up/Average/Paeth) and color
-    types 0 (grey), 2 (RGB), 6 (RGBA), the 8-bit baseline."""
+    — handles filters 0-4 and color types 0 (grey), 2 (RGB),
+    6 (RGBA), the 8-bit baseline."""
     import struct
     import zlib
 
@@ -323,15 +385,45 @@ def _make_png_codec():
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    def encode(arr) -> bytes:
+    def encode(arr, filters=0) -> bytes:
         arr = np.asarray(arr, dtype=np.uint8)
-        h, w, _ = arr.shape
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, nch = arr.shape
+        ctype = {1: 0, 3: 2, 4: 6}[nch]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        flat = arr.reshape(h, w * nch).astype(np.int32)
+        stride = w * nch
+        zeros = np.zeros(stride, np.int32)
+        lead = np.zeros(nch, np.int32)
+        parts = []
+        for y in range(h):
+            f = (y % 5) if filters == "cycle" else int(filters)
+            line = flat[y]
+            # filter predictors use ORIGINAL (unfiltered) neighbor
+            # bytes on the encode side, so each row vectorizes
+            left = np.concatenate([lead, line[:-nch]]) if stride > nch else np.concatenate([lead, line])[:stride]
+            prev = flat[y - 1] if y > 0 else zeros
+            upleft = np.concatenate([lead, prev[:-nch]]) if stride > nch else np.concatenate([lead, prev])[:stride]
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = prev
+            elif f == 3:
+                pred = (left + prev) // 2
+            else:  # Paeth
+                p = left + prev - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+                )
+            parts.append(bytes([f]) + ((line - pred) & 0xFF).astype(np.uint8).tobytes())
         return (
             b"\x89PNG\r\n\x1a\n"
             + _chunk(b"IHDR", ihdr)
-            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IDAT", zlib.compress(b"".join(parts)))
             + _chunk(b"IEND", b"")
         )
 

@@ -138,7 +138,7 @@ def _fixpoint_loop(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-@register("cluster_fof", oracle=_fof_oracle(_BUCKETED_PAIRS_SQL))
+@register("cluster_fof", oracle=_fof_oracle(_BUCKETED_PAIRS_SQL), cacheable=False)
 def cluster_fof(spark, sf_dir):
     """Friends-of-friends object catalog over IVF-bucketed edges:
     every vector labeled with the min vec_id of its connected
@@ -155,7 +155,7 @@ def cluster_fof(spark, sf_dir):
     return min_label_fixpoint(emb, pairs)
 
 
-@register("cluster_fof_exact", oracle=_fof_oracle(_EXACT_PAIRS_SQL))
+@register("cluster_fof_exact", oracle=_fof_oracle(_EXACT_PAIRS_SQL), cacheable=False)
 def cluster_fof_exact(spark, sf_dir):
     """FoF over the exact all-pairs edge set — the fixture-scale
     baseline the bucketed op's edge recall is measured against
@@ -232,6 +232,7 @@ _QSCORE_SQL = (
         "FROM comp JOIN q ON comp.vec_id = q.doc_id) "
         "WHERE rn = 1 AND group_size > 1 ORDER BY object_id"
     ),
+    cacheable=False,
 )
 def llm_dedup_keep_best(spark, sf_dir):
     """Representative selection by QUALITY over semantic clusters —

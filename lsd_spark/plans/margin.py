@@ -29,7 +29,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lsd_spark.catalog import load
+from lsd_spark.catalog import load, session_key
 from lsd_spark.plans.xmatch import ASOF_ORACLE
 from lsd_spark.plans.zones import rank_nearest
 from lsd_spark.registry import register
@@ -75,7 +75,7 @@ def build_margin_table(
 _BUILD_CACHE: dict[tuple[int, str], str] = {}
 
 
-@register("join_asof_margin", oracle=ASOF_ORACLE)
+@register("join_asof_margin", oracle=ASOF_ORACLE, cacheable=False)
 def join_asof_margin(spark, sf_dir):
     """As-of (latest prior click <=1h per purchase) against the
     margin-duplicated click table: the left side probes ONLY its own
@@ -83,7 +83,7 @@ def join_asof_margin(spark, sf_dir):
     single-key-pair equi-join over a zone-partitioned layout."""
     ev = load(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     path = _BUILD_CACHE.get(key)
     if path is None:
         path = build_margin_table(spark, clicks, ts="ts", zone_width_us=ZONE_US)

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from lsd_spark.catalog import load
+from lsd_spark.catalog import load, session_key
 from lsd_spark.plans.zones import rank_nearest
 from lsd_spark.registry import register
 
@@ -234,6 +234,7 @@ def fn_morton_key(spark, sf_dir):
         "PARTITION BY l_id ORDER BY dist ASC, r_id ASC) AS INTEGER) AS rn FROM cand) "
         "WHERE rn <= 3 ORDER BY l_id, rn"
     ),
+    cacheable=False,
 )
 def join_xmatch_2d_knn(spark, sf_dir):
     """lsd-xmatch nmax=3 in 2-D: up to three nearest clicks within
@@ -270,7 +271,7 @@ def build_margin_2d(spark, sf_dir: str) -> str:
     Reads become cell-local: a cross-match probes ONE cell."""
     import tempfile
 
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     path = _MARGIN_BUILD_CACHE.get(key)
     if path is not None:
         return path
@@ -334,6 +335,7 @@ def build_margin_2d(spark, sf_dir: str) -> str:
         "PARTITION BY l_id ORDER BY dist ASC, r_id ASC) AS rn FROM cand) "
         "WHERE rn = 1 ORDER BY l_id"
     ),
+    cacheable=False,
 )
 def join_xmatch_2d_margin(spark, sf_dir):
     """2-D cross-match against the margin-duplicated layout: the
@@ -447,6 +449,7 @@ def self_radius_pairs(spark, sf_dir: str, etype: str, radius: float):
         "SELECT src AS point_id, min(node) AS object_id FROM reach "
         "GROUP BY src ORDER BY point_id"
     ),
+    cacheable=False,
 )
 def cluster_fof_2d(spark, sf_dir):
     """Friends-of-friends in the REAL 2-D geometry — the literal

@@ -22,7 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lsd_spark.catalog import load
+from lsd_spark.catalog import load, session_key
 from lsd_spark.plans.zones import rank_nearest, zoned_asof_candidates
 from lsd_spark.registry import register
 
@@ -61,7 +61,7 @@ def _asof_pairs(spark, sf_dir) -> DataFrame:
     )
 
 
-@register("join_asof_zoned", oracle=ASOF_ORACLE)
+@register("join_asof_zoned", oracle=ASOF_ORACLE, cacheable=False)
 def join_asof_zoned(spark, sf_dir):
     """join_asof_nearest computed via pure zone equi-joins (constant
     2-zone probe fan-out) — the plan shape that survives 100 TB."""
@@ -103,7 +103,7 @@ _BUILD_CACHE: dict[tuple[int, str], str] = {}
 
 
 def cached_xmatch_path(spark: SparkSession, sf_dir: str) -> str:
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     path = _BUILD_CACHE.get(key)
     if path is None:
         path = build_xmatch(spark, sf_dir)
@@ -111,7 +111,7 @@ def cached_xmatch_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-@register("xmatch_consume", oracle=ASOF_ORACLE)
+@register("xmatch_consume", oracle=ASOF_ORACLE, cacheable=False)
 def xmatch_consume(spark, sf_dir):
     """Query-time join THROUGH a pre-built xmatch table: build the
     mapping (normally offline, once), then answer the as-of query as

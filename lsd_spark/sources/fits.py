@@ -33,7 +33,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lsd_spark.catalog import load
+from lsd_spark.catalog import load, session_key
 from lsd_spark.registry import register
 
 BLOCK = 2880
@@ -204,7 +204,7 @@ _BUILD_CACHE: dict[tuple[int, str], str] = {}
 def _fixture_path(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per session+sf) a FITS file holding the nation
     table + a derived double column, via the writer above."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     path = _BUILD_CACHE.get(key)
     if path is None:
         rows = (
@@ -244,6 +244,7 @@ def _fixture_path(spark: SparkSession, sf_dir: str) -> str:
         "CAST(n_nationkey AS DOUBLE) / 4.0 AS w "
         "FROM nation ORDER BY n_nationkey"
     ),
+    cacheable=False,
 )
 def source_fits_import(spark, sf_dir):
     """FITS round trip: nation written as a BINTABLE (once per
@@ -389,7 +390,7 @@ def make_fits_datasource():
     "CAST(n_regionkey AS BIGINT) AS n_regionkey, "
     "CAST(n_nationkey AS DOUBLE) / 4.0 AS w "
     "FROM nation ORDER BY n_nationkey"
-))
+), cacheable=False)
 def source_fits_datasource(spark, sf_dir):
     """The same FITS round trip through the Spark 4 PYTHON DATA
     SOURCE API (`spark.read.format("fits")`): one InputPartition per

@@ -37,7 +37,7 @@ DOC_SCHEMA = T.StructType(
 )
 
 
-@register("source_text_import", oracle=None)  # rows-only: filesystem round-trip
+@register("source_text_import", oracle=None, cacheable=False)  # rows-only: filesystem round-trip
 def source_text_import(spark, sf_dir):
     """lsd-import analog: write `documents` to CSV, re-ingest with an
     explicit schema, prove row/field fidelity (returns per-lang counts
@@ -55,7 +55,7 @@ def source_text_import(spark, sf_dir):
     )
 
 
-@register("sink_into", oracle=None)  # rows-only: CTAS round-trip
+@register("sink_into", oracle=None, cacheable=False)  # rows-only: CTAS round-trip
 def sink_into(spark, sf_dir):
     """`INTO newtable` analog: CTAS to *partitioned* parquet (the
     engine's cell layout: orders partitioned by status ≈ detections
@@ -82,7 +82,7 @@ def sink_into(spark, sf_dir):
     return out
 
 
-@register("sink_output_formats", oracle=None)  # rows-only: export round-trip
+@register("sink_output_formats", oracle=None, cacheable=False)  # rows-only: export round-trip
 def sink_output_formats(spark, sf_dir):
     """lsd-query's FITS/text writers analog: export a result to CSV
     and JSON, read both back, return counts per format."""
@@ -106,7 +106,7 @@ def sink_output_formats(spark, sf_dir):
     return res
 
 
-@register("sink_bucketed", oracle=None)  # rows-only: filesystem round-trip
+@register("sink_bucketed", oracle=None, cacheable=False)  # rows-only: filesystem round-trip
 def sink_bucketed(spark, sf_dir):
     """Bucketed CTAS — the write-time co-location that removes the
     one shuffle the flagship join can't avoid (join_multiway
@@ -150,7 +150,7 @@ def sink_bucketed(spark, sf_dir):
     )
 
 
-@register("source_schema_evolution", oracle=None)  # rows-only: filesystem round-trip
+@register("source_schema_evolution", oracle=None, cacheable=False)  # rows-only: filesystem round-trip
 def source_schema_evolution(spark, sf_dir):
     """LSD grows tables by adding column groups to existing cells
     [lsd:src/lsd/table.py cgroup add — UNVERIFIED]; the Parquet
@@ -176,7 +176,7 @@ def source_schema_evolution(spark, sf_dir):
     return out
 
 
-@register("sink_snapshot", oracle=None)  # rows-only: filesystem round-trip
+@register("sink_snapshot", oracle=None, cacheable=False)  # rows-only: filesystem round-trip
 def sink_snapshot(spark, sf_dir):
     """Snapshot isolation for bulk loads, LSD-style [lsd:src/lsd/
     table.py snapshot logic — UNVERIFIED]: writers build a complete
@@ -249,6 +249,7 @@ def merge_upsert(spark, sf_dir):
 @register(
     "sink_compact",
     oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    cacheable=False,
 )
 def sink_compact(spark, sf_dir):
     """Small-files compaction: write nation fragmented (8 files),
@@ -266,7 +267,7 @@ def sink_compact(spark, sf_dir):
     return out.localCheckpoint(eager=True) if hasattr(out, "localCheckpoint") else out
 
 
-@register("stream_foreach_sink", oracle=None)  # rows-only: filesystem sink
+@register("stream_foreach_sink", oracle=None, cacheable=False)  # rows-only: filesystem sink
 def stream_foreach_sink(spark, sf_dir):
     """foreachBatch sink with idempotent batch-keyed writes: each
     micro-batch lands at out/batch=<id> (re-running a batch
@@ -281,6 +282,7 @@ def stream_foreach_sink(spark, sf_dir):
 
     # _run_stream expects a memory sink; here we drive our own query
     path = f"{sf_dir}/events.parquet"
+    old_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stage = _tf.mkdtemp(prefix="lsd_fsink_src_")
     os.symlink(os.path.abspath(path), f"{stage}/events.parquet")
@@ -304,7 +306,20 @@ def stream_foreach_sink(spark, sf_dir):
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-    res = spark.read.parquet(f"{out_dir}/batch=*").orderBy("event_type")
+        if old_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", old_nanos)
+    # complete-mode foreachBatch: EVERY batch dir is a full aggregate
+    # snapshot, so read back only the LAST one — unioning batch=* would
+    # double-count if availableNow ever split the replay into >1
+    # micro-batch.
+    batches = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("batch=")
+    ]
+    res = spark.read.parquet(f"{out_dir}/batch={max(batches)}").orderBy("event_type")
     return res.localCheckpoint(eager=True)
 
 
@@ -351,6 +366,9 @@ def snapshot_diff(spark, sf_dir):
             )
         )
     )
-    added = v2.exceptAll(c).distinct().select(F.lit("added").alias("change"), "c_custkey", "c_acctbal")
-    removed = c.exceptAll(v2).distinct().select(F.lit("removed").alias("change"), "c_custkey", "c_acctbal")
+    # subtract() is true EXCEPT (set) semantics, matching the oracle;
+    # exceptAll().distinct() diverges when a row image appears in BOTH
+    # versions with different multiplicities (it would keep it).
+    added = v2.subtract(c).select(F.lit("added").alias("change"), "c_custkey", "c_acctbal")
+    removed = c.subtract(v2).select(F.lit("removed").alias("change"), "c_custkey", "c_acctbal")
     return added.unionByName(removed).orderBy("change", "c_custkey")

@@ -137,7 +137,7 @@ def _run_stream(spark, sf_dir, build, mode: str):
     return spark.table(name)
 
 
-@register("stream_watermark_late", oracle=None)  # rows-only: watermark semantics
+@register("stream_watermark_late", oracle=None, cacheable=False)  # rows-only: watermark semantics
 def stream_watermark_late(spark, sf_dir):
     """Real stream: 2h watermark + tumbling agg, update mode. The
     watermark bounds state (late rows beyond 2h are dropped at scale);
@@ -154,7 +154,7 @@ def stream_watermark_late(spark, sf_dir):
     return _run_stream(spark, sf_dir, build, "update")
 
 
-@register("stream_dedup", oracle=None)  # rows-only: stateful dedup
+@register("stream_dedup", oracle=None, cacheable=False)  # rows-only: stateful dedup
 def stream_dedup(spark, sf_dir):
     """Real stream: stateful dropDuplicates within the watermark —
     emits each (user_id, event_type) once."""
@@ -170,7 +170,7 @@ def stream_dedup(spark, sf_dir):
     return _run_stream(spark, sf_dir, build, "append")
 
 
-@register("stream_stateful_count", oracle=None)  # rows-only: update-mode state
+@register("stream_stateful_count", oracle=None, cacheable=False)  # rows-only: update-mode state
 def stream_stateful_count(spark, sf_dir):
     """Real stream: running per-user counts in update mode — the
     memory sink holds the final state per key (LSD's incremental
@@ -189,6 +189,7 @@ def stream_stateful_count(spark, sf_dir):
         "ROUND(SUM(COALESCE(value, 0)), 2) AS sv FROM events "
         "GROUP BY user_id ORDER BY user_id"
     ),
+    cacheable=False,
 )
 def stream_custom_state(spark, sf_dir):
     """Custom stateful operator via applyInPandasWithState — the
@@ -259,6 +260,7 @@ def stream_custom_state(spark, sf_dir):
         "SELECT e.event_id, n.n_name, e.event_type FROM events e "
         "JOIN nation n ON e.user_id % 25 = n.n_nationkey"
     ),
+    cacheable=False,
 )
 def stream_static_join(spark, sf_dir):
     """Real stream joined to a STATIC broadcast dimension (the
@@ -285,6 +287,7 @@ def stream_static_join(spark, sf_dir):
         "AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR "
         "WHERE p.event_type = 'purchase' AND c.event_type = 'click'"
     ),
+    cacheable=False,
 )
 def stream_stream_join(spark, sf_dir):
     """STREAM-STREAM interval self-join: purchases joined to prior
@@ -336,6 +339,7 @@ def stream_stream_join(spark, sf_dir):
         "SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, "
         "count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id"
     ),
+    cacheable=False,
 )
 def stream_session_real(spark, sf_dir):
     """Session windows through a REAL stream (watermark + complete
