@@ -65,16 +65,41 @@ def _ensure_defaults(spark: SparkSession) -> None:
     _DEFAULTED.add(sk)
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Fold the event-time column to plain TimestampType (LTZ)
+    regardless of how the parquet writer encoded it:
+
+    - int64 (read under legacy.parquet.nanosAsLong from
+      TIMESTAMP(NANOS)): truncate ns -> µs, same as DuckDB.
+    - TIMESTAMP_NTZ (from TIMESTAMP(MICROS, isAdjustedToUTC=false)):
+      cast reinterprets the wall clock in the session tz; with the
+      UTC session default this is value-preserving and matches
+      DuckDB's naive read.
+
+    Watermarks, unix_micros and window() all require TimestampType,
+    so every events read funnels through here.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast(T.TimestampType()))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Parquet vectorized reader + Catalyst column
     pruning/filter pushdown replace LSD's per-cell cgroup opens
     (SURVEY.md §2.A scan_projection, §4).
 
-    events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    default (PARQUET_TYPE_ILLEGAL): read it as raw int64 ns
-    (legacy.parquet.nanosAsLong) and convert to a µs TimestampType —
-    the same truncation DuckDB applies, so both engines see identical
-    values.
+    events.ts has shipped as parquet TIMESTAMP(NANOS) (Spark 4
+    refuses it by default — PARQUET_TYPE_ILLEGAL — so it's read as
+    raw int64 ns via legacy.parquet.nanosAsLong and truncated to µs,
+    matching DuckDB) and as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    (Spark infers TIMESTAMP_NTZ, which unix_micros/watermarks
+    reject). `normalize_ts` folds both to a session-tz TimestampType;
+    with the UTC session default the wall-clock values are identical
+    to what DuckDB reads, so oracles agree either way.
     """
     _ensure_defaults(spark)
     key = (session_key(spark), sf_dir, name)
@@ -84,9 +109,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = table_path(sf_dir, name)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_ts(spark.read.parquet(path))
     else:
         df = spark.read.parquet(path)
     # cache the logical plan (immutable), not the data: repeated load()

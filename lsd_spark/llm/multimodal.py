@@ -298,56 +298,67 @@ def mm_resize(spark, sf_dir):
     return docs.mapInPandas(resize_kernel, RESIZE_SCHEMA).orderBy("doc_id")
 
 
-FRAME_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("frame_idx", T.IntegerType()),
-        T.StructField("frame_offset", T.LongType()),
-        T.StructField("frame_sig", T.StringType()),
-    ]
-)
-
 N_FRAMES = 4
 
 
-@register("mm_frame_sample_stub", oracle=None)  # rows-only: sampler is stubbed
-def mm_frame_sample_stub(spark, sf_dir):
-    """Frame sampling for video-like payloads: mapInPandas 1:N
-    expansion (doc -> frames), deterministic offsets and signatures.
+_FRAME_SQL_SAMPLE = (
+    "(CAST(('0x' || substring(md5(text), 2*(((f*40)+j)%16)+1, 2))::INT AS DOUBLE)"
+    " - 128) * 256"
+)
+
+
+@register(
+    "mm_frame_sample",
+    oracle=(
+        "SELECT doc_id, f AS frame_idx, CAST(f*40 AS BIGINT) AS frame_offset, "
+        "ROUND(sqrt(list_avg(list_transform(generate_series(0,39), "
+        f"j -> POW({_FRAME_SQL_SAMPLE}, 2)))), 4) AS frame_rms "
+        "FROM documents CROSS JOIN (SELECT unnest(generate_series(0,3)) AS f) frames "
+        "ORDER BY doc_id, frame_idx"
+    ),
+)
+def mm_frame_sample(spark, sf_dir):
+    """REAL frame sampling (formerly mm_frame_sample_stub's fake):
+    each document's 160-sample PCM track (md5-derived, the same
+    signal as mm_decode_wav) is encoded into an actual RIFF/WAV
+    container, decoded back by the stdlib codec, and sliced into 4
+    fixed 40-sample frames — a mapInPandas 1:N row expansion (doc ->
+    frames) emitting per-frame offset and RMS. The oracle recomputes
+    each frame's RMS directly from the md5 hex, so the whole
+    encode -> container -> decode -> slice path is hash-checked.
     At 100 TB the frame rows are orders of magnitude smaller than
-    the payloads — the kernel projects payload away immediately."""
-    docs = load(spark, sf_dir, "documents")
-    mm = with_binary_payload(docs.filter(F.col("doc_id") < 100))
+    the payloads — the kernel projects the payload away immediately."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    encode, decode = _make_wav_codec()  # driver-side; closures ship by value
     n_frames = N_FRAMES  # closure-captured (pickled by value)
 
     def frame_sample_kernel(batches):
-        # STUB video frame sampler (nested => shipped by value):
-        # emits n_frames evenly-spaced 'frames' per payload (1:N row
-        # expansion — the same shape a real ffmpeg keyframe sampler
-        # produces), each with a deterministic content signature from
-        # the sampled byte window.
         import hashlib
 
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                step = max(1, len(b) // n_frames)
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.md5(t.encode("utf-8")).digest()
+                s = (np.frombuffer(d, np.uint8).astype(np.int64) - 128) * 256
+                wav = encode(np.tile(s, 10).astype("<i2"))
+                n, rate, back = decode(wav)
+                flen = n // n_frames
                 for i in range(n_frames):
-                    off = i * step
-                    window = b[off : off + 16]
-                    if not window:
-                        break
-                    rows.append((doc_id, i, off, hashlib.md5(window).hexdigest()[:12]))
+                    frame = back[i * flen : (i + 1) * flen].astype(np.float64)
+                    rms = float(np.sqrt((frame**2).mean()))
+                    rows.append((int(doc_id), i, i * flen, round(rms, 4)))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "frame_offset", "frame_sig"]
+                rows, columns=["doc_id", "frame_idx", "frame_offset", "frame_rms"]
             )
 
     return (
-        mm.select("doc_id", "payload")
-        .mapInPandas(frame_sample_kernel, FRAME_SCHEMA)
+        docs.mapInPandas(
+            frame_sample_kernel,
+            schema="doc_id bigint, frame_idx int, frame_offset bigint, frame_rms double",
+        )
         .orderBy("doc_id", "frame_idx")
     )
 

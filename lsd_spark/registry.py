@@ -130,15 +130,23 @@ _R2_LEDGER = [
 ]
 
 
-# The 51 ops with no row in CORRECTNESS_r01 ∪ r02 — tier 1 for the
-# round-3 ledger (order: as listed in the round-2 VERDICT, with the
-# explicitly-quarantined fixture-scale baseline llm_dedup_embcos_exact
-# moved last so a 50-cap drops it rather than a production op).
+# Tier 1 for the round-3 ledger: the ops with no row in
+# CORRECTNESS_r01 ∪ r02, PLUS the three renamed real-codec mm ops
+# (mm_decode/mm_resize/mm_frame_sample — the r02 rows exist only
+# under their retired *_stub names, and the kernels are new). The
+# driver caps each round at 50 rows, so 4 redundant entries are
+# demoted to the tail: mm_decode_png / mm_decode_wav (their codecs
+# are now fully exercised with oracles by mm_decode /
+# mm_frame_sample), the fixture-scale recall baselines
+# cluster_fof_exact and llm_dedup_embcos_exact (both explicitly
+# quarantined as test-scale-only in their docstrings). Those 4 lead
+# the round-4 ledger instead.
 _R3_PENDING = [
+    "mm_decode", "mm_resize", "mm_frame_sample",
     "agg_cube", "agg_density_multilevel", "agg_filtered",
     "agg_funnel_conversion", "agg_lightcurve_stats",
     "agg_path_sequences", "agg_retention_cohorts", "cluster_fof_2d",
-    "cluster_fof_exact", "filter_scalar_subquery", "fn_anonymize",
+    "filter_scalar_subquery", "fn_anonymize",
     "fn_morton_key", "fn_unpivot", "fn_vector_math",
     "graph_degree_hist", "join_asof_union_window", "join_full_outer",
     "join_interval_overlap", "join_xmatch_2d", "join_xmatch_2d_knn",
@@ -147,12 +155,14 @@ _R3_PENDING = [
     "llm_dedup_keep_best", "llm_mix_sources", "llm_pack_sequences",
     "llm_pipeline_mm", "llm_repetition_score", "llm_sample_stratified",
     "llm_unigram_logprob", "llm_winnowing", "merge_upsert",
-    "mm_decode_png", "mm_decode_wav", "profile_table",
+    "profile_table",
     "set_intersect_all", "sink_compact", "snapshot_diff",
     "source_fits_datasource", "source_fits_import",
     "stream_foreach_sink", "stream_session_real", "stream_static_join",
     "stream_stream_join", "win_cume_dist", "win_rolling_median",
-    "xmatch_2d_count", "llm_dedup_embcos_exact",
+    "xmatch_2d_count",
+    "cluster_fof_exact", "mm_decode_png", "mm_decode_wav",
+    "llm_dedup_embcos_exact",
 ]
 
 

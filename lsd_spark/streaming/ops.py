@@ -27,7 +27,7 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from lsd_spark.catalog import load, table_path
+from lsd_spark.catalog import load, normalize_ts, table_path
 from lsd_spark.registry import register
 
 
@@ -108,9 +108,8 @@ def _run_stream(spark, sf_dir, build, mode: str):
     stage = tempfile.mkdtemp(prefix="lsd_stream_src_")
     os.symlink(os.path.abspath(path), f"{stage}/events.parquet")
     src = spark.readStream.schema(spark.read.parquet(path).schema).parquet(stage)
-    # same ts normalization as the batch loader (ns int64 -> µs ts)
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # same ts normalization as the batch loader (ns int64 / NTZ -> µs LTZ ts)
+    src = normalize_ts(src)
     name = "lsd_stream_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix="lsd_ckpt_")
     # The state-store partition count is frozen into the checkpoint at

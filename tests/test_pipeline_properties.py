@@ -68,7 +68,9 @@ def test_interval_overlap_matches_numpy_brute_force(spark):
         for r in QUERIES["join_interval_overlap"](spark, SF).collect()
     }
     ev = pd.read_parquet(f"{SF}/events.parquet")[["event_id", "event_type", "ts"]]
-    ev["us"] = ev["ts"].astype("int64") // 1000  # ns -> us
+    # resolution-agnostic epoch µs (testdata has shipped ts as both
+    # TIMESTAMP(NANOS) and TIMESTAMP(MICROS))
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
     ev["dur"] = (5 + ev["event_id"] % 25) * 60_000_000
     p = ev[ev.event_type == "purchase"]
     c = ev[ev.event_type == "click"]
