@@ -19,8 +19,18 @@ needed for integer/double/character binary tables:
   the cluster with no coordination. Column pruning happens in the
   kernel (only requested TTYPEs are materialized into Arrow).
 
-Supported TFORM codes: J (int32), K (int64), D (float64), nA (char,
-space-padded per the standard — stripped on read).
+Supported TFORM codes: B (uint8), I (int16), J (int32), K (int64),
+E (float32), D (float64), L (logical 'T'/'F'), nA (char,
+space-padded per the standard — stripped on read). Real survey
+files additionally use the TSCALn/TZEROn linear scaling convention
+(physical = TZERO + TSCAL * stored; TZERO=2^(bits-1) with TSCAL=1 is
+the unsigned-integer convention) and carry extra HDUs before the
+table — both handled: the reader walks HDUs by computed data size
+(|BITPIX|/8 x GCOUNT x (PCOUNT + prod NAXISn), block-rounded) until
+the first BINTABLE, and applies scaling per column (integer-exact
+for the unsigned convention, float64 otherwise). Header parsing is
+bounds-checked: a header with no END card raises ValueError instead
+of spinning on a truncated/corrupt file.
 """
 
 from __future__ import annotations
@@ -65,15 +75,40 @@ def _header(cards: list[bytes]) -> bytes:
     return h
 
 
-def write_fits_bintable(path: str, names: list[str], formats: list[str], arrays) -> None:
-    """Write one BINTABLE HDU. formats: 'J', 'K', 'D' or 'nA'."""
-    np_map = {"J": ">i4", "K": ">i8", "D": ">f8"}
+NP_MAP = {"B": "u1", "I": ">i2", "J": ">i4", "K": ">i8", "E": ">f4", "D": ">f8", "L": "S1"}
+
+
+def _card_float(keyword: str, value: float) -> bytes:
+    s = f"{keyword:<8}= {value!r:>20}"
+    return s[:80].ljust(80).encode("ascii")
+
+
+def write_fits_bintable(
+    path: str,
+    names: list[str],
+    formats: list[str],
+    arrays,
+    scales: dict[str, tuple[float, float]] | None = None,
+    leading_image_hdu: bool = False,
+) -> None:
+    """Write a FITS file with one BINTABLE HDU. formats: 'B', 'I',
+    'J', 'K', 'E', 'D', 'L' or 'nA'.
+
+    ``scales[name] = (tscal, tzero)`` emits TSCALn/TZEROn cards and
+    stores raw = (physical - tzero) / tscal (rounded for integer
+    codes) — the convention real survey files (SDSS sweeps, PS1 SMF)
+    use for unsigned ints and compressed floats.
+    ``leading_image_hdu`` inserts a small IMAGE extension before the
+    table, so readers must walk HDUs instead of assuming the table is
+    HDU 1 (multi-HDU layout of real catalog files).
+    """
+    scales = scales or {}
     dtypes = []
     for n, f in zip(names, formats):
         if f.endswith("A"):
             dtypes.append((n, f"S{int(f[:-1])}"))
         else:
-            dtypes.append((n, np_map[f]))
+            dtypes.append((n, NP_MAP[f]))
     rec = np.zeros(len(arrays[0]), dtype=np.dtype(dtypes))
     for n, f, arr in zip(names, formats, arrays):
         if f.endswith("A"):
@@ -81,6 +116,12 @@ def write_fits_bintable(path: str, names: list[str], formats: list[str], arrays)
             # pad explicitly to the field width
             width = int(f[:-1])
             rec[n] = [str(s).ljust(width).encode("ascii") for s in arr]
+        elif f == "L":
+            rec[n] = [b"T" if bool(v) else b"F" for v in arr]
+        elif n in scales:
+            tscal, tzero = scales[n]
+            raw = (np.asarray(arr, dtype="float64") - tzero) / tscal
+            rec[n] = np.rint(raw).astype("int64") if f in "BIJK" else raw
         else:
             rec[n] = arr
     primary = _header(
@@ -91,6 +132,20 @@ def write_fits_bintable(path: str, names: list[str], formats: list[str], arrays)
             _card("EXTEND", True),
         ]
     )
+    image = b""
+    if leading_image_hdu:
+        img = np.arange(16, dtype=">i2").reshape(4, 4)
+        image = _header(
+            [
+                _card("XTENSION", "IMAGE", "image extension"),
+                _card("BITPIX", 16),
+                _card("NAXIS", 2),
+                _card("NAXIS1", 4),
+                _card("NAXIS2", 4),
+                _card("PCOUNT", 0),
+                _card("GCOUNT", 1),
+            ]
+        ) + _pad(img.tobytes())
     cards = [
         _card("XTENSION", "BINTABLE", "binary table extension"),
         _card("BITPIX", 8),
@@ -104,27 +159,133 @@ def write_fits_bintable(path: str, names: list[str], formats: list[str], arrays)
     for i, (n, f) in enumerate(zip(names, formats), start=1):
         cards.append(_card(f"TTYPE{i}", n))
         cards.append(_card(f"TFORM{i}", f))
+        if n in scales:
+            tscal, tzero = scales[n]
+            cards.append(_card_float(f"TSCAL{i}", tscal))
+            cards.append(_card_float(f"TZERO{i}", tzero))
     with open(path, "wb") as fh:
         fh.write(primary)
+        fh.write(image)
         fh.write(_header(cards))
         fh.write(_pad(rec.tobytes()))
 
 
-def _read_cards(buf: bytes, off: int):
-    """Parse one FITS header (80-byte cards, 2880-byte blocks) into a
-    dict; returns (cards, offset-past-header)."""
-    cards: dict[str, str] = {}
-    while True:
-        block = buf[off : off + BLOCK]
-        for i in range(0, BLOCK, 80):
-            card = block[i : i + 80].decode("ascii", "replace")
-            key = card[:8].strip()
-            if key == "END":
-                return cards, off + BLOCK
-            if card[8:10] == "= ":
-                v = card[10:].split("/")[0].strip()
-                cards[key] = v.strip("' ").strip() if v.startswith("'") else v
-        off += BLOCK
+def _make_fits_parser():
+    """Build the self-contained FITS parsing closures (no references
+    to this module, so cloudpickle ships them BY VALUE into Spark's
+    Python workers — same rule as every kernel here). Returns
+    (read_cards, find_bintable, table_fields, parse_table)."""
+    BLOCK_ = 2880
+    np_map = {"B": "u1", "I": ">i2", "J": ">i4", "K": ">i8", "E": ">f4", "D": ">f8", "L": "S1"}
+
+    def read_cards(buf, off):
+        """One header unit -> (cards dict, offset past header).
+        Bounds-checked: raises on truncated/END-less headers instead
+        of looping forever on empty slices."""
+        cards = {}
+        while off + BLOCK_ <= len(buf):
+            block = buf[off : off + BLOCK_]
+            for i in range(0, BLOCK_, 80):
+                card = block[i : i + 80].decode("ascii", "replace")
+                key = card[:8].strip()
+                if key == "END":
+                    return cards, off + BLOCK_
+                if card[8:10] == "= ":
+                    v = card[10:].split("/")[0].strip()
+                    cards[key] = v.strip("' ").strip() if v.startswith("'") else v
+            off += BLOCK_
+        raise ValueError("truncated FITS header: no END card within file bounds")
+
+    def data_size(hdr):
+        """Block-rounded data size of one HDU (FITS 4.0 §4.4.1.1):
+        |BITPIX|/8 * GCOUNT * (PCOUNT + NAXIS1*...*NAXISn)."""
+        naxis = int(hdr.get("NAXIS", 0))
+        if naxis == 0:
+            return 0
+        n = 1
+        for i in range(1, naxis + 1):
+            n *= int(hdr[f"NAXIS{i}"])
+        raw = (
+            abs(int(hdr.get("BITPIX", 8))) // 8
+            * int(hdr.get("GCOUNT", 1))
+            * (int(hdr.get("PCOUNT", 0)) + n)
+        )
+        return (raw + BLOCK_ - 1) // BLOCK_ * BLOCK_
+
+    def find_bintable(buf):
+        """Walk HDUs (skipping primary + any IMAGE/other extensions
+        by computed data size) to the first BINTABLE; returns
+        (header cards, data offset)."""
+        hdr, off = read_cards(buf, 0)
+        off += data_size(hdr)
+        while off < len(buf):
+            hdr, doff = read_cards(buf, off)
+            if hdr.get("XTENSION", "").startswith("BINTABLE"):
+                return hdr, doff
+            off = doff + data_size(hdr)
+        raise ValueError("no BINTABLE extension found")
+
+    def table_fields(hdr):
+        """-> [(name, np_dtype, spark_type, tscal, tzero)] applying
+        the TSCAL/TZERO convention: integer codes with tscal=1 and
+        integral tzero stay integer-exact (the unsigned-int
+        convention); any other scaling promotes to float64."""
+        fields = []
+        for i in range(1, int(hdr["TFIELDS"]) + 1):
+            name, form = hdr[f"TTYPE{i}"], hdr[f"TFORM{i}"]
+            tscal = float(hdr.get(f"TSCAL{i}", 1.0))
+            tzero = float(hdr.get(f"TZERO{i}", 0.0))
+            if form.endswith("A"):
+                dt, styp = f"S{int(form[:-1] or 1)}", "string"
+            else:
+                code = form.lstrip("0123456789")
+                dt = np_map[code]
+                if code == "L":
+                    styp = "boolean"
+                elif code in ("E", "D"):
+                    styp = "double"
+                elif tscal == 1.0 and tzero.is_integer():
+                    styp = "bigint"  # unscaled or unsigned-int convention
+                else:
+                    styp = "double"
+            fields.append((name, dt, styp, tscal, tzero))
+        return fields
+
+    def parse_table(buf, wanted=None):
+        """Parse the (first) BINTABLE of one file -> dict of columns,
+        pruned to `wanted` names when given."""
+        import numpy as np
+
+        hdr, off = find_bintable(buf)
+        fields = table_fields(hdr)
+        rec = np.frombuffer(
+            buf,
+            dtype=np.dtype([(n, d) for n, d, _, _, _ in fields]),
+            count=int(hdr["NAXIS2"]),
+            offset=off,
+        )
+        out = {}
+        for name, dt, styp, tscal, tzero in fields:
+            if wanted is not None and name not in wanted:
+                continue  # column pruning inside the kernel
+            raw = rec[name]
+            if styp == "string":
+                out[name] = [v.decode("ascii").rstrip(" ") for v in raw]
+            elif styp == "boolean":
+                out[name] = [v == b"T" for v in raw]
+            elif styp == "bigint":
+                vals = raw.astype("int64")
+                if tzero:
+                    vals = vals + int(tzero)
+                out[name] = vals
+            else:
+                vals = raw.astype("float64")
+                if tscal != 1.0 or tzero != 0.0:
+                    vals = tzero + tscal * vals
+                out[name] = vals
+        return fields, out
+
+    return read_cards, find_bintable, table_fields, parse_table
 
 
 def read_fits(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
@@ -132,69 +293,26 @@ def read_fits(spark: SparkSession, path: str, columns: list[str] | None = None) 
     files = spark.read.format("binaryFile").load(path)
 
     cols = columns
+    _, find_bintable, table_fields, parse_table = _make_fits_parser()
 
     def parse_kernel(batches):
-        # Nested => cloudpickle ships by value; numpy-only parsing.
-        import numpy as np
+        # Closures above ship by value; numpy-only parsing.
         import pandas as pd
-
-        def cards_of(buf, off):
-            cards = {}
-            while True:
-                block = buf[off : off + 2880]
-                for i in range(0, 2880, 80):
-                    card = block[i : i + 80].decode("ascii", "replace")
-                    key = card[:8].strip()
-                    if key == "END":
-                        return cards, off + 2880
-                    if card[8:10] == "= ":
-                        v = card[10:].split("/")[0].strip()
-                        cards[key] = v.strip("' ").strip() if v.startswith("'") else v
-                off += 2880
-
-        def parse_file(content):
-            buf = bytes(content)
-            hdr, off = cards_of(buf, 0)  # primary: NAXIS=0, no data
-            hdr, off = cards_of(buf, off)  # BINTABLE extension
-            nrow = int(hdr["NAXIS2"])
-            nfields = int(hdr["TFIELDS"])
-            np_map = {"J": ">i4", "K": ">i8", "D": ">f8"}
-            dtypes, names = [], []
-            for i in range(1, nfields + 1):
-                name, form = hdr[f"TTYPE{i}"], hdr[f"TFORM{i}"]
-                names.append(name)
-                dtypes.append(
-                    (name, f"S{int(form[:-1])}" if form.endswith("A") else np_map[form])
-                )
-            rec = np.frombuffer(buf, dtype=np.dtype(dtypes), count=nrow, offset=off)
-            out = {}
-            for name, dt in dtypes:
-                if cols is not None and name not in cols:
-                    continue  # column pruning inside the kernel
-                if dt.startswith("S"):
-                    out[name] = [v.decode("ascii").rstrip(" ") for v in rec[name]]
-                elif dt == ">f8":
-                    out[name] = rec[name].astype("float64")
-                else:
-                    out[name] = rec[name].astype("int64")
-            return pd.DataFrame(out)
 
         for pdf in batches:
             for content in pdf["content"]:
-                yield parse_file(content)
+                _, out = parse_table(bytes(content), wanted=cols)
+                yield pd.DataFrame(out)
 
     # schema discovered driver-side from the first file's headers
     # (a few KB peek, not a data read)
     first = bytes(files.select("content").limit(1).collect()[0]["content"])
-    _, off = _read_cards(first, 0)
-    hdr, _ = _read_cards(first, off)
+    hdr, _ = find_bintable(first)
     hdr_cols = []
-    for i in range(1, int(hdr["TFIELDS"]) + 1):
-        name, form = hdr[f"TTYPE{i}"], hdr[f"TFORM{i}"]
+    for name, _dt, styp, _s, _z in table_fields(hdr):
         if cols is not None and name not in cols:
             continue
-        typ = "string" if form.endswith("A") else ("double" if form == "D" else "bigint")
-        hdr_cols.append(f"{name} {typ}")
+        hdr_cols.append(f"{name} {styp}")
     return files.select("content").mapInPandas(parse_kernel, schema=", ".join(hdr_cols))
 
 
@@ -279,34 +397,14 @@ except ImportError:  # pragma: no cover - older pyspark
 
 def make_fits_datasource():
     """Return a self-contained FitsDataSource class (no references to
-    this module — safe to pickle into Spark's Python workers)."""
+    this module — safe to pickle into Spark's Python workers; the
+    parser closures from _make_fits_parser are captured by value)."""
     import os as _os
 
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
     BLOCK_ = 2880
-
-    def read_cards(buf, off):
-        cards = {}
-        while True:
-            block = buf[off : off + BLOCK_]
-            for i in range(0, BLOCK_, 80):
-                card = block[i : i + 80].decode("ascii", "replace")
-                key = card[:8].strip()
-                if key == "END":
-                    return cards, off + BLOCK_
-                if card[8:10] == "= ":
-                    v = card[10:].split("/")[0].strip()
-                    cards[key] = v.strip("' ").strip() if v.startswith("'") else v
-            off += BLOCK_
-
-    def table_dtypes(hdr):
-        np_map = {"J": ">i4", "K": ">i8", "D": ">f8"}
-        out = []
-        for i in range(1, int(hdr["TFIELDS"]) + 1):
-            name, form = hdr[f"TTYPE{i}"], hdr[f"TFORM{i}"]
-            out.append((name, f"S{int(form[:-1])}" if form.endswith("A") else np_map[form]))
-        return out
+    _, find_bintable, table_fields, parse_table = _make_fits_parser()
 
     class _FitsPartition(InputPartition):
         def __init__(self, path):
@@ -328,30 +426,16 @@ def make_fits_datasource():
             return [_FitsPartition(f) for f in files]
 
         def read(self, partition):
-            import numpy as np
-
             with open(partition.path, "rb") as fh:
                 buf = fh.read()
-            _, off = read_cards(buf, 0)
-            hdr, data_off = read_cards(buf, off)
-            dtypes = table_dtypes(hdr)
-            rec = np.frombuffer(
-                buf, dtype=np.dtype(dtypes), count=int(hdr["NAXIS2"]), offset=data_off
-            )
             wanted = [f.name for f in self._schema.fields]
-            for row in rec:
-                out = []
-                for name, dt in dtypes:
-                    if name not in wanted:
-                        continue
-                    v = row[name]
-                    if dt.startswith("S"):
-                        out.append(v.decode("ascii").rstrip(" "))
-                    elif dt == ">f8":
-                        out.append(float(v))
-                    else:
-                        out.append(int(v))
-                yield tuple(out)
+            _, cols = parse_table(buf, wanted=wanted)
+            n = len(next(iter(cols.values()))) if cols else 0
+            for i in range(n):
+                yield tuple(
+                    c[i].item() if hasattr(c[i], "item") else c[i]
+                    for c in (cols[w] for w in wanted)
+                )
 
     class FitsDataSource(DataSource):
         """`spark.read.format("fits").load(path)`; register with
@@ -369,14 +453,24 @@ def make_fits_datasource():
                 )
             else:
                 files = [path]
-            with open(files[0], "rb") as fh:
-                head = fh.read(6 * BLOCK_)
-            _, off = read_cards(head, 0)
-            hdr, _ = read_cards(head, off)
+            # header-only probe: grow the peek until the HDU walk
+            # lands on the BINTABLE (multi-HDU files may park image
+            # extensions before it); never reads the table data.
+            size = _os.path.getsize(files[0])
+            peek = 8 * BLOCK_
+            while True:
+                with open(files[0], "rb") as fh:
+                    head = fh.read(peek)
+                try:
+                    hdr, _ = find_bintable(head)
+                    break
+                except ValueError:
+                    if peek >= size:
+                        raise
+                    peek = min(size, peek * 4)
             cols = []
-            for name, dt in table_dtypes(hdr):
-                typ = "string" if dt.startswith("S") else ("double" if dt == ">f8" else "bigint")
-                cols.append(f"{name} {typ}")
+            for name, _dt, styp, _s, _z in table_fields(hdr):
+                cols.append(f"{name} {styp}")
             return ", ".join(cols)
 
         def reader(self, schema):
@@ -406,3 +500,74 @@ def source_fits_datasource(spark, sf_dir):
     except Exception:
         pass  # already registered in this session
     return spark.read.format("fits").load(path).orderBy("n_nationkey")
+
+
+_SCALED_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _scaled_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session+sf) a survey-shaped FITS file: a
+    leading IMAGE HDU before the table, plus TSCAL/TZERO-scaled
+    columns — the messy parts of real SMF/SDSS-sweep files
+    [lsd:src/lsd/smf.py — UNVERIFIED]:
+
+    - u16: int16 storage with TZERO=32768 (the unsigned-int
+      convention; physical = raw + 32768, integer-exact),
+    - scaled: int32 storage with TSCAL=0.01 (compressed float;
+      physical = 0.01 * raw in float64),
+    - w32: plain float32, L: logical 'T'/'F' bytes.
+    """
+    key = (session_key(spark), sf_dir)
+    path = _SCALED_CACHE.get(key)
+    if path is None:
+        rows = (
+            load(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name")
+            .orderBy("n_nationkey")
+            .collect()
+        )
+        d = tempfile.mkdtemp(prefix="lsd_fits_scaled_")
+        path = os.path.join(d, "nation_scaled.fits")
+        width = max(len(r["n_name"]) for r in rows)
+        keys = [r["n_nationkey"] for r in rows]
+        write_fits_bintable(
+            path,
+            ["n_nationkey", "n_name", "u16", "scaled", "w32", "even"],
+            ["K", f"{width}A", "I", "J", "E", "L"],
+            [
+                keys,
+                [r["n_name"] for r in rows],
+                [k + 40000 for k in keys],
+                [0.01 * (k * 25) for k in keys],
+                [k / 4.0 for k in keys],
+                [k % 2 == 0 for k in keys],
+            ],
+            scales={"u16": (1.0, 32768.0), "scaled": (0.01, 0.0)},
+            leading_image_hdu=True,
+        )
+        _SCALED_CACHE[key] = path
+    return path
+
+
+@register(
+    "source_fits_scaled",
+    oracle=(
+        "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, "
+        "CAST(n_nationkey + 40000 AS BIGINT) AS u16, "
+        "CAST(0.01 AS DOUBLE) * (n_nationkey * 25) AS scaled, "
+        "CAST(n_nationkey AS DOUBLE) / 4.0 AS w32, "
+        "(n_nationkey % 2 = 0) AS even "
+        "FROM nation ORDER BY n_nationkey"
+    ),
+    cacheable=False,
+)
+def source_fits_scaled(spark, sf_dir):
+    """Survey-file hardening round trip: multi-HDU walk (IMAGE HDU
+    parked before the BINTABLE) + TSCAL/TZERO column scaling +
+    int16/float32/logical TFORM codes, through the distributed
+    read_fits path. The oracle recomputes every physical value from
+    the nation table: the unsigned-int convention stays bigint-exact,
+    the 0.01-scaled column reproduces bit-identical float64 (both
+    sides compute tzero + tscal * raw in IEEE double)."""
+    path = _scaled_fixture_path(spark, sf_dir)
+    return read_fits(spark, os.path.dirname(path)).orderBy("n_nationkey")

@@ -1,0 +1,115 @@
+"""Unit tests for the stdlib FITS BINTABLE writer/parser: scaled
+columns (TSCAL/TZERO), multi-HDU walking, extended TFORM codes, and
+bounds-checked header parsing (pure-Python assertions — no Spark
+needed except the round-trip test at the end)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from lsd_spark.sources.fits import (
+    _make_fits_parser,
+    write_fits_bintable,
+)
+
+
+def _write(tmpdir, **kw):
+    path = os.path.join(tmpdir, "t.fits")
+    write_fits_bintable(
+        path,
+        ["k", "name", "u16", "scaled", "w32", "flag"],
+        ["K", "6A", "I", "J", "E", "L"],
+        [
+            [0, 1, 2],
+            ["aa", "bb", "cc"],
+            [40000, 40001, 65535],
+            [0.25, -1.5, 12.75],
+            [0.5, 1.5, 2.5],
+            [True, False, True],
+        ],
+        scales={"u16": (1.0, 32768.0), "scaled": (0.25, 0.0)},
+        **kw,
+    )
+    return path
+
+
+def test_scaled_and_extended_tform_roundtrip(tmp_path):
+    path = _write(str(tmp_path))
+    _, find_bintable, table_fields, parse_table = _make_fits_parser()
+    buf = open(path, "rb").read()
+    hdr, _ = find_bintable(buf)
+    fields, cols = parse_table(buf)
+    styps = {n: s for n, _d, s, _sc, _z in fields}
+    # unsigned-int convention stays integral; 0.25-scaled promotes
+    assert styps == {
+        "k": "bigint", "name": "string", "u16": "bigint",
+        "scaled": "double", "w32": "double", "flag": "boolean",
+    }
+    assert list(cols["k"]) == [0, 1, 2]
+    assert cols["name"] == ["aa", "bb", "cc"]
+    assert list(cols["u16"]) == [40000, 40001, 65535]  # raw+32768, exact
+    assert list(cols["scaled"]) == [0.25, -1.5, 12.75]  # exact multiples of 1/4
+    assert list(cols["w32"]) == [0.5, 1.5, 2.5]
+    assert cols["flag"] == [True, False, True]
+
+
+def test_multi_hdu_walk_skips_leading_image(tmp_path):
+    path = _write(str(tmp_path), leading_image_hdu=True)
+    _, find_bintable, _tf, parse_table = _make_fits_parser()
+    buf = open(path, "rb").read()
+    hdr, _ = find_bintable(buf)
+    assert hdr["XTENSION"].startswith("BINTABLE") and int(hdr["NAXIS2"]) == 3
+    _, cols = parse_table(buf, wanted=["k", "u16"])
+    assert set(cols) == {"k", "u16"} and list(cols["u16"]) == [40000, 40001, 65535]
+
+
+def test_truncated_header_raises(tmp_path):
+    path = _write(str(tmp_path))
+    buf = open(path, "rb").read()
+    read_cards, find_bintable, _tf, _pt = _make_fits_parser()
+    # header cut mid-block: must raise, not spin forever
+    with pytest.raises(ValueError, match="truncated"):
+        read_cards(buf[:1000], 0)
+    # no BINTABLE in range: primary header only
+    with pytest.raises(ValueError):
+        find_bintable(buf[:2880])
+
+
+def test_non_fits_garbage_raises():
+    read_cards, find_bintable, _tf, _pt = _make_fits_parser()
+    with pytest.raises(ValueError):
+        find_bintable(b"\x00" * 10 * 2880)
+
+
+def test_writer_stores_unsigned_raw_as_int16(tmp_path):
+    """Unsigned-int convention edges: physical 0..65535 stores as raw
+    int16 -32768..32767; the round trip must be exact at both ends."""
+    path = os.path.join(str(tmp_path), "edge.fits")
+    vals = [0, 1, 32767, 32768, 65535]
+    write_fits_bintable(
+        path, ["v"], ["I"], [vals], scales={"v": (1.0, 32768.0)}
+    )
+    _rc, _fb, _tf, parse_table = _make_fits_parser()
+    _, cols = parse_table(open(path, "rb").read())
+    assert list(cols["v"]) == vals
+
+
+def test_spark_roundtrip_scaled(spark):
+    """End-to-end through the distributed read path at fixture scale."""
+    from lsd_spark.sources.fits import read_fits
+
+    d = tempfile.mkdtemp(prefix="lsd_fits_test_")
+    path = os.path.join(d, "x.fits")
+    write_fits_bintable(
+        path,
+        ["k", "s"],
+        ["K", "J"],
+        [[1, 2, 3], [2.5, 5.0, -7.5]],
+        scales={"s": (2.5, 0.0)},
+        leading_image_hdu=True,
+    )
+    got = read_fits(spark, d).orderBy("k").collect()
+    assert [(r.k, r.s) for r in got] == [(1, 2.5), (2, 5.0), (3, -7.5)]
