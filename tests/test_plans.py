@@ -209,3 +209,74 @@ def test_bucketed_join_is_shuffle_free(spark):
     the final plan is the groupBy's (join_exchanges column == 1)."""
     rows = QUERIES["sink_bucketed"](spark, SF_DIR).collect()
     assert rows and all(r.join_exchanges == 1 for r in rows)
+
+
+def test_supercritical_fof_log_rounds_and_exact_labels(spark):
+    """cluster_fof_2d_super at sf0.1: the match graph is SUPERCRITICAL
+    (avg degree ~6.2, giant component ~98.7% of 19,941 view points) —
+    the regime where min-label propagation needs O(plane diameter/R)
+    rounds and raises at its cap. The alternating large-star/
+    small-star solver must (a) converge in a LOG-bounded number of
+    rounds and (b) produce the exact component labeling, checked
+    against an independent numpy union-find over the same md5-derived
+    coordinates (third opinion: neither Spark nor DuckDB)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from lsd_spark.plans import cluster
+    from lsd_spark.plans.spatial import FOF2D_R_SUPER
+
+    sf_dir = "/root/testdata/sf0.1"
+    got = {
+        (r.point_id, r.object_id)
+        for r in QUERIES["cluster_fof_2d_super"](spark, sf_dir).collect()
+    }
+    rounds = cluster.LAST_CC_ROUNDS["rounds"]
+    n = len(got)
+    assert rounds >= 1 and rounds <= int(np.log2(n)) , (rounds, n)
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
+    ids = np.sort(ev[ev.event_type == "view"]["event_id"].to_numpy())
+    xs = np.array(
+        [int(hashlib.md5(f"{e}x".encode()).hexdigest()[:15], 16) % 100000 for e in ids]
+    ) / 1000.0
+    ys = np.array(
+        [int(hashlib.md5(f"{e}y".encode()).hexdigest()[:15], 16) % 100000 for e in ids]
+    ) / 1000.0
+    r = FOF2D_R_SUPER
+    parent = np.arange(len(ids))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    cx, cy = np.floor(xs / r).astype(np.int64), np.floor(ys / r).astype(np.int64)
+    for i in range(len(ids)):
+        buckets[(cx[i], cy[i])].append(i)
+    for (bx, by), members in buckets.items():
+        cand = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cand.extend(buckets.get((bx + dx, by + dy), []))
+        ca = np.array(cand)
+        m = np.array(members)
+        d2 = (xs[m][:, None] - xs[ca][None, :]) ** 2 + (ys[m][:, None] - ys[ca][None, :]) ** 2
+        for ii, i in enumerate(m):
+            for j in ca[d2[ii] <= r * r]:
+                ra, rb = find(i), find(int(j))
+                if ra != rb:
+                    parent[ra] = rb
+    roots = np.array([find(i) for i in range(len(ids))])
+    # component label = min event_id in the component
+    comp_min = {}
+    for i, rt in enumerate(roots):
+        comp_min[rt] = min(comp_min.get(rt, ids[i]), ids[i])
+    exp = {(int(ids[i]), int(comp_min[roots[i]])) for i in range(len(ids))}
+    assert got == exp
