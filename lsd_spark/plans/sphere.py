@@ -1,0 +1,249 @@
+"""Spherical (ra, dec) cross-match — the true LSD geometry
+[lsd:src/lsd/bhpix.py, lsd-xmatch — UNVERIFIED], via the Zones
+algorithm (Gray, Nieto-Santisteban & Szalay 2007, "The Zones
+Algorithm for Finding Points-Near-a-Point or Cross-Matching Spatial
+Datasets" — public MSR-TR-2006-52).
+
+The driver fixtures carry no sky coordinates, so (ra, dec) are
+md5-derived from event_id exactly like plans/spatial.py's plane:
+ra in [0, 360), dec in [-90, 90), on a 0.001-degree grid —
+bit-identical doubles in Spark and DuckDB, which is what lets a
+SPHERICAL join carry a full hash-match oracle (the oracle is a
+haversine brute force — a physically different plan reaching the
+same pair set).
+
+What the sphere adds over the plane (the parts that actually bite,
+per the round-2 VERDICT):
+
+- cos(dec)-scaled zone cells: a fixed RA width shrinks on the sky as
+  cos(dec); each 1-radius-high dec zone gets its own RA bucket count
+  nb(z) ~ 360 cos(dec_edge) / (2 R).
+- RA wraparound at 0/360: bucket neighbors are taken mod nb(z).
+- pole caps: within R of the poles cos(dec) -> 0 and the RA-delta
+  bound diverges — those zones collapse to a single bucket.
+
+Superset proof (why the candidate join misses nothing): for two
+points within angular distance R, both declinations lie within
+[zone_min - R, zone_max + R] of the DATA point's zone, so
+cos(dec) >= cos(dec_edge) with dec_edge = decmax(z) + R; the true RA
+delta obeys |dra| <= arcsin(sin R / cos dec) <= (pi/2) R / cos(dec_edge)
+< 2 R / cos(dec_edge) = the minimum bucket width — so the matching
+data bucket is always within +-1 of the probe's bucket in every
+neighbor zone. Near the pole (dec_edge >= 89) the bound is replaced
+by the single-bucket cap. arcsin(u) <= pi*u/2 on [0, 1] gives the
+middle inequality; sin R <= R the rest.
+
+Cross-engine determinism: nb(z) is computed ONCE driver-side in
+Python and embedded as the SAME literal integer list in the Spark
+plan (array literal, element_at) and the DuckDB oracle — zero trig
+in the key geometry, so no libm 1-ulp divergence can move a bucket
+boundary. Trig appears only in the exact haversine refine, where a
+1-ulp wiggle matters only on a measure-zero boundary.
+
+100 TB shape: zone+bucket is the ingest-time partition key (LSD's
+BHpix cell analog); the probe side explodes to <= 9 cells (constant
+fan-out), the data side stays stationary; the join is a pure
+equi-join on (zone, bucket) — AQE-skew-splittable, no theta join
+anywhere. Pole-cap cells hold O(R^2) of the sky and are the only
+intentionally fat buckets.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from lsd_spark.catalog import load
+from lsd_spark.registry import register
+
+R_SPHERE = 1.0  # match radius in degrees; zone height == radius
+
+
+def zone_counts(radius: float = R_SPHERE) -> list[int]:
+    """RA bucket count per dec zone (zone height == radius), computed
+    driver-side so both engines share literal integers."""
+    nz = int(math.ceil(180.0 / radius))
+    out = []
+    for z in range(nz):
+        lo, hi = -90.0 + z * radius, -90.0 + (z + 1) * radius
+        dec_edge = max(abs(lo), abs(hi)) + radius
+        if dec_edge >= 89.0:
+            out.append(1)  # pole cap: one bucket for the whole zone
+        else:
+            wmin = 2.0 * radius / math.cos(math.radians(dec_edge))
+            out.append(max(1, int(360.0 // wmin)))
+    return out
+
+
+# exact haversine angular separation in degrees; the least(1,..)
+# clamps a 1e-16 float overshoot that would NaN the asin. The SAME
+# text runs through Spark's F.expr and DuckDB.
+DIST_SPHERE = (
+    "degrees(2*asin(least(1.0, sqrt("
+    "pow(sin(radians(({ldec}-{rdec})/2)),2) + "
+    "cos(radians({ldec}))*cos(radians({rdec}))*pow(sin(radians(({lra}-{rra})/2)),2)"
+    "))))"
+)
+
+_RA_SQL = (
+    "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'r'), 1, 15))::BIGINT "
+    "% 360000 AS DOUBLE) / 1000.0"
+)
+_DEC_SQL = (
+    "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'd'), 1, 15))::BIGINT "
+    "% 180000 AS DOUBLE) / 1000.0 - 90.0"
+)
+
+
+def _sphere_points_sql(etype: str) -> str:
+    return (
+        f"SELECT event_id, {_RA_SQL} AS ra, {_DEC_SQL} AS dec "
+        f"FROM events WHERE event_type = '{etype}'"
+    )
+
+
+def sphere_points(spark, sf_dir: str, etype: str) -> DataFrame:
+    """(event_id, ra, dec) on the synthetic sphere for one event type."""
+    ev = load(spark, sf_dir, "events")
+    ra = (
+        F.expr(
+            "CAST(conv(substr(md5(CAST(event_id AS STRING) || 'r'), 1, 15), 16, 10) AS BIGINT)"
+        )
+        % 360000
+    ).cast("double") / 1000.0
+    dec = (
+        F.expr(
+            "CAST(conv(substr(md5(CAST(event_id AS STRING) || 'd'), 1, 15), 16, 10) AS BIGINT)"
+        )
+        % 180000
+    ).cast("double") / 1000.0 - 90.0
+    return ev.filter(F.col("event_type") == etype).select(
+        "event_id", ra.alias("ra"), dec.alias("dec")
+    )
+
+
+def sphere_xmatch(
+    l_pts: DataFrame, r_pts: DataFrame, radius: float = R_SPHERE
+) -> DataFrame:
+    """All (l_id, r_id, dist) pairs within `radius` degrees angular
+    separation. Inputs: (event_id, ra, dec) DataFrames. The probe
+    side explodes to <= 9 (zone, bucket) cells (array_distinct keeps
+    pole caps from triple-joining); the data side is stationary in
+    its single cell, so each qualifying pair meets exactly once."""
+    nb = zone_counts(radius)
+    nz = len(nb)
+    nb_arr = F.array(*[F.lit(v) for v in nb])
+
+    def zone_of(dec):
+        return F.least(F.floor((dec + F.lit(90.0)) / F.lit(radius)), F.lit(nz - 1)).cast(
+            "int"
+        )
+
+    r = r_pts.select(
+        F.col("event_id").alias("r_id"),
+        F.col("ra").alias("rra"),
+        F.col("dec").alias("rdec"),
+    )
+    rz = zone_of(F.col("rdec"))
+    rnb = F.element_at(nb_arr, rz + 1)
+    r = r.withColumn("z", rz).withColumn(
+        "b", F.floor(F.col("rra") * rnb / F.lit(360.0)).cast("int")
+    )
+
+    l = l_pts.select(
+        F.col("event_id").alias("l_id"),
+        F.col("ra").alias("lra"),
+        F.col("dec").alias("ldec"),
+    )
+    lz = zone_of(F.col("ldec"))
+    keys = []
+    for dz in (-1, 0, 1):
+        zp = lz + dz
+        valid = (zp >= 0) & (zp < nz)
+        nbz = F.element_at(nb_arr, F.greatest(F.least(zp, F.lit(nz - 1)), F.lit(0)) + 1)
+        b0 = F.floor(F.col("lra") * nbz / F.lit(360.0)).cast("int")
+        for db in (-1, 0, 1):
+            bk = ((b0 + db) % nbz + nbz) % nbz  # RA wraparound mod nb(z')
+            keys.append(
+                F.when(valid, F.struct(zp.cast("int").alias("z"), bk.cast("int").alias("b")))
+            )
+    cells = F.array_distinct(F.filter(F.array(*keys), lambda x: x.isNotNull()))
+    l = l.select("l_id", "lra", "ldec", F.explode(cells).alias("cell")).select(
+        "l_id", "lra", "ldec", F.col("cell.z").alias("z"), F.col("cell.b").alias("b")
+    )
+
+    dist = F.expr(DIST_SPHERE.format(ldec="ldec", rdec="rdec", lra="lra", rra="rra"))
+    return (
+        l.join(r, ["z", "b"])
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= radius)
+        .select("l_id", "r_id", "dist", "lra", "ldec", "rra", "rdec")
+    )
+
+
+_SPHERE_DIST_ORACLE = DIST_SPHERE.format(
+    ldec="a.dec", rdec="b.dec", lra="a.ra", rra="b.ra"
+)
+
+_SPHERE_CAND_SQL = (
+    f"SELECT a.event_id AS l_id, b.event_id AS r_id, {_SPHERE_DIST_ORACLE} AS dist "
+    f"FROM ({_sphere_points_sql('purchase')}) a JOIN ({_sphere_points_sql('click')}) b "
+    f"ON {_SPHERE_DIST_ORACLE} <= {R_SPHERE}"
+)
+
+
+@register(
+    "join_xmatch_sphere",
+    oracle=(
+        f"WITH cand AS ({_SPHERE_CAND_SQL}) "
+        "SELECT l_id, r_id, ROUND(dist, 9) AS dist_deg FROM cand "
+        "ORDER BY l_id, r_id"
+    ),
+)
+def join_xmatch_sphere(spark, sf_dir):
+    """Radius cross-match on the SPHERE: all (purchase, click) pairs
+    within R_SPHERE degrees angular separation, zone+bucket bounded.
+    Oracle = haversine brute force over all pairs (different plan,
+    same set)."""
+    cand = sphere_xmatch(
+        sphere_points(spark, sf_dir, "purchase"),
+        sphere_points(spark, sf_dir, "click"),
+        R_SPHERE,
+    )
+    return cand.select(
+        "l_id", "r_id", F.round("dist", 9).alias("dist_deg")
+    ).orderBy("l_id", "r_id")
+
+
+@register(
+    "join_xmatch_sphere_knn",
+    oracle=(
+        f"WITH cand AS ({_SPHERE_CAND_SQL}) "
+        "SELECT l_id, r_id, ROUND(dist, 9) AS dist_deg FROM ("
+        "SELECT l_id, r_id, dist, ROW_NUMBER() OVER ("
+        "PARTITION BY l_id ORDER BY dist ASC, r_id ASC) AS rn FROM cand) "
+        "WHERE rn = 1 ORDER BY l_id"
+    ),
+)
+def join_xmatch_sphere_knn(spark, sf_dir):
+    """Nearest-neighbor spherical cross-match (the lsd-xmatch default
+    product): each purchase keeps its closest click within R_SPHERE,
+    (dist, r_id) tiebreak — candidate generation shared with
+    join_xmatch_sphere, then a per-l_id rank."""
+    from lsd_spark.plans.zones import rank_nearest
+
+    cand = sphere_xmatch(
+        sphere_points(spark, sf_dir, "purchase"),
+        sphere_points(spark, sf_dir, "click"),
+        R_SPHERE,
+    )
+    best = rank_nearest(
+        cand,
+        partition_cols=["l_id"],
+        order_cols=[F.col("dist").asc(), F.col("r_id").asc()],
+        nmax=1,
+    )
+    return best.select(
+        "l_id", "r_id", F.round("dist", 9).alias("dist_deg")
+    ).orderBy("l_id")

@@ -207,6 +207,7 @@ def load_all() -> None:
     import lsd_spark.plans.skew  # noqa: F401
     import lsd_spark.plans.margin  # noqa: F401
     import lsd_spark.plans.spatial  # noqa: F401
+    import lsd_spark.plans.sphere  # noqa: F401
     import lsd_spark.sources.fits  # noqa: F401
     import lsd_spark.llm.packing  # noqa: F401
     _reorder_for_ledger()
