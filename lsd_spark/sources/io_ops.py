@@ -267,13 +267,25 @@ def sink_compact(spark, sf_dir):
     return out.localCheckpoint(eager=True) if hasattr(out, "localCheckpoint") else out
 
 
-@register("stream_foreach_sink", oracle=None, cacheable=False)  # rows-only: filesystem sink
+@register(
+    "stream_foreach_sink",
+    oracle=(
+        "SELECT event_type, count(*) AS cnt FROM events "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+    cacheable=False,
+)
 def stream_foreach_sink(spark, sf_dir):
     """foreachBatch sink with idempotent batch-keyed writes: each
     micro-batch lands at out/batch=<id> (re-running a batch
     overwrites its own directory — exactly-once under retries, the
     standard production sink pattern). Returns the per-type counts
-    read back from the sink files."""
+    read back from the sink files.
+
+    Full oracle (upgraded from rows-only): complete-mode foreachBatch
+    writes a FULL aggregate snapshot per batch and we read back only
+    the last one, which after the availableNow replay equals the batch
+    GROUP BY count over all events."""
     import tempfile as _tf
 
     from lsd_spark.streaming.ops import _run_stream  # lazy: avoid cycle
@@ -287,7 +299,7 @@ def stream_foreach_sink(spark, sf_dir):
     stage = _tf.mkdtemp(prefix="lsd_fsink_src_")
     os.symlink(os.path.abspath(path), f"{stage}/events.parquet")
     src = spark.readStream.schema(spark.read.parquet(path).schema).parquet(stage)
-    agg = src.groupBy("event_type").count()
+    agg = src.groupBy("event_type").agg(F.count("*").alias("cnt"))
 
     def write_batch(batch_df, batch_id):
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")

@@ -141,11 +141,28 @@ def _run_stream(spark, sf_dir, build, mode: str):
     return spark.table(name)
 
 
-@register("stream_watermark_late", oracle=None, cacheable=False)  # rows-only: watermark semantics
+@register(
+    "stream_watermark_late",
+    oracle=(
+        "SELECT date_trunc('hour', ts) AS win_start, event_type, "
+        "count(*) AS cnt FROM events "
+        "GROUP BY win_start, event_type ORDER BY win_start, event_type"
+    ),
+    cacheable=False,
+)
 def stream_watermark_late(spark, sf_dir):
     """Real stream: 2h watermark + tumbling agg, update mode. The
-    watermark bounds state (late rows beyond 2h are dropped at scale);
-    the shuffled-replay equivalence test lives in tests/."""
+    watermark bounds state (late rows beyond 2h are dropped at scale).
+
+    Full oracle (upgraded from rows-only): the availableNow replay
+    delivers every row before the watermark advances past it, so
+    nothing is dropped and the final per-key state equals the batch
+    tumbling count. Update mode re-emits a key's running count each
+    micro-batch; COUNT is strictly monotone per key, so max-folding
+    the sink recovers the final state no matter how the replay was
+    sliced into micro-batches (same argument as stream_custom_state).
+    The *drop* semantics (rows later than 2h discarded) stay covered
+    by the shuffled-replay test in tests/test_streaming.py."""
 
     def build(src):
         return (
@@ -155,13 +172,33 @@ def stream_watermark_late(spark, sf_dir):
             .select(F.col("w.start").alias("win_start"), "event_type", "cnt")
         )
 
-    return _run_stream(spark, sf_dir, build, "update")
+    sink = _run_stream(spark, sf_dir, build, "update")
+    return (
+        sink.groupBy("win_start", "event_type")
+        .agg(F.max("cnt").alias("cnt"))
+        .orderBy("win_start", "event_type")
+    )
 
 
-@register("stream_dedup", oracle=None, cacheable=False)  # rows-only: stateful dedup
+@register(
+    "stream_dedup",
+    oracle=(
+        "SELECT DISTINCT user_id, event_type FROM events "
+        "ORDER BY user_id, event_type"
+    ),
+    cacheable=False,
+)
 def stream_dedup(spark, sf_dir):
     """Real stream: stateful dropDuplicates within the watermark —
-    emits each (user_id, event_type) once."""
+    emits each (user_id, event_type) once.
+
+    Full oracle (upgraded from rows-only): append-mode dropDuplicates
+    emits a key exactly the first time it is seen and never again, so
+    across any micro-batch slicing the sink holds each distinct
+    (user_id, event_type) exactly once == batch DISTINCT. The
+    watermark only affects *state eviction* (keys older than 2h can be
+    forgotten at scale), not the emitted set, because the replay is in
+    one availableNow pass."""
 
     def build(src):
         return (
@@ -171,19 +208,37 @@ def stream_dedup(spark, sf_dir):
             .select("user_id", "event_type")
         )
 
-    return _run_stream(spark, sf_dir, build, "append")
+    sink = _run_stream(spark, sf_dir, build, "append")
+    return sink.orderBy("user_id", "event_type")
 
 
-@register("stream_stateful_count", oracle=None, cacheable=False)  # rows-only: update-mode state
+@register(
+    "stream_stateful_count",
+    oracle=(
+        "SELECT user_id, count(*) AS n_events FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ),
+    cacheable=False,
+)
 def stream_stateful_count(spark, sf_dir):
     """Real stream: running per-user counts in update mode — the
     memory sink holds the final state per key (LSD's incremental
-    'new epochs arrive' reduction)."""
+    'new epochs arrive' reduction).
+
+    Full oracle (upgraded from rows-only): COUNT per user is strictly
+    monotone across update-mode emissions, so max-folding the sink
+    yields the final per-user state == batch GROUP BY count,
+    regardless of micro-batch slicing."""
 
     def build(src):
         return src.groupBy("user_id").agg(F.count("*").alias("n_events"))
 
-    return _run_stream(spark, sf_dir, build, "update")
+    sink = _run_stream(spark, sf_dir, build, "update")
+    return (
+        sink.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .orderBy("user_id")
+    )
 
 
 @register(

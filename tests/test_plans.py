@@ -108,13 +108,23 @@ def test_no_cartesian_products_anywhere(spark):
 
 
 def test_knn_brute_broadcasts_query_side(spark):
-    """All-pairs ops (exact-baseline variants) must at least broadcast
-    the bounded query side — a BroadcastNestedLoopJoin, never a
-    CartesianProduct over the corpus."""
-    for q in ("llm_simsearch_knn", "llm_dedup_embcos_exact"):
-        p = qplan(q, spark, mode="simple")
-        assert "BroadcastNestedLoopJoin" in p, p
-        assert "CartesianProduct" not in p, p
+    """All-pairs ops (exact-baseline variants) must never pay a
+    CartesianProduct over the corpus. llm_simsearch_knn goes further:
+    since the bench-gap fix it inlines the k query vectors as LITERAL
+    structs exploded per corpus row — zero joins, one corpus scan,
+    the whole cosine fold in whole-stage codegen (the join-free plan
+    beats even a BroadcastNestedLoopJoin: no build side, no broadcast
+    exchange). llm_dedup_embcos_exact keeps the broadcast-NLJ shape
+    (its query side is the corpus itself, so literals can't apply)."""
+    p = qplan("llm_simsearch_knn", spark, mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "Join" not in p, f"knn literal-inline regressed to a join:\n{p}"
+    assert "Generate explode" in p, p
+    assert p.count("FileScan") == 1, f"knn must scan the corpus exactly once:\n{p}"
+
+    p = qplan("llm_dedup_embcos_exact", spark, mode="simple")
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p
 
 
 def test_bucketed_candidate_gen_is_equi_join(spark):
