@@ -89,28 +89,59 @@ def llm_simsearch_knn(spark, sf_dir):
     Plan shape: the 5 query vectors are collected ONCE at plan build
     (bounded by the query count, never the corpus — the same pattern
     as the k-centroid collect in knn_ivf_kmeans) and inlined as
-    literal arrays, so each execution is a single corpus scan +
+    literal scalars, so each execution is a single corpus scan +
     per-row 5-way cosine + top-k — no join, no broadcast-build job.
-    Measured ~2.5x faster per run than the broadcast-join form it
-    replaced, and it is also the right 100 TB shape: query vectors
-    ride the closure, the corpus never shuffles before the top-k.
+    It is also the right 100 TB shape: query vectors ride the
+    closure, the corpus never shuffles before the top-k.
+
+    Cosine-eval cost model (micro-benchmarked on the 64-dim
+    fixture): Catalyst evaluates higher-order-function lambdas
+    interpreted per element, so the naive form pays 15 folds/row
+    (5 dots + 5 corpus norms + 5 *literal* query norms — constant
+    folding does NOT fold HOFs). Two fixes, neither changing any
+    bit of the result: (a) the corpus norm is hoisted to ONE column
+    and each query's norm is pre-computed in Python (IEEE double,
+    identical left-assoc arithmetic) and inlined as a literal —
+    6 folds/row, ~1.5x; (b) fully unrolling the dot into
+    element_at multiply-adds was tried and REJECTED: the 5x64-term
+    expression compiles past HotSpot's huge-method JIT limit and
+    runs slower than the interpreted fold. The rounded sims, and
+    therefore the oracle hash, are unchanged by (a).
+
     Caveat: the literals are bound at plan-cache fill time, like
     prepared-statement parameters — a changed embeddings table needs
     a plan-cache clear (registry.clear_plan_cache)."""
+    import math
+
     emb = load(spark, sf_dir, "embeddings")
     qrows = sorted(
         emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect(),
         key=lambda r: r.vec_id,
     )
+    nrm = (
+        "SQRT(AGGREGATE(embedding, 0D, (acc, v) -> "
+        "acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
     structs = []
     for r in qrows:
-        qarr = "ARRAY(" + ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in r.embedding) + ")"
-        simx = "ROUND(" + COS_SPARK.format(a="embedding", b=qarr) + ", 6)"
+        q = [float(v) for v in r.embedding]
+        qn = 0.0
+        for v in q:
+            qn += v * v
+        qn = math.sqrt(qn)
+        qarr = "ARRAY(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in q) + ")"
+        dot = (
+            f"AGGREGATE(ZIP_WITH(embedding, {qarr}, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+        )
+        simx = f"ROUND(({dot}) / (nrm * CAST({qn!r} AS DOUBLE)), 6)"
         structs.append(f"named_struct('vec_id', BIGINT({r.vec_id}), 'sim', {simx})")
     arr = "ARRAY(" + ", ".join(structs) + ")"
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.explode(F.expr(arr)).alias("s"))
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .withColumn("nrm", F.expr(nrm))
+        .select("neighbor_id", F.explode(F.expr(arr)).alias("s"))
         .select(F.col("s.vec_id").alias("vec_id"), "neighbor_id", F.col("s.sim").alias("sim"))
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .withColumn("rn", F.row_number().over(w))
