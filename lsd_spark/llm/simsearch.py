@@ -152,10 +152,12 @@ def llm_simsearch_knn(spark, sf_dir):
 
 def _nearest_centroids(vectors, cent, n: int):
     """Assign each vector to its n max-cosine centroids (broadcast
-    centroid table, linear corpus pass)."""
+    centroid table, linear corpus pass). Ranks on the ROUNDED cosine
+    with centroid_id tiebreak so an oracle engine reproduces the
+    identical assignment (same convention as ivf_assignments)."""
     v = vectors.alias("v")
     c = F.broadcast(cent).alias("c")
-    sim_vc = F.expr(COS_SPARK.format(a="v.embedding", b="c.c_emb"))
+    sim_vc = F.round(F.expr(COS_SPARK.format(a="v.embedding", b="c.c_emb")), 6)
     w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
     return (
         v.crossJoin(c)
@@ -201,7 +203,38 @@ def _seed_centroids(emb):
     )
 
 
-@register("knn_ivf", oracle=None)  # rows-only: ANN recall is engine/param-specific
+def _ivf_knn_oracle() -> str:
+    """DuckDB mirror of ivf_search over seed centroids: same rounded
+    assignment cosine + centroid_id tiebreak, same probe fan-out,
+    same candidate equi-join and rounded refine — the oracle
+    reproduces the BUCKETING, not a pretend-exact result (the
+    llm_dedup_embcos convention)."""
+    assign_cos = "ROUND(" + COS_DUCK.format(a="v.embedding", b="c.c_emb") + ", 6)"
+    refine_cos = "ROUND(" + COS_DUCK.format(a="q.q_emb", b="b.embedding") + ", 6)"
+    return (
+        f"WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb "
+        f"FROM embeddings WHERE vec_id < {N_CENTROIDS}), "
+        "assigned AS (SELECT vec_id, embedding, centroid_id FROM ("
+        "SELECT v.vec_id, v.embedding, c.centroid_id, "
+        f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {assign_cos} DESC, "
+        "c.centroid_id ASC) AS crn FROM embeddings v CROSS JOIN cent c) "
+        "WHERE crn <= 1), "
+        "queries AS (SELECT vec_id AS q_id, embedding AS q_emb, centroid_id FROM ("
+        "SELECT v.vec_id, v.embedding, c.centroid_id, "
+        f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {assign_cos} DESC, "
+        "c.centroid_id ASC) AS crn FROM embeddings v CROSS JOIN cent c "
+        f"WHERE v.vec_id < 5) WHERE crn <= {N_PROBE}), "
+        "cand AS (SELECT DISTINCT q.q_id AS vec_id, b.vec_id AS neighbor_id, "
+        f"{refine_cos} AS sim FROM queries q JOIN assigned b USING (centroid_id) "
+        "WHERE q.q_id <> b.vec_id) "
+        "SELECT vec_id, neighbor_id, sim FROM ("
+        "SELECT vec_id, neighbor_id, sim, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rn FROM cand) "
+        "WHERE rn <= 5 ORDER BY vec_id, neighbor_id"
+    )
+
+
+@register("knn_ivf", oracle=_ivf_knn_oracle())
 def knn_ivf(spark, sf_dir):
     """IVF-bucketed approximate top-5 for query vectors 0..4.
 
@@ -212,7 +245,12 @@ def knn_ivf(spark, sf_dir):
     N_PROBE nearest centroids and brute-forces only those buckets.
     At 100 TB: centroids are a broadcast table, assignment is one
     narrow pass, and the candidate join is equi on centroid_id.
-    For data-adaptive centroids see knn_ivf_kmeans."""
+    For data-adaptive centroids see knn_ivf_kmeans.
+
+    Full oracle (upgraded from rows-only): every ranking step uses
+    the 6-decimal ROUNDED cosine with an id tiebreak, so the DuckDB
+    mirror reproduces the identical buckets, probes, and top-k —
+    the ANN structure itself is verified, not just row counts."""
     emb = load(spark, sf_dir, "embeddings")
     return ivf_search(emb, _seed_centroids(emb))
 
@@ -254,12 +292,73 @@ def kmeans_centroids(spark, emb, k: int = N_CENTROIDS, iters: int = 3):
     return cent
 
 
-@register("knn_ivf_kmeans", oracle=None)  # rows-only: ANN recall is param-specific
+def _kmeans_knn_oracle(iters: int = 3) -> str:
+    """DuckDB mirror of kmeans_centroids + ivf_search: the same
+    `iters` fixed Lloyd rounds (rounded-cosine assignment with
+    centroid_id tiebreak -> per-position mean rounded to 6 decimals)
+    unrolled as CTE chains, then the same probe/refine/top-k as
+    knn_ivf's oracle. Works because the Spark side has NO RNG and
+    rounds every cross-engine-sensitive float before it can steer
+    control flow."""
+
+    def assign(cent: str, out: str, nearest: int, where: str = "") -> str:
+        cos = "ROUND(" + COS_DUCK.format(a="v.embedding", b="c.c_emb") + ", 6)"
+        return (
+            f"{out} AS (SELECT vec_id, embedding, centroid_id FROM ("
+            "SELECT v.vec_id, v.embedding, c.centroid_id, "
+            f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {cos} DESC, "
+            f"c.centroid_id ASC) AS crn FROM embeddings v CROSS JOIN {cent} c"
+            f"{where}) WHERE crn <= {nearest})"
+        )
+
+    ctes = [
+        f"cent0 AS (SELECT vec_id AS centroid_id, embedding AS c_emb "
+        f"FROM embeddings WHERE vec_id < {N_CENTROIDS})"
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(assign(f"cent{i - 1}", f"a{i}", 1))
+        ctes.append(
+            f"pos{i} AS (SELECT centroid_id, "
+            "unnest(generate_series(1, len(embedding))) AS pos, "
+            "unnest(CAST(embedding AS DOUBLE[])) AS val FROM a" + str(i) + ")"
+        )
+        ctes.append(
+            f"avg{i} AS (SELECT centroid_id, pos, ROUND(AVG(val), 6) AS m "
+            f"FROM pos{i} GROUP BY centroid_id, pos)"
+        )
+        ctes.append(
+            f"cent{i} AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb "
+            f"FROM avg{i} GROUP BY centroid_id)"
+        )
+    ctes.append(assign(f"cent{iters}", "assigned", 1))
+    ctes.append(assign(f"cent{iters}", "queries_a", N_PROBE, " WHERE v.vec_id < 5"))
+    refine = "ROUND(" + COS_DUCK.format(a="q.embedding", b="b.embedding") + ", 6)"
+    ctes.append(
+        "cand AS (SELECT DISTINCT q.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+        f"{refine} AS sim FROM queries_a q JOIN assigned b USING (centroid_id) "
+        "WHERE q.vec_id <> b.vec_id)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT vec_id, neighbor_id, sim FROM ("
+        "SELECT vec_id, neighbor_id, sim, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rn FROM cand) "
+        "WHERE rn <= 5 ORDER BY vec_id, neighbor_id"
+    )
+
+
+@register("knn_ivf_kmeans", oracle=_kmeans_knn_oracle())
 def knn_ivf_kmeans(spark, sf_dir):
     """knn_ivf with Lloyd-refined centroids: same probe plan, but the
     buckets adapt to the data distribution — the variant whose recall
     survives non-fixture (clustered) corpora. Recall floor vs the
-    exact baseline pinned in tests/test_invariants.py."""
+    exact baseline pinned in tests/test_invariants.py.
+
+    Full oracle (upgraded from rows-only): the fixed-round,
+    RNG-free Lloyd refinement rounds every assignment cosine and
+    every centroid mean to 6 decimals, so DuckDB replays the exact
+    training trajectory and the exact probe result — the whole ANN
+    index build is differential-tested, not just the final ranking."""
     emb = load(spark, sf_dir, "embeddings")
     return ivf_search(emb, kmeans_centroids(spark, emb))
 
@@ -285,15 +384,22 @@ def _hyperplanes(dim: int = 64):
     return planes
 
 
-def _lsh_bucket_expr(emb_col: str) -> str:
+def _lsh_bucket_expr(emb_col: str, elem: str = "element_at({c}, {i})") -> str:
     """SQL expression: 8-bit random-hyperplane signature of an
     embedding — sign bits of the projections, folded into an int.
-    Pure JVM arithmetic over the array column."""
+    Pure JVM arithmetic over the array column.
+
+    `elem` is the engine's 1-based element accessor template: the
+    default is Spark's element_at; the DuckDB oracle passes bracket
+    indexing. Everything else — term order, parenthesization, the
+    left-associated sum — is IDENTICAL text, so both engines run the
+    same IEEE double sequence and the sign bits (hence buckets)
+    match bit-for-bit, which is what makes the LSH oracle exact."""
     planes = _hyperplanes()
     bits = []
     for p, row in enumerate(planes):
         dot = " + ".join(
-            f"(CAST(element_at({emb_col}, {d + 1}) AS DOUBLE) * {w!r})"
+            f"(CAST({elem.format(c=emb_col, i=d + 1)} AS DOUBLE) * {w!r})"
             for d, w in enumerate(row)
             if abs(w) > 1e-12
         )
@@ -301,7 +407,37 @@ def _lsh_bucket_expr(emb_col: str) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
-@register("knn_lsh", oracle=None)  # rows-only: ANN recall is param-specific
+def _lsh_probe_masks() -> list[int]:
+    """XOR masks for multi-probe: the home bucket plus every 1- and
+    2-bit flip (37 of 256 buckets at 8 planes)."""
+    masks = [0] + [1 << i for i in range(N_PLANES)]
+    masks += [
+        (1 << i) | (1 << j) for i in range(N_PLANES) for j in range(i + 1, N_PLANES)
+    ]
+    return masks
+
+
+def _lsh_knn_oracle() -> str:
+    """DuckDB mirror of knn_lsh: the SAME hyperplane arithmetic
+    (shared generator, bracket indexing), the same probe masks via
+    xor(), the same rounded refine and top-k."""
+    bucket = _lsh_bucket_expr("embedding", elem="{c}[{i}]")
+    probes = ", ".join(f"xor(bucket, {m})" for m in _lsh_probe_masks())
+    refine = "ROUND(" + COS_DUCK.format(a="q.q_emb", b="c.embedding") + ", 6)"
+    return (
+        f"WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings), "
+        f"q AS (SELECT vec_id AS q_id, embedding AS q_emb, "
+        f"unnest([{probes}]) AS bucket FROM b WHERE vec_id < 5), "
+        "cand AS (SELECT q.q_id AS vec_id, c.vec_id AS neighbor_id, "
+        f"{refine} AS sim FROM q JOIN b c USING (bucket) WHERE q.q_id <> c.vec_id) "
+        "SELECT vec_id, neighbor_id, sim FROM ("
+        "SELECT vec_id, neighbor_id, sim, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rn FROM cand) "
+        "WHERE rn <= 5 ORDER BY vec_id, neighbor_id"
+    )
+
+
+@register("knn_lsh", oracle=_lsh_knn_oracle())
 def knn_lsh(spark, sf_dir):
     """Random-hyperplane LSH approximate top-5 for query vectors
     0..4 — the other scale path next to knn_ivf: bucket = 8 sign
@@ -309,7 +445,13 @@ def knn_lsh(spark, sf_dir):
     is high share sign bits with high probability), refine with true
     cosine, rank. At 100 TB the bucket id is computed at ingest and
     the corpus is partitioned by it; a query touches only its own
-    bucket's partitions (multi-probe = enumerate 1-bit flips)."""
+    bucket's partitions (multi-probe = enumerate 1-bit flips).
+
+    Full oracle (upgraded from rows-only): the hyperplane projection
+    is generated from ONE shared expression template evaluated as the
+    same left-associated double arithmetic in both engines, so the
+    sign bits — and therefore the buckets, candidates, and top-k —
+    are reproduced exactly by the DuckDB mirror."""
     emb = load(spark, sf_dir, "embeddings")
     b = emb.selectExpr("vec_id", "embedding", _lsh_bucket_expr("embedding") + " AS bucket")
     # multi-probe: each query also probes every 1- and 2-bit-flip
@@ -318,12 +460,7 @@ def knn_lsh(spark, sf_dir):
     # hardest case for sign-bit LSH; clustered real embeddings need
     # far fewer probes. The corpus side stays single-bucket
     # (partition-pruned at scale).
-    flips = [f"bucket ^ {1 << i}" for i in range(N_PLANES)] + [
-        f"bucket ^ {(1 << i) | (1 << j)}"
-        for i in range(N_PLANES)
-        for j in range(i + 1, N_PLANES)
-    ]
-    probes = "array(bucket, " + ", ".join(flips) + ")"
+    probes = "array(" + ", ".join(f"(bucket ^ {m})" for m in _lsh_probe_masks()) + ")"
     queries = (
         b.filter(F.col("vec_id") < 5)
         .selectExpr("vec_id AS q_id", "embedding AS q_emb", f"explode({probes}) AS bucket")

@@ -111,13 +111,36 @@ def llm_tfidf_topterms(spark, sf_dir):
     )
 
 
-@register("llm_lang_id", oracle=None)  # rows-only: heuristic classifier
+_LANG_ID_ORACLE = (
+    "WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token "
+    "FROM documents), "
+    "profile AS (SELECT lang AS p_lang, token FROM ("
+    "SELECT lang, token, ROW_NUMBER() OVER (PARTITION BY lang "
+    "ORDER BY COUNT(DISTINCT doc_id) DESC, token ASC) AS r "
+    "FROM tok GROUP BY lang, token) WHERE r <= 20), "
+    "hits AS (SELECT t.doc_id, t.lang AS true_lang, p.p_lang, count(*) AS hits "
+    "FROM tok t JOIN profile p USING (token) GROUP BY 1, 2, 3), "
+    "guessed AS (SELECT doc_id, true_lang, p_lang AS guess FROM ("
+    "SELECT doc_id, true_lang, p_lang, ROW_NUMBER() OVER (PARTITION BY doc_id "
+    "ORDER BY hits DESC, p_lang ASC) AS r FROM hits) WHERE r = 1) "
+    "SELECT true_lang, count(*) AS n_docs, "
+    "CAST(SUM(CASE WHEN guess = true_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct "
+    "FROM guessed GROUP BY true_lang ORDER BY true_lang"
+)
+
+
+@register("llm_lang_id", oracle=_LANG_ID_ORACLE)
 def llm_lang_id(spark, sf_dir):
     """n-gram/vocabulary language-ID heuristic, two deterministic
     passes: (1) profile = top-20 most-frequent tokens per language
     (df-weighted, tiebreak token); (2) classify each doc to the
     language whose profile it hits most (tiebreak lang asc). Returns
-    per-lang accuracy vs the fixture's ground-truth lang column."""
+    per-lang accuracy vs the fixture's ground-truth lang column.
+
+    Full oracle (upgraded from rows-only): the heuristic is pure
+    integer logic — distinct-counts, row_number with total tiebreaks
+    — so DuckDB reproduces the classifier exactly; being a heuristic
+    never meant being non-deterministic."""
     docs = load(spark, sf_dir, "documents")
     tok = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
     w = Window.partitionBy("lang").orderBy(F.col("df").desc(), F.col("token").asc())

@@ -37,11 +37,23 @@ DOC_SCHEMA = T.StructType(
 )
 
 
-@register("source_text_import", oracle=None, cacheable=False)  # rows-only: filesystem round-trip
+@register(
+    "source_text_import",
+    oracle=(
+        "SELECT lang, count(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+        "FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    cacheable=False,
+)
 def source_text_import(spark, sf_dir):
     """lsd-import analog: write `documents` to CSV, re-ingest with an
-    explicit schema, prove row/field fidelity (returns per-lang counts
-    so the rows-only check has stable content)."""
+    explicit schema, prove row/field fidelity.
+
+    Full oracle (upgraded from rows-only): the aggregate is computed
+    over the RE-INGESTED copy but checked against DuckDB on the
+    ORIGINAL table — a lossy round-trip (dropped rows, mangled
+    fields) breaks the hash, so the oracle verifies import fidelity
+    itself, not just stability."""
     # tmp dir intentionally outlives this call: the returned DataFrame
     # is lazy and re-reads it when the driver collects.
     tmp = tempfile.mkdtemp(prefix="lsd_import_")
@@ -55,12 +67,24 @@ def source_text_import(spark, sf_dir):
     )
 
 
-@register("sink_into", oracle=None, cacheable=False)  # rows-only: CTAS round-trip
+@register(
+    "sink_into",
+    oracle=(
+        "SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS cnt, "
+        "ROUND(SUM(o_totalprice), 2) AS total FROM orders "
+        "WHERE year(o_orderdate) >= 1997 GROUP BY o_year ORDER BY o_year"
+    ),
+    cacheable=False,
+)
 def sink_into(spark, sf_dir):
     """`INTO newtable` analog: CTAS to *partitioned* parquet (the
     engine's cell layout: orders partitioned by status ≈ detections
     partitioned by epoch bucket), read back, verify partition pruning
-    applies, return per-partition counts."""
+    applies, return per-partition counts.
+
+    Full oracle (upgraded from rows-only): computed over the CTAS
+    read-back, checked against the original table — verifies the
+    partitioned write + pruned read is lossless."""
     tmp = tempfile.mkdtemp(prefix="lsd_ctas_")
     o = load(spark, sf_dir, "orders")
     (
@@ -82,10 +106,20 @@ def sink_into(spark, sf_dir):
     return out
 
 
-@register("sink_output_formats", oracle=None, cacheable=False)  # rows-only: export round-trip
+@register(
+    "sink_output_formats",
+    oracle=(
+        "SELECT count(*) AS csv_rows, count(*) AS json_rows FROM nation"
+    ),
+    cacheable=False,
+)
 def sink_output_formats(spark, sf_dir):
     """lsd-query's FITS/text writers analog: export a result to CSV
-    and JSON, read both back, return counts per format."""
+    and JSON, read both back, return counts per format.
+
+    Full oracle (upgraded from rows-only): both read-back counts must
+    equal the source table's cardinality — a dropped or duplicated
+    row in either export format breaks the hash."""
     tmp = tempfile.mkdtemp(prefix="lsd_export_")
     n = load(spark, sf_dir, "nation")
     n.coalesce(1).write.mode("overwrite").option("header", "true").csv(f"{tmp}/csv")
@@ -106,7 +140,15 @@ def sink_output_formats(spark, sf_dir):
     return res
 
 
-@register("sink_bucketed", oracle=None, cacheable=False)  # rows-only: filesystem round-trip
+@register(
+    "sink_bucketed",
+    oracle=(
+        "SELECT o.o_orderstatus, count(*) AS cnt, 1 AS join_exchanges "
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+        "GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus"
+    ),
+    cacheable=False,
+)
 def sink_bucketed(spark, sf_dir):
     """Bucketed CTAS — the write-time co-location that removes the
     one shuffle the flagship join can't avoid (join_multiway
@@ -117,8 +159,14 @@ def sink_bucketed(spark, sf_dir):
     At 100 TB this is THE fact-fact join strategy: pay one shuffle at
     ingest, join shuffle-free forever after. Returns the per-status
     counts from the bucket-local join (identical to the shuffled
-    plan's answer), plus the exchange count of the executed plan so
-    the rows-only determinism check also pins the plan shape."""
+    plan's answer), plus the exchange count of the executed plan.
+
+    Full oracle (upgraded from rows-only): the join result is checked
+    against the unbucketed DuckDB join, and the oracle hard-codes
+    join_exchanges = 1 (only the groupBy) — so a regression that
+    breaks bucket alignment and re-introduces a join Exchange flips
+    the hash, turning the plan-shape pin into a driver-visible
+    correctness check."""
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     # a fresh session's in-memory metastore doesn't know about a
@@ -150,7 +198,14 @@ def sink_bucketed(spark, sf_dir):
     )
 
 
-@register("source_schema_evolution", oracle=None, cacheable=False)  # rows-only: filesystem round-trip
+@register(
+    "source_schema_evolution",
+    oracle=(
+        "SELECT false AS is_old_schema, count(*) AS cnt FROM nation "
+        "UNION ALL SELECT true, count(*) FROM nation ORDER BY is_old_schema"
+    ),
+    cacheable=False,
+)
 def source_schema_evolution(spark, sf_dir):
     """LSD grows tables by adding column groups to existing cells
     [lsd:src/lsd/table.py cgroup add — UNVERIFIED]; the Parquet
@@ -176,7 +231,13 @@ def source_schema_evolution(spark, sf_dir):
     return out
 
 
-@register("sink_snapshot", oracle=None, cacheable=False)  # rows-only: filesystem round-trip
+@register(
+    "sink_snapshot",
+    oracle=(
+        "SELECT count(*) AS v1_rows, 2 * count(*) AS v2_rows FROM nation"
+    ),
+    cacheable=False,
+)
 def sink_snapshot(spark, sf_dir):
     """Snapshot isolation for bulk loads, LSD-style [lsd:src/lsd/
     table.py snapshot logic — UNVERIFIED]: writers build a complete
