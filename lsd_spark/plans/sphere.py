@@ -96,15 +96,17 @@ _DEC_SQL = (
 )
 
 
-def _sphere_points_sql(etype: str) -> str:
+def _sphere_points_sql(etype: str | None) -> str:
+    where = f" WHERE event_type = '{etype}'" if etype else ""
     return (
         f"SELECT event_id, {_RA_SQL} AS ra, {_DEC_SQL} AS dec "
-        f"FROM events WHERE event_type = '{etype}'"
+        f"FROM events{where}"
     )
 
 
-def sphere_points(spark, sf_dir: str, etype: str) -> DataFrame:
-    """(event_id, ra, dec) on the synthetic sphere for one event type."""
+def sphere_points(spark, sf_dir: str, etype: str | None) -> DataFrame:
+    """(event_id, ra, dec) on the synthetic sphere; etype=None keeps
+    every event."""
     ev = load(spark, sf_dir, "events")
     ra = (
         F.expr(
@@ -118,9 +120,9 @@ def sphere_points(spark, sf_dir: str, etype: str) -> DataFrame:
         )
         % 180000
     ).cast("double") / 1000.0 - 90.0
-    return ev.filter(F.col("event_type") == etype).select(
-        "event_id", ra.alias("ra"), dec.alias("dec")
-    )
+    if etype is not None:
+        ev = ev.filter(F.col("event_type") == etype)
+    return ev.select("event_id", ra.alias("ra"), dec.alias("dec"))
 
 
 def sphere_xmatch(
@@ -191,6 +193,120 @@ _SPHERE_CAND_SQL = (
     f"FROM ({_sphere_points_sql('purchase')}) a JOIN ({_sphere_points_sql('click')}) b "
     f"ON {_SPHERE_DIST_ORACLE} <= {R_SPHERE}"
 )
+
+
+def healpix_ring_sql(ra: str, dec: str, nside: int) -> str:
+    """HEALPix ang2pix, RING scheme (Górski et al. 2005, public
+    formulas), as ONE engine-neutral SQL expression — the modern
+    equal-area successor to LSD's BHpix spatial key
+    [lsd:src/lsd/bhpix.py — UNVERIFIED]. The SAME text runs through
+    Spark's F.expr and DuckDB, so both engines execute the identical
+    IEEE sequence; trig enters only via sin(radians(dec)), where a
+    1-ulp wiggle moves a pixel only on a measure-zero ring boundary.
+
+    All intermediates are exact-integer-valued doubles (< 2^53), so
+    floor/% arithmetic is portable; (int) truncation in the canonical
+    C is floor here because every operand is non-negative in its
+    branch."""
+    z = f"sin(radians({dec}))"
+    tt = f"(({ra}) / 90.0 % 4.0)"
+    # equatorial belt |z| <= 2/3
+    jp_e = f"floor({nside} * (0.5 + {tt}) - {nside} * ({z} * 0.75))"
+    jm_e = f"floor({nside} * (0.5 + {tt}) + {nside} * ({z} * 0.75))"
+    ir_e = f"({nside} + 1 + {jp_e} - {jm_e})"
+    kshift = f"(1 - ({ir_e} % 2))"
+    ip_e = f"(floor(({jp_e} + {jm_e} - {nside} + {kshift} + 1) / 2) % {4 * nside})"
+    pix_eq = f"({2 * nside * (nside - 1)} + ({ir_e} - 1) * {4 * nside} + {ip_e})"
+    # polar caps
+    tp = f"({tt} - floor({tt}))"
+    tmp = f"({nside} * sqrt(3.0 * (1.0 - abs({z}))))"
+    ir_p = f"(floor({tp} * {tmp}) + floor((1.0 - {tp}) * {tmp}) + 1)"
+    ip_p = f"(floor({tt} * {ir_p}) % (4 * {ir_p}))"
+    pix_n = f"(2 * {ir_p} * ({ir_p} - 1) + {ip_p})"
+    pix_s = f"({12 * nside * nside} - 2 * {ir_p} * ({ir_p} + 1) + {ip_p})"
+    return (
+        f"CAST(CASE WHEN abs({z}) <= 2.0/3.0 THEN {pix_eq} "
+        f"WHEN {z} > 0 THEN {pix_n} ELSE {pix_s} END AS BIGINT)"
+    )
+
+
+N_SIDE = 16
+
+_HPX_DUCK = healpix_ring_sql("ra", "dec", N_SIDE)
+
+
+@register(
+    "fn_healpix_key",
+    oracle=(
+        f"WITH p AS ({_sphere_points_sql(None)}) "
+        f"SELECT {_HPX_DUCK} AS hpx, count(*) AS cnt "
+        "FROM p GROUP BY hpx ORDER BY hpx"
+    ),
+)
+def fn_healpix_key(spark, sf_dir):
+    """Equal-area sky pixelization + density map: every event keyed
+    to its HEALPix RING pixel (nside=16, 3072 pixels), counted per
+    pixel. This is LSD's cell-key workflow (BHpix pixel x time slice
+    -> partition) re-expressed with the modern standard pixelization
+    `[lsd:src/lsd/bhpix.py, table.py cell layout — UNVERIFIED]`.
+
+    At 100 TB the hpx key is computed at ingest (one narrow
+    projection, no shuffle) and becomes the partition/bucket column
+    that every spatial operator prunes on; the density map is one
+    map-side-combined count per pixel — the canonical first query
+    over any new catalog. Full oracle: the identical expression text
+    runs in DuckDB over the identical synthetic sky."""
+    pts = sphere_points(spark, sf_dir, None)
+    return (
+        pts.withColumn("hpx", F.expr(healpix_ring_sql("ra", "dec", N_SIDE)))
+        .groupBy("hpx")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("hpx")
+    )
+
+
+def _zone_cell_duck(radius: float) -> tuple[str, str]:
+    """DuckDB (zone, bucket) expressions mirroring sphere_xmatch's
+    data-side cell assignment, from the shared literal nb list."""
+    nb = zone_counts(radius)
+    nz = len(nb)
+    nb_lit = "[" + ", ".join(str(v) for v in nb) + "]"
+    z = f"CAST(least(floor((dec + 90.0) / {radius!r}), {nz - 1}) AS INT)"
+    b = f"CAST(floor(ra * ({nb_lit}[{z} + 1]) / 360.0) AS INT)"
+    return z, b
+
+
+@register(
+    "agg_density_sphere",
+    oracle=(
+        lambda z_b=_zone_cell_duck(R_SPHERE): (
+            f"WITH p AS ({_sphere_points_sql(None)}) "
+            f"SELECT {z_b[0]} AS z, {z_b[1]} AS b, count(*) AS cnt "
+            "FROM p GROUP BY z, b ORDER BY z, b"
+        )
+    )(),
+)
+def agg_density_sphere(spark, sf_dir):
+    """Sky density map over the SPHERICAL zone/bucket grid: counts
+    per (dec zone, cos(dec)-scaled RA bucket) cell — the same cells
+    the spherical cross-match partitions by, so this one aggregate
+    is both the catalog's coverage/depth map and the skew diagnostic
+    for the xmatch join (a hot cell here is a hot task there).
+
+    One map-side-combined count, no joins; the bucket geometry is
+    the driver-computed literal integer list shared with the DuckDB
+    oracle (no cross-engine trig in keys)."""
+    nb = zone_counts(R_SPHERE)
+    nz = len(nb)
+    nb_arr = F.array(*[F.lit(v) for v in nb])
+    pts = sphere_points(spark, sf_dir, None)
+    z = F.least(F.floor((F.col("dec") + F.lit(90.0)) / F.lit(R_SPHERE)), F.lit(nz - 1)).cast(
+        "int"
+    )
+    pts = pts.withColumn("z", z).withColumn(
+        "b", F.floor(F.col("ra") * F.element_at(nb_arr, F.col("z") + 1) / F.lit(360.0)).cast("int")
+    )
+    return pts.groupBy("z", "b").agg(F.count("*").alias("cnt")).orderBy("z", "b")
 
 
 @register(

@@ -149,3 +149,91 @@ def test_sphere_xmatch_sf01_vs_numpy(spark):
         for j in ca[d <= R_SPHERE]:
             exp.add((int(p_ids[i]), int(c_ids[int(j)])))
     assert got == exp
+
+
+# --------------------------------------------------------------------------
+# HEALPix ang2pix RING — third-opinion check: an independent numpy
+# re-implementation of the published formulas (Górski et al. 2005),
+# vectorized, compared against the SQL expression on random skies.
+
+
+def _ang2pix_ring_np(nside, ra_deg, dec_deg):
+    z = np.sin(np.radians(dec_deg))
+    za = np.abs(z)
+    tt = np.mod(ra_deg / 90.0, 4.0)
+    pix = np.empty(ra_deg.shape, dtype=np.int64)
+
+    eq = za <= 2.0 / 3.0
+    temp1 = nside * (0.5 + tt[eq])
+    temp2 = nside * (z[eq] * 0.75)
+    jp = np.floor(temp1 - temp2)
+    jm = np.floor(temp1 + temp2)
+    ir = nside + 1 + jp - jm
+    kshift = 1 - np.mod(ir, 2)
+    ip = np.mod(np.floor((jp + jm - nside + kshift + 1) / 2), 4 * nside)
+    pix[eq] = (2 * nside * (nside - 1) + (ir - 1) * 4 * nside + ip).astype(np.int64)
+
+    po = ~eq
+    tp = tt[po] - np.floor(tt[po])
+    tmp = nside * np.sqrt(3.0 * (1.0 - za[po]))
+    ir_p = np.floor(tp * tmp) + np.floor((1.0 - tp) * tmp) + 1
+    ip_p = np.mod(np.floor(tt[po] * ir_p), 4 * ir_p)
+    north = 2 * ir_p * (ir_p - 1) + ip_p
+    south = 12 * nside * nside - 2 * ir_p * (ir_p + 1) + ip_p
+    pix[po] = np.where(z[po] > 0, north, south).astype(np.int64)
+    return pix
+
+
+def test_healpix_sql_matches_numpy_reference(spark):
+    from lsd_spark.plans.sphere import N_SIDE, healpix_ring_sql
+
+    rng = np.random.default_rng(42)
+    n = 4000
+    ra = rng.uniform(0, 360, n)
+    # uniform ON the sphere (uniform in z), including near-pole caps
+    dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    rows = [(int(i), float(ra[i]), float(dec[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "event_id bigint, ra double, dec double")
+    import pyspark.sql.functions as F
+
+    got = (
+        df.withColumn("hpx", F.expr(healpix_ring_sql("ra", "dec", N_SIDE)))
+        .orderBy("event_id")
+        .select("hpx")
+        .toPandas()["hpx"]
+        .to_numpy()
+    )
+    want = _ang2pix_ring_np(N_SIDE, ra, dec)
+    assert (got == want).all()
+
+
+def test_healpix_range_poles_and_equal_area(spark):
+    from lsd_spark.plans.sphere import N_SIDE, healpix_ring_sql
+    import pyspark.sql.functions as F
+
+    npix = 12 * N_SIDE * N_SIDE
+    # poles land in the first/last polar ring of 4 pixels
+    rows = [(1, 10.0, 90.0), (2, 250.0, -90.0), (3, 0.0, 0.0)]
+    df = spark.createDataFrame(rows, "event_id bigint, ra double, dec double")
+    got = {
+        r.event_id: r.hpx
+        for r in df.withColumn(
+            "hpx", F.expr(healpix_ring_sql("ra", "dec", N_SIDE))
+        ).collect()
+    }
+    assert 0 <= got[1] < 4
+    assert npix - 4 <= got[2] < npix
+    assert 0 <= got[3] < npix
+
+    # equal-area: uniform-on-sphere points spread ~uniformly over pixels
+    rng = np.random.default_rng(7)
+    n = 60_000
+    ra = rng.uniform(0, 360, n)
+    dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    pix = _ang2pix_ring_np(N_SIDE, ra, dec)
+    assert pix.min() >= 0 and pix.max() < npix
+    counts = np.bincount(pix, minlength=npix)
+    mean = n / npix  # ~19.5 per pixel
+    # loose Poisson bound: no pixel wildly over/under-populated
+    assert counts.max() < mean * 3.5
+    assert (counts == 0).sum() < npix * 0.02
