@@ -380,6 +380,44 @@ def profile_table(spark, sf_dir):
 
 
 @register(
+    "agg_phase_fold",
+    oracle=(
+        "SELECT user_id, "
+        "CAST(FLOOR((epoch_us(ts) % 604800000000) * 8.0 / 604800000000) AS BIGINT) "
+        "AS phase_bin, count(*) AS n_obs, "
+        "CAST(FLOOR(AVG(COALESCE(value, 0)) * 100 + 0.5) AS BIGINT) AS mean_v2 "
+        "FROM events GROUP BY user_id, phase_bin ORDER BY user_id, phase_bin"
+    ),
+)
+def agg_phase_fold(spark, sf_dir):
+    """Phase-folded lightcurves: every observation mapped to its
+    phase bin under a fixed 7-day period (phase = t mod P, 8 bins),
+    then per-(object, bin) count and quantized mean brightness — the
+    variable-star / periodic-signal workflow over LSD detection
+    tables `[lsd:lightcurve map-reduce examples — UNVERIFIED]`.
+
+    Pure integer epoch arithmetic (unix_micros == DuckDB epoch_us,
+    the agg_lightcurve_stats pairing) so the fold is cross-engine
+    exact; one hash aggregate, one shuffle of 8 rows per object at
+    any scale. A period-search (Lomb-Scargle grid) would map this
+    same plan over candidate periods."""
+    ev = load(spark, sf_dir, "events")
+    P = 7 * 86400 * 1_000_000  # 7-day period in microseconds
+    us = F.unix_micros("ts")
+    pbin = F.floor((us % F.lit(P)) * 8 / F.lit(P)).cast("long")
+    return (
+        ev.groupBy("user_id", pbin.alias("phase_bin"))
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.floor(F.avg(F.coalesce(F.col("value"), F.lit(0.0))) * 100 + 0.5)
+            .cast("long")
+            .alias("mean_v2"),
+        )
+        .orderBy("user_id", "phase_bin")
+    )
+
+
+@register(
     "agg_lightcurve_stats",
     oracle=(
         "SELECT user_id, count(*) AS n_epochs, "

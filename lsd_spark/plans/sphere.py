@@ -333,6 +333,204 @@ def join_xmatch_sphere(spark, sf_dir):
 
 
 @register(
+    "xmatch_sphere_count",
+    oracle=(
+        f"WITH cand AS ({_SPHERE_CAND_SQL}) "
+        "SELECT l_id, count(*) AS n_matches FROM cand "
+        "GROUP BY l_id ORDER BY l_id"
+    ),
+)
+def xmatch_sphere_count(spark, sf_dir):
+    """Per-object companion counts within R_SPHERE degrees — the
+    crowding / blend-diagnostic product of a spherical cross-match
+    (lsd-xmatch's n-of-matches output), sharing the zone candidate
+    generation with join_xmatch_sphere."""
+    cand = sphere_xmatch(
+        sphere_points(spark, sf_dir, "purchase"),
+        sphere_points(spark, sf_dir, "click"),
+        R_SPHERE,
+    )
+    return (
+        cand.groupBy("l_id").agg(F.count("*").alias("n_matches")).orderBy("l_id")
+    )
+
+
+# --- spherical margin (neighbor-cache) layout ---------------------------
+
+W_MARGIN = 4.0  # margin grid zone height in degrees (coarser than the
+#   match radius so the duplicated boundary strip stays thin)
+
+_MARGIN_SPHERE_CACHE: dict = {}
+
+
+def _margin_geometry(radius: float = R_SPHERE, cell: float = W_MARGIN):
+    """(nb, dra) literal lists for the margin grid: RA bucket counts
+    per cell-height zone, and the per-zone max RA delta a pair within
+    `radius` can span (2R / cos(dec_edge + R), the sphere_xmatch
+    bound) — both computed driver-side so Spark and any mirror share
+    exact literals."""
+    nb = zone_counts(cell)
+    nz = len(nb)
+    dra = []
+    for z in range(nz):
+        lo, hi = -90.0 + z * cell, -90.0 + (z + 1) * cell
+        edge = min(89.0, max(abs(lo), abs(hi)) + radius)
+        dra.append(2.0 * radius / math.cos(math.radians(edge)))
+    return nb, dra
+
+
+def build_margin_sphere(spark, sf_dir: str) -> str:
+    """Write the click catalog in LSD's neighbor-cache layout on the
+    SPHERE [lsd:src/lsd/table.py margin cache — UNVERIFIED]: every
+    point keyed by its (4-degree zone, cos(dec)-scaled RA bucket)
+    cell, ALSO copied into each adjacent cell whose boundary it sits
+    within reach of (dec within R of the zone edge; RA within the
+    per-zone arcsin bound dra(z') of the bucket edge, wraparound mod
+    nb(z'); pole caps collapse RA). Copies carry _cached=true.
+
+    Write amplification is only the boundary strips (~R/W per dec
+    side, ~dra/width per RA side, ~25% each here), not 9x — and the
+    probe side then reads exactly ONE cell with zero explode. At
+    100 TB this layout is partitionBy(mz) + bucketBy(mb): the
+    cross-match becomes a partition-local join with no shuffle of
+    the catalog — the margin trades bounded write amplification at
+    ingest for shuffle-free reads forever, exactly LSD's deal."""
+    from lsd_spark.catalog import session_key
+    import tempfile
+
+    key = (session_key(spark), sf_dir)
+    path = _MARGIN_SPHERE_CACHE.get(key)
+    if path is not None:
+        return path
+    nb, dra = _margin_geometry()
+    nz = len(nb)
+    nb_arr = F.array(*[F.lit(v) for v in nb])
+    dra_arr = F.array(*[F.lit(v) for v in dra])
+    cell = W_MARGIN
+    r = sphere_points(spark, sf_dir, "click").select(
+        F.col("event_id").alias("r_id"),
+        F.col("ra").alias("rra"),
+        F.col("dec").alias("rdec"),
+    )
+    z = F.least(F.floor((F.col("rdec") + F.lit(90.0)) / F.lit(cell)), F.lit(nz - 1)).cast(
+        "int"
+    )
+    r = r.withColumn("hz", z)
+    emits = []
+    for dz in (-1, 0, 1):
+        zt = F.col("hz") + dz
+        valid = (zt >= 0) & (zt < nz)
+        if dz == 1:  # copy up iff within R of the upper zone edge
+            cond_z = F.col("rdec") >= (zt * cell - F.lit(90.0 + R_SPHERE))
+        elif dz == -1:  # copy down iff within R of the lower zone edge
+            cond_z = F.col("rdec") < ((F.col("hz") * cell) - F.lit(90.0 - R_SPHERE))
+        else:
+            cond_z = F.lit(True)
+        zt_c = F.greatest(F.least(zt, F.lit(nz - 1)), F.lit(0))
+        nbz = F.element_at(nb_arr, zt_c + 1)
+        drz = F.element_at(dra_arr, zt_c + 1)
+        wz = F.lit(360.0) / nbz
+        # SAME expression as every other bucket computation in this
+        # module (floor(ra*nb/360)) so a 1-ulp rounding difference
+        # can't put the home cell and a margin copy in different
+        # buckets; wz appears only in the strip-edge conditions,
+        # where dra's 4/pi slack absorbs ulp noise.
+        b0 = F.floor(F.col("rra") * nbz / F.lit(360.0)).cast("int")
+        for db in (-1, 0, 1):
+            if db == 1:
+                cond_b = F.col("rra") >= ((b0 + 1).cast("double") * wz - drz)
+            elif db == -1:
+                cond_b = F.col("rra") < (b0.cast("double") * wz + drz)
+            else:
+                cond_b = F.lit(True)
+            bk = ((b0 + db) % nbz + nbz) % nbz
+            emits.append(
+                F.when(
+                    valid & cond_z & cond_b,
+                    F.struct(zt.cast("int").alias("mz"), bk.cast("int").alias("mb")),
+                )
+            )
+    cells = F.array_distinct(F.filter(F.array(*emits), lambda x: x.isNotNull()))
+    home_nb = F.element_at(nb_arr, F.col("hz") + 1)
+    home_b = F.floor(F.col("rra") * home_nb / F.lit(360.0)).cast("int")
+    out = (
+        r.withColumn("hb", home_b)
+        .select("r_id", "rra", "rdec", "hz", "hb", F.explode(cells).alias("cell"))
+        .select(
+            "r_id",
+            "rra",
+            "rdec",
+            F.col("cell.mz").alias("mz"),
+            F.col("cell.mb").alias("mb"),
+            ((F.col("cell.mz") != F.col("hz")) | (F.col("cell.mb") != F.col("hb"))).alias(
+                "_cached"
+            ),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="lsd_margin_sphere_") + "/clicks"
+    out.write.mode("overwrite").parquet(path)
+    _MARGIN_SPHERE_CACHE[key] = path
+    return path
+
+
+@register(
+    "join_xmatch_sphere_margin",
+    oracle=(
+        f"WITH cand AS ({_SPHERE_CAND_SQL}) "
+        "SELECT l_id, r_id, ROUND(dist, 9) AS dist_deg FROM ("
+        "SELECT l_id, r_id, dist, ROW_NUMBER() OVER ("
+        "PARTITION BY l_id ORDER BY dist ASC, r_id ASC) AS rn FROM cand) "
+        "WHERE rn = 1 ORDER BY l_id"
+    ),
+    cacheable=False,
+)
+def join_xmatch_sphere_margin(spark, sf_dir):
+    """Nearest-neighbor spherical cross-match against the margin
+    (neighbor-cache) layout: the probe computes its OWN (zone,
+    bucket) cell in the coarse margin grid and joins exactly that
+    cell — margin copies stand in for all neighbors, so there is no
+    probe-side explode at query time. Third physically-distinct plan
+    for the spherical nearest-match semantics (zone 3x3 probe /
+    brute-force oracle / margin layout), one oracle."""
+    path = build_margin_sphere(spark, sf_dir)
+    margin = spark.read.parquet(path)
+    nb, _ = _margin_geometry()
+    nz = len(nb)
+    nb_arr = F.array(*[F.lit(v) for v in nb])
+    l = sphere_points(spark, sf_dir, "purchase").select(
+        F.col("event_id").alias("l_id"),
+        F.col("ra").alias("lra"),
+        F.col("dec").alias("ldec"),
+    )
+    z = F.least(
+        F.floor((F.col("ldec") + F.lit(90.0)) / F.lit(W_MARGIN)), F.lit(nz - 1)
+    ).cast("int")
+    l = l.withColumn("mz", z).withColumn(
+        "mb",
+        F.floor(F.col("lra") * F.element_at(nb_arr, F.col("mz") + 1) / F.lit(360.0)).cast(
+            "int"
+        ),
+    )
+    dist = F.expr(DIST_SPHERE.format(ldec="ldec", rdec="rdec", lra="lra", rra="rra"))
+    cand = (
+        l.join(margin, ["mz", "mb"])
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= R_SPHERE)
+    )
+    from lsd_spark.plans.zones import rank_nearest
+
+    best = rank_nearest(
+        cand,
+        partition_cols=["l_id"],
+        order_cols=[F.col("dist").asc(), F.col("r_id").asc()],
+        nmax=1,
+    )
+    return best.select(
+        "l_id", "r_id", F.round("dist", 9).alias("dist_deg")
+    ).orderBy("l_id")
+
+
+@register(
     "join_xmatch_sphere_knn",
     oracle=(
         f"WITH cand AS ({_SPHERE_CAND_SQL}) "

@@ -117,10 +117,15 @@ def test_knn_brute_broadcasts_query_side(spark):
     exchange). llm_dedup_embcos_exact keeps the broadcast-NLJ shape
     (its query side is the corpus itself, so literals can't apply)."""
     p = qplan("llm_simsearch_knn", spark, mode="simple")
+    # once the shared-session DataFrame has been executed by an
+    # earlier test, AQE's toString appends an "== Initial Plan =="
+    # section that would double-count nodes — pin the final plan only
+    p = p.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in p, p
     assert "Join" not in p, f"knn literal-inline regressed to a join:\n{p}"
     assert "Generate explode" in p, p
-    assert p.count("FileScan") == 1, f"knn must scan the corpus exactly once:\n{p}"
+    nscans = p.count("FileScan") + p.count("InMemoryTableScan")
+    assert nscans == 1, f"knn must scan the corpus exactly once:\n{p}"
 
     p = qplan("llm_dedup_embcos_exact", spark, mode="simple")
     assert "BroadcastNestedLoopJoin" in p, p

@@ -237,3 +237,38 @@ def test_healpix_range_poles_and_equal_area(spark):
     # loose Poisson bound: no pixel wildly over/under-populated
     assert counts.max() < mean * 3.5
     assert (counts == 0).sum() < npix * 0.02
+
+
+def test_margin_layout_amplification_and_equivalence(spark):
+    """The spherical neighbor-cache layout must (a) stay near 1x
+    write amplification (copies only from boundary strips), and (b)
+    give the margin-plan xmatch the same result as the 3x3-probe
+    plan at 10x driver scale."""
+    from lsd_spark.plans.sphere import (
+        R_SPHERE,
+        build_margin_sphere,
+        join_xmatch_sphere_knn,
+        join_xmatch_sphere_margin,
+        sphere_points,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    margin = spark.read.parquet(build_margin_sphere(spark, sf))
+    n_src = sphere_points(spark, sf, "click").count()
+    n_margin = margin.count()
+    amp = n_margin / n_src
+    # 4-degree cells, 1-degree radius: dec strip 2R/W = 50% total,
+    # RA strip ~2*dra/width <= 50%; worst-case (1.5)^2 = 2.25x
+    assert 1.0 < amp < 2.25, amp
+    # every point appears exactly once un-cached (its home cell)
+    assert margin.filter("NOT _cached").count() == n_src
+
+    probe = {
+        (r.l_id, r.r_id, r.dist_deg)
+        for r in join_xmatch_sphere_knn(spark, sf).collect()
+    }
+    viamargin = {
+        (r.l_id, r.r_id, r.dist_deg)
+        for r in join_xmatch_sphere_margin(spark, sf).collect()
+    }
+    assert probe == viamargin and len(probe) > 0
