@@ -74,7 +74,7 @@ class Query:
         """The DataFrame plan (LSD had no such escape hatch; Spark's
         whole point is that the plan is first-class)."""
         self._db._ensure_views()
-        return self._db.spark.sql(self._sql)
+        return self._db.spark.sql(self._db._rewrite_implicit_joins(self._sql))
 
     def fetch(self):
         """Materialize to a pandas DataFrame (Arrow path) — LSD's
@@ -148,6 +148,7 @@ class DB:
         self.path = path
         self.warehouse = warehouse or tempfile.mkdtemp(prefix="lsd_db_")
         self._extra: dict[str, str] = {}
+        self._joins: dict[tuple[str, str], tuple[str, str, str, str]] = {}
         self._views_done = False
 
     def tables(self) -> list[str]:
@@ -157,7 +158,11 @@ class DB:
     def table(self, name: str) -> DataFrame:
         if name in self._extra:
             return self.spark.read.parquet(self._extra[name])
-        return load(self.spark, self.path, name)
+        if name in TABLES and os.path.exists(os.path.join(self.path, f"{name}.parquet")):
+            return load(self.spark, self.path, name)
+        # session temp views (e.g. tables registered by the user or a
+        # Query.into of a previous DB instance) resolve last
+        return self.spark.table(name)
 
     def _ensure_views(self) -> None:
         if self._views_done:
@@ -165,6 +170,76 @@ class DB:
         for t in self.tables():
             self.table(t).createOrReplaceTempView(t)
         self._views_done = True
+
+    def declare_join(
+        self,
+        left: str,
+        right: str,
+        mapping: DataFrame,
+        left_key: str = "l_id",
+        right_key: str = "r_id",
+        left_id: str | None = None,
+        right_id: str | None = None,
+    ) -> None:
+        """LSD join-definition analog [lsd:src/lsd/join_ops.py,
+        .join files — UNVERIFIED]: register a pre-computed cross-match
+        mapping (pairs of row ids, typically with a dist column) so
+        that `FROM left, right` in this DB's queries resolves THROUGH
+        the mapping — LSD's signature implicit-xmatch-join syntax.
+
+        `mapping` rows are (left_key, right_key[, extras...]);
+        `left_id`/`right_id` name the id columns in the base tables
+        (default: same names as the mapping keys). The mapping is
+        also exposed as the view `_join_<left>_<right>` for explicit
+        SQL. At 100 TB the mapping is itself a Parquet table bucketed
+        by its keys (the xmatch_consume layout), so the implicit join
+        is two co-located equi-joins."""
+        view = f"_join_{left}_{right}"
+        mapping.createOrReplaceTempView(view)
+        self._joins[(left, right)] = (
+            left_key,
+            right_key,
+            left_id or left_key,
+            right_id or right_key,
+        )
+
+    def _rewrite_implicit_joins(self, sql: str) -> str:
+        """Rewrite `FROM l, r` into joins through the declared
+        mapping. Only DECLARED pairs are rewritten — undeclared
+        comma-joins keep plain Spark SQL cross-join semantics, and
+        explicit JOIN syntax is never touched (same resolution rule
+        as LSD's parser: a comma between two joined tables means
+        'through the join definition')."""
+        import re
+
+        for (l, r), (lk, rk, lid, rid) in self._joins.items():
+            view = f"_join_{l}_{r}"
+            pat = re.compile(rf"\bFROM\s+{l}\s*,\s*{r}\b", re.IGNORECASE)
+            sql = pat.sub(
+                f"FROM {l} JOIN {view} ON {l}.{lid} = {view}.{lk} "
+                f"JOIN {r} ON {view}.{rk} = {r}.{rid}",
+                sql,
+            )
+        return sql
+
+    def xjoin(self, left: str, right: str) -> DataFrame:
+        """DataFrame face of the declared join: left table joined to
+        right through the mapping, mapping extras (dist, ...)
+        included."""
+        if (left, right) not in self._joins:
+            raise KeyError(f"no declared join for ({left}, {right})")
+        from pyspark.sql import functions as F
+
+        lk, rk, lid, rid = self._joins[(left, right)]
+        # alias all three sides: left/right often share lineage (two
+        # filters of one table), which trips the ambiguous-self-join
+        # analyzer without qualification
+        m = self.spark.table(f"_join_{left}_{right}").alias("_m")
+        l_df = self.table(left).alias("_l")
+        r_df = self.table(right).alias("_r")
+        return l_df.join(m, F.col(f"_l.{lid}") == F.col(f"_m.{lk}")).join(
+            r_df, F.col(f"_m.{rk}") == F.col(f"_r.{rid}")
+        )
 
     def query(self, sql: str) -> Query:
         return Query(self, sql)

@@ -130,3 +130,44 @@ def test_db_op_accessor(spark):
         raise AssertionError("expected KeyError")
     except KeyError:
         pass
+
+
+def test_declared_join_implicit_from_syntax(spark):
+    """LSD's signature implicit-xmatch-join: after declare_join, a
+    comma between the two tables in FROM resolves THROUGH the
+    mapping; the result must equal the explicit 3-way join, and an
+    UNDECLARED comma-join must keep cross-join semantics."""
+    from lsd_spark.api import DB
+    from lsd_spark.plans.sphere import R_SPHERE, sphere_points, sphere_xmatch
+
+    sf = "/root/testdata/sf0.001"
+    db = DB(spark, sf)
+    p = sphere_points(spark, sf, "purchase")
+    c = sphere_points(spark, sf, "click")
+    db.query("SELECT 1").df()  # force base views
+    p.createOrReplaceTempView("p_pts")
+    c.createOrReplaceTempView("c_pts")
+
+    mapping = sphere_xmatch(p, c, R_SPHERE).select("l_id", "r_id", "dist")
+    db.declare_join(
+        "p_pts", "c_pts", mapping, left_id="event_id", right_id="event_id"
+    )
+
+    implicit = db.query(
+        "SELECT count(*) AS n FROM p_pts, c_pts"
+    ).fetch()["n"][0]
+    explicit = db.query(
+        "SELECT count(*) AS n FROM p_pts "
+        "JOIN _join_p_pts_c_pts j ON p_pts.event_id = j.l_id "
+        "JOIN c_pts ON j.r_id = c_pts.event_id"
+    ).fetch()["n"][0]
+    assert implicit == explicit == mapping.count() > 0
+
+    # undeclared pair: plain cross join is preserved
+    cross = db.query("SELECT count(*) AS n FROM c_pts, p_pts").fetch()["n"][0]
+    assert cross == p.count() * c.count()
+
+    # DataFrame face carries the mapping extras (dist)
+    xj = db.xjoin("p_pts", "c_pts")
+    assert "dist" in xj.columns
+    assert xj.count() == implicit
