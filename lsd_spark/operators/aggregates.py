@@ -417,6 +417,86 @@ def agg_phase_fold(spark, sf_dir):
     )
 
 
+_PERIOD_DAYS = [3, 5, 7, 11, 13]
+_PERIOD_NB = 8
+
+
+def _period_search_oracle() -> str:
+    per_us = ", ".join(f"({d} * 86400000000)" for d in _PERIOD_DAYS)
+    return (
+        f"WITH obs AS (SELECT user_id, epoch_us(ts) AS us, "
+        "COALESCE(value, 0) AS v FROM events), "
+        f"folded AS (SELECT user_id, p_us, us, v, "
+        f"CAST(FLOOR((us % p_us) * {_PERIOD_NB}.0 / p_us) AS BIGINT) AS pb "
+        f"FROM obs, unnest([{per_us}]) AS t(p_us)), "
+        "bins AS (SELECT user_id, p_us, pb, count(*) AS n_b, SUM(v) AS sv "
+        "FROM folded GROUP BY user_id, p_us, pb), "
+        "scored AS (SELECT user_id, p_us, "
+        "SUM(sv * sv / n_b) - SUM(sv) * SUM(sv) / SUM(n_b) AS bss "
+        "FROM bins GROUP BY user_id, p_us) "
+        "SELECT user_id, best_period_days, score_q FROM ("
+        "SELECT user_id, CAST(p_us / 86400000000 AS INT) AS best_period_days, "
+        "CAST(FLOOR(bss + 0.5) AS BIGINT) AS score_q, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY "
+        "CAST(FLOOR(bss + 0.5) AS BIGINT) DESC, p_us ASC) AS rn FROM scored) "
+        "WHERE rn = 1 ORDER BY user_id"
+    )
+
+
+@register("agg_period_search", oracle=_period_search_oracle())
+def agg_period_search(spark, sf_dir):
+    """Period search over phase-folded lightcurves (PDM/periodogram
+    lite): each object's observations are folded at every candidate
+    period in a fixed grid, each fold is scored by its between-bin
+    sum of squares (SUM(sv^2/n) - S^2/N == SUM n_b*(mean_b - mean)^2
+    — large when the folded signal is coherent), and the best-scoring
+    period wins (quantized score, period tiebreak). The
+    variable-star period-finding workflow over LSD detection tables
+    `[lsd:lightcurve map-reduce examples — UNVERIFIED]`.
+
+    Scale shape: the explode is x|grid| (bounded, 5 here), then two
+    map-side-combined hash aggregates and an 8-rows-per-(object,
+    period) shuffle — a real Lomb-Scargle would swap the scoring
+    expression, not the plan. Integer epoch/bin arithmetic keeps the
+    fold cross-engine exact; only the score is floating, and it is
+    FLOOR-quantized before the argmax so both engines pick the same
+    period."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    obs = ev.select(
+        "user_id",
+        us.alias("us"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("v"),
+        F.explode(
+            F.array(*[F.lit(d * 86400 * 1_000_000) for d in _PERIOD_DAYS])
+        ).alias("p_us"),
+    )
+    pb = F.floor((F.col("us") % F.col("p_us")) * _PERIOD_NB / F.col("p_us"))
+    bins = obs.groupBy("user_id", "p_us", pb.alias("pb")).agg(
+        F.count("*").alias("n_b"), F.sum("v").alias("sv")
+    )
+    scored = bins.groupBy("user_id", "p_us").agg(
+        (
+            F.sum(F.col("sv") * F.col("sv") / F.col("n_b"))
+            - F.sum("sv") * F.sum("sv") / F.sum("n_b")
+        ).alias("bss")
+    )
+    score_q = F.floor(F.col("bss") + 0.5).cast("long")
+    w = Window.partitionBy("user_id").orderBy(
+        score_q.desc(), F.col("p_us").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            (F.col("p_us") / F.lit(86_400_000_000)).cast("int").alias("best_period_days"),
+            score_q.alias("score_q"),
+        )
+        .orderBy("user_id")
+    )
+
+
 @register(
     "agg_lightcurve_stats",
     oracle=(
