@@ -317,6 +317,98 @@ def graph_degree_hist(spark, sf_dir):
     )
 
 
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB mirror of graph_pagerank: the same bucketed edge set,
+    symmetrized, with the fixed `_PR_ITERS` power iterations unrolled
+    as CTE chains (the knn_ivf_kmeans convention for iterative
+    algorithms) and the final score FLOOR-quantized before compare."""
+    ctes = [
+        "pairs AS (" + _BUCKETED_PAIRS_SQL + ")",
+        "sym AS (SELECT u AS src, v AS dst FROM pairs "
+        "UNION ALL SELECT v, u FROM pairs)",
+        "deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM deg)",
+        "pr0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nn) AS pr FROM deg)",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"c{i} AS (SELECT s.dst AS node, SUM(p.pr / p.deg) AS c "
+            f"FROM sym s JOIN pr{i - 1} p ON s.src = p.node GROUP BY s.dst)"
+        )
+        ctes.append(
+            f"pr{i} AS (SELECT d.node, d.deg, "
+            f"{1.0 - _PR_DAMP} / (SELECT n FROM nn) + {_PR_DAMP} * COALESCE(c.c, 0) AS pr "
+            f"FROM deg d LEFT JOIN c{i} c USING (node))"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT node, CAST(FLOOR(pr * 1000000000 + 0.5) AS BIGINT) AS pr_q "
+        f"FROM pr{_PR_ITERS} ORDER BY node"
+    )
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark, sf_dir):
+    """PageRank (3 fixed power iterations, damping 0.85) over the
+    near-duplicate graph — ranks the HUB documents of boilerplate /
+    template families, the natural next diagnostic after
+    graph_degree_hist on the same bucketed edge set (a high-PR doc is
+    the canonical representative its cluster should keep).
+
+    Plan shape: symmetrized edges shuffled ONCE by src into the
+    contribution aggregate per iteration (map-side combined), each
+    iteration one equi-join of the O(nodes) rank table against the
+    stationary edge list — the standard Pregel-free DataFrame
+    PageRank; at 100 TB the edge list is bucketed by src so the
+    per-iteration join is co-located, and iterations would checkpoint
+    every ~5 rounds like min_label_fixpoint does. No driver-side
+    iteration state beyond the bounded node count; the fixed
+    iteration count and FLOOR-quantized output make the whole
+    trajectory differential-testable (the knn_ivf_kmeans pattern)."""
+    pairs = (
+        embcos_candidate_pairs(spark, sf_dir)
+        .filter(F.col("sim") >= EMBCOS_T)
+        .select(F.col("vec_a").alias("u"), F.col("vec_b").alias("v"))
+    )
+    sym = pairs.selectExpr("u AS src", "v AS dst").unionAll(
+        pairs.selectExpr("v AS src", "u AS dst")
+    )
+    # materialize the edge list once: the iteration otherwise re-runs
+    # candidate generation (IVF bucketing + refine) in every join —
+    # the same edges-are-an-artifact decision min_label_fixpoint makes
+    sym = sym.localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    n_nodes = deg.count()  # bounded: nodes of the dup graph, driver-side once
+    pr = deg.withColumn("pr", F.lit(1.0 / n_nodes))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            sym.join(pr, sym.src == pr.node)
+            .select(F.col("dst"), (F.col("pr") / F.col("deg")).alias("w"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("w").alias("c"))
+        )
+        pr = (
+            deg.join(contrib, "node", "left")
+            .withColumn(
+                "pr",
+                F.lit((1.0 - _PR_DAMP) / n_nodes)
+                + F.lit(_PR_DAMP) * F.coalesce(F.col("c"), F.lit(0.0)),
+            )
+            .select("node", "deg", "pr")
+        )
+    return (
+        pr.select(
+            "node",
+            F.floor(F.col("pr") * 1_000_000_000 + F.lit(0.5)).cast("long").alias("pr_q"),
+        )
+        .orderBy("node")
+    )
+
+
 _QSCORE_SQL = (
     "CAST(FLOOR((LEAST(n_chars / 400.0, 1.0) * 0.5 + "
     "LEAST(len(string_split(text, ' ')) / 80.0, 1.0) * 0.5) * 10000 + 0.5) / 10000 "
