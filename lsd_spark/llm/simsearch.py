@@ -292,31 +292,28 @@ def kmeans_centroids(spark, emb, k: int = N_CENTROIDS, iters: int = 3):
     return cent
 
 
-def _kmeans_knn_oracle(iters: int = 3) -> str:
-    """DuckDB mirror of kmeans_centroids + ivf_search: the same
-    `iters` fixed Lloyd rounds (rounded-cosine assignment with
-    centroid_id tiebreak -> per-position mean rounded to 6 decimals)
-    unrolled as CTE chains, then the same probe/refine/top-k as
-    knn_ivf's oracle. Works because the Spark side has NO RNG and
-    rounds every cross-engine-sensitive float before it can steer
-    control flow."""
+def _kmeans_assign_cte(cent: str, out: str, nearest: int, where: str = "") -> str:
+    cos = "ROUND(" + COS_DUCK.format(a="v.embedding", b="c.c_emb") + ", 6)"
+    return (
+        f"{out} AS (SELECT vec_id, embedding, centroid_id FROM ("
+        "SELECT v.vec_id, v.embedding, c.centroid_id, "
+        f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {cos} DESC, "
+        f"c.centroid_id ASC) AS crn FROM embeddings v CROSS JOIN {cent} c"
+        f"{where}) WHERE crn <= {nearest})"
+    )
 
-    def assign(cent: str, out: str, nearest: int, where: str = "") -> str:
-        cos = "ROUND(" + COS_DUCK.format(a="v.embedding", b="c.c_emb") + ", 6)"
-        return (
-            f"{out} AS (SELECT vec_id, embedding, centroid_id FROM ("
-            "SELECT v.vec_id, v.embedding, c.centroid_id, "
-            f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {cos} DESC, "
-            f"c.centroid_id ASC) AS crn FROM embeddings v CROSS JOIN {cent} c"
-            f"{where}) WHERE crn <= {nearest})"
-        )
 
+def _kmeans_cte_chain(iters: int) -> tuple[list[str], str]:
+    """Shared DuckDB mirror of kmeans_centroids: the fixed Lloyd
+    rounds (rounded-cosine assignment with centroid_id tiebreak ->
+    per-position mean rounded to 6 decimals) unrolled as CTE chains.
+    Returns (ctes, name-of-final-centroid-CTE)."""
     ctes = [
         f"cent0 AS (SELECT vec_id AS centroid_id, embedding AS c_emb "
         f"FROM embeddings WHERE vec_id < {N_CENTROIDS})"
     ]
     for i in range(1, iters + 1):
-        ctes.append(assign(f"cent{i - 1}", f"a{i}", 1))
+        ctes.append(_kmeans_assign_cte(f"cent{i - 1}", f"a{i}", 1))
         ctes.append(
             f"pos{i} AS (SELECT centroid_id, "
             "unnest(generate_series(1, len(embedding))) AS pos, "
@@ -330,7 +327,17 @@ def _kmeans_knn_oracle(iters: int = 3) -> str:
             f"cent{i} AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb "
             f"FROM avg{i} GROUP BY centroid_id)"
         )
-    ctes.append(assign(f"cent{iters}", "assigned", 1))
+    return ctes, f"cent{iters}"
+
+
+def _kmeans_knn_oracle(iters: int = 3) -> str:
+    """DuckDB mirror of kmeans_centroids + ivf_search: the shared
+    Lloyd CTE chain, then the same probe/refine/top-k as knn_ivf's
+    oracle. Works because the Spark side has NO RNG and rounds every
+    cross-engine-sensitive float before it can steer control flow."""
+    assign = _kmeans_assign_cte
+    ctes, final_cent = _kmeans_cte_chain(iters)
+    ctes.append(assign(final_cent, "assigned", 1))
     ctes.append(assign(f"cent{iters}", "queries_a", N_PROBE, " WHERE v.vec_id < 5"))
     refine = "ROUND(" + COS_DUCK.format(a="q.embedding", b="b.embedding") + ", 6)"
     ctes.append(
@@ -361,6 +368,49 @@ def knn_ivf_kmeans(spark, sf_dir):
     index build is differential-tested, not just the final ranking."""
     emb = load(spark, sf_dir, "embeddings")
     return ivf_search(emb, kmeans_centroids(spark, emb))
+
+
+def _cluster_assign_oracle(iters: int = 3) -> str:
+    ctes, final_cent = _kmeans_cte_chain(iters)
+    ctes.append(_kmeans_assign_cte(final_cent, "assigned", 1))
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT a.centroid_id AS cluster_id, count(*) AS n_docs, "
+        "CAST(FLOOR(AVG(d.n_chars) * 100 + 0.5) AS BIGINT) AS avg_chars_q, "
+        "MIN(d.doc_id) AS rep_doc "
+        "FROM assigned a JOIN documents d ON d.doc_id = a.vec_id "
+        "GROUP BY cluster_id ORDER BY cluster_id"
+    )
+
+
+@register("llm_cluster_assign", oracle=_cluster_assign_oracle())
+def llm_cluster_assign(spark, sf_dir):
+    """Semantic clustering product: every document assigned to its
+    Lloyd-refined embedding centroid (the kmeans_centroids training
+    knn_ivf_kmeans probes), with per-cluster corpus stats — size,
+    quantized mean length, and the lowest-id representative. This is
+    the topic-bucketing / data-mixture view of the corpus a curation
+    pipeline reports on (and the cluster sizes ARE the sampling
+    weights llm_mix_sources would consume).
+
+    Plan: the bounded k-row centroid table broadcasts, assignment is
+    one linear corpus pass, then one equi-join to documents on the
+    shared id and a map-side-combined aggregate — no all-pairs
+    anything. Full oracle via the shared Lloyd CTE chain."""
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    cent = kmeans_centroids(spark, emb)
+    assigned = _nearest_centroids(emb, cent, 1).select("vec_id", "centroid_id")
+    return (
+        docs.join(assigned, docs.doc_id == assigned.vec_id)
+        .groupBy(F.col("centroid_id").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.floor(F.avg("n_chars") * 100 + F.lit(0.5)).cast("long").alias("avg_chars_q"),
+            F.min("doc_id").alias("rep_doc"),
+        )
+        .orderBy("cluster_id")
+    )
 
 
 N_PLANES = 8
