@@ -462,17 +462,29 @@ def agg_period_search(spark, sf_dir):
     FLOOR-quantized before the argmax so both engines pick the same
     period."""
     ev = load(spark, sf_dir, "events")
-    us = F.unix_micros("ts")
     obs = ev.select(
         "user_id",
-        us.alias("us"),
+        F.unix_micros("ts").alias("us"),
         F.coalesce(F.col("value"), F.lit(0.0)).alias("v"),
+    )
+    return period_search_plan(obs)
+
+
+def period_search_plan(obs, period_days=None, n_bins: int = _PERIOD_NB):
+    """The period-search plan over any (user_id, us, v) observations
+    DataFrame — exposed so tests can plant a synthetic periodic
+    signal and assert the search recovers its true period."""
+    period_days = period_days or _PERIOD_DAYS
+    folded = obs.select(
+        "user_id",
+        "us",
+        "v",
         F.explode(
-            F.array(*[F.lit(d * 86400 * 1_000_000) for d in _PERIOD_DAYS])
+            F.array(*[F.lit(d * 86400 * 1_000_000) for d in period_days])
         ).alias("p_us"),
     )
-    pb = F.floor((F.col("us") % F.col("p_us")) * _PERIOD_NB / F.col("p_us"))
-    bins = obs.groupBy("user_id", "p_us", pb.alias("pb")).agg(
+    pb = F.floor((F.col("us") % F.col("p_us")) * n_bins / F.col("p_us"))
+    bins = folded.groupBy("user_id", "p_us", pb.alias("pb")).agg(
         F.count("*").alias("n_b"), F.sum("v").alias("sv")
     )
     scored = bins.groupBy("user_id", "p_us").agg(
@@ -482,9 +494,7 @@ def agg_period_search(spark, sf_dir):
         ).alias("bss")
     )
     score_q = F.floor(F.col("bss") + 0.5).cast("long")
-    w = Window.partitionBy("user_id").orderBy(
-        score_q.desc(), F.col("p_us").asc()
-    )
+    w = Window.partitionBy("user_id").orderBy(score_q.desc(), F.col("p_us").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

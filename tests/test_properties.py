@@ -94,3 +94,28 @@ def test_minhash_bounds_jaccard(spark):
     for r in pairs:
         assert r.doc_a < r.doc_b
         assert r.jaccard >= 0.6
+
+
+def test_period_search_recovers_planted_period(spark):
+    """Semantic check beyond the differential oracle: plant a clean
+    periodic signal and assert the search finds its true period (and
+    prefers it over aliases), while pure noise-free constant signal
+    ties break to the shortest candidate period."""
+    import math
+
+    from lsd_spark.operators.aggregates import period_search_plan
+
+    rows = []
+    # user 1: sin with TRUE period 5 days, sampled every 6h for 60d
+    # user 2: constant (no periodicity): all scores ~0, tiebreak -> 3
+    for k in range(240):
+        t_us = k * 6 * 3600 * 1_000_000
+        rows.append((1, t_us, math.sin(2 * math.pi * t_us / (5 * 86400 * 1e6))))
+        rows.append((2, t_us, 1.0))
+    obs = spark.createDataFrame(rows, "user_id bigint, us bigint, v double")
+    got = {
+        r.user_id: r.best_period_days
+        for r in period_search_plan(obs, period_days=[3, 5, 7, 11, 13]).collect()
+    }
+    assert got[1] == 5, got
+    assert got[2] == 3, got
