@@ -230,9 +230,91 @@ def healpix_ring_sql(ra: str, dec: str, nside: int) -> str:
     )
 
 
+def healpix_nest_sql(ra: str, dec: str, nside: int) -> str:
+    """HEALPix ang2pix, NESTED scheme (Górski et al. 2005), as one
+    engine-neutral SQL expression. NESTED is the partition-key
+    variant: `pix // 4^k` is the ancestor pixel at nside/2^k, so ONE
+    ingest-time column supports footprint pruning at every
+    resolution (LSD's BHpix cell hierarchy, and the layout modern
+    HEALPix-partitioned catalogs shard by).
+
+    Engine-neutral subset: bit ops are rewritten as FLOOR / % / LEAST
+    arithmetic on non-negative exact-integer doubles (x >> b ==
+    floor(x/2^b), x & (2^b - 1) == x % 2^b), so the identical text
+    runs in Spark and DuckDB with identical IEEE behavior."""
+    z = f"sin(radians({dec}))"
+    tt = f"(({ra}) / 90.0 % 4.0)"
+    # equatorial belt
+    jp_e = f"floor({nside} * (0.5 + {tt}) - {nside} * ({z} * 0.75))"
+    jm_e = f"floor({nside} * (0.5 + {tt}) + {nside} * ({z} * 0.75))"
+    ifp = f"floor({jp_e} / {nside})"
+    ifm = f"floor({jm_e} / {nside})"
+    face_e = (
+        f"(CASE WHEN {ifp} = {ifm} THEN ({ifp} % 4) + 4 "
+        f"WHEN {ifp} < {ifm} THEN {ifp} % 4 ELSE ({ifm} % 4) + 8 END)"
+    )
+    ix_e = f"({jm_e} % {nside})"
+    iy_e = f"({nside} - ({jp_e} % {nside}) - 1)"
+    # polar caps
+    ntt = f"floor({tt})"
+    tp = f"({tt} - {ntt})"
+    tmp = f"({nside} * sqrt(3.0 * (1.0 - abs({z}))))"
+    jp_p = f"LEAST(floor({tp} * {tmp}), {nside - 1})"
+    jm_p = f"LEAST(floor((1.0 - {tp}) * {tmp}), {nside - 1})"
+    face_n = ntt
+    face_s = f"({ntt} + 8)"
+    ix_n, iy_n = f"({nside} - {jm_p} - 1)", f"({nside} - {jp_p} - 1)"
+    ix_s, iy_s = jp_p, jm_p
+
+    def interleave(ix: str, iy: str) -> str:
+        order = nside.bit_length() - 1  # nside = 2^order
+        terms = []
+        for b in range(order):
+            terms.append(f"(floor({ix} / {1 << b}) % 2) * {1 << (2 * b)}")
+            terms.append(f"(floor({iy} / {1 << b}) % 2) * {1 << (2 * b + 1)}")
+        return "(" + " + ".join(terms) + ")"
+
+    pix_eq = f"({face_e} * {nside * nside} + {interleave(ix_e, iy_e)})"
+    pix_n = f"({face_n} * {nside * nside} + {interleave(ix_n, iy_n)})"
+    pix_s = f"({face_s} * {nside * nside} + {interleave(ix_s, iy_s)})"
+    return (
+        f"CAST(CASE WHEN abs({z}) <= 2.0/3.0 THEN {pix_eq} "
+        f"WHEN {z} > 0 THEN {pix_n} ELSE {pix_s} END AS BIGINT)"
+    )
+
+
 N_SIDE = 16
 
 _HPX_DUCK = healpix_ring_sql("ra", "dec", N_SIDE)
+_HPX_NEST_DUCK = healpix_nest_sql("ra", "dec", N_SIDE)
+
+
+@register(
+    "fn_healpix_nest",
+    oracle=(
+        f"WITH p AS ({_sphere_points_sql(None)}) "
+        f"SELECT CAST(FLOOR({_HPX_NEST_DUCK} / 4) AS BIGINT) AS parent_pix, "
+        f"{_HPX_NEST_DUCK} AS pix, count(*) AS cnt "
+        "FROM p GROUP BY parent_pix, pix ORDER BY parent_pix, pix"
+    ),
+)
+def fn_healpix_nest(spark, sf_dir):
+    """NESTED-scheme healpix keys with their nside/2 ancestor: the
+    hierarchical partition key (parent = pix // 4 BY CONSTRUCTION —
+    no recomputation at the coarser resolution), demonstrated as a
+    two-level density rollup. At 100 TB the catalog is
+    partitionBy(parent)/bucketBy(pix): a footprint query prunes
+    coarse partitions first, then bucket-prunes — LSD's BHpix cell
+    walk as plain Parquet layout."""
+    pts = sphere_points(spark, sf_dir, None)
+    pix = F.expr(healpix_nest_sql("ra", "dec", N_SIDE))
+    return (
+        pts.withColumn("pix", pix)
+        .withColumn("parent_pix", F.floor(F.col("pix") / 4).cast("long"))
+        .groupBy("parent_pix", "pix")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("parent_pix", "pix")
+    )
 
 
 @register(

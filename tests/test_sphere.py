@@ -272,3 +272,76 @@ def test_margin_layout_amplification_and_equivalence(spark):
         for r in join_xmatch_sphere_margin(spark, sf).collect()
     }
     assert probe == viamargin and len(probe) > 0
+
+
+def _ang2pix_nest_np(nside, ra_deg, dec_deg):
+    z = np.sin(np.radians(dec_deg))
+    za = np.abs(z)
+    tt = np.mod(ra_deg / 90.0, 4.0)
+    n = ra_deg.shape[0]
+    face = np.empty(n, dtype=np.int64)
+    ix = np.empty(n, dtype=np.int64)
+    iy = np.empty(n, dtype=np.int64)
+
+    eq = za <= 2.0 / 3.0
+    temp1 = nside * (0.5 + tt[eq])
+    temp2 = nside * (z[eq] * 0.75)
+    jp = np.floor(temp1 - temp2).astype(np.int64)
+    jm = np.floor(temp1 + temp2).astype(np.int64)
+    ifp = jp // nside
+    ifm = jm // nside
+    face[eq] = np.where(
+        ifp == ifm, (ifp % 4) + 4, np.where(ifp < ifm, ifp % 4, (ifm % 4) + 8)
+    )
+    ix[eq] = jm % nside
+    iy[eq] = nside - (jp % nside) - 1
+
+    po = ~eq
+    ntt = np.floor(tt[po]).astype(np.int64)
+    tp = tt[po] - ntt
+    tmp = nside * np.sqrt(3.0 * (1.0 - za[po]))
+    jp_p = np.minimum(np.floor(tp * tmp).astype(np.int64), nside - 1)
+    jm_p = np.minimum(np.floor((1.0 - tp) * tmp).astype(np.int64), nside - 1)
+    north = z[po] > 0
+    face[po] = np.where(north, ntt, ntt + 8)
+    ix[po] = np.where(north, nside - jm_p - 1, jp_p)
+    iy[po] = np.where(north, nside - jp_p - 1, jm_p)
+
+    order = nside.bit_length() - 1
+    inter = np.zeros(n, dtype=np.int64)
+    for b in range(order):
+        inter += ((ix >> b) & 1) << (2 * b)
+        inter += ((iy >> b) & 1) << (2 * b + 1)
+    return face * nside * nside + inter
+
+
+def test_healpix_nest_sql_matches_numpy_and_ring_partition(spark):
+    import pyspark.sql.functions as F
+
+    from lsd_spark.plans.sphere import N_SIDE, healpix_nest_sql, healpix_ring_sql
+
+    rng = np.random.default_rng(43)
+    n = 4000
+    ra = rng.uniform(0, 360, n)
+    dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    rows = [(int(i), float(ra[i]), float(dec[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "event_id bigint, ra double, dec double")
+    pdf = (
+        df.withColumn("nest", F.expr(healpix_nest_sql("ra", "dec", N_SIDE)))
+        .withColumn("ring", F.expr(healpix_ring_sql("ra", "dec", N_SIDE)))
+        .orderBy("event_id")
+        .toPandas()
+    )
+    want = _ang2pix_nest_np(N_SIDE, ra, dec)
+    assert (pdf["nest"].to_numpy() == want).all()
+    # RING and NESTED label the SAME pixels: both schemes must induce
+    # the identical partition of points (same multiset of cell sizes,
+    # and a bijection between co-occupied cells)
+    import collections
+
+    ring_of_nest = {}
+    for rpix, npix in zip(pdf["ring"], pdf["nest"]):
+        assert ring_of_nest.setdefault(npix, rpix) == rpix
+    c1 = sorted(collections.Counter(pdf["nest"]).values())
+    c2 = sorted(collections.Counter(pdf["ring"]).values())
+    assert c1 == c2
