@@ -571,3 +571,136 @@ def source_fits_scaled(spark, sf_dir):
     sides compute tzero + tscal * raw in IEEE double)."""
     path = _scaled_fixture_path(spark, sf_dir)
     return read_fits(spark, os.path.dirname(path)).orderBy("n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Distributed FITS SINK — lsd-query writes FITS output
+# [lsd:src/lsd/query writers — UNVERIFIED]. Each partition serializes
+# its rows to one BINTABLE file (shared dir; object store at scale),
+# so the write parallelism is the data parallelism — no driver
+# collect of table data anywhere.
+# ---------------------------------------------------------------------------
+
+
+def _make_fits_part_writer(out_dir: str):
+    """Self-contained per-partition FITS BINTABLE writer for the
+    (c_custkey K, c_mktsegment 10A, c_acctbal D) layout. Defined as a
+    factory-returned closure so cloudpickle ships it BY VALUE into
+    the Python workers (the repo-wide kernel rule: executors never
+    import lsd_spark)."""
+
+    def write_kernel(batches):
+        import os
+
+        import numpy as np
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+
+        def card(k, v):
+            if isinstance(v, bool):
+                s = f"{k:<8}= {'T' if v else 'F':>20}"
+            elif isinstance(v, int):
+                s = f"{k:<8}= {v:>20}"
+            else:
+                s = f"{k:<8}= '{v:<8}'"
+            return s[:80].ljust(80).encode("ascii")
+
+        def header(cards):
+            h = b"".join(cards) + b"END".ljust(80)
+            return h + b" " * (-len(h) % 2880)
+
+        n = len(pdf)
+        rec = np.zeros(
+            n,
+            dtype=np.dtype(
+                [("c_custkey", ">i8"), ("c_mktsegment", "S10"), ("c_acctbal", ">f8")]
+            ),
+        )
+        rec["c_custkey"] = pdf["c_custkey"].to_numpy("int64")
+        rec["c_mktsegment"] = [
+            str(s).ljust(10).encode("ascii") for s in pdf["c_mktsegment"]
+        ]
+        rec["c_acctbal"] = pdf["c_acctbal"].to_numpy("float64")
+        primary = header(
+            [card("SIMPLE", True), card("BITPIX", 8), card("NAXIS", 0), card("EXTEND", True)]
+        )
+        cards = [
+            card("XTENSION", "BINTABLE"),
+            card("BITPIX", 8),
+            card("NAXIS", 2),
+            card("NAXIS1", rec.dtype.itemsize),
+            card("NAXIS2", n),
+            card("PCOUNT", 0),
+            card("GCOUNT", 1),
+            card("TFIELDS", 3),
+            card("TTYPE1", "c_custkey"),
+            card("TFORM1", "K"),
+            card("TTYPE2", "c_mktsegment"),
+            card("TFORM2", "10A"),
+            card("TTYPE3", "c_acctbal"),
+            card("TFORM3", "D"),
+        ]
+        data = rec.tobytes()
+        data += b"\x00" * (-len(data) % 2880)
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.fits")
+        with open(path, "wb") as fh:
+            fh.write(primary)
+            fh.write(header(cards))
+            fh.write(data)
+        yield pd.DataFrame({"file": [os.path.basename(path)], "n_rows": [n]})
+
+    return write_kernel
+
+
+@register(
+    "sink_fits",
+    oracle=(
+        "SELECT c_mktsegment, count(*) AS cnt, "
+        "CAST(FLOOR(SUM(c_acctbal) * 100 + 0.5) AS BIGINT) AS bal2 "
+        "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    ),
+    cacheable=False,
+)
+def sink_fits(spark, sf_dir):
+    """DISTRIBUTED FITS export + re-ingest round trip: the customer
+    table, repartitioned 4 ways, is written as one BINTABLE file per
+    partition by an Arrow-batched by-value kernel (no driver collect
+    of table data — the write parallelism IS the data parallelism),
+    then read back through the distributed FITS reader and aggregated.
+
+    Full oracle against the parquet ORIGINAL: a lost row, a mangled
+    string pad, or a non-exact double round trip anywhere in the
+    writer/reader pair breaks the hash. K/D columns round-trip
+    bit-exactly (big-endian fixed-width); 10A space-padding is
+    stripped symmetric. At 100 TB out_dir is an object-store prefix
+    and the per-partition files are the standard survey-release
+    sharding."""
+    import tempfile as _tf
+
+    out_dir = _tf.mkdtemp(prefix="lsd_fits_sink_")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    manifest = c.repartition(4).mapInPandas(
+        _make_fits_part_writer(out_dir), schema="file string, n_rows long"
+    )
+    n_written = sum(r.n_rows for r in manifest.collect())  # bounded: 1 row/partition
+    back = read_fits(spark, out_dir)
+    out = (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.floor(F.sum("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal2"),
+        )
+        .orderBy("c_mktsegment")
+    )
+    # pin write completeness into the result's lineage-free copy
+    res = out.localCheckpoint(eager=True)
+    assert n_written == c.count(), (n_written, "rows written != source rows")
+    return res
