@@ -38,6 +38,7 @@ KERNEL_OPS = [
     "mm_decode",
     "stream_custom_state",
     "source_fits_import",
+    "sink_fits",  # per-partition FITS writer kernel
 ]
 
 DRIVER_SCRIPT = """
