@@ -101,6 +101,21 @@ def main():
 
     import time
 
+    # Ops whose oracle is tractable only at the driver's own gate
+    # scale (sf0.01): at larger SF the self-check falls back to the
+    # rows-only double-run, explicitly labeled in the artifact.
+    # cluster_fof_2d_super's oracle is a full transitive closure —
+    # O(giant-component^2) rows at its supercritical sf0.1 regime
+    # (the sf0.1 exactness check is the numpy union-find third
+    # opinion in tests/test_plans.py instead).
+    oracle_sf001_only = {"cluster_fof_2d_super"}
+    if SF01 != "/root/testdata/sf0.01":
+        for name in oracle_sf001_only:
+            if name in oracles:
+                del oracles[name]
+                print(f"  note {name}: oracle runs at sf0.01 only "
+                      "(O(component^2) transitive closure); rows-only here")
+
     only = None
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
