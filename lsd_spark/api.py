@@ -31,6 +31,7 @@ Divergences from LSD, by design:
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 from dataclasses import dataclass, field
 from typing import Any, Callable, Iterator
@@ -39,6 +40,142 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lsd_spark.catalog import TABLES, load
 from lsd_spark.session import apply_session_defaults
+
+
+_SQL_TOKEN = re.compile(
+    r"""
+      '(?:[^']|'')*'            # string literal ('' escape)
+    | "[^"]*" | `[^`]*`         # quoted identifiers
+    | --[^\n]*                  # line comment
+    | /\*.*?\*/                 # block comment
+    | [A-Za-z_][A-Za-z0-9_$]*   # word
+    | \d[\w.]*                  # number
+    | \S                        # any other single char
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+# Words that end a FROM item list (or an item's implicit alias).
+_FROM_STOP = frozenset(
+    "where group order having limit offset join inner left right full "
+    "cross natural anti semi union intersect except on using qualify "
+    "window lateral distribute cluster sort values pivot unpivot "
+    "tablesample".split()
+)
+
+
+def _rewrite_from_lists(sql: str, joins: dict) -> str:
+    """Parse every FROM item list in `sql` (including subqueries) and
+    rewrite declared comma-joined pairs through their mapping view.
+    Tokenizer-driven: FROM inside strings/comments is never touched."""
+    toks = [
+        (m.group(0), m.start(), m.end())
+        for m in _SQL_TOKEN.finditer(sql)
+        if not m.group(0).startswith(("--", "/*"))
+    ]
+    out: list[tuple[int, int, str]] = []  # (start, end, replacement)
+    i = 0
+    while i < len(toks):
+        text, _, _ = toks[i]
+        if text.lower() == "from":
+            items, nxt = _parse_from_items(toks, i + 1)
+            if items is not None and len(items) >= 2:
+                rep = _rewrite_items(sql, items, joins)
+                if rep is not None:
+                    out.append(rep)
+                i = nxt
+                continue
+        i += 1
+    for start, end, replacement in sorted(out, reverse=True):
+        sql = sql[:start] + replacement + sql[end:]
+    return sql
+
+
+def _parse_from_items(toks, i):
+    """Parse `name [AS alias] (, name [AS alias])*` starting at token
+    index i. Returns (items, next_index) where each item is
+    (name, alias, char_start, char_end) — or (None, i) when the list
+    is not a plain table list (subquery, EXTRACT(x FROM y), ...)."""
+    items = []
+    while True:
+        if i >= len(toks):
+            return (items or None), i
+        text, start, end = toks[i]
+        if not (text[0].isalpha() or text[0] in "_`\""):
+            # subquery / expression operand: keep any plain prefix
+            # already parsed (the rebuild span excludes this item)
+            return (items or None), i
+        if text.lower() in _FROM_STOP:
+            return (items or None), i
+        name, item_end = text.strip('`"'), end
+        i += 1
+        while i + 1 < len(toks) and toks[i][0] == ".":
+            name += "." + toks[i + 1][0].strip('`"')
+            item_end = toks[i + 1][2]
+            i += 2
+        alias = None
+        if i < len(toks) and toks[i][0].lower() == "as":
+            if i + 1 < len(toks):
+                alias, item_end = toks[i + 1][0].strip('`"'), toks[i + 1][2]
+                i += 2
+        elif (
+            i < len(toks)
+            and (toks[i][0][0].isalpha() or toks[i][0][0] in "_`\"")
+            and toks[i][0].lower() not in _FROM_STOP
+        ):
+            alias, item_end = toks[i][0].strip('`"'), toks[i][2]
+            i += 1
+        items.append((name, alias, start, item_end))
+        if i < len(toks) and toks[i][0] == ",":
+            i += 1
+            continue
+        return items, i
+
+
+def _rewrite_items(sql, items, joins):
+    """Find declared pairs among the comma-list items (either order,
+    any positions) and build the replacement text for the whole item
+    list span. Returns (char_start, char_end, text) or None."""
+    lower = {(l.lower(), r.lower()): (l, r) for l, r in joins}
+    consumed: set[int] = set()
+    rendered: dict[int, str] = {}
+    for a in range(len(items)):
+        if a in consumed:
+            continue
+        for b in range(len(items)):
+            if b == a or b in consumed:
+                continue
+            la, lb = items[a][0].lower(), items[b][0].lower()
+            if (la, lb) in lower:
+                l, r = lower[(la, lb)]
+            elif (lb, la) in lower:
+                l, r = lower[(lb, la)]
+            else:
+                continue
+            if items[a][1] or items[b][1]:
+                raise ValueError(
+                    f"declared join pair ({l}, {r}) is comma-joined "
+                    f"with an alias; aliases cannot be resolved "
+                    f"through the mapping — use explicit JOIN syntax "
+                    f"or DB.xjoin()"
+                )
+            lk, rk, lid, rid = joins[(l, r)]
+            view = f"_join_{l}_{r}"
+            rendered[min(a, b)] = (
+                f"{l} JOIN {view} ON {l}.{lid} = {view}.{lk} "
+                f"JOIN {r} ON {view}.{rk} = {r}.{rid}"
+            )
+            consumed.update((a, b))
+            break
+    if not rendered:
+        return None
+    parts = []
+    for idx, (name, alias, _s, _e) in enumerate(items):
+        if idx in rendered:
+            parts.append(rendered[idx])
+        elif idx not in consumed:
+            parts.append(f"{name} {alias}" if alias else name)
+    return items[0][2], items[-1][3], ", ".join(parts)
 
 
 @dataclass
@@ -209,18 +346,17 @@ class DB:
         comma-joins keep plain Spark SQL cross-join semantics, and
         explicit JOIN syntax is never touched (same resolution rule
         as LSD's parser: a comma between two joined tables means
-        'through the join definition')."""
-        import re
+        'through the join definition').
 
-        for (l, r), (lk, rk, lid, rid) in self._joins.items():
-            view = f"_join_{l}_{r}"
-            pat = re.compile(rf"\bFROM\s+{l}\s*,\s*{r}\b", re.IGNORECASE)
-            sql = pat.sub(
-                f"FROM {l} JOIN {view} ON {l}.{lid} = {view}.{lk} "
-                f"JOIN {r} ON {view}.{rk} = {r}.{rid}",
-                sql,
-            )
-        return sql
+        Resolution parses each FROM item list (a real tokenizer, not
+        a whole-SQL regex): string literals and comments are opaque,
+        a declared pair matches anywhere in the comma list in either
+        order, and a declared pair that is comma-joined but cannot be
+        rewritten (an alias on either side) raises instead of
+        silently cross-joining."""
+        if not self._joins:
+            return sql
+        return _rewrite_from_lists(sql, self._joins)
 
     def xjoin(self, left: str, right: str) -> DataFrame:
         """DataFrame face of the declared join: left table joined to

@@ -8,12 +8,10 @@ codecs implemented in this module (zlib chunk/filter layer, wave
 RIFF), exercised end-to-end by mm_decode_png / mm_decode_wav with
 full hash-match oracles and unit-tested against handcrafted files
 (tests/test_codecs.py). Formats whose spec needs external codec
-libraries (JPEG, MP4/video) remain clearly-marked stubs:
-`decode_image` raises NotImplementedError unless `fake=True`, in
-which case it produces a deterministic fake (dimensions derived
-from the payload hash). The Spark-side plumbing — schema, Arrow
-batch shape, mapInPandas signature, partition behavior — is real
-and tested for both.
+libraries (JPEG, MP4/video) are not decoded — mm_decode derives
+deterministic pseudo-dimensions from the payload digest, and the
+Spark-side plumbing — schema, Arrow batch shape, mapInPandas
+signature, partition behavior — is real and tested.
 """
 
 from __future__ import annotations
@@ -48,22 +46,6 @@ def with_binary_payload(docs):
         F.lit("application/octet-stream").alias("media_type"),
         F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
     )
-
-
-def decode_image(payload: bytes, fake: bool = False) -> dict:
-    """STUB: real image decode (PIL/libjpeg) is unavailable here.
-
-    With fake=True, returns deterministic pseudo-dimensions from the
-    payload digest — stable across runs/partitions, so downstream
-    plumbing is fully testable.
-    """
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires codec libraries not present in this "
-            "environment; pass fake=True for the deterministic test stub"
-        )
-    h = hashlib.md5(payload).digest()
-    return {"width": 64 + h[0], "height": 64 + h[1], "channels": 3}
 
 
 _FEAT_SCHEMA = T.StructType(

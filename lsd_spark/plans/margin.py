@@ -24,12 +24,14 @@ engine's plan diversity is itself differential-tested.
 
 from __future__ import annotations
 
-import tempfile
+import itertools
+from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lsd_spark.catalog import load, session_key
+from lsd_spark.catalog import load
+from lsd_spark.plans.materialize import materialized
 from lsd_spark.plans.xmatch import ASOF_ORACLE
 from lsd_spark.plans.zones import rank_nearest
 from lsd_spark.registry import register
@@ -43,36 +45,99 @@ HOUR_US = 3_600_000_000
 ZONE_US = 6 * HOUR_US
 
 
+@dataclass(frozen=True)
+class StripDim:
+    """One rectangular margin dimension: `value` (numeric coordinate
+    expression) is binned into cells of `width`; a row is ALSO copied
+    into the lower/upper neighbor cell when it sits inside that
+    boundary strip (`reach_lo` / `reach_hi` in coordinate units;
+    0 disables copies in that direction)."""
+
+    cell: str
+    value: Column
+    width: float
+    reach_lo: float
+    reach_hi: float
+
+
+def strip_copies(df: DataFrame, dims: list[StripDim]) -> DataFrame:
+    """Expand `df` with margin copies along rectangular dimensions —
+    the shared boundary-strip + `_cached`-flag core of every margin
+    layout (LSD's neighbor cache): the cartesian product of per-dim
+    offsets in {-1,0,1}, each combination emitted only for rows
+    inside the corresponding strip. Output = input columns + one
+    cell column per dim + `_cached` (true on every non-home copy).
+
+    Write amplification is only the strips (~reach/width per side
+    per dim), never the naive (3^d)x — the conditional emission is
+    what makes the layout affordable at 100 TB."""
+    cells = [F.floor(d.value / F.lit(d.width)).cast("long") for d in dims]
+    offsets_per_dim = [
+        [o for o in (-1, 0, 1)
+         if o == 0 or (o == -1 and d.reach_lo > 0)
+         or (o == 1 and d.reach_hi > 0)]
+        for d in dims
+    ]
+    emits = []
+    for offs in itertools.product(*offsets_per_dim):
+        cond = F.lit(True)
+        fields = []
+        for d, c, o in zip(dims, cells, offs):
+            if o == 1:
+                cond = cond & (
+                    d.value >= (c + 1).cast("double") * d.width - d.reach_hi
+                )
+            elif o == -1:
+                cond = cond & (d.value < c.cast("double") * d.width + d.reach_lo)
+            fields.append((c + o).alias(d.cell))
+        fields.append(F.lit(any(o != 0 for o in offs)).alias("_cached"))
+        emits.append(F.when(cond, F.struct(*fields)))
+    copy = F.col("_copy")
+    return (
+        df.withColumn("_copy", F.explode(F.array(*emits)))
+        .filter(copy.isNotNull())
+        .select(
+            *df.columns,
+            *[copy[d.cell].alias(d.cell) for d in dims],
+            copy["_cached"].alias("_cached"),
+        )
+    )
+
+
 def build_margin_table(
     spark: SparkSession,
     df: DataFrame,
     ts: str = "ts",
     zone_width_us: int = ZONE_US,
     out_path: str | None = None,
+    margin_us: int | None = None,
 ) -> str:
-    """Write `df` partitioned by zone with margin copies: every row
-    also appears in zone+1 flagged `_cached=true` (it can satisfy
-    lookups from rows early in the next zone). Returns the path."""
+    """Write `df` partitioned by zone with margin copies: a row
+    within `margin_us` (default: the full zone) of its upper zone
+    edge also appears in zone+1 flagged `_cached=true` (it can
+    satisfy lookups from rows early in the next zone). Returns the
+    path."""
+    import tempfile
+
     out = out_path or tempfile.mkdtemp(prefix="lsd_margin_") + "/margin"
-    zone = F.floor(F.unix_micros(F.col(ts)) / F.lit(zone_width_us))
-    own = df.withColumn("zone", zone).withColumn("_cached", F.lit(False))
-    margin = df.withColumn("zone", zone + 1).withColumn("_cached", F.lit(True))
+    expanded = strip_copies(
+        df,
+        [StripDim(
+            "zone", F.unix_micros(F.col(ts)).cast("double"),
+            float(zone_width_us), 0.0, float(margin_us or zone_width_us),
+        )],
+    )
     # repartition by zone first: without it, every one of the N write
     # tasks emits a sliver into every zone dir (tasks x zones tiny
     # files — 18s at sf0.1); with it, one file per zone.
     (
-        own.unionByName(margin)
+        expanded
         .repartition("zone")
         .write.mode("overwrite")
         .partitionBy("zone")
         .parquet(out)
     )
     return out
-
-
-# one margin build per (session, sf_dir) — the layout is a write-once
-# physical design; queries must never pay the write again.
-_BUILD_CACHE: dict[tuple[int, str], str] = {}
 
 
 @register("join_asof_margin", oracle=ASOF_ORACLE, cacheable=False)
@@ -83,11 +148,14 @@ def join_asof_margin(spark, sf_dir):
     single-key-pair equi-join over a zone-partitioned layout."""
     ev = load(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
-    key = (session_key(spark), sf_dir)
-    path = _BUILD_CACHE.get(key)
-    if path is None:
-        path = build_margin_table(spark, clicks, ts="ts", zone_width_us=ZONE_US)
-        _BUILD_CACHE[key] = path
+    path = materialized(
+        spark, "margin_asof", sf_dir,
+        lambda base: build_margin_table(
+            spark, clicks, ts="ts", zone_width_us=ZONE_US,
+            out_path=base + "/margin", margin_us=HOUR_US,
+        ),
+        prefix="lsd_margin_",
+    )
     margin = spark.read.parquet(path).select(
         F.col("user_id").alias("r_user_id"),
         F.col("ts").alias("r_ts"),

@@ -258,8 +258,6 @@ def join_xmatch_2d_knn(spark, sf_dir):
 
 MARGIN_CELL = 10.0  # coarse layout cell (20x RADIUS): 100 dirs over the plane
 
-_MARGIN_BUILD_CACHE: dict[tuple[int, str], str] = {}
-
 
 def build_margin_2d(spark, sf_dir: str) -> str:
     """Write the click catalog partitioned by coarse 2-D cell, with
@@ -267,63 +265,35 @@ def build_margin_2d(spark, sf_dir: str) -> str:
     sits within RADIUS of (flagged _cached=true) — LSD's neighbor
     cache, literally [lsd:src/lsd/table.py — UNVERIFIED]. Write
     amplification is only the boundary strip (~2R/W per axis, ~20%
-    here), not 9x: copies are emitted conditionally per direction.
-    Reads become cell-local: a cross-match probes ONE cell."""
-    import tempfile
+    here), not 9x: the shared `strip_copies` builder emits copies
+    conditionally per direction. Reads become cell-local: a
+    cross-match probes ONE cell."""
+    from lsd_spark.plans.margin import StripDim, strip_copies
+    from lsd_spark.plans.materialize import materialized
 
-    key = (session_key(spark), sf_dir)
-    path = _MARGIN_BUILD_CACHE.get(key)
-    if path is not None:
-        return path
-    pts = points(spark, sf_dir, "click")
-    W, R = MARGIN_CELL, RADIUS
-    cx = F.floor(F.col("x") / W)
-    cy = F.floor(F.col("y") / W)
-    copies = []
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            if dx == 0:
-                cond_x = F.lit(True)
-            elif dx == 1:
-                cond_x = F.col("x") >= (cx + 1) * W - R
-            else:
-                cond_x = F.col("x") < cx * W + R
-            if dy == 0:
-                cond_y = F.lit(True)
-            elif dy == 1:
-                cond_y = F.col("y") >= (cy + 1) * W - R
-            else:
-                cond_y = F.col("y") < cy * W + R
-            copies.append(
-                F.when(
-                    cond_x & cond_y,
-                    F.struct(
-                        (cx + dx).alias("mcx"),
-                        (cy + dy).alias("mcy"),
-                        F.lit(dx != 0 or dy != 0).alias("_cached"),
-                    ),
-                )
-            )
-    expanded = (
-        pts.withColumn("copy", F.explode(F.array(*copies)))
-        .filter(F.col("copy").isNotNull())
-        .select(
+    def build(base: str) -> str:
+        pts = points(spark, sf_dir, "click").select(
             F.col("event_id").alias("r_id"),
             F.col("x").alias("rx"),
             F.col("y").alias("ry"),
-            F.col("copy.mcx").alias("mcx"),
-            F.col("copy.mcy").alias("mcy"),
-            F.col("copy._cached").alias("_cached"),
         )
-    )
-    out = tempfile.mkdtemp(prefix="lsd_margin2d_") + "/clicks"
-    # repartition by cell first: one file per cell dir, no task x cell
-    # sliver explosion (same lesson as plans/margin.py)
-    expanded.repartition("mcx", "mcy").write.mode("overwrite").partitionBy(
-        "mcx", "mcy"
-    ).parquet(out)
-    _MARGIN_BUILD_CACHE[key] = out
-    return out
+        W, R = MARGIN_CELL, RADIUS
+        expanded = strip_copies(
+            pts,
+            [
+                StripDim("mcx", F.col("rx"), W, R, R),
+                StripDim("mcy", F.col("ry"), W, R, R),
+            ],
+        )
+        out = base + "/clicks"
+        # repartition by cell first: one file per cell dir, no task x
+        # cell sliver explosion (same lesson as plans/margin.py)
+        expanded.repartition("mcx", "mcy").write.mode("overwrite").partitionBy(
+            "mcx", "mcy"
+        ).parquet(out)
+        return out
+
+    return materialized(spark, "margin_2d", sf_dir, build, prefix="lsd_margin2d_")
 
 
 @register(

@@ -207,9 +207,12 @@ def healpix_ring_sql(ra: str, dec: str, nside: int) -> str:
     All intermediates are exact-integer-valued doubles (< 2^53), so
     floor/% arithmetic is portable; (int) truncation in the canonical
     C is floor here because every operand is non-negative in its
-    branch."""
+    RA is normalized to [0,360) in the expression itself
+    ((x%360+360)%360): a negative input RA would otherwise drive
+    tt negative under both engines' truncating % and invalidate
+    every branch formula (round-3 ADVICE)."""
     z = f"sin(radians({dec}))"
-    tt = f"(({ra}) / 90.0 % 4.0)"
+    tt = f"(((({ra}) % 360.0 + 360.0) % 360.0) / 90.0 % 4.0)"
     # equatorial belt |z| <= 2/3
     jp_e = f"floor({nside} * (0.5 + {tt}) - {nside} * ({z} * 0.75))"
     jm_e = f"floor({nside} * (0.5 + {tt}) + {nside} * ({z} * 0.75))"
@@ -241,9 +244,10 @@ def healpix_nest_sql(ra: str, dec: str, nside: int) -> str:
     Engine-neutral subset: bit ops are rewritten as FLOOR / % / LEAST
     arithmetic on non-negative exact-integer doubles (x >> b ==
     floor(x/2^b), x & (2^b - 1) == x % 2^b), so the identical text
-    runs in Spark and DuckDB with identical IEEE behavior."""
+    runs in Spark and DuckDB with identical IEEE behavior. RA is
+    normalized to [0,360) in the expression (see healpix_ring_sql)."""
     z = f"sin(radians({dec}))"
-    tt = f"(({ra}) / 90.0 % 4.0)"
+    tt = f"(((({ra}) % 360.0 + 360.0) % 360.0) / 90.0 % 4.0)"
     # equatorial belt
     jp_e = f"floor({nside} * (0.5 + {tt}) - {nside} * ({z} * 0.75))"
     jm_e = f"floor({nside} * (0.5 + {tt}) + {nside} * ({z} * 0.75))"
@@ -442,8 +446,6 @@ def xmatch_sphere_count(spark, sf_dir):
 W_MARGIN = 4.0  # margin grid zone height in degrees (coarser than the
 #   match radius so the duplicated boundary strip stays thin)
 
-_MARGIN_SPHERE_CACHE: dict = {}
-
 
 def _margin_geometry(radius: float = R_SPHERE, cell: float = W_MARGIN):
     """(nb, dra) literal lists for the margin grid: RA bucket counts
@@ -476,14 +478,23 @@ def build_margin_sphere(spark, sf_dir: str) -> str:
     100 TB this layout is partitionBy(mz) + bucketBy(mb): the
     cross-match becomes a partition-local join with no shuffle of
     the catalog — the margin trades bounded write amplification at
-    ingest for shuffle-free reads forever, exactly LSD's deal."""
-    from lsd_spark.catalog import session_key
-    import tempfile
+    ingest for shuffle-free reads forever, exactly LSD's deal.
 
-    key = (session_key(spark), sf_dir)
-    path = _MARGIN_SPHERE_CACHE.get(key)
-    if path is not None:
-        return path
+    The RA-bucket key of a margin copy depends on the TARGET zone's
+    bucket count nb(z'), so this geometry is not expressible with
+    the rectangular `strip_copies` helper; only the cache/write
+    plumbing is shared (plans/materialize.py)."""
+    from lsd_spark.plans.materialize import materialized
+
+    def _build(base: str) -> str:
+        return _write_margin_sphere(spark, sf_dir, base)
+
+    return materialized(
+        spark, "margin_sphere", sf_dir, _build, prefix="lsd_margin_sphere_"
+    )
+
+
+def _write_margin_sphere(spark, sf_dir: str, base: str) -> str:
     nb, dra = _margin_geometry()
     nz = len(nb)
     nb_arr = F.array(*[F.lit(v) for v in nb])
@@ -549,9 +560,8 @@ def build_margin_sphere(spark, sf_dir: str) -> str:
             ),
         )
     )
-    path = tempfile.mkdtemp(prefix="lsd_margin_sphere_") + "/clicks"
+    path = base + "/clicks"
     out.write.mode("overwrite").parquet(path)
-    _MARGIN_SPHERE_CACHE[key] = path
     return path
 
 

@@ -98,17 +98,18 @@ def build_xmatch(
 # one build per (session, sf_dir): the mapping table is immutable
 # once written (the offline-build contract), so repeated consuming
 # queries must NOT pay the build again — that is the whole point of
-# materialized cross-matches.
-_BUILD_CACHE: dict[tuple[int, str], str] = {}
-
-
+# materialized cross-matches. Cache/cleanup via plans/materialize.py
+# (invalidated by registry.clear_plan_cache).
 def cached_xmatch_path(spark: SparkSession, sf_dir: str) -> str:
-    key = (session_key(spark), sf_dir)
-    path = _BUILD_CACHE.get(key)
-    if path is None:
-        path = build_xmatch(spark, sf_dir)
-        _BUILD_CACHE[key] = path
-    return path
+    from lsd_spark.plans.materialize import materialized
+
+    return materialized(
+        spark, "xmatch_purchase_click", sf_dir,
+        lambda base: build_xmatch(
+            spark, sf_dir, out_path=base + "/purchase_click"
+        ),
+        prefix="lsd_xmatch_",
+    )
 
 
 @register("xmatch_consume", oracle=ASOF_ORACLE, cacheable=False)

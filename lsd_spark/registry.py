@@ -50,7 +50,13 @@ _LOADED = False
 
 
 def clear_plan_cache() -> None:
+    """Drop cached logical plans AND materialized physical layouts
+    (margin tables, xmatch mappings, FITS fixtures) — one
+    invalidation point for everything keyed off (session, sf_dir)."""
     _PLAN_CACHE.clear()
+    from lsd_spark.plans.materialize import clear_materialized
+
+    clear_materialized()
 
 
 def register(name: str, oracle: str | None = None, cacheable: bool = True):
@@ -130,52 +136,70 @@ _R2_LEDGER = [
 ]
 
 
-# Tier 1 for the round-3 ledger: the ops with no row in
-# CORRECTNESS_r01 ∪ r02, PLUS the three renamed real-codec mm ops
-# (mm_decode/mm_resize/mm_frame_sample — the r02 rows exist only
-# under their retired *_stub names, and the kernels are new). The
-# driver caps each round at 50 rows, so 4 redundant entries are
-# demoted to the tail: mm_decode_png / mm_decode_wav (their codecs
-# are now fully exercised with oracles by mm_decode /
-# mm_frame_sample), the fixture-scale recall baselines
-# cluster_fof_exact and llm_dedup_embcos_exact (both explicitly
-# quarantined as test-scale-only in their docstrings). Those 4 lead
-# the round-4 ledger instead.
-_R3_PENDING = [
-    "mm_decode", "mm_resize", "mm_frame_sample",
-    "agg_cube", "agg_density_multilevel", "agg_filtered",
-    "agg_funnel_conversion", "agg_lightcurve_stats",
-    "agg_path_sequences", "agg_retention_cohorts", "cluster_fof_2d",
-    "filter_scalar_subquery", "fn_anonymize",
-    "fn_morton_key", "fn_unpivot", "fn_vector_math",
-    "graph_degree_hist", "join_asof_union_window", "join_full_outer",
+# The 50 ops recorded by the round-3 driver run (all green — the
+# exact key list of CORRECTNESS_r03.json).
+_R3_LEDGER = [
+    "mm_decode", "mm_resize", "mm_frame_sample", "agg_cube",
+    "agg_density_multilevel", "agg_filtered", "agg_funnel_conversion",
+    "agg_lightcurve_stats", "agg_path_sequences",
+    "agg_retention_cohorts", "cluster_fof_2d",
+    "filter_scalar_subquery", "fn_anonymize", "fn_morton_key",
+    "fn_unpivot", "fn_vector_math", "graph_degree_hist",
+    "join_asof_union_window", "join_full_outer",
     "join_interval_overlap", "join_xmatch_2d", "join_xmatch_2d_knn",
     "join_xmatch_2d_margin", "knn_ivf_kmeans", "llm_bm25_score",
     "llm_char_entropy", "llm_decontaminate", "llm_dedup_edit",
     "llm_dedup_keep_best", "llm_mix_sources", "llm_pack_sequences",
-    "llm_pipeline_mm", "llm_repetition_score", "llm_sample_stratified",
-    "llm_unigram_logprob", "llm_winnowing", "merge_upsert",
-    "profile_table",
-    "set_intersect_all", "sink_compact", "snapshot_diff",
-    "source_fits_datasource", "source_fits_import",
-    "stream_foreach_sink", "stream_session_real", "stream_static_join",
-    "stream_stream_join", "win_cume_dist", "win_rolling_median",
-    "xmatch_2d_count",
-    "cluster_fof_exact", "mm_decode_png", "mm_decode_wav",
-    "llm_dedup_embcos_exact",
+    "llm_pipeline_mm", "llm_repetition_score",
+    "llm_sample_stratified", "llm_unigram_logprob", "llm_winnowing",
+    "merge_upsert", "profile_table", "set_intersect_all",
+    "sink_compact", "snapshot_diff", "source_fits_datasource",
+    "source_fits_import", "stream_foreach_sink",
+    "stream_session_real", "stream_static_join", "stream_stream_join",
+    "win_cume_dist", "win_rolling_median", "xmatch_2d_count",
+]
+
+
+# Tier 1 for the round-4 ledger: the 30 oracle-bearing ops with no
+# GREEN driver row anywhere in r01∪r02∪r03. Two groups:
+#   (a) 18 round-3 additions that fell past r03's 50-row cap;
+#   (b) 12 ops whose r02 row was `err: no_oracle` — full oracles
+#       have since been added, so a re-record upgrades them to
+#       hash-verified.
+# Deliberately EXCLUDED (they stay in tier 3): agg_approx_distinct
+# and llm_dedup_near — rows-only by design (HLL approx / xxhash64
+# has no portable mirror); the driver can never record more than the
+# `no_oracle` rows it already has for them, so queueing them would
+# waste two of the 50 capped slots.
+_R4_PENDING = [
+    # (a) round-3 additions, never recorded
+    "join_xmatch_sphere", "join_xmatch_sphere_knn",
+    "join_xmatch_sphere_margin", "xmatch_sphere_count",
+    "agg_density_sphere", "fn_healpix_key", "fn_healpix_nest",
+    "agg_phase_fold", "agg_period_search", "graph_pagerank",
+    "llm_cluster_assign", "cluster_fof_2d_super", "cluster_fof_exact",
+    "llm_dedup_embcos_exact", "mm_decode_png", "mm_decode_wav",
+    "source_fits_scaled", "sink_fits",
+    # (b) r02 `no_oracle` rows, oracles since added
+    "source_text_import", "sink_into", "sink_output_formats",
+    "stream_watermark_late", "stream_dedup", "stream_stateful_count",
+    "knn_ivf", "knn_lsh", "llm_lang_id", "sink_bucketed",
+    "source_schema_evolution", "sink_snapshot",
 ]
 
 
 def _reorder_for_ledger() -> None:
-    """Three tiers: (1) ops with no driver-recorded row in any prior
-    round's CORRECTNESS ledger, (2) ops new this round, (3) the 100
+    """Three tiers: (1) ops with no green driver-recorded row in any
+    prior round's CORRECTNESS ledger, (2) ops new this round, (3) the
     already-recorded ids — so a capped driver run maximizes
     cumulative coverage."""
-    recorded = set(_R1_LEDGER) | set(_R2_LEDGER)
-    pending = set(_R3_PENDING)
-    tier1 = [k for k in _R3_PENDING if k in QUERIES]
-    tier2 = [k for k in QUERIES if k not in recorded and k not in pending]
-    tier3 = [k for k in _R2_LEDGER + _R1_LEDGER if k in QUERIES]
+    recorded = set(_R1_LEDGER) | set(_R2_LEDGER) | set(_R3_LEDGER)
+    pending = set(_R4_PENDING)
+    tier1 = [k for k in _R4_PENDING if k in QUERIES]
+    tier2 = [k for k in QUERIES
+             if k not in recorded and k not in pending]
+    tier3 = [k for k in _R3_LEDGER + _R2_LEDGER + _R1_LEDGER
+             if k in QUERIES]
     for d in (QUERIES, QUERIES_RAW, ORACLES):
         ordered = {k: d[k] for k in tier1 + tier2 + tier3 if k in d}
         d.clear()

@@ -289,8 +289,14 @@ def _make_fits_parser():
 
 
 def read_fits(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
-    """Distributed FITS BINTABLE read: one parse task per file."""
-    files = spark.read.format("binaryFile").load(path)
+    """Distributed FITS BINTABLE read: one parse task per file.
+    Only *.fits files are read, so a leaked attempt temp file from a
+    failed writer task can never contaminate a re-ingest."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.fits")
+        .load(path)
+    )
 
     cols = columns
     _, find_bintable, table_fields, parse_table = _make_fits_parser()
@@ -316,15 +322,13 @@ def read_fits(spark: SparkSession, path: str, columns: list[str] | None = None) 
     return files.select("content").mapInPandas(parse_kernel, schema=", ".join(hdr_cols))
 
 
-_BUILD_CACHE: dict[tuple[int, str], str] = {}
-
-
 def _fixture_path(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per session+sf) a FITS file holding the nation
-    table + a derived double column, via the writer above."""
-    key = (session_key(spark), sf_dir)
-    path = _BUILD_CACHE.get(key)
-    if path is None:
+    table + a derived double column, via the writer above. Cached
+    through plans/materialize.py (cleared by clear_plan_cache)."""
+    from lsd_spark.plans.materialize import materialized
+
+    def build(base: str) -> str:
         rows = (
             load(spark, sf_dir, "nation")
             .select(
@@ -336,8 +340,7 @@ def _fixture_path(spark: SparkSession, sf_dir: str) -> str:
             .orderBy("n_nationkey")
             .collect()
         )
-        d = tempfile.mkdtemp(prefix="lsd_fits_")
-        path = os.path.join(d, "nation.fits")
+        path = os.path.join(base, "nation.fits")
         width = max(len(r["n_name"]) for r in rows)
         write_fits_bintable(
             path,
@@ -350,8 +353,9 @@ def _fixture_path(spark: SparkSession, sf_dir: str) -> str:
                 [r["w"] for r in rows],
             ],
         )
-        _BUILD_CACHE[key] = path
-    return path
+        return path
+
+    return materialized(spark, "fits_fixture", sf_dir, build, prefix="lsd_fits_")
 
 
 @register(
@@ -502,9 +506,6 @@ def source_fits_datasource(spark, sf_dir):
     return spark.read.format("fits").load(path).orderBy("n_nationkey")
 
 
-_SCALED_CACHE: dict[tuple[str, str], str] = {}
-
-
 def _scaled_fixture_path(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per session+sf) a survey-shaped FITS file: a
     leading IMAGE HDU before the table, plus TSCAL/TZERO-scaled
@@ -517,17 +518,16 @@ def _scaled_fixture_path(spark: SparkSession, sf_dir: str) -> str:
       physical = 0.01 * raw in float64),
     - w32: plain float32, L: logical 'T'/'F' bytes.
     """
-    key = (session_key(spark), sf_dir)
-    path = _SCALED_CACHE.get(key)
-    if path is None:
+    from lsd_spark.plans.materialize import materialized
+
+    def build(base: str) -> str:
         rows = (
             load(spark, sf_dir, "nation")
             .select("n_nationkey", "n_name")
             .orderBy("n_nationkey")
             .collect()
         )
-        d = tempfile.mkdtemp(prefix="lsd_fits_scaled_")
-        path = os.path.join(d, "nation_scaled.fits")
+        path = os.path.join(base, "nation_scaled.fits")
         width = max(len(r["n_name"]) for r in rows)
         keys = [r["n_nationkey"] for r in rows]
         write_fits_bintable(
@@ -545,8 +545,11 @@ def _scaled_fixture_path(spark: SparkSession, sf_dir: str) -> str:
             scales={"u16": (1.0, 32768.0), "scaled": (0.01, 0.0)},
             leading_image_hdu=True,
         )
-        _SCALED_CACHE[key] = path
-    return path
+        return path
+
+    return materialized(
+        spark, "fits_scaled_fixture", sf_dir, build, prefix="lsd_fits_scaled_"
+    )
 
 
 @register(
@@ -647,12 +650,20 @@ def _make_fits_part_writer(out_dir: str):
         ]
         data = rec.tobytes()
         data += b"\x00" * (-len(data) % 2880)
-        pid = TaskContext.get().partitionId()
+        # Attempt-unique temp file + atomic rename: a retried or
+        # speculative task attempt must never interleave writes into
+        # the same part file (torn output that the read-back would
+        # aggregate). Whichever attempt renames last wins with a
+        # COMPLETE file; os.replace is atomic on POSIX.
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
         path = os.path.join(out_dir, f"part-{pid:05d}.fits")
-        with open(path, "wb") as fh:
+        tmp = f"{path}.attempt-{attempt}.tmp"
+        with open(tmp, "wb") as fh:
             fh.write(primary)
             fh.write(header(cards))
             fh.write(data)
+        os.replace(tmp, path)
         yield pd.DataFrame({"file": [os.path.basename(path)], "n_rows": [n]})
 
     return write_kernel

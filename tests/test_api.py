@@ -163,11 +163,64 @@ def test_declared_join_implicit_from_syntax(spark):
     ).fetch()["n"][0]
     assert implicit == explicit == mapping.count() > 0
 
+    # reversed comma order resolves through the SAME mapping (inner
+    # join is symmetric; silently cross-joining here was the round-3
+    # ADVICE bug)
+    rev = db.query("SELECT count(*) AS n FROM c_pts, p_pts").fetch()["n"][0]
+    assert rev == implicit
+
     # undeclared pair: plain cross join is preserved
-    cross = db.query("SELECT count(*) AS n FROM c_pts, p_pts").fetch()["n"][0]
-    assert cross == p.count() * c.count()
+    db.table("nation").createOrReplaceTempView("nation")
+    db.table("region").createOrReplaceTempView("region")
+    cross = db.query("SELECT count(*) AS n FROM nation, region").fetch()["n"][0]
+    assert cross == db.table("nation").count() * db.table("region").count()
 
     # DataFrame face carries the mapping extras (dist)
     xj = db.xjoin("p_pts", "c_pts")
     assert "dist" in xj.columns
     assert xj.count() == implicit
+
+
+def test_implicit_join_rewriter_unit():
+    """Pure-function tests of the FROM-list rewriter (round-3 ADVICE:
+    the old whole-SQL regex missed reversed order, 3-table lists,
+    unescaped names, and fired inside string literals)."""
+    from lsd_spark.api import _rewrite_from_lists
+
+    joins = {("obj", "det"): ("l_id", "r_id", "oid", "did")}
+    exp = ("obj JOIN _join_obj_det ON obj.oid = _join_obj_det.l_id "
+           "JOIN det ON _join_obj_det.r_id = det.did")
+
+    # declared order
+    assert _rewrite_from_lists("SELECT * FROM obj, det", joins) == \
+        f"SELECT * FROM {exp}"
+    # reversed order resolves too
+    assert _rewrite_from_lists("SELECT * FROM det, obj", joins) == \
+        f"SELECT * FROM {exp}"
+    # pair anywhere in a 3-table comma list; third table kept
+    assert _rewrite_from_lists("SELECT * FROM obj, extra, det", joins) == \
+        f"SELECT * FROM {exp}, extra"
+    # inside a string literal: untouched
+    s = "SELECT 'FROM obj, det' AS lit FROM other"
+    assert _rewrite_from_lists(s, joins) == s
+    # inside a line comment: untouched
+    s = "SELECT 1 -- FROM obj, det\nFROM other"
+    assert _rewrite_from_lists(s, joins) == s
+    # subquery FROM list is rewritten as well
+    out = _rewrite_from_lists(
+        "SELECT * FROM (SELECT oid FROM obj, det) t", joins)
+    assert exp in out
+    # aliased declared pair: loud error, never a silent cross join
+    import pytest
+    with pytest.raises(ValueError, match="comma-joined"):
+        _rewrite_from_lists("SELECT * FROM obj o, det d", joins)
+    # regex metachars in a declared name must not blow up matching
+    joins2 = {("a$b", "c"): ("l", "r", "l", "r")}
+    assert "JOIN _join_a$b_c" in _rewrite_from_lists(
+        "SELECT * FROM a$b, c", joins2)
+    # undeclared comma join: untouched (cross-join semantics kept)
+    s = "SELECT * FROM nation, region"
+    assert _rewrite_from_lists(s, joins) == s
+    # EXTRACT's FROM is not a table list
+    s = "SELECT EXTRACT(YEAR FROM ts) FROM obj"
+    assert _rewrite_from_lists(s, joins) == s

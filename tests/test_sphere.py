@@ -207,6 +207,42 @@ def test_healpix_sql_matches_numpy_reference(spark):
     assert (got == want).all()
 
 
+def test_healpix_sql_negative_and_wrapped_ra(spark):
+    """The SQL helpers are exported general utilities: RA outside
+    [0,360) (negative hour angles, ra+360 wraps) must normalize to
+    the same pixel as the canonical ra (round-3 ADVICE — the old
+    expression went invalid for ra<0 under truncating %)."""
+    import pyspark.sql.functions as F
+
+    from lsd_spark.plans.sphere import (
+        N_SIDE, healpix_nest_sql, healpix_ring_sql)
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    ra = rng.uniform(-360, 720, n)  # two wraps either side
+    dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    rows = [(int(i), float(ra[i]), float(dec[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "event_id bigint, ra double, dec double")
+    out = (
+        df.withColumn("ring", F.expr(healpix_ring_sql("ra", "dec", N_SIDE)))
+        .withColumn("ring_norm", F.expr(
+            healpix_ring_sql("(ra % 360.0 + 360.0) % 360.0", "dec", N_SIDE)))
+        .withColumn("nest", F.expr(healpix_nest_sql("ra", "dec", N_SIDE)))
+        .withColumn("nest_norm", F.expr(
+            healpix_nest_sql("(ra % 360.0 + 360.0) % 360.0", "dec", N_SIDE)))
+        .orderBy("event_id")
+        .toPandas()
+    )
+    npix = 12 * N_SIDE * N_SIDE
+    assert (out.ring == out.ring_norm).all()
+    assert (out.nest == out.nest_norm).all()
+    assert out.ring.between(0, npix - 1).all()
+    assert out.nest.between(0, npix - 1).all()
+    # and the normalized pixels agree with the numpy reference
+    want = _ang2pix_ring_np(N_SIDE, np.mod(ra, 360.0), dec)
+    assert (out.ring.to_numpy() == want).all()
+
+
 def test_healpix_range_poles_and_equal_area(spark):
     from lsd_spark.plans.sphere import N_SIDE, healpix_ring_sql
     import pyspark.sql.functions as F
