@@ -1,0 +1,356 @@
+"""Footprint / region algebra — LSD's query-bounds surface
+[lsd:src/lsd/bounds.py — UNVERIFIED, SURVEY.md §1.1/§2.G/§4 row 1]:
+``beam(ra, dec, radius)`` cones, RA/Dec rectangles, polygon
+footprints, and union / intersection / difference of sky regions,
+used to scope every catalog query.
+
+Two-phase compile, the LSD cell-walk re-expressed for Spark:
+
+1. **Cell pruning (driver-side, pure Python).** A region compiles to
+   a SUPERSET of (dec zone, cos(dec)-scaled RA bucket) cells on the
+   same literal zone grid the spherical cross-match partitions by
+   (plans/sphere.py zone_counts — driver-computed integers, zero
+   cross-engine trig). Over the materialized zone-partitioned layout
+   this becomes genuine Catalyst partition pruning (`z IN (...)`
+   lands in PartitionFilters, so only candidate directories are
+   listed/read); the bucket set prunes within the zone.
+2. **Exact refine (engine-neutral SQL).** The region's exact
+   predicate — haversine for cones, interval tests for rectangles,
+   literal-slope ray-casting for polygons — as ONE text that runs
+   identically through Spark's F.expr and DuckDB, which is what lets
+   every region operator keep a full hash-match oracle (the oracle
+   is the refine alone, brute-forced over all rows: a physically
+   different plan that agrees iff the candidate cell set truly is a
+   superset).
+
+Superset bound for the cone's per-zone RA half-width: from the
+haversine identity hav(r) = hav(Δdec) + cos d0 cos d1 hav(Δra) ≥
+cos d0 cos d1 hav(Δra), any point of the zone within distance r of
+the center satisfies sin²(Δra/2) ≤ sin²(r/2) / (cos d0 cos d_edge)
+with d_edge the zone's largest |dec|; dra = 2 asin(min(1, √·)) plus
+a 1e-9 deg pad absorbs float rounding at the boundary. Zones whose
+edge reaches the pole cap keep every bucket (they hold one bucket in
+the grid anyway).
+
+100 TB shape: the candidate cells are literals in the plan — the
+scan prunes partitions BEFORE reading a byte, the refine is a
+map-only JVM filter, and no shuffle exists anywhere. Region algebra
+composes at the cell level too: union unions cell sets, intersection
+intersects them, difference keeps the left side's (the result can
+only shrink), so a composite footprint query still touches only the
+cells its positive terms cover.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import functions as F
+
+from lsd_spark.plans.sphere import (
+    DIST_SPHERE,
+    _sphere_points_sql,
+    sphere_points,
+    zone_counts,
+)
+from lsd_spark.registry import register
+
+GRID = 1.0  # zone height (deg) of the region grid == sphere grid
+_NB = zone_counts(GRID)
+_NZ = len(_NB)
+_CID = 1000  # cell id = z * _CID + b  (max nb < 1000 at GRID=1)
+
+
+def _zones_for(dec_lo: float, dec_hi: float) -> range:
+    zlo = max(0, int(math.floor(dec_lo + 90.0)))
+    zhi = min(_NZ - 1, int(math.floor(dec_hi + 90.0)))
+    return range(zlo, zhi + 1)
+
+
+def _buckets_for(z: int, ra_lo: float, ra_hi: float) -> set[int]:
+    """Buckets of zone z overlapping RA interval [ra_lo, ra_hi]
+    (unwrapped — ra_lo may be negative, ra_hi may exceed 360), via
+    the SAME floor(ra*nb/360) key the data side computes."""
+    nb = _NB[z]
+    if ra_hi - ra_lo >= 360.0:
+        return set(range(nb))
+    klo = int(math.floor(ra_lo * nb / 360.0))
+    khi = int(math.floor(ra_hi * nb / 360.0))
+    return {k % nb for k in range(klo, khi + 1)}
+
+
+class Region:
+    """Base: a sky footprint compiling to (cells, refine SQL)."""
+
+    def cells(self) -> set[tuple[int, int]]:
+        raise NotImplementedError
+
+    def refine_sql(self, ra: str, dec: str) -> str:
+        """Exact membership predicate; IDENTICAL text must be valid
+        in Spark SQL and DuckDB (engine-neutral subset)."""
+        raise NotImplementedError
+
+    def __or__(self, other: "Region") -> "Region":
+        return _Union(self, other)
+
+    def __and__(self, other: "Region") -> "Region":
+        return _Intersect(self, other)
+
+    def __sub__(self, other: "Region") -> "Region":
+        return _Difference(self, other)
+
+
+class Cone(Region):
+    """beam(ra, dec, radius): all points within `radius` degrees of
+    (ra0, dec0) angular separation — LSD's beam()."""
+
+    def __init__(self, ra0: float, dec0: float, radius: float):
+        if not (0.0 <= ra0 < 360.0 and -90.0 <= dec0 <= 90.0):
+            raise ValueError("cone center out of range")
+        self.ra0, self.dec0, self.radius = float(ra0), float(dec0), float(radius)
+
+    def cells(self) -> set[tuple[int, int]]:
+        r = self.radius
+        out: set[tuple[int, int]] = set()
+        for z in _zones_for(self.dec0 - r, self.dec0 + r):
+            lo, hi = -90.0 + z * GRID, -90.0 + (z + 1) * GRID
+            d_edge = min(90.0, max(abs(lo), abs(hi)))
+            denom = math.cos(math.radians(self.dec0)) * math.cos(math.radians(d_edge))
+            if d_edge >= 89.9 or denom <= 0.0:
+                dra = 180.0
+            else:
+                u = math.sin(math.radians(r) / 2.0) / math.sqrt(denom)
+                dra = math.degrees(2.0 * math.asin(min(1.0, u))) + 1e-9
+            if dra >= 180.0:
+                out.update((z, b) for b in range(_NB[z]))
+            else:
+                out.update(
+                    (z, b) for b in _buckets_for(z, self.ra0 - dra, self.ra0 + dra)
+                )
+        return out
+
+    def refine_sql(self, ra: str, dec: str) -> str:
+        d = DIST_SPHERE.format(
+            ldec=f"({dec})", rdec=repr(self.dec0), lra=f"({ra})", rra=repr(self.ra0)
+        )
+        return f"({d} <= {self.radius!r})"
+
+
+class Rect(Region):
+    """RA/Dec rectangle [ra_lo, ra_hi] x [dec_lo, dec_hi], inclusive;
+    ra_lo > ra_hi means the box wraps across RA 0/360."""
+
+    def __init__(self, ra_lo: float, ra_hi: float, dec_lo: float, dec_hi: float):
+        if dec_lo > dec_hi:
+            raise ValueError("dec_lo > dec_hi")
+        self.ra_lo, self.ra_hi = float(ra_lo), float(ra_hi)
+        self.dec_lo, self.dec_hi = float(dec_lo), float(dec_hi)
+
+    def cells(self) -> set[tuple[int, int]]:
+        out: set[tuple[int, int]] = set()
+        wrap = self.ra_lo > self.ra_hi
+        for z in _zones_for(self.dec_lo, self.dec_hi):
+            if wrap:
+                bs = _buckets_for(z, self.ra_lo, 360.0) | _buckets_for(z, 0.0, self.ra_hi)
+            else:
+                bs = _buckets_for(z, self.ra_lo, self.ra_hi)
+            out.update((z, b) for b in bs)
+        return out
+
+    def refine_sql(self, ra: str, dec: str) -> str:
+        dec_t = f"({dec}) >= {self.dec_lo!r} AND ({dec}) <= {self.dec_hi!r}"
+        if self.ra_lo > self.ra_hi:  # wraps the 0/360 seam
+            ra_t = f"(({ra}) >= {self.ra_lo!r} OR ({ra}) <= {self.ra_hi!r})"
+        else:
+            ra_t = f"(({ra}) >= {self.ra_lo!r} AND ({ra}) <= {self.ra_hi!r})"
+        return f"({dec_t} AND {ra_t})"
+
+
+class Poly(Region):
+    """Polygon footprint; edges are straight lines in the (ra, dec)
+    plane (cylindrical projection — the same convention the oracle
+    evaluates, so the two engines agree bit-for-bit). Vertices must
+    not cross the RA 0/360 seam; split seam-crossing footprints into
+    a union of two polygons. Membership is even-odd ray casting with
+    the edge slopes folded to Python-computed literals, so the SQL is
+    a flat sum of comparisons — no division at query time."""
+
+    def __init__(self, vertices: list[tuple[float, float]]):
+        if len(vertices) < 3:
+            raise ValueError("polygon needs >= 3 vertices")
+        self.vertices = [(float(x), float(y)) for x, y in vertices]
+
+    def cells(self) -> set[tuple[int, int]]:
+        xs = [v[0] for v in self.vertices]
+        ys = [v[1] for v in self.vertices]
+        return Rect(min(xs), max(xs), min(ys), max(ys)).cells()
+
+    def refine_sql(self, ra: str, dec: str) -> str:
+        terms = []
+        n = len(self.vertices)
+        for i in range(n):
+            x1, y1 = self.vertices[i]
+            x2, y2 = self.vertices[(i + 1) % n]
+            if y1 == y2:
+                continue  # horizontal edge: never crossed (strict >)
+            slope = (x2 - x1) / (y2 - y1)  # literal, folded driver-side
+            cross = (
+                f"(({y1!r} > ({dec})) <> ({y2!r} > ({dec}))) "
+                f"AND (({ra}) < (({dec}) - {y1!r}) * {slope!r} + {x1!r})"
+            )
+            terms.append(f"(CASE WHEN {cross} THEN 1 ELSE 0 END)")
+        return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+class _Union(Region):
+    def __init__(self, a: Region, b: Region):
+        self.a, self.b = a, b
+
+    def cells(self):
+        return self.a.cells() | self.b.cells()
+
+    def refine_sql(self, ra, dec):
+        return f"({self.a.refine_sql(ra, dec)} OR {self.b.refine_sql(ra, dec)})"
+
+
+class _Intersect(Region):
+    def __init__(self, a: Region, b: Region):
+        self.a, self.b = a, b
+
+    def cells(self):
+        return self.a.cells() & self.b.cells()
+
+    def refine_sql(self, ra, dec):
+        return f"({self.a.refine_sql(ra, dec)} AND {self.b.refine_sql(ra, dec)})"
+
+
+class _Difference(Region):
+    def __init__(self, a: Region, b: Region):
+        self.a, self.b = a, b
+
+    def cells(self):
+        return self.a.cells()  # result ⊆ a: b cannot grow it
+
+    def refine_sql(self, ra, dec):
+        return f"({self.a.refine_sql(ra, dec)} AND NOT {self.b.refine_sql(ra, dec)})"
+
+
+# --- query compilation ----------------------------------------------------
+
+
+def region_select(pts, region: Region):
+    """Compile `region` over a (event_id, ra, dec[, z, b]) DataFrame:
+    candidate-cell membership first (map-only, literal IN list), then
+    the exact refine. When z/b are absent they are derived on the fly
+    with the same literal grid."""
+    if "z" not in pts.columns:
+        nb_arr = F.array(*[F.lit(v) for v in _NB])
+        z = F.least(F.floor((F.col("dec") + F.lit(90.0)) / F.lit(GRID)), F.lit(_NZ - 1)).cast(
+            "int"
+        )
+        pts = pts.withColumn("z", z).withColumn(
+            "b",
+            F.floor(F.col("ra") * F.element_at(nb_arr, F.col("z") + 1) / F.lit(360.0)).cast(
+                "int"
+            ),
+        )
+    cells = sorted(region.cells())
+    zones = sorted({z for z, _ in cells})
+    cids = [z * _CID + b for z, b in cells]
+    out = (
+        pts.filter(F.col("z").isin(zones))  # partition-prunable
+        .filter((F.col("z") * _CID + F.col("b")).isin(cids))
+        .filter(F.expr(region.refine_sql("ra", "dec")))
+    )
+    return out.select("event_id", "ra", "dec")
+
+
+def build_region_layout(spark, sf_dir: str) -> str:
+    """Materialize the events sky positions zone-PARTITIONED (LSD's
+    cell directories as Parquet `partitionBy(z)`), once per session.
+    Region queries over this layout get true partition pruning: the
+    candidate zone list lands in the scan's PartitionFilters and
+    non-candidate directories are never opened. At 100 TB this is the
+    ingest-time layout (partitionBy zone, bucketBy b)."""
+    from lsd_spark.plans.materialize import materialized
+
+    def build(base: str) -> str:
+        nb_arr = F.array(*[F.lit(v) for v in _NB])
+        pts = sphere_points(spark, sf_dir, None)
+        z = F.least(
+            F.floor((F.col("dec") + F.lit(90.0)) / F.lit(GRID)), F.lit(_NZ - 1)
+        ).cast("int")
+        pts = pts.withColumn("z", z).withColumn(
+            "b",
+            F.floor(
+                F.col("ra") * F.element_at(nb_arr, F.col("z") + 1) / F.lit(360.0)
+            ).cast("int"),
+        )
+        path = os.path.join(base, "sky")
+        # one file per zone dir at test scale (repartition by the
+        # partition column so 32 tasks don't each open 180 writers)
+        pts.repartition("z").write.mode("overwrite").partitionBy("z").parquet(path)
+        return path
+
+    return materialized(spark, "region_layout", sf_dir, build, prefix="lsd_region_")
+
+
+# --- registered operators -------------------------------------------------
+
+CONE = Cone(40.0, 10.0, 8.0)
+POLY = Poly(
+    [
+        (192.0005, -22.0005),
+        (207.0005, -25.0005),
+        (212.0005, -36.0005),
+        (200.0005, -44.0005),
+        (188.0005, -33.0005),
+    ]
+)
+ALGEBRA = (Cone(320.0, 45.0, 10.0) | Rect(300.0, 340.0, 30.0, 50.0)) - Cone(
+    320.0, 45.0, 4.0
+)
+
+
+def _region_oracle(region: Region) -> str:
+    return (
+        f"WITH p AS ({_sphere_points_sql(None)}) "
+        f"SELECT event_id, ra, dec FROM p "
+        f"WHERE {region.refine_sql('ra', 'dec')} ORDER BY event_id"
+    )
+
+
+@register("filter_region_cone", oracle=_region_oracle(CONE), cacheable=False)
+def filter_region_cone(spark, sf_dir):
+    """Cone (beam) footprint query over the zone-partitioned layout:
+    LSD's `db.query(...).fetch(bounds=beam(ra, dec, r))`
+    [lsd:src/lsd/bounds.py — UNVERIFIED]. The candidate zones land in
+    PartitionFilters (directory pruning before any I/O), the bucket
+    cells prune within the zone, and the haversine refine is exact.
+    Oracle: the refine alone brute-forced over every row — a
+    different plan that agrees iff the cell set is a true superset."""
+    path = build_region_layout(spark, sf_dir)
+    pts = spark.read.parquet(path)
+    return region_select(pts, CONE).orderBy("event_id")
+
+
+@register("filter_region_poly", oracle=_region_oracle(POLY))
+def filter_region_poly(spark, sf_dir):
+    """Polygon footprint query (survey footprints are polygons):
+    bbox cells + even-odd ray casting with literal slopes, derived
+    cell keys (no layout needed — the same compile serves ad-hoc
+    tables)."""
+    return region_select(sphere_points(spark, sf_dir, None), POLY).orderBy("event_id")
+
+
+@register("filter_region_algebra", oracle=_region_oracle(ALGEBRA))
+def filter_region_algebra(spark, sf_dir):
+    """Region ALGEBRA: (cone ∪ rect) − inner cone — LSD's footprint
+    union/intersection/difference [lsd:src/lsd/bounds.py —
+    UNVERIFIED]. Cell sets compose set-wise (union of candidates,
+    minus keeps the left side's), the refine composes boolean-wise;
+    the whole composite is still one map-only scan."""
+    return region_select(sphere_points(spark, sf_dir, None), ALGEBRA).orderBy(
+        "event_id"
+    )

@@ -295,3 +295,40 @@ def test_supercritical_fof_log_rounds_and_exact_labels(spark):
         comp_min[rt] = min(comp_min.get(rt, ids[i]), ids[i])
     exp = {(int(ids[i]), int(comp_min[roots[i]])) for i in range(len(ids))}
     assert got == exp
+
+
+# --- region algebra: the scan touches only candidate cells -----------------
+
+
+def test_region_cone_scan_prunes_to_candidate_zones(spark):
+    """A cone footprint over the zone-partitioned layout must compile
+    to (a) a PartitionFilters z-IN list covering exactly the
+    candidate zones — directory pruning before any byte is read —
+    and (b) a map-only plan: no join, no shuffle except the final
+    presentation sort."""
+    from lsd_spark.plans.region import CONE
+
+    p = qplan("filter_region_cone", spark)
+    zones = sorted({z for z, _ in CONE.cells()})
+    part = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert part, p
+    ln = part[0]
+    assert "INSET" in ln or " IN " in ln, ln
+    import re
+
+    got = sorted(int(m) for m in re.findall(r"\b(\d+)\b", ln.split("INSET")[-1]))
+    assert got == zones, (got, zones)
+    # candidate zones are a small fraction of the 180-zone sky
+    assert len(zones) < 20
+    # map-only: the one Exchange is the orderBy's range partitioning
+    assert p.count("Exchange") <= 2, p  # formatted lists it twice max
+    assert "Join" not in p, p
+
+
+def test_region_algebra_is_single_map_only_scan(spark):
+    """(cone ∪ rect) − cone must stay ONE scan with a composed
+    residual filter — region algebra composes predicates, it never
+    self-joins or unions scans."""
+    p = qplan("filter_region_algebra", spark, mode="simple")
+    assert "Join" not in p and "Union" not in p, p
+    assert p.count("Scan parquet") == 1, p
