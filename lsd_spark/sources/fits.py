@@ -288,10 +288,24 @@ def _make_fits_parser():
     return read_cards, find_bintable, table_fields, parse_table
 
 
-def read_fits(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+def read_fits(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    with_header: bool = False,
+) -> DataFrame:
     """Distributed FITS BINTABLE read: one parse task per file.
     Only *.fits files are read, so a leaked attempt temp file from a
-    failed writer task can never contaminate a re-ingest."""
+    failed writer task can never contaminate a re-ingest.
+
+    ``with_header=True`` additionally carries the BINTABLE header
+    cards as a ``_hdr map<string,string>`` column (one map per file,
+    repeated on each of its rows) — LSD's ``ffitskw`` BLOB accessor
+    surface [lsd:src/lsd/query_parser.py function namespace —
+    UNVERIFIED]: header keywords become queryable row-level values
+    (``element_at(_hdr, 'KEY')``). The map is a per-FILE constant, so
+    at 100 TB it dictionary-encodes to ~one copy per row group and
+    column pruning drops it entirely unless a query touches it."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.fits")
@@ -307,8 +321,14 @@ def read_fits(spark: SparkSession, path: str, columns: list[str] | None = None) 
 
         for pdf in batches:
             for content in pdf["content"]:
-                _, out = parse_table(bytes(content), wanted=cols)
-                yield pd.DataFrame(out)
+                buf = bytes(content)
+                _, out = parse_table(buf, wanted=cols)
+                df = pd.DataFrame(out)
+                if with_header:
+                    hdr, _ = find_bintable(buf)
+                    cards = {str(k): str(v) for k, v in sorted(hdr.items())}
+                    df["_hdr"] = [cards] * len(df)
+                yield df
 
     # schema discovered driver-side from the first file's headers
     # (a few KB peek, not a data read)
@@ -319,6 +339,8 @@ def read_fits(spark: SparkSession, path: str, columns: list[str] | None = None) 
         if cols is not None and name not in cols:
             continue
         hdr_cols.append(f"{name} {styp}")
+    if with_header:
+        hdr_cols.append("_hdr map<string,string>")
     return files.select("content").mapInPandas(parse_kernel, schema=", ".join(hdr_cols))
 
 
@@ -376,6 +398,42 @@ def source_fits_import(spark, sf_dir):
     is the thing under test and is one-task-per-file parallel."""
     path = _fixture_path(spark, sf_dir)
     return read_fits(spark, os.path.dirname(path)).orderBy("n_nationkey")
+
+
+@register(
+    "fn_fits_keyword",
+    oracle=(
+        "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, "
+        "CAST((SELECT count(*) FROM nation) AS BIGINT) AS naxis2, "
+        "CAST(24 + (SELECT MAX(LENGTH(n_name)) FROM nation) AS BIGINT) AS naxis1, "
+        "'n_name' AS ttype2, CAST(4 AS BIGINT) AS tfields "
+        "FROM nation ORDER BY n_nationkey"
+    ),
+    cacheable=False,
+)
+def fn_fits_keyword(spark, sf_dir):
+    """FITS header keyword lookup — LSD's ``ffitskw`` query function
+    [lsd:src/lsd/query_parser.py function namespace — UNVERIFIED]:
+    header cards of each ingested file ride along as a
+    map<string,string> column, so any keyword is an ordinary
+    expression (`element_at(_hdr, 'NAXIS2')`) filterable/joinable
+    like any other value — per-exposure zero points, airmass, etc.
+
+    Oracle recomputes the header values from the SOURCE table the
+    fixture was written from: NAXIS2 must equal the row count,
+    NAXIS1 the packed row width (8 K + widthA + 8 K + 8 D =
+    24 + max name length), TTYPE2/TFIELDS the declared layout — a
+    genuine write→parse round-trip check on real header bytes, not
+    a tautology."""
+    path = _fixture_path(spark, sf_dir)
+    df = read_fits(spark, os.path.dirname(path), with_header=True)
+    return df.select(
+        "n_nationkey",
+        F.element_at("_hdr", F.lit("NAXIS2")).cast("bigint").alias("naxis2"),
+        F.element_at("_hdr", F.lit("NAXIS1")).cast("bigint").alias("naxis1"),
+        F.element_at("_hdr", F.lit("TTYPE2")).alias("ttype2"),
+        F.element_at("_hdr", F.lit("TFIELDS")).cast("bigint").alias("tfields"),
+    ).orderBy("n_nationkey")
 
 
 # ---------------------------------------------------------------------------

@@ -113,3 +113,24 @@ def test_spark_roundtrip_scaled(spark):
     )
     got = read_fits(spark, d).orderBy("k").collect()
     assert [(r.k, r.s) for r in got] == [(1, 2.5), (2, 5.0), (3, -7.5)]
+
+
+def test_header_map_rides_along_and_answers_keywords(spark):
+    """with_header=True carries the BINTABLE cards as a per-file
+    map<string,string> (the ffitskw surface): every row of a file
+    shares one map, and the physical layout keywords answer
+    correctly from the parsed bytes."""
+    from lsd_spark.sources.fits import read_fits
+
+    d = tempfile.mkdtemp(prefix="lsd_fits_hdr_")
+    path = os.path.join(d, "x.fits")
+    write_fits_bintable(path, ["k", "v"], ["K", "D"], [[1, 2, 3], [0.5, 1.5, 2.5]])
+    got = read_fits(spark, d, with_header=True).orderBy("k").collect()
+    assert len(got) == 3
+    for r in got:
+        assert r._hdr["NAXIS2"] == "3"
+        assert r._hdr["NAXIS1"] == "16"  # 8(K) + 8(D)
+        assert r._hdr["TTYPE1"] == "k" and r._hdr["TFORM2"] == "D"
+    # header column is pruned when untouched (payload-size guard)
+    df = read_fits(spark, d, with_header=True).select("k")
+    assert "_hdr" not in df.columns

@@ -110,22 +110,26 @@ def test_no_cartesian_products_anywhere(spark):
 def test_knn_brute_broadcasts_query_side(spark):
     """All-pairs ops (exact-baseline variants) must never pay a
     CartesianProduct over the corpus. llm_simsearch_knn goes further:
-    since the bench-gap fix it inlines the k query vectors as LITERAL
-    structs exploded per corpus row — zero joins, one corpus scan,
-    the whole cosine fold in whole-stage codegen (the join-free plan
-    beats even a BroadcastNestedLoopJoin: no build side, no broadcast
-    exchange). llm_dedup_embcos_exact keeps the broadcast-NLJ shape
-    (its query side is the corpus itself, so literals can't apply)."""
+    the k query vectors ride the CLOSURE into a mapInPandas kernel
+    that emits per-partition top-5 partials — zero joins, one corpus
+    scan, only <= 25 rows/partition ever reach the final window's
+    exchange (map-combine top-k). llm_dedup_embcos_exact keeps the
+    broadcast-NLJ shape (its query side is the corpus itself, so
+    closure-captured queries can't apply)."""
     p = qplan("llm_simsearch_knn", spark, mode="simple")
     # once the shared-session DataFrame has been executed by an
     # earlier test, AQE's toString appends an "== Initial Plan =="
     # section that would double-count nodes — pin the final plan only
     p = p.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in p, p
-    assert "Join" not in p, f"knn literal-inline regressed to a join:\n{p}"
-    assert "Generate explode" in p, p
+    assert "Join" not in p, f"knn closure-capture regressed to a join:\n{p}"
+    assert "MapInPandas" in p, p
     nscans = p.count("FileScan") + p.count("InMemoryTableScan")
     assert nscans == 1, f"knn must scan the corpus exactly once:\n{p}"
+    # the corpus itself must never shuffle: the one exchange sits
+    # ABOVE the kernel (partials), not between scan and kernel
+    pre, _, post = p.partition("MapInPandas")
+    assert "Exchange" not in post, f"corpus shuffled before kernel:\n{p}"
 
     p = qplan("llm_dedup_embcos_exact", spark, mode="simple")
     assert "BroadcastNestedLoopJoin" in p, p
