@@ -48,7 +48,28 @@ def equgal_sql(ra: str, dec: str) -> tuple[str, str]:
     return l, b
 
 
+def galequ_sql(l: str, b: str) -> tuple[str, str]:
+    """(ra_expr, dec_expr) in degrees — the inverse rotation
+    (galactic -> equatorial, same public IAU constants):
+
+        sin δ = sin b sin δ_G + cos b cos δ_G cos(l_NCP − l)
+        α = α_G + atan2(cos b sin(l_NCP − l),
+                        sin b cos δ_G − cos b sin δ_G cos(l_NCP − l))
+    """
+    sb, cb = f"sin(radians({b}))", f"cos(radians({b}))"
+    sdg, cdg = f"sin(radians({DEC_NGP!r}))", f"cos(radians({DEC_NGP!r}))"
+    dl = f"radians({L_NCP!r} - ({l}))"
+    sind = f"({sb} * {sdg} + {cb} * {cdg} * cos({dl}))"
+    dec = f"degrees(asin(greatest(-1.0, least(1.0, {sind}))))"
+    ra = (
+        f"(({RA_NGP!r} + degrees(atan2({cb} * sin({dl}), "
+        f"{sb} * {cdg} - {cb} * {sdg} * cos({dl})))) % 360.0 + 360.0) % 360.0"
+    )
+    return ra, dec
+
+
 _L_SQL, _B_SQL = equgal_sql("ra", "dec")
+_RA_EQ_SQL, _DEC_EQ_SQL = galequ_sql("ra", "dec")  # events (ra,dec) read as (l,b)
 
 
 @register(
@@ -71,4 +92,30 @@ def fn_equgal(spark, sf_dir):
         "event_id",
         F.round(F.expr(_L_SQL), 6).alias("gal_l"),
         F.round(F.expr(_B_SQL), 6).alias("gal_b"),
+    ).orderBy("event_id")
+
+
+@register(
+    "fn_galequ",
+    oracle=(
+        f"WITH p AS ({_sphere_points_sql(None)}) "
+        f"SELECT event_id, ROUND({_RA_EQ_SQL}, 6) AS eq_ra, "
+        f"ROUND({_DEC_EQ_SQL}, 6) AS eq_dec "
+        "FROM p ORDER BY event_id"
+    ),
+)
+def fn_galequ(spark, sf_dir):
+    """galequ(l, b) -> (ra, dec): the inverse of fn_equgal, also in
+    LSD's query function namespace [lsd:src/lsd/query_parser.py —
+    UNVERIFIED]. The events sky positions are read as galactic input
+    here (any (lon, lat) pair is a valid domain point for the
+    rotation); tests/test_region.py pins the analytic inverse
+    property galequ(equgal(ra, dec)) == (ra, dec) to 1e-6 deg.
+    Identical expression text runs in the DuckDB oracle; map-only,
+    whole-stage codegen, no shuffle beyond the presentation sort."""
+    pts = sphere_points(spark, sf_dir, None)
+    return pts.select(
+        "event_id",
+        F.round(F.expr(_RA_EQ_SQL), 6).alias("eq_ra"),
+        F.round(F.expr(_DEC_EQ_SQL), 6).alias("eq_dec"),
     ).orderBy("event_id")

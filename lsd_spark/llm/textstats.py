@@ -353,3 +353,39 @@ def llm_unigram_logprob(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "llm_ngram_freq",
+    oracle=(
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        "b AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), "
+        "i -> w[i] || ' ' || w[i+1])) AS bg FROM t) "
+        "SELECT bg, count(*) AS cf, count(DISTINCT doc_id) AS df "
+        "FROM b GROUP BY bg ORDER BY cf DESC, bg ASC LIMIT 100"
+    ),
+)
+def llm_ngram_freq(spark, sf_dir):
+    """Corpus n-gram frequency table (bigrams): collection frequency
+    + document frequency, top-100 — the vocabulary/contamination
+    report every corpus audit starts with. Bigrams are built
+    JVM-side with zip_with over two shifted slices (no Python, no
+    explode-before-slice): slice(w,1,n-1) zip slice(w,2,n-1) is
+    empty for 1-token docs, so no sequence(1,0) descending-range
+    trap. One explode + one map-side-combined groupBy; the top-100
+    is TakeOrderedAndProject (no global sort). At 100 TB the bigram
+    key space is heavy-tailed but the partial agg absorbs the head;
+    df via count(DISTINCT doc_id) shuffles (bg, doc_id) pairs once."""
+    docs = load(spark, sf_dir, "documents")
+    bg = F.expr(
+        "zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1), "
+        "(a, b) -> concat(a, ' ', b))"
+    )
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(bg).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("cf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("cf").desc(), F.col("bg").asc())
+        .limit(100)
+    )

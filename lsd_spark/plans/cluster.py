@@ -73,37 +73,61 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     undirected edge set as (u, v) one-way; returns
     (vec_id, object_id).
 
-    Convergence needs O(min-label eccentricity) rounds, so this is
-    for SUBCRITICAL match graphs — the only physically meaningful
-    regime for FoF (a supercritical linking length percolates the
-    catalog into one giant "object"). The cap raises rather than
-    returning non-converged labels. A per-iteration pointer-jumping
-    variant was tried and reverted: the label-of-label self-join
-    re-executed pathologically (iteration cost doubled per round on
-    Spark 4.1 despite truncated logical AND RDD lineage) — the
-    log-round alternative at true scale is the large-star/small-star
-    formulation, noted in SCALING.md.
+    Convergence needs O(min-label eccentricity) rounds, so the
+    propagation loop fits SUBCRITICAL match graphs — the physically
+    meaningful regime for FoF. ADAPTIVE ROUTING (round 4): the edge
+    set is generated and checkpointed ONCE, then average degree
+    2E/N is measured on the checkpointed edges (two cheap counts,
+    no recomputation); above DEGREE_SUPERCRITICAL the graph is
+    percolating — min-label would need O(component diameter /
+    linking length) rounds — so the labeling routes to the O(log n)
+    large-star/small-star path instead, reusing the same checkpointed
+    edges. Both paths compute the exact same min-label components,
+    so the routing is a pure physical-plan choice — the 10x
+    density stress (scripts/inflate_sf.py) exercises it. The
+    round cap still raises rather than returning non-converged
+    labels. A per-iteration pointer-jumping variant was tried and
+    reverted: the label-of-label self-join re-executed pathologically
+    (iteration cost doubled per round on Spark 4.1 despite truncated
+    logical AND RDD lineage).
 
     Memory hygiene (found the hard way at sf0.1 on a stock 1g
     session): iteration checkpoints are DISK_ONLY, the previous
     iteration's checkpoint is unpersisted once superseded, and the
     loop runs on bounded shuffle partitions."""
+    from pyspark.storagelevel import StorageLevel
+
     spark = emb.sparkSession
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_sp), 16)))
     try:
-        return _fixpoint_loop(emb, pairs)
+        edges = pairs.unionAll(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        n_half_edges = edges.count()  # = 2E, on the checkpoint
+        n_nodes = max(1, emb.count())
+        if n_half_edges / n_nodes > DEGREE_SUPERCRITICAL:
+            out = _alternating_loop(emb, edges)
+            edges.unpersist()
+            return out
+        return _fixpoint_loop(emb, edges)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
-def _fixpoint_loop(emb: DataFrame, pairs: DataFrame) -> DataFrame:
+# Average-degree threshold for routing to the log-round CC path: 2-D
+# continuum percolation sits near degree ~4.5; by 3 the subcritical
+# components are already deep enough that min-label's round count
+# climbs steeply, and large-star/small-star is never slower there.
+DEGREE_SUPERCRITICAL = 3.0
+
+
+def _fixpoint_loop(emb: DataFrame, edges: DataFrame) -> DataFrame:
+    """`edges` arrives SYMMETRIZED and checkpointed (the router in
+    min_label_fixpoint generated them once for the degree probe)."""
     from pyspark.storagelevel import StorageLevel
 
     level = StorageLevel.DISK_ONLY
-    edges = pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    edges = edges.localCheckpoint(eager=True, storageLevel=level)  # edge gen runs once
-
     labels = emb.select(F.col("vec_id"), F.col("vec_id").alias("object_id"))
     prev = None
     for _ in range(MAX_ITERS):

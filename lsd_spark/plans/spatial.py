@@ -439,6 +439,55 @@ def cluster_fof_2d(spark, sf_dir):
     ).orderBy("point_id")
 
 
+@register(
+    "agg_object_coadd",
+    oracle=(
+        "WITH RECURSIVE pairs AS (" + _FOF2D_PAIRS_SQL + "), "
+        "e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs), "
+        "reach(src, node) AS ("
+        f"SELECT event_id, event_id FROM ({_points_sql_type('view')}) "
+        "UNION "
+        "SELECT r.src, e.v FROM reach r JOIN e ON r.node = e.u), "
+        "lab AS (SELECT src AS point_id, min(node) AS object_id "
+        "FROM reach GROUP BY src) "
+        f"SELECT object_id, count(*) AS n_det, "
+        "ROUND(AVG(x), 4) AS cx, ROUND(AVG(y), 4) AS cy "
+        f"FROM ({_points_sql_type('view')}) p JOIN lab "
+        "ON p.event_id = lab.point_id "
+        "GROUP BY object_id ORDER BY object_id"
+    ),
+    cacheable=False,
+)
+def agg_object_coadd(spark, sf_dir):
+    """Object coadd — the averaging step that finishes
+    lsd-make-object-catalog: after FoF links detections into
+    objects, each object's catalog row is the MEAN position of its
+    member detections plus the detection count
+    [lsd:lsd-make-object-catalog — UNVERIFIED, SURVEY.md §3.3].
+    Plan: the same cell-bounded pair join + min-label fixpoint as
+    cluster_fof_2d, then ONE equi-join back to positions and a
+    map-side-combined groupBy(object_id) — label propagation moves
+    only (id, label) pairs; positions are touched exactly twice
+    (pair generation, final coadd). Means rounded at 1e-4 (well
+    above cross-engine double-sum reassociation ~1e-12)."""
+    from lsd_spark.plans.cluster import min_label_fixpoint
+
+    pts = points(spark, sf_dir, "view")
+    ids = pts.select(F.col("event_id").alias("vec_id"))
+    pairs = self_radius_pairs(spark, sf_dir, "view", FOF2D_R)
+    labels = min_label_fixpoint(ids, pairs)
+    return (
+        pts.join(labels, pts.event_id == labels.vec_id)
+        .groupBy("object_id")
+        .agg(
+            F.count("*").alias("n_det"),
+            F.round(F.avg("x"), 4).alias("cx"),
+            F.round(F.avg("y"), 4).alias("cy"),
+        )
+        .orderBy("object_id")
+    )
+
+
 # Supercritical linking length: at sf0.1 the match graph has avg
 # degree ~6.2 and a giant component holding 98.7% of the 19,941
 # 'view' points (measured) — min-label propagation would need

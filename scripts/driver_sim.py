@@ -30,6 +30,8 @@ sys.path.insert(0, "/root/repo")
 SF01 = "/root/testdata/sf0.01"
 if "--sf" in sys.argv:
     SF01 = "/root/testdata/sf" + sys.argv[sys.argv.index("--sf") + 1]
+if "--sfdir" in sys.argv:  # arbitrary path (e.g. the inflated .cache/sf1)
+    SF01 = sys.argv[sys.argv.index("--sfdir") + 1]
 
 
 def canon_cell(v):
@@ -115,6 +117,27 @@ def main():
                 del oracles[name]
                 print(f"  note {name}: oracle runs at sf0.01 only "
                       "(O(component^2) transitive closure); rows-only here")
+
+    # Quadratic brute-force oracles (all-pairs distance joins,
+    # recursive-CTE transitive closures): fine at the driver's gate
+    # scales, infeasible in DuckDB against the 10x-inflated stress
+    # dir (~1M events) — there they demote to the rows-only
+    # double-run; exactness is already pinned at sf0.01 + sf0.1.
+    heavy_brute = {
+        "cluster_fof", "cluster_fof_exact", "cluster_fof_2d",
+        "agg_object_coadd", "llm_dedup_keep_best",
+        "join_xmatch_2d", "join_xmatch_2d_knn", "join_xmatch_2d_margin",
+        "xmatch_2d_count", "join_xmatch_sphere", "join_xmatch_sphere_knn",
+        "join_xmatch_sphere_margin", "xmatch_sphere_count",
+        "llm_dedup_embcos_exact",
+    }
+    if not SF01.startswith("/root/testdata/"):
+        demoted = sorted(heavy_brute & set(oracles))
+        for name in demoted:
+            del oracles[name]
+        if demoted:
+            print(f"  note: {len(demoted)} quadratic oracles demoted to "
+                  f"rows-only at inflated scale: {', '.join(demoted)}")
 
     only = None
     if "--only" in sys.argv:

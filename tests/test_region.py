@@ -120,5 +120,84 @@ def test_equgal_known_values():
     assert abs(l - 122.93192) < 1e-6 and abs(b - 27.12825) < 1e-6
 
 
+def test_galequ_inverts_equgal():
+    """Analytic inverse property over a random sky sample:
+    galequ(equgal(ra, dec)) == (ra, dec) to well under 1e-6 deg."""
+    import duckdb
+
+    from lsd_spark.functions.astro import galequ_sql
+
+    con = duckdb.connect()
+    rng = np.random.default_rng(7)
+    ra = rng.uniform(0, 360, 500)
+    dec = rng.uniform(-89.9, 89.9, 500)
+    con.sql("CREATE TABLE pts (ra DOUBLE, dec DOUBLE)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)", list(zip(ra, dec)))
+    l_sql, b_sql = equgal_sql("ra", "dec")
+    ra2_sql, dec2_sql = galequ_sql(f"({l_sql})", f"({b_sql})")
+    got = np.array(con.sql(f"SELECT {ra2_sql}, {dec2_sql} FROM pts").fetchall())
+    dra = np.minimum(np.abs(got[:, 0] - ra), 360.0 - np.abs(got[:, 0] - ra))
+    assert np.max(dra * np.cos(np.radians(dec))) < 1e-8
+    assert np.max(np.abs(got[:, 1] - dec)) < 1e-8
+
+
+def test_healpix_center_bound_lemma():
+    """The covering-superset lemma behind filter_region_healpix:
+    every sky point lies within HPX_BOUND_DEG of its OWN pixel's
+    center, where pixel assignment is the engine-neutral ang2pix
+    text (evaluated here through DuckDB) and centers come from the
+    driver-side pix2ang inverse. With this, center-within
+    (radius + bound) is a true cone covering by the triangle
+    inequality."""
+    import duckdb
+
+    from lsd_spark.plans.region import HPX_BOUND_DEG, HPX_NSIDE, hpx_ring_centers
+    from lsd_spark.plans.sphere import healpix_ring_sql
+
+    cra, cdec = hpx_ring_centers(HPX_NSIDE)
+    assert len(cra) == 12 * HPX_NSIDE * HPX_NSIDE
+    rng = np.random.default_rng(3)
+    n = 100_000
+    ra = rng.uniform(0, 360, n)
+    dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))  # area-uniform
+    con = duckdb.connect()
+    con.sql("CREATE TABLE pts (ra DOUBLE, dec DOUBLE)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)", list(zip(ra, dec)))
+    pix = np.array(
+        con.sql(
+            f"SELECT {healpix_ring_sql('ra', 'dec', HPX_NSIDE)} FROM pts"
+        ).fetchall()
+    ).ravel().astype(int)
+    assert pix.min() >= 0 and pix.max() < len(cra)
+    sep = _sep(ra, dec, cra[pix], cdec[pix])
+    assert sep.max() < HPX_BOUND_DEG, sep.max()
+
+
+def test_healpix_cone_pixels_cover_every_member_point():
+    from lsd_spark.plans.region import HPX_NSIDE, cone_healpix_pixels
+    from lsd_spark.plans.sphere import healpix_ring_sql
+
+    import duckdb
+
+    con = duckdb.connect()
+    for ra0, dec0, r in [(205.0, -35.0, 6.0), (0.5, 0.0, 3.0), (180.0, 87.0, 2.0)]:
+        cover = set(cone_healpix_pixels(ra0, dec0, r, HPX_NSIDE))
+        rng = np.random.default_rng(int(ra0))
+        ra = rng.uniform(0, 360, 30_000)
+        dec = np.degrees(np.arcsin(rng.uniform(-1, 1, 30_000)))
+        inside = _sep(ra, dec, ra0, dec0) <= r
+        con.sql("CREATE OR REPLACE TABLE pts (ra DOUBLE, dec DOUBLE)")
+        con.executemany(
+            "INSERT INTO pts VALUES (?, ?)",
+            list(zip(ra[inside], dec[inside])),
+        )
+        pix = np.array(
+            con.sql(
+                f"SELECT {healpix_ring_sql('ra', 'dec', HPX_NSIDE)} FROM pts"
+            ).fetchall()
+        ).ravel().astype(int)
+        assert set(pix) <= cover, (ra0, dec0, r)
+
+
 def test_cell_id_encoding_is_injective():
     assert max(_NB) < _CID
