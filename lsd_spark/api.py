@@ -207,16 +207,32 @@ class Query:
         self._db = db
         self._sql = sql
 
-    def df(self) -> DataFrame:
+    def df(self, bounds=None) -> DataFrame:
         """The DataFrame plan (LSD had no such escape hatch; Spark's
-        whole point is that the plan is first-class)."""
+        whole point is that the plan is first-class). ``bounds`` — a
+        Region from lsd_spark.bounds (beam / rectangle / polygon,
+        composable with | & -) — scopes the result to a sky
+        footprint: candidate-cell IN-list pruning + the exact refine,
+        composed onto this query's plan (requires ra/dec columns in
+        the projection), exactly LSD's fetch(bounds=...) contract."""
         self._db._ensure_views()
-        return self._db.spark.sql(self._db._rewrite_implicit_joins(self._sql))
+        out = self._db.spark.sql(self._db._rewrite_implicit_joins(self._sql))
+        if bounds is not None:
+            from lsd_spark.plans.region import region_select
 
-    def fetch(self):
+            missing = {"ra", "dec"} - set(out.columns)
+            if missing:
+                raise ValueError(
+                    f"bounds= needs ra/dec columns in the projection; missing {sorted(missing)}"
+                )
+            out = region_select(out, bounds, keep_all=True)
+        return out
+
+    def fetch(self, bounds=None):
         """Materialize to a pandas DataFrame (Arrow path) — LSD's
-        fetch() returned a numpy structured array."""
-        return self.df().toPandas()
+        fetch() returned a numpy structured array; ``bounds`` scopes
+        to a sky footprint (see df())."""
+        return self.df(bounds=bounds).toPandas()
 
     def iterate(self) -> Iterator:
         """Stream rows to the driver without materializing the full

@@ -244,12 +244,16 @@ class _Difference(Region):
 # --- query compilation ----------------------------------------------------
 
 
-def region_select(pts, region: Region):
+def region_select(pts, region: Region, keep_all: bool = False):
     """Compile `region` over a (event_id, ra, dec[, z, b]) DataFrame:
     candidate-cell membership first (map-only, literal IN list), then
     the exact refine. When z/b are absent they are derived on the fly
-    with the same literal grid."""
-    if "z" not in pts.columns:
+    with the same literal grid. ``keep_all=True`` preserves every
+    input column (the api.py ``fetch(bounds=...)`` path, where the
+    query's projection is the user's business)."""
+    in_cols = list(pts.columns)
+    derived = "z" not in pts.columns
+    if derived:
         nb_arr = F.array(*[F.lit(v) for v in _NB])
         z = F.least(F.floor((F.col("dec") + F.lit(90.0)) / F.lit(GRID)), F.lit(_NZ - 1)).cast(
             "int"
@@ -268,6 +272,8 @@ def region_select(pts, region: Region):
         .filter((F.col("z") * _CID + F.col("b")).isin(cids))
         .filter(F.expr(region.refine_sql("ra", "dec")))
     )
+    if keep_all:
+        return out.select(*in_cols)
     return out.select("event_id", "ra", "dec")
 
 

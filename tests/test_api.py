@@ -224,3 +224,38 @@ def test_implicit_join_rewriter_unit():
     # EXTRACT's FROM is not a table list
     s = "SELECT EXTRACT(YEAR FROM ts) FROM obj"
     assert _rewrite_from_lists(s, joins) == s
+
+
+def test_fetch_bounds_scopes_to_footprint(db, duck):
+    """LSD's fetch(bounds=beam(...)) contract through the API: the
+    bounds-scoped fetch must equal the brute-force refine evaluated
+    by DuckDB over the same derived sky positions, and must reject
+    projections lacking ra/dec."""
+    from lsd_spark import bounds
+    from lsd_spark.plans.sphere import _sphere_points_sql
+
+    region = bounds.beam(40.0, 10.0, 8.0) | bounds.rectangle(100.0, 110.0, -5.0, 5.0)
+    # Spark-dialect twin of _sphere_points_sql (conv() for the hex
+    # parse; the DuckDB side below uses its :: cast) — same values
+    sky_sql = (
+        "SELECT event_id, "
+        "CAST(CAST(conv(substr(md5(CAST(event_id AS STRING) || 'r'), 1, 15), 16, 10) "
+        "AS BIGINT) % 360000 AS DOUBLE) / 1000.0 AS ra, "
+        "CAST(CAST(conv(substr(md5(CAST(event_id AS STRING) || 'd'), 1, 15), 16, 10) "
+        "AS BIGINT) % 180000 AS DOUBLE) / 1000.0 - 90.0 AS dec "
+        "FROM events"
+    )
+    q = db.query(sky_sql)
+    pdf = q.fetch(bounds=region)
+    assert list(pdf.columns) == ["event_id", "ra", "dec"]
+    want = {
+        r[0]
+        for r in duck.sql(
+            f"SELECT event_id FROM ({_sphere_points_sql(None)}) "
+            f"WHERE {region.refine_sql('ra', 'dec')}"
+        ).fetchall()
+    }
+    assert set(pdf.event_id) == want and len(want) > 0
+
+    with pytest.raises(ValueError, match="ra/dec"):
+        db.query("SELECT r_name FROM region").fetch(bounds=region)
