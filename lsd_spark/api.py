@@ -318,10 +318,18 @@ class DB:
         return self.spark.table(name)
 
     def _ensure_views(self) -> None:
-        if self._views_done:
+        # Temp views are SESSION-global, so two DB objects over
+        # different paths on one SparkSession would silently serve
+        # each other's tables (found via a test reading sf0.001 rows
+        # through an sf0.01 DB). Track which DB last owned the
+        # namespace on the session itself and re-register whenever
+        # ownership changed, not just on first use.
+        owner = getattr(self.spark, "_lsd_db_view_owner", None)
+        if self._views_done and owner is self:
             return
         for t in self.tables():
             self.table(t).createOrReplaceTempView(t)
+        self.spark._lsd_db_view_owner = self
         self._views_done = True
 
     def declare_join(

@@ -389,3 +389,47 @@ def llm_ngram_freq(spark, sf_dir):
         .orderBy(F.col("cf").desc(), F.col("bg").asc())
         .limit(100)
     )
+
+
+@register(
+    "llm_oov_rate",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+        "FROM documents), "
+        "v AS (SELECT term FROM (SELECT term, count(*) AS c FROM tok "
+        "GROUP BY term ORDER BY c DESC, term ASC LIMIT 20)) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(FLOOR((1.0 - SUM(CASE WHEN term IN (SELECT term FROM v) "
+        "THEN 1 ELSE 0 END) * 1.0 / count(*)) * 10000 + 0.5) / 10000 AS DOUBLE) "
+        "AS oov_rate FROM tok GROUP BY doc_id ORDER BY doc_id"
+    ),
+)
+def llm_oov_rate(spark, sf_dir):
+    """Vocabulary coverage: per-doc out-of-vocabulary token rate
+    against the corpus top-20 vocabulary (count desc, term asc —
+    fully deterministic) — the tokenizer-fit metric a training
+    pipeline reports before committing to a vocab. Plan: one
+    explode + agg builds the vocabulary (TakeOrdered, bounded), it
+    BROADCASTS to a left join against the token stream, one
+    map-side-combined per-doc agg. At 100 TB the vocab is a
+    thousand-row broadcast and the token stream never shuffles on
+    the term key. OOV quantized at 1e-4."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(20)
+        .select("term", F.lit(1).alias("in_v"))
+    )
+    cov = F.sum(F.coalesce(F.col("in_v"), F.lit(0)))
+    rate = (F.floor((1.0 - cov / F.count("*")) * 10000 + F.lit(0.5)) / 10000).cast(
+        "double"
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), rate.alias("oov_rate"))
+        .orderBy("doc_id")
+    )

@@ -252,3 +252,39 @@ def win_rolling_median(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "win_streak",
+    oracle=(
+        "WITH d AS (SELECT DISTINCT user_id, "
+        "CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day FROM events), "
+        "i AS (SELECT user_id, day, day - ROW_NUMBER() OVER ("
+        "PARTITION BY user_id ORDER BY day) AS grp FROM d), "
+        "s AS (SELECT user_id, grp, count(*) AS len FROM i GROUP BY user_id, grp) "
+        "SELECT user_id, max(len) AS max_streak FROM s "
+        "GROUP BY user_id ORDER BY user_id"
+    ),
+)
+def win_streak(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern (day minus dense row_number is constant
+    within an island). Integer day arithmetic (unix_micros / epoch_us
+    div 86400e6) on both engines, no date-type or tz skew. Plan: one
+    distinct shuffle on (user, day), one window sorted within the
+    user partition, two map-side-combined aggs — the partition key
+    (user) is high-cardinality, so nothing funnels at scale."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("long").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn("grp", F.col("day") - F.row_number().over(w))
+    return (
+        islands.groupBy("user_id", "grp")
+        .agg(F.count("*").alias("len"))
+        .groupBy("user_id")
+        .agg(F.max("len").alias("max_streak"))
+        .orderBy("user_id")
+    )

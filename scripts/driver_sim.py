@@ -138,6 +138,19 @@ def main():
         if demoted:
             print(f"  note: {len(demoted)} quadratic oracles demoted to "
                   f"rows-only at inflated scale: {', '.join(demoted)}")
+        # The *_exact ops are quarantined fixture-scale recall
+        # baselines BY CONTRACT (their docstrings): the ENGINE side
+        # is a deliberate all-pairs scan (4e8 interpreted cosines at
+        # 20k vectors) whose whole point is to exist only at fixture
+        # scale. Running them at 10x contradicts their contract, so
+        # skip rather than burn an hour proving O(n^2) is O(n^2).
+        skipped = [n for n in ("cluster_fof_exact", "llm_dedup_embcos_exact")
+                   if n in qs]
+        for name in skipped:
+            del qs[name]
+            oracles.pop(name, None)
+        print(f"  note: fixture-scale-only baselines skipped at inflated "
+              f"scale: {', '.join(skipped)}")
 
     only = None
     if "--only" in sys.argv:
