@@ -26,8 +26,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from lsd_spark.plans.sphere import _sphere_points_sql, sphere_points
+from lsd_spark.plans.sphere import (
+    N_SIDE,
+    _sphere_points_sql,
+    healpix_ring_sql,
+    sphere_points,
+)
 from lsd_spark.registry import register
+
+_HPX_DUCK_RING = healpix_ring_sql("ra", "dec", N_SIDE)
 
 RA_NGP = 192.85948
 DEC_NGP = 27.12825
@@ -119,3 +126,153 @@ def fn_galequ(spark, sf_dir):
         F.round(F.expr(_RA_EQ_SQL), 6).alias("eq_ra"),
         F.round(F.expr(_DEC_EQ_SQL), 6).alias("eq_dec"),
     ).orderBy("event_id")
+
+
+# --- proper motion: per-object linear fit over the detection history ------
+
+T0_US = 1_704_067_200_000_000  # 2024-01-01 UTC — conditioning offset only
+#   (an OLS slope is shift-invariant; centering just keeps the co-moment
+#   sums small). Fixture events span ~30 days from this instant.
+
+_PM_T_DUCK = f"(CAST(epoch_us(ts) AS DOUBLE) - {T0_US}.0) / 86400000000.0"
+
+
+@register(
+    "agg_proper_motion",
+    oracle=(
+        f"SELECT user_id, COUNT(*) AS n_det, "
+        f"CAST(FLOOR(regr_slope(ra, {_PM_T_DUCK}) * 1000 + 0.5) AS BIGINT) "
+        "AS pm_ra_q, "
+        f"CAST(FLOOR(regr_slope(dec, {_PM_T_DUCK}) * 1000 + 0.5) AS BIGINT) "
+        "AS pm_dec_q "
+        f"FROM ({_sphere_points_sql(None, ('ts', 'user_id'))}) p "
+        "GROUP BY user_id HAVING COUNT(*) >= 3 ORDER BY user_id"
+    ),
+)
+def agg_proper_motion(spark, sf_dir):
+    """Per-object proper-motion fit — THE Pan-STARRS use case LSD was
+    built for: regress each object's (ra, dec) detection history
+    against epoch and report the slope (deg/day here; mas/yr in a
+    real catalog) [lsd:lsd-make-object-catalog + kernels over
+    detections — UNVERIFIED, SURVEY.md §3.2/§3.3].
+
+    Spark shape: regr_slope is a built-in declarative aggregate
+    (JVM-side co-moment accumulation, map-side combined) — ONE hash
+    aggregate, one shuffle of one co-moment tuple per object at any
+    scale; never a per-object collect or Python fit. Slopes are
+    FLOOR-quantized at 1e-3 deg/day (agg_stats_corr convention) so
+    both engines' single-pass co-moment reassociation (~1e-12
+    relative) hashes identically. Objects need >= 3 epochs for a
+    meaningful fit (and to dodge the n=1 NULL-variance edge)."""
+    pts = sphere_points(spark, sf_dir, None, cols=("ts", "user_id"))
+    t_day = (F.unix_micros("ts").cast("double") - F.lit(float(T0_US))) / 86400000000.0
+    return (
+        pts.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_det"),
+            F.floor(F.regr_slope(F.col("ra"), t_day) * 1000 + 0.5)
+            .cast("bigint")
+            .alias("pm_ra_q"),
+            F.floor(F.regr_slope(F.col("dec"), t_day) * 1000 + 0.5)
+            .cast("bigint")
+            .alias("pm_dec_q"),
+        )
+        .filter(F.col("n_det") >= 3)
+        .orderBy("user_id")
+    )
+
+
+# --- sexagesimal formatting: deg -> HH:MM:SS.mmm / ±DD:MM:SS.mm -----------
+
+
+def _sexa_sql(ra: str, dec: str) -> tuple[str, str]:
+    """(ra_hms_expr, dec_dms_expr) — engine-neutral SQL text. All
+    arithmetic runs on exact BIGINT millisecond counts (one double
+    multiply + FLOOR at the top, integer / % below), so there is no
+    printf/format divergence surface between engines; the double
+    division by the ms-per-unit constants can't cross a floor
+    boundary because the true quotient is never within 2.8e-7 of an
+    integer while the IEEE error is ~1e-15 relative."""
+    ms_ra = f"CAST(FLOOR(({ra}) * 240000.0 + 0.5) AS BIGINT)"  # ra deg -> hour-ms
+    ms_de = f"CAST(FLOOR(abs({dec}) * 3600000.0 + 0.5) AS BIGINT)"  # deg-arcms
+
+    def f2(x: str) -> str:
+        return f"lpad(CAST({x} AS STRING), 2, '0')"
+
+    def hms(ms: str, frac_digits: int) -> str:
+        h = f"CAST(FLOOR({ms} / 3600000.0) AS BIGINT)"
+        m = f"CAST(FLOOR(({ms} % 3600000) / 60000.0) AS BIGINT)"
+        s = f"CAST(FLOOR(({ms} % 60000) / 1000.0) AS BIGINT)"
+        fr = f"lpad(CAST(CAST(FLOOR(({ms} % 1000) / "
+        fr += f"{10 ** (3 - frac_digits)}.0) AS BIGINT) AS STRING), {frac_digits}, '0')"
+        return f"{f2(h)} || ':' || {f2(m)} || ':' || {f2(s)} || '.' || {fr}"
+
+    sign = f"CASE WHEN ({dec}) < 0 THEN '-' ELSE '+' END"
+    return hms(ms_ra, 3), f"{sign} || {hms(ms_de, 2)}"
+
+
+_RA_HMS, _DEC_DMS = _sexa_sql("ra", "dec")
+
+
+@register(
+    "fn_sexagesimal",
+    oracle=(
+        f"WITH p AS ({_sphere_points_sql(None)}) "
+        f"SELECT event_id, {_RA_HMS} AS ra_hms, {_DEC_DMS} AS dec_dms "
+        "FROM p ORDER BY event_id"
+    ),
+)
+def fn_sexagesimal(spark, sf_dir):
+    """Sexagesimal coordinate formatting (deg -> 'HH:MM:SS.mmm' /
+    '±DD:MM:SS.mm') — the catalog-output convention every LSD query
+    report uses [lsd:src/lsd/query_parser.py function namespace —
+    UNVERIFIED]. Identical expression text both engines; map-only,
+    whole-stage codegen, no shuffle beyond the presentation sort."""
+    pts = sphere_points(spark, sf_dir, None)
+    return pts.select(
+        "event_id",
+        F.expr(_RA_HMS).alias("ra_hms"),
+        F.expr(_DEC_DMS).alias("dec_dms"),
+    ).orderBy("event_id")
+
+
+# --- sky coverage: occupied-HEALPix summary of a catalog ------------------
+
+_NPIX = 12 * N_SIDE * N_SIDE  # 3072 at nside 16
+_SKY_DEG2_X100 = 4125296.125  # full-sky solid angle, deg^2 * 100
+
+
+@register(
+    "agg_sky_coverage",
+    oracle=(
+        f"WITH p AS ({_sphere_points_sql(None)}) "
+        f"SELECT COUNT(DISTINCT {_HPX_DUCK_RING}) AS npix_hit, "
+        f"{_NPIX} AS npix_total, "
+        f"CAST(FLOOR(COUNT(DISTINCT {_HPX_DUCK_RING}) * 1000000.0 / {_NPIX}.0 "
+        "+ 0.5) AS BIGINT) AS coverage_ppm, "
+        f"CAST(FLOOR(COUNT(DISTINCT {_HPX_DUCK_RING}) * {_SKY_DEG2_X100} / "
+        f"{_NPIX}.0 + 0.5) AS BIGINT) AS area_cdeg2 "
+        "FROM p"
+    ),
+)
+def agg_sky_coverage(spark, sf_dir):
+    """Survey sky-coverage summary: occupied HEALPix pixels, covered
+    fraction, and solid angle — the footprint audit LSD derives from
+    its cell index [lsd:src/lsd/bounds.py footprint area —
+    UNVERIFIED]. Plan: map-side partial distinct on the 12*nside^2
+    pixel key (bounded domain — the shuffle moves at most npix_total
+    rows regardless of catalog size), then a 1-row global agg; the
+    pixel expression is the shared engine-neutral ang2pix text."""
+    pts = sphere_points(spark, sf_dir, None)
+    pix = F.expr(healpix_ring_sql("ra", "dec", N_SIDE))
+    hit = F.countDistinct(pix)
+    return pts.agg(
+        hit.alias("npix_hit"),
+        F.lit(_NPIX).cast("int").alias("npix_total"),
+        F.floor(hit * 1000000.0 / float(_NPIX) + 0.5)
+        .cast("bigint")
+        .alias("coverage_ppm"),
+        F.floor(hit * _SKY_DEG2_X100 / float(_NPIX) + 0.5)
+        .cast("bigint")
+        .alias("area_cdeg2"),
+    )

@@ -273,3 +273,53 @@ def llm_sample_stratified(spark, sf_dir):
         .select("doc_id", "lang")
         .orderBy("lang", "doc_id")
     )
+
+
+MIX_ALPHA = 0.7  # temperature exponent (multilingual-LM convention)
+
+
+@register(
+    "llm_mix_temperature",
+    oracle=(
+        "WITH s AS (SELECT source, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS toks FROM documents GROUP BY source) "
+        "SELECT source, n_docs, toks, "
+        f"CAST(FLOOR(pow(toks, {MIX_ALPHA}) / "
+        f"SUM(pow(toks, {MIX_ALPHA})) OVER () * 1000000 + 0.5) AS BIGINT) "
+        "AS weight_ppm, "
+        f"CAST(FLOOR(pow(toks, {MIX_ALPHA}) / "
+        f"SUM(pow(toks, {MIX_ALPHA})) OVER () "
+        "* SUM(toks) OVER () / toks * 1000 + 0.5) AS BIGINT) AS epochs_mil "
+        "FROM s ORDER BY source"
+    ),
+)
+def llm_mix_temperature(spark, sf_dir):
+    """Temperature-scaled source mixing: sampling weight w_s ∝
+    (token mass)^alpha, alpha < 1 — the standard upsample-the-tail
+    recipe for multilingual/multi-source pretraining mixes; the
+    per-source epoch count (how many passes the sampler makes over
+    each source at those weights) is the audit a data engineer
+    actually reads. Complements llm_mix_sources (fixed rates,
+    per-doc hash filter) with the weight DERIVATION step.
+
+    Plan: one map-side-combined aggregate to per-source mass (rows =
+    |sources|, tiny at any scale), then window totals over that tiny
+    aggregate — the corpus is touched exactly once; the 1e-6 weight
+    grid absorbs cross-engine pow/summation ulps."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("toks")
+    )
+    wall = Window.partitionBy()
+    p = F.pow(F.col("toks"), MIX_ALPHA)
+    tot_p = F.sum(p).over(wall)
+    tot_toks = F.sum("toks").over(wall)
+    return s.select(
+        "source",
+        "n_docs",
+        "toks",
+        F.floor(p / tot_p * 1000000 + 0.5).cast("bigint").alias("weight_ppm"),
+        F.floor(p / tot_p * tot_toks / F.col("toks") * 1000 + 0.5)
+        .cast("bigint")
+        .alias("epochs_mil"),
+    ).orderBy("source")

@@ -687,3 +687,49 @@ def agg_retention_cohorts(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort", "day_offset")
     )
+
+
+@register(
+    "agg_variability_eta",
+    oracle=(
+        "WITH d AS (SELECT user_id, value, value - lag(value) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS dv FROM events) "
+        "SELECT user_id, COUNT(*) AS n_obs, "
+        "CAST(FLOOR((SUM(dv * dv) / (COUNT(*) - 1)) / VAR_SAMP(value) "
+        "* 1000 + 0.5) AS BIGINT) AS eta_q "
+        "FROM d GROUP BY user_id HAVING COUNT(*) >= 3 ORDER BY user_id"
+    ),
+)
+def agg_variability_eta(spark, sf_dir):
+    """Von Neumann variability index per object: eta = (mean squared
+    successive difference) / variance — the classic cheap detector
+    separating true variables (eta << 2) from white noise (eta ~= 2)
+    in survey lightcurves; the reducer-kernel shape LSD users run
+    over per-object detection groups [lsd:src/lsd/pool2.py reducers
+    — UNVERIFIED, SURVEY.md §3.2].
+
+    Plan: ONE shuffle on user_id serves both the lag window and the
+    group aggregate (the window's hash partitioning is reused by the
+    groupBy — no second exchange); the quantization grid (1e-3)
+    absorbs both engines' float summation reassociation, the
+    (ts, event_id) tiebreak makes the lag deterministic."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dv = F.col("value") - F.lag("value").over(w)
+    return (
+        ev.withColumn("dv", dv)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.floor(
+                (F.sum(F.col("dv") * F.col("dv")) / (F.count("*") - 1))
+                / F.var_samp("value")
+                * 1000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("eta_q"),
+        )
+        .filter(F.col("n_obs") >= 3)
+        .orderBy("user_id")
+    )

@@ -288,3 +288,55 @@ def win_streak(spark, sf_dir):
         .agg(F.max("len").alias("max_streak"))
         .orderBy("user_id")
     )
+
+
+SESSION_GAP_US = 21_600_000_000  # 6 h — sized to the fixture cadence
+#   (~11 h mean inter-event gap per user) so sessions mix single- and
+#   multi-event; the operator shape is gap-threshold-independent.
+
+
+@register(
+    "win_sessionize",
+    oracle=(
+        "WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS t_us, "
+        "epoch_us(ts) - lag(epoch_us(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events), "
+        "s AS (SELECT user_id, t_us, CAST(SUM(CASE WHEN gap IS NULL OR gap > "
+        f"{SESSION_GAP_US} THEN 1 ELSE 0 END) OVER "
+        "(PARTITION BY user_id ORDER BY t_us, event_id) AS BIGINT) "
+        "AS session_id FROM g) "
+        "SELECT user_id, session_id, COUNT(*) AS n_events, "
+        "MIN(t_us) AS start_us, MAX(t_us) AS end_us, "
+        "MAX(t_us) - MIN(t_us) AS duration_us "
+        "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"
+    ),
+)
+def win_sessionize(spark, sf_dir):
+    """Batch sessionization — the gap-threshold session assignment
+    every event-log pipeline needs (the batch mirror of
+    stream_session's session_window): a new session starts where the
+    user's inter-event gap exceeds the threshold; the session id is
+    the running count of such boundaries.
+
+    Plan: ONE shuffle on user_id serves the lag window, the running
+    sum (same window spec), and the (user_id, session_id) group
+    aggregate — session_id refines user_id, so the groupBy reuses
+    the window's partitioning; integer-microsecond arithmetic end to
+    end (no float, no timezone surface)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros("ts")
+    gap = t_us - F.lag(t_us).over(w)
+    boundary = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    return (
+        ev.withColumn("t_us", t_us)
+        .withColumn("session_id", F.sum(boundary).over(w))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("t_us").alias("start_us"),
+            F.max("t_us").alias("end_us"),
+            (F.max("t_us") - F.min("t_us")).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -462,3 +462,134 @@ def filter_region_healpix(spark, sf_dir):
         .select("event_id", "ra", "dec")
         .orderBy("event_id")
     )
+
+
+# --- space x time bounds: the full LSD query-bounds product ---------------
+
+T_LO_US = 1_704_672_000_000_000  # 2024-01-08 UTC
+T_HI_US = 1_705_881_600_000_000  # 2024-01-22 UTC (exclusive)
+
+
+@register(
+    "filter_region_time",
+    oracle=(
+        f"WITH p AS ({_sphere_points_sql(None, ('ts',))}) "
+        f"SELECT event_id, ra, dec, epoch_us(ts) AS t_us FROM p "
+        f"WHERE ({CONE.refine_sql('ra', 'dec')}) "
+        f"AND epoch_us(ts) >= {T_LO_US} AND epoch_us(ts) < {T_HI_US} "
+        "ORDER BY event_id"
+    ),
+)
+def filter_region_time(spark, sf_dir):
+    """The FULL LSD query bound: footprint × time interval — LSD
+    intersects (space region, time interval) with each table's cell
+    index, where cells are keyed by (sky cell, temporal epoch)
+    [lsd:src/lsd/bounds.py intervalset × footprint — UNVERIFIED,
+    SURVEY.md §1.1/§3.1 stage 3]. Here both dimensions prune: the
+    cone compiles to candidate (zone, bucket) cells exactly like
+    filter_region_cone, and the epoch predicate is an integer-
+    microsecond range that reaches the parquet scan as a pushed
+    filter (row-group min/max skipping; over an epoch-bucketed
+    layout it becomes directory pruning, the second axis of LSD's
+    cell grid). Map-only after the scan; no shuffle."""
+    pts = sphere_points(spark, sf_dir, None, cols=("ts",))
+    t_us = F.unix_micros("ts")
+    pts = pts.withColumn("t_us", t_us).filter(
+        (t_us >= T_LO_US) & (t_us < T_HI_US)
+    )
+    return (
+        region_select(pts, CONE, keep_all=True)
+        .select("event_id", "ra", "dec", "t_us")
+        .orderBy("event_id")
+    )
+
+
+# --- spatial join: points against a polygon footprint table ---------------
+
+
+def _quad_inside_sql(ra: str, dec: str) -> str:
+    """Point-in-convex-quad as four half-plane tests against per-row
+    vertex columns (x1..x4, y1..y4, CCW) — one engine-neutral text;
+    planar (ra, dec) geometry by definition (footprints here are
+    small and away from the RA wrap)."""
+    edges = []
+    for i, j in ((1, 2), (2, 3), (3, 4), (4, 1)):
+        edges.append(
+            f"((x{j} - x{i}) * (({dec}) - y{i}) - "
+            f"(y{j} - y{i}) * (({ra}) - x{i}) >= 0.0)"
+        )
+    return " AND ".join(edges)
+
+
+# poly_id -> CCW vertices; convexity + CCW pinned in tests/test_region.py
+QUAD_POLYGONS = {
+    1: [(40.0, 5.0), (60.0, 5.0), (60.0, 20.0), (40.0, 20.0)],
+    2: [(100.0, -10.0), (110.0, 0.0), (100.0, 10.0), (90.0, 0.0)],
+    3: [(200.0, 40.0), (230.0, 45.0), (225.0, 60.0), (205.0, 58.0)],
+}
+_BAND_DEG = 10.0  # coarse dec-band join key (10-deg bands)
+
+
+def _quad_band_rows() -> list[tuple]:
+    """(poly_id, band, x1, y1, ..., x4, y4) — one row per dec band a
+    polygon's bbox overlaps (driver-side literals, like region
+    cells)."""
+    rows = []
+    for pid, vs in sorted(QUAD_POLYGONS.items()):
+        lo = int((min(y for _, y in vs) + 90.0) // _BAND_DEG)
+        hi = int((max(y for _, y in vs) + 90.0) // _BAND_DEG)
+        flat = [c for v in vs for c in v]
+        for band in range(lo, hi + 1):
+            rows.append(tuple([pid, band] + flat))
+    return rows
+
+
+_BAND_SQL = "CAST(FLOOR((dec + 90.0) / 10.0) AS INT)"
+
+
+def _quad_values_sql() -> str:
+    vals = ", ".join(
+        "(" + ", ".join(repr(c) for c in row) + ")" for row in _quad_band_rows()
+    )
+    return (
+        f"SELECT * FROM (VALUES {vals}) "
+        "AS q(poly_id, band, x1, y1, x2, y2, x3, y3, x4, y4)"
+    )
+
+
+@register(
+    "join_point_in_polygon",
+    oracle=(
+        f"WITH p AS (SELECT *, {_BAND_SQL} AS band FROM "
+        f"({_sphere_points_sql(None)})), q AS ({_quad_values_sql()}) "
+        "SELECT p.event_id, q.poly_id FROM p JOIN q ON p.band = q.band "
+        f"AND ({_quad_inside_sql('p.ra', 'p.dec')}) "
+        "ORDER BY event_id, poly_id"
+    ),
+)
+def join_point_in_polygon(spark, sf_dir):
+    """Spatial join of a point catalog against a polygon-footprint
+    table (which survey field does each detection fall in?) — the
+    join form of filter_region_poly, LSD's footprint test applied
+    per polygon row [lsd:src/lsd/bounds.py — UNVERIFIED].
+
+    Plan: polygons explode driver-side to one row per overlapped
+    dec band (literal rows, like region cells), points derive the
+    same band key in-plan, and the join is a BROADCAST EQUI-join on
+    the band with the exact half-plane refine in the join condition
+    — never a nested-loop over all (point, polygon) pairs. At 100 TB
+    the polygon side is always broadcast-size (footprint tables are
+    thousands of rows) and the band key bounds each point's
+    candidate set; a denser grid (the (zone, bucket) cells) drops in
+    for skinnier candidates without changing the shape."""
+    from pyspark.sql.functions import broadcast
+
+    pts = sphere_points(spark, sf_dir, None).withColumn("band", F.expr(_BAND_SQL))
+    schema = "poly_id INT, band INT, x1 DOUBLE, y1 DOUBLE, x2 DOUBLE, y2 DOUBLE, x3 DOUBLE, y3 DOUBLE, x4 DOUBLE, y4 DOUBLE"
+    quads = spark.createDataFrame(_quad_band_rows(), schema=schema)
+    cond = (pts["band"] == quads["band"]) & F.expr(_quad_inside_sql("ra", "dec"))
+    return (
+        pts.join(broadcast(quads), cond, "inner")
+        .select("event_id", "poly_id")
+        .orderBy("event_id", "poly_id")
+    )

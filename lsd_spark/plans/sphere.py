@@ -96,17 +96,21 @@ _DEC_SQL = (
 )
 
 
-def _sphere_points_sql(etype: str | None) -> str:
+def _sphere_points_sql(etype: str | None, cols: tuple[str, ...] = ()) -> str:
     where = f" WHERE event_type = '{etype}'" if etype else ""
+    extra = "".join(f", {c}" for c in cols)
     return (
-        f"SELECT event_id, {_RA_SQL} AS ra, {_DEC_SQL} AS dec "
+        f"SELECT event_id, {_RA_SQL} AS ra, {_DEC_SQL} AS dec{extra} "
         f"FROM events{where}"
     )
 
 
-def sphere_points(spark, sf_dir: str, etype: str | None) -> DataFrame:
-    """(event_id, ra, dec) on the synthetic sphere; etype=None keeps
-    every event."""
+def sphere_points(
+    spark, sf_dir: str, etype: str | None, cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(event_id, ra, dec[, *cols]) on the synthetic sphere;
+    etype=None keeps every event; `cols` passes extra event columns
+    (e.g. ts for space x time bounds) through unchanged."""
     ev = load(spark, sf_dir, "events")
     ra = (
         F.expr(
@@ -122,7 +126,7 @@ def sphere_points(spark, sf_dir: str, etype: str | None) -> DataFrame:
     ).cast("double") / 1000.0 - 90.0
     if etype is not None:
         ev = ev.filter(F.col("event_type") == etype)
-    return ev.select("event_id", ra.alias("ra"), dec.alias("dec"))
+    return ev.select("event_id", ra.alias("ra"), dec.alias("dec"), *cols)
 
 
 def sphere_xmatch(

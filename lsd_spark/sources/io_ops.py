@@ -445,3 +445,59 @@ def snapshot_diff(spark, sf_dir):
     added = v2.subtract(c).select(F.lit("added").alias("change"), "c_custkey", "c_acctbal")
     removed = c.subtract(v2).select(F.lit("removed").alias("change"), "c_custkey", "c_acctbal")
     return added.unionByName(removed).orderBy("change", "c_custkey")
+
+
+@register(
+    "merge_scd2",
+    oracle=(
+        "WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us, "
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS prev_type FROM events), "
+        "c AS (SELECT user_id, event_id, event_type, t_us FROM o "
+        "WHERE prev_type IS NULL OR prev_type <> event_type) "
+        "SELECT user_id, event_type, t_us AS valid_from_us, "
+        "lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) "
+        "AS valid_to_us, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t_us, event_id) "
+        "AS version, "
+        "CASE WHEN lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, "
+        "event_id) IS NULL THEN 1 ELSE 0 END AS is_current "
+        "FROM c ORDER BY user_id, version"
+    ),
+)
+def merge_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type-2 history build: collapse each
+    user's event_type stream to its CHANGE records and emit versioned
+    validity intervals (valid_from/valid_to, open-ended current row)
+    — the dimension-history mirror of merge_upsert's fact upsert,
+    and the standard way a 100 TB warehouse tracks attribute history
+    without rewriting facts.
+
+    Plan: ONE shuffle on user_id serves all three window passes (lag
+    to detect changes, then lead + row_number over the filtered
+    change rows — same partitioning, Catalyst collapses them into
+    one sort) and integer-microsecond validity bounds keep the
+    output exact on both engines."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros("ts")
+    changes = (
+        ev.withColumn("t_us", t_us)
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    lead_t = F.lead("t_us").over(w2)
+    return (
+        changes.select(
+            "user_id",
+            "event_type",
+            F.col("t_us").alias("valid_from_us"),
+            lead_t.alias("valid_to_us"),
+            F.row_number().over(w2).alias("version"),
+            F.when(lead_t.isNull(), 1).otherwise(0).alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )

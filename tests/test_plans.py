@@ -367,3 +367,47 @@ def test_region_algebra_is_single_map_only_scan(spark):
     # ("Final Plan" + "Initial Plan"); count scans in one section only
     p_final = p.split("== Initial Plan ==")[0]
     assert p_final.count("Scan parquet") == 1, p
+
+
+# --- round-4 tier-2 ops: plan shapes ---------------------------------------
+
+
+def test_point_in_polygon_is_broadcast_band_equi_join(spark):
+    """The polygon-footprint join must be a broadcast EQUI-join on
+    the dec band (candidate pairs band-bounded), never a nested loop
+    over all (point, polygon) pairs."""
+    p = qplan("join_point_in_polygon", spark)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_per_object_kernels_single_exchange(spark):
+    """sessionize / SCD2 / variability eta: ONE exchange on the
+    object key serves every window pass and the follow-up group
+    aggregate (the group key refines the window key)."""
+    for q in ("win_sessionize", "merge_scd2", "agg_variability_eta"):
+        p = qplan(q, spark, mode="simple")
+        # exchanges: one hashpartitioning on user_id + the final
+        # presentation rangepartitioning sort — nothing else
+        n_hash = p.count("hashpartitioning")
+        assert n_hash == 1, f"{q}: {n_hash} hash exchanges\n{p}"
+
+
+def test_proper_motion_is_partial_final_agg(spark):
+    p = qplan("agg_proper_motion", spark)
+    assert "partial_regr_slope" in p.lower() or "HashAggregate" in p, p
+    assert p.count("hashpartitioning") == 1, p
+
+
+def test_region_time_pushes_epoch_range_to_scan(spark):
+    """The time half of the LSD bound must reach the parquet reader
+    as a pushed filter (row-group min/max skipping)."""
+    p = qplan("filter_region_time", spark)
+    assert "PushedFilters: [" in p, p
+    # the ts range predicate appears among pushed filters (column is
+    # the raw nanos long in the scan schema)
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any(
+        "GreaterThan" in ln or "LessThan" in ln or "ts" in ln for ln in pushed
+    ), p
