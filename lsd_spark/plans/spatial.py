@@ -451,7 +451,10 @@ def cluster_fof_2d(spark, sf_dir):
         "lab AS (SELECT src AS point_id, min(node) AS object_id "
         "FROM reach GROUP BY src) "
         f"SELECT object_id, count(*) AS n_det, "
-        "ROUND(AVG(x), 4) AS cx, ROUND(AVG(y), 4) AS cy "
+        "CAST(FLOOR(SUM(CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) * 10.0 "
+        "/ count(*)) AS BIGINT) AS cx_q, "
+        "CAST(FLOOR(SUM(CAST(FLOOR(y * 1000 + 0.5) AS BIGINT)) * 10.0 "
+        "/ count(*)) AS BIGINT) AS cy_q "
         f"FROM ({_points_sql_type('view')}) p JOIN lab "
         "ON p.event_id = lab.point_id "
         "GROUP BY object_id ORDER BY object_id"
@@ -468,8 +471,13 @@ def agg_object_coadd(spark, sf_dir):
     cluster_fof_2d, then ONE equi-join back to positions and a
     map-side-combined groupBy(object_id) — label propagation moves
     only (id, label) pairs; positions are touched exactly twice
-    (pair generation, final coadd). Means rounded at 1e-4 (well
-    above cross-engine double-sum reassociation ~1e-12)."""
+    (pair generation, final coadd). Mean positions are EXACT-INTEGER
+    arithmetic in 1e-4 units: positions live on a 1/1000 grid, so a
+    4-member mean lands exactly on a 1e-4 half-boundary about half
+    the time and decimal ROUND's half-case handling diverges between
+    engines (caught at sf0.1); summing the exact milli-integers and
+    flooring the correctly-rounded integer quotient is
+    boundary-free."""
     from lsd_spark.plans.cluster import min_label_fixpoint
 
     pts = points(spark, sf_dir, "view")
@@ -481,8 +489,18 @@ def agg_object_coadd(spark, sf_dir):
         .groupBy("object_id")
         .agg(
             F.count("*").alias("n_det"),
-            F.round(F.avg("x"), 4).alias("cx"),
-            F.round(F.avg("y"), 4).alias("cy"),
+            F.floor(
+                F.sum(F.floor(F.col("x") * 1000 + 0.5).cast("bigint")) * 10.0
+                / F.count("*")
+            )
+            .cast("bigint")
+            .alias("cx_q"),
+            F.floor(
+                F.sum(F.floor(F.col("y") * 1000 + 0.5).cast("bigint")) * 10.0
+                / F.count("*")
+            )
+            .cast("bigint")
+            .alias("cy_q"),
         )
         .orderBy("object_id")
     )
