@@ -385,7 +385,8 @@ def profile_table(spark, sf_dir):
         "SELECT user_id, "
         "CAST(FLOOR((epoch_us(ts) % 604800000000) * 8.0 / 604800000000) AS BIGINT) "
         "AS phase_bin, count(*) AS n_obs, "
-        "CAST(FLOOR(AVG(COALESCE(value, 0)) * 100 + 0.5) AS BIGINT) AS mean_v2 "
+        "CAST(FLOOR(SUM(CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT)) "
+        "* 1.0 / count(*) + 0.5) AS BIGINT) AS mean_v2 "
         "FROM events GROUP BY user_id, phase_bin ORDER BY user_id, phase_bin"
     ),
 )
@@ -400,16 +401,25 @@ def agg_phase_fold(spark, sf_dir):
     the agg_lightcurve_stats pairing) so the fold is cross-engine
     exact; one hash aggregate, one shuffle of 8 rows per object at
     any scale. A period-search (Lomb-Scargle grid) would map this
-    same plan over candidate periods."""
+    same plan over candidate periods.
+
+    Mean brightness is EXACT-INTEGER: `value` carries cent
+    precision, so ~1/n of group means sit exactly on the 1e-2
+    half-boundary and a float AVG flips per engine's summation
+    order (caught at the sf1 stress, where replicas scattered
+    Spark's accumulation order). Summing exact integer cents first
+    makes the one float division a deterministic function of exact
+    inputs on both engines."""
     ev = load(spark, sf_dir, "events")
     P = 7 * 86400 * 1_000_000  # 7-day period in microseconds
     us = F.unix_micros("ts")
     pbin = F.floor((us % F.lit(P)) * 8 / F.lit(P)).cast("long")
+    cents = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5).cast("long")
     return (
         ev.groupBy("user_id", pbin.alias("phase_bin"))
         .agg(
             F.count("*").alias("n_obs"),
-            F.floor(F.avg(F.coalesce(F.col("value"), F.lit(0.0))) * 100 + 0.5)
+            F.floor(F.sum(cents) * 1.0 / F.count("*") + 0.5)
             .cast("long")
             .alias("mean_v2"),
         )

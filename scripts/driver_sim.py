@@ -74,11 +74,16 @@ def main():
     # importable (kernels must ship by value — caught a real bug).
     os.chdir(tempfile.mkdtemp(prefix="lsd_driver_cwd_"))
 
-    # stock driver-ish session: NO engine defaults applied
+    # stock driver-ish session: NO engine SQL defaults applied.
+    # driver.memory is a machine-capacity knob, not a semantics
+    # default — the real driver runs 128 GiB; pyspark's 1g default
+    # OOMs the 10x-inflated stress dir (cluster_fof's replica-dense
+    # edge set), so size it like the target box.
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
         .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "12g")
         .getOrCreate()
     )
     print("ansi default:", spark.conf.get("spark.sql.ansi.enabled"))
