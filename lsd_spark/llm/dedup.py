@@ -339,6 +339,89 @@ def embcos_candidate_pairs(spark, sf_dir):
     )
 
 
+def embcos_near_pairs(spark, sf_dir):
+    """(vec_a, vec_b, sim) with sim >= EMBCOS_T — bit-identical to
+    ``embcos_candidate_pairs(...).filter(sim >= EMBCOS_T)`` (every
+    consumer's shape), computed COLLAPSE-IDENTICAL-FIRST: group
+    vectors by an embedding fingerprint, run the IVF bucket join and
+    the cosine refine over one REPRESENTATIVE per group, filter at
+    the threshold, then expand the surviving pairs back through the
+    group membership (plus the within-group cliques, whose sim is
+    the engine's own self-cosine of the shared embedding).
+
+    Why: duplicate-heavy corpora (the production norm — and the 10x
+    stress fixture, where every vector has 10 exact copies) blow the
+    in-bucket pair count up QUADRATICALLY in the duplicate
+    multiplicity: 92.7M candidate sims at the stress scale vs 0.9M
+    over representatives. Exact-collapse-first is what every real
+    semantic-dedup pipeline does before near-dup refinement; here it
+    is also exactly result-preserving, because identical embeddings
+    get identical rounded centroid assignments and identical rounded
+    sims, and the threshold commutes with the expansion. The oracle
+    SQL is untouched — the output set is the same.
+
+    Plan: fingerprint groupBy (map-side combined), broadcast rep
+    joins, threshold BEFORE expansion (the expansion multiplies only
+    surviving pairs), every join an equi-join."""
+    emb = load(spark, sf_dir, "embeddings")
+    fp = F.md5(F.col("embedding").cast("string"))
+    tagged = emb.select("vec_id", "embedding", fp.alias("fp"))
+    groups = tagged.groupBy("fp").agg(
+        F.min("vec_id").alias("rvid"), F.first("embedding").alias("r_emb")
+    )
+    reps = groups.select(F.col("rvid").alias("vec_id"), F.col("r_emb").alias("embedding"))
+    mem = tagged.join(
+        F.broadcast(groups.select("fp", "rvid")), "fp"
+    ).select("vec_id", "rvid")
+
+    from lsd_spark.llm.simsearch import ivf_assignments
+
+    assign = ivf_assignments(reps, EMBCOS_NPROBE).drop("embedding")
+    a, b = assign.alias("a"), assign.alias("b")
+    rp_ids = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("ga"), F.col("b.vec_id").alias("gb"))
+        .dropDuplicates(["ga", "gb"])
+    )
+    ra = F.broadcast(reps.select(F.col("vec_id").alias("ga"), F.col("embedding").alias("e_a")))
+    rb = F.broadcast(reps.select(F.col("vec_id").alias("gb"), F.col("embedding").alias("e_b")))
+    sim = F.round(F.expr(COS_SPARK.format(a="e_a", b="e_b")), 6)
+    rp = (
+        rp_ids.join(ra, "ga")
+        .join(rb, "gb")
+        .select("ga", "gb", sim.alias("sim"))
+        .filter(F.col("sim") >= EMBCOS_T)
+    )
+    ma = mem.select(F.col("vec_id").alias("va"), F.col("rvid").alias("ga"))
+    mb = mem.select(F.col("vec_id").alias("vb"), F.col("rvid").alias("gb"))
+    cross = (
+        rp.join(F.broadcast(ma), "ga")
+        .join(F.broadcast(mb), "gb")
+        .select(
+            F.least("va", "vb").alias("vec_a"),
+            F.greatest("va", "vb").alias("vec_b"),
+            "sim",
+        )
+    )
+    selfsim = F.round(F.expr(COS_SPARK.format(a="r_emb", b="r_emb")), 6)
+    gsim = groups.select(F.col("rvid").alias("g"), selfsim.alias("sim"))
+    within = (
+        mem.select(F.col("vec_id").alias("va"), F.col("rvid").alias("g"))
+        .join(
+            mem.select(F.col("vec_id").alias("vb"), F.col("rvid").alias("g")),
+            "g",
+        )
+        .filter(F.col("va") < F.col("vb"))
+        .join(F.broadcast(gsim), "g")
+        .select(F.col("va").alias("vec_a"), F.col("vb").alias("vec_b"), "sim")
+    )
+    return cross.unionByName(within)
+
+
 def embcos_candidate_pairs_sql() -> str:
     """DuckDB mirror of embcos_candidate_pairs() (no sim filter)."""
     from lsd_spark.llm.simsearch import ivf_assign_sql
@@ -366,12 +449,10 @@ def llm_dedup_embcos(spark, sf_dir):
     variant below is the recall baseline). The oracle mirrors the
     deterministic bucket assignment, so this stays fully
     hash-checkable rather than rows-only: the op's contract IS
-    'dedup over IVF candidates', not 'pretend-exact'."""
-    return (
-        embcos_candidate_pairs(spark, sf_dir)
-        .filter(F.col("sim") >= EMBCOS_T)
-        .orderBy("vec_a", "vec_b")
-    )
+    'dedup over IVF candidates', not 'pretend-exact'. Physical path:
+    embcos_near_pairs' collapse-identical-first plan (bit-identical
+    output, quadratic-in-duplicates candidate blowup avoided)."""
+    return embcos_near_pairs(spark, sf_dir).orderBy("vec_a", "vec_b")
 
 
 @register("llm_dedup_embcos_exact", oracle=_EMBCOS_ORACLE)

@@ -213,12 +213,11 @@ def llm_pipeline_mm(spark, sf_dir):
     dup victims broadcasts (duplicate sets are small), the gate and
     sample are map-side, the audit is one combined agg — the shape a
     100 TB curation run has."""
-    from lsd_spark.llm.dedup import EMBCOS_T, embcos_candidate_pairs
+    from lsd_spark.llm.dedup import embcos_near_pairs
 
     docs = load(spark, sf_dir, "documents")
     dup = (
-        embcos_candidate_pairs(spark, sf_dir)
-        .filter(F.col("sim") >= EMBCOS_T)
+        embcos_near_pairs(spark, sf_dir)
         .select(F.col("vec_b").alias("dup_id"))
         .distinct()
     )

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from lsd_spark.catalog import load
-from lsd_spark.llm.dedup import EMBCOS_T, embcos_candidate_pairs, embcos_candidate_pairs_sql
+from lsd_spark.llm.dedup import EMBCOS_T, embcos_candidate_pairs_sql, embcos_near_pairs
 from lsd_spark.operators.joins import COS_DUCK, COS_SPARK
 from lsd_spark.registry import register
 
@@ -283,8 +283,7 @@ def cluster_fof(spark, sf_dir):
     centroid_id — the shape that survives 100 TB."""
     emb = load(spark, sf_dir, "embeddings")
     pairs = (
-        embcos_candidate_pairs(spark, sf_dir)
-        .filter(F.col("sim") >= EMBCOS_T)
+        embcos_near_pairs(spark, sf_dir)
         .select(F.col("vec_a").alias("u"), F.col("vec_b").alias("v"))
     )
     return min_label_fixpoint(emb, pairs)
@@ -325,8 +324,7 @@ def graph_degree_hist(spark, sf_dir):
     template families). Two map-side-combined aggs over the bucketed
     edge list; output size = number of distinct degrees."""
     pairs = (
-        embcos_candidate_pairs(spark, sf_dir)
-        .filter(F.col("sim") >= EMBCOS_T)
+        embcos_near_pairs(spark, sf_dir)
         .select(F.col("vec_a").alias("u"), F.col("vec_b").alias("v"))
     )
     nodes = pairs.select(F.col("u").alias("node")).unionAll(
@@ -394,8 +392,7 @@ def graph_pagerank(spark, sf_dir):
     iteration count and FLOOR-quantized output make the whole
     trajectory differential-testable (the knn_ivf_kmeans pattern)."""
     pairs = (
-        embcos_candidate_pairs(spark, sf_dir)
-        .filter(F.col("sim") >= EMBCOS_T)
+        embcos_near_pairs(spark, sf_dir)
         .select(F.col("vec_a").alias("u"), F.col("vec_b").alias("v"))
     )
     sym = pairs.selectExpr("u AS src", "v AS dst").unionAll(
@@ -474,8 +471,7 @@ def llm_dedup_keep_best(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     pairs = (
-        embcos_candidate_pairs(spark, sf_dir)
-        .filter(F.col("sim") >= EMBCOS_T)
+        embcos_near_pairs(spark, sf_dir)
         .select(F.col("vec_a").alias("u"), F.col("vec_b").alias("v"))
     )
     comp = min_label_fixpoint(emb, pairs)
