@@ -572,24 +572,63 @@ def llm_dedup_edit(spark, sf_dir):
     runs on block-bounded candidates, never all pairs), refined with
     levenshtein <= 20% of the longer text. Catches exact dups
     (dist 0) and suffix-edited variants; combine with llm_dedup_ngram
-    for mid-string edits."""
+    for mid-string edits.
+
+    COLLAPSE-IDENTICAL-FIRST (the embcos_near_pairs discipline):
+    duplicate-heavy corpora multiply in-block pair counts
+    quadratically in the duplicate multiplicity, and each pair here
+    costs an O(len^2) levenshtein — the 10x stress fixture ground a
+    single task for 25+ minutes. Identical texts share block, length
+    and (zero) distance, so the op runs the join + refine over one
+    representative per distinct text, then expands survivors through
+    the group membership (within-group pairs at dist 0). Output is
+    bit-identical; the oracle is untouched."""
     docs = load(spark, sf_dir, "documents")
-    blk = F.md5(F.substring("text", 1, EDIT_BLOCK_CHARS).cast("binary"))
-    d = docs.select("doc_id", "text", blk.alias("blk"))
+    fp = F.md5(F.col("text").cast("binary"))
+    tagged = docs.select("doc_id", "text", fp.alias("fp"))
+    groups = tagged.groupBy("fp").agg(
+        F.min("doc_id").alias("rid"), F.first("text").alias("r_text")
+    )
+    mem = tagged.join(F.broadcast(groups.select("fp", "rid")), "fp").select(
+        "doc_id", "rid"
+    )
+    blk = F.md5(F.substring("r_text", 1, EDIT_BLOCK_CHARS).cast("binary"))
+    d = groups.select(F.col("rid").alias("doc_id"), F.col("r_text").alias("text"), blk.alias("blk"))
     a, b = d.alias("a"), d.alias("b")
     dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
-    return (
+    rp = (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.doc_id").alias("ga"),
+            F.col("b.doc_id").alias("gb"),
             dist.cast("bigint").alias("dist"),
             (F.greatest(F.length("a.text"), F.length("b.text"))).alias("mx"),
         )
         .filter(F.col("dist") <= EDIT_REL_T * F.col("mx"))
-        .select("doc_a", "doc_b", "dist")
-        .orderBy("doc_a", "doc_b")
+        .select("ga", "gb", "dist")
     )
+    ma = mem.select(F.col("doc_id").alias("va"), F.col("rid").alias("ga"))
+    mb = mem.select(F.col("doc_id").alias("vb"), F.col("rid").alias("gb"))
+    cross = (
+        rp.join(F.broadcast(ma), "ga")
+        .join(F.broadcast(mb), "gb")
+        .select(
+            F.least("va", "vb").alias("doc_a"),
+            F.greatest("va", "vb").alias("doc_b"),
+            "dist",
+        )
+    )
+    within = (
+        mem.select(F.col("doc_id").alias("va"), "rid")
+        .join(mem.select(F.col("doc_id").alias("vb"), "rid"), "rid")
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            F.col("va").alias("doc_a"),
+            F.col("vb").alias("doc_b"),
+            F.lit(0).cast("bigint").alias("dist"),
+        )
+    )
+    return cross.unionByName(within).orderBy("doc_a", "doc_b")
 
 
 WINNOW_K = 4  # k-gram (words) per hash
