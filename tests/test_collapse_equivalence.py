@@ -1,0 +1,122 @@
+"""Bit-identity of the collapse-identical-first dedup plans.
+
+embcos_near_pairs and the rewritten llm_dedup_edit exist because
+duplicate-heavy corpora blow the in-bucket/in-block pair count up
+quadratically in the duplicate multiplicity (the 10x stress dir:
+92.7M candidate cosines vs 0.9M over representatives; a 25-minute
+single-task levenshtein grind). The optimization is only legal
+because it is RESULT-PRESERVING: identical payloads get identical
+bucket/block assignments and identical similarities, and the
+threshold commutes with the group expansion. These tests pin that
+equivalence against the naive reference plans on (a) the plain
+fixture, where every group is a singleton, and (b) a 3x-replicated
+dir with genuine duplicate groups, where the expansion paths
+actually fire."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_SMALL = "/root/testdata/sf0.001"
+INFLATED = os.path.join(REPO, ".cache", "eqtest_x3")
+
+
+@pytest.fixture(scope="module")
+def inflated_dir():
+    if not os.path.exists(os.path.join(INFLATED, "embeddings.parquet")):
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "inflate_sf.py"),
+             "--src", "/root/testdata/sf0.001", "--k", "3", "--out", INFLATED],
+            check=True, capture_output=True,
+        )
+    return INFLATED
+
+
+def _naive_embcos_pairs(spark, sf_dir):
+    """The pre-optimization reference plan: bucket join over every
+    vector, wide dropDuplicates, threshold after."""
+    from lsd_spark.catalog import load
+    from lsd_spark.llm.dedup import EMBCOS_NPROBE, EMBCOS_T
+    from lsd_spark.llm.simsearch import ivf_assignments
+    from lsd_spark.operators.joins import COS_SPARK
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign = ivf_assignments(emb, EMBCOS_NPROBE)
+    a, b = assign.alias("a"), assign.alias("b")
+    sim = F.round(F.expr(COS_SPARK.format(a="e_a", b="e_b")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("e_a"),
+            F.col("b.embedding").alias("e_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= EMBCOS_T)
+    )
+
+
+def _naive_edit_pairs(spark, sf_dir):
+    """The pre-optimization reference plan: block join over every
+    document, levenshtein on each candidate pair."""
+    from lsd_spark.catalog import load
+    from lsd_spark.llm.dedup import EDIT_BLOCK_CHARS, EDIT_REL_T
+
+    docs = load(spark, sf_dir, "documents")
+    blk = F.md5(F.substring("text", 1, EDIT_BLOCK_CHARS).cast("binary"))
+    d = docs.select("doc_id", "text", blk.alias("blk"))
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("bigint").alias("dist"),
+            F.greatest(F.length("a.text"), F.length("b.text")).alias("mx"),
+        )
+        .filter(F.col("dist") <= EDIT_REL_T * F.col("mx"))
+        .select("doc_a", "doc_b", "dist")
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize("dir_kind", ["plain", "inflated"])
+def test_embcos_near_pairs_bit_identical(spark, inflated_dir, dir_kind):
+    from lsd_spark.llm.dedup import embcos_near_pairs
+
+    d = SF_SMALL if dir_kind == "plain" else inflated_dir
+    ref = _rows(_naive_embcos_pairs(spark, d))
+    got = _rows(embcos_near_pairs(spark, d))
+    assert got == ref
+    if dir_kind == "inflated":
+        assert len(got) > 0  # replicas guarantee within-group pairs
+
+
+@pytest.mark.parametrize("dir_kind", ["plain", "inflated"])
+def test_edit_dedup_bit_identical(spark, inflated_dir, dir_kind):
+    from lsd_spark.registry import QUERIES, load_all
+
+    load_all()
+    d = SF_SMALL if dir_kind == "plain" else inflated_dir
+    ref = _rows(_naive_edit_pairs(spark, d))
+    got = _rows(QUERIES["llm_dedup_edit"](spark, d))
+    assert got == ref
+    if dir_kind == "inflated":
+        # every original doc's 3 replicas form a dist-0 clique
+        assert any(r[2] == 0 for r in got)
