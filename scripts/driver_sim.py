@@ -83,7 +83,7 @@ def main():
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "12g")
+        .config("spark.driver.memory", "24g")
         .getOrCreate()
     )
     print("ansi default:", spark.conf.get("spark.sql.ansi.enabled"))
@@ -195,6 +195,15 @@ def main():
                     print(f"  OK   {name} ({len(r1)} rows, rows-only, stable x2, {time.perf_counter() - t_op:.1f}s)")
         except Exception as e:  # noqa: BLE001
             failed.append((name, f"EXC {type(e).__name__}: {str(e)[:200]}"))
+        # Release the finished op's logical plan (and with it the
+        # executor-side broadcast blocks it pins): a 185-op serial
+        # audit otherwise accumulates every op's broadcasts in the
+        # heap — the r04 stress sweep OOM'd the JVM around op 100.
+        # Materialized disk layouts (margins, fits fixtures) stay
+        # cached; rebuilding those per consumer would cost minutes.
+        from lsd_spark import registry as _reg
+
+        _reg._PLAN_CACHE.clear()
 
     print(f"\n{len(qs) - len(failed)}/{len(qs)} ok")
     for n, msg in failed:
