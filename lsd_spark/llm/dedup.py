@@ -257,31 +257,84 @@ def llm_dedup_ngram(spark, sf_dir):
     makes the posting-list self-join quadratic at 100 TB), equi-join
     postings, then Jaccard from intersection + set sizes. Unlike
     MinHash this has no false negatives among surviving shingles, and
-    it is fully oracle-checked."""
+    it is fully oracle-checked.
+
+    COLLAPSE-IDENTICAL-FIRST (the embcos_near_pairs discipline):
+    identical texts have identical shingle sets, so the posting join
+    and Jaccard run over one representative per distinct text with
+    document frequency counted at FULL multiplicity (sum of group
+    sizes — the skew cap must see the real corpus df, which a
+    duplicate-heavy corpus inflates), then survivors expand through
+    the group membership; within-group pairs carry the group's
+    self-Jaccard (1.0 whenever the doc has any surviving shingle,
+    exactly what the naive plan emits). Output is bit-identical —
+    tests/test_collapse_equivalence.py pins it against the naive
+    plan — and the oracle is untouched."""
     docs = load(spark, sf_dir, "documents")
-    tok = _shingled(docs).select("doc_id", F.explode("shingles").alias("s"))
-    # anti-join against the (few) over-cap shingles: the broadcast side
-    # is the hot set, never the vocabulary
-    hot = tok.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > NGRAM_DF_CAP)
-    tk = tok.join(F.broadcast(hot.select("s")), "s", "left_anti")
-    sz = tk.groupBy("doc_id").agg(F.count("*").alias("c"))
+    fp = F.md5(F.col("text").cast("binary"))
+    tagged = docs.select("doc_id", "text", fp.alias("fp"))
+    groups = tagged.groupBy("fp").agg(
+        F.min("doc_id").alias("rid"),
+        F.first("text").alias("r_text"),
+        F.count("*").alias("sz"),
+    )
+    mem = tagged.join(F.broadcast(groups.select("fp", "rid")), "fp").select(
+        "doc_id", "rid"
+    )
+    rdocs = groups.select(F.col("rid").alias("doc_id"), F.col("r_text").alias("text"))
+    tok = (
+        _shingled(rdocs)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .join(
+            F.broadcast(groups.select(F.col("rid").alias("doc_id"), "sz")),
+            "doc_id",
+        )
+    )
+    # anti-join against the (few) over-cap shingles: df at full
+    # corpus multiplicity; the broadcast side is the hot set, never
+    # the vocabulary
+    hot = tok.groupBy("s").agg(F.sum("sz").alias("df")).filter(F.col("df") > NGRAM_DF_CAP)
+    tk = tok.join(F.broadcast(hot.select("s")), "s", "left_anti").select("doc_id", "s")
+    sz_sh = tk.groupBy("doc_id").agg(F.count("*").alias("c"))
     a, b = tk.alias("a"), tk.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(F.col("a.doc_id").alias("ga"), F.col("b.doc_id").alias("gb"))
         .agg(F.count("*").alias("i"))
     )
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    sa = sz_sh.select(F.col("doc_id").alias("ga"), F.col("c").alias("ca"))
+    sb = sz_sh.select(F.col("doc_id").alias("gb"), F.col("c").alias("cb"))
     jac = F.round(F.col("i") / (F.col("ca") + F.col("cb") - F.col("i")), 4)
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+    rp = (
+        inter.join(sa, "ga")
+        .join(sb, "gb")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= NGRAM_T)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+        .select("ga", "gb", "jaccard")
     )
+    ma = mem.select(F.col("doc_id").alias("va"), F.col("rid").alias("ga"))
+    mb = mem.select(F.col("doc_id").alias("vb"), F.col("rid").alias("gb"))
+    cross = (
+        rp.join(F.broadcast(ma), "ga")
+        .join(F.broadcast(mb), "gb")
+        .select(
+            F.least("va", "vb").alias("doc_a"),
+            F.greatest("va", "vb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    gjac = sz_sh.select(
+        F.col("doc_id").alias("g"),
+        F.round(F.col("c") / (F.col("c") + F.col("c") - F.col("c")), 4).alias("jaccard"),
+    )
+    within = (
+        mem.select(F.col("doc_id").alias("va"), F.col("rid").alias("g"))
+        .join(mem.select(F.col("doc_id").alias("vb"), F.col("rid").alias("g")), "g")
+        .filter(F.col("va") < F.col("vb"))
+        .join(F.broadcast(gjac), "g")
+        .select(F.col("va").alias("doc_a"), F.col("vb").alias("doc_b"), "jaccard")
+    )
+    return cross.unionByName(within).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------

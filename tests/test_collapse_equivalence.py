@@ -120,3 +120,45 @@ def test_edit_dedup_bit_identical(spark, inflated_dir, dir_kind):
     if dir_kind == "inflated":
         # every original doc's 3 replicas form a dist-0 clique
         assert any(r[2] == 0 for r in got)
+
+
+def _naive_ngram_pairs(spark, sf_dir):
+    """The pre-optimization reference plan: posting join over every
+    document, df cap at raw counts."""
+    from lsd_spark.catalog import load
+    from lsd_spark.llm.dedup import NGRAM_DF_CAP, NGRAM_T, _shingled
+
+    docs = load(spark, sf_dir, "documents")
+    tok = _shingled(docs).select("doc_id", F.explode("shingles").alias("s"))
+    hot = tok.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > NGRAM_DF_CAP)
+    tk = tok.join(F.broadcast(hot.select("s")), "s", "left_anti")
+    sz = tk.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a, b = tk.alias("a"), tk.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    jac = F.round(F.col("i") / (F.col("ca") + F.col("cb") - F.col("i")), 4)
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= NGRAM_T)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@pytest.mark.parametrize("dir_kind", ["plain", "inflated"])
+def test_ngram_dedup_bit_identical(spark, inflated_dir, dir_kind):
+    from lsd_spark.registry import QUERIES, load_all
+
+    load_all()
+    d = SF_SMALL if dir_kind == "plain" else inflated_dir
+    ref = _rows(_naive_ngram_pairs(spark, d))
+    got = _rows(QUERIES["llm_dedup_ngram"](spark, d))
+    assert got == ref
+    if dir_kind == "inflated":
+        assert any(abs(r[2] - 1.0) < 1e-9 for r in got)  # replica cliques
