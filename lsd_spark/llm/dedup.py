@@ -416,6 +416,8 @@ def embcos_near_pairs(spark, sf_dir):
     Plan: fingerprint groupBy (map-side combined), broadcast rep
     joins, threshold BEFORE expansion (the expansion multiplies only
     surviving pairs), every join an equi-join."""
+    from lsd_spark.llm.simsearch import N_CENTROIDS, ivf_assignments
+
     emb = load(spark, sf_dir, "embeddings")
     fp = F.md5(F.col("embedding").cast("string"))
     tagged = emb.select("vec_id", "embedding", fp.alias("fp"))
@@ -423,13 +425,20 @@ def embcos_near_pairs(spark, sf_dir):
         F.min("vec_id").alias("rvid"), F.first("embedding").alias("r_emb")
     )
     reps = groups.select(F.col("rvid").alias("vec_id"), F.col("r_emb").alias("embedding"))
-    mem = tagged.join(
-        F.broadcast(groups.select("fp", "rvid")), "fp"
-    ).select("vec_id", "rvid")
+    # membership map is corpus-sized (one row per vector) — plain
+    # shuffle equi-join, never a broadcast
+    mem = tagged.join(groups.select("fp", "rvid"), "fp").select("vec_id", "rvid")
 
-    from lsd_spark.llm.simsearch import ivf_assignments
-
-    assign = ivf_assignments(reps, EMBCOS_NPROBE).drop("embedding")
+    # Centroids MUST come from the full table, not the collapsed
+    # representatives: if two of the first N_CENTROIDS vectors share
+    # an embedding, the collapse drops the higher id and the rep-set
+    # centroids (hence candidate pairs) diverge from the naive plan
+    # and the oracle. Full-table centroids restore unconditional
+    # bit-identity with embcos_candidate_pairs.
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    assign = ivf_assignments(reps, EMBCOS_NPROBE, centroids=cent).drop("embedding")
     a, b = assign.alias("a"), assign.alias("b")
     rp_ids = (
         a.join(
@@ -440,8 +449,10 @@ def embcos_near_pairs(spark, sf_dir):
         .select(F.col("a.vec_id").alias("ga"), F.col("b.vec_id").alias("gb"))
         .dropDuplicates(["ga", "gb"])
     )
-    ra = F.broadcast(reps.select(F.col("vec_id").alias("ga"), F.col("embedding").alias("e_a")))
-    rb = F.broadcast(reps.select(F.col("vec_id").alias("gb"), F.col("embedding").alias("e_b")))
+    # reps is one row per DISTINCT payload — corpus-sized on a
+    # low-duplication corpus, so these are shuffle equi-joins too
+    ra = reps.select(F.col("vec_id").alias("ga"), F.col("embedding").alias("e_a"))
+    rb = reps.select(F.col("vec_id").alias("gb"), F.col("embedding").alias("e_b"))
     sim = F.round(F.expr(COS_SPARK.format(a="e_a", b="e_b")), 6)
     rp = (
         rp_ids.join(ra, "ga")
@@ -452,8 +463,8 @@ def embcos_near_pairs(spark, sf_dir):
     ma = mem.select(F.col("vec_id").alias("va"), F.col("rvid").alias("ga"))
     mb = mem.select(F.col("vec_id").alias("vb"), F.col("rvid").alias("gb"))
     cross = (
-        rp.join(F.broadcast(ma), "ga")
-        .join(F.broadcast(mb), "gb")
+        rp.join(ma, "ga")
+        .join(mb, "gb")
         .select(
             F.least("va", "vb").alias("vec_a"),
             F.greatest("va", "vb").alias("vec_b"),
@@ -469,7 +480,13 @@ def embcos_near_pairs(spark, sf_dir):
             "g",
         )
         .filter(F.col("va") < F.col("vb"))
-        .join(F.broadcast(gsim), "g")
+        .join(gsim, "g")
+        # re-apply the threshold: a zero-norm embedding's self-cosine
+        # is NULL under Spark's non-ANSI divide, which the naive
+        # plan's filter drops — without this the rewrite would keep
+        # that pair and break bit-identity on the degenerate edge.
+        # A no-op for normal vectors (self-sim rounds to 1.0).
+        .filter(F.col("sim") >= EMBCOS_T)
         .select(F.col("va").alias("vec_a"), F.col("vb").alias("vec_b"), "sim")
     )
     return cross.unionByName(within)

@@ -30,7 +30,7 @@ N_PROBE = 2
 _SMALL_CORPUS_BYTES = 32 * 1024 * 1024
 
 
-def ivf_assignments(emb, nprobe: int):
+def ivf_assignments(emb, nprobe: int, centroids=None):
     """(vec_id, embedding, centroid_id): every vector assigned to its
     `nprobe` nearest centroids (centroids = first N_CENTROIDS vectors
     by vec_id — deterministic, engine-portable 'training').
@@ -41,10 +41,20 @@ def ivf_assignments(emb, nprobe: int):
     the oracle mirrors the bucketing instead of pretending the op is
     exact. See ivf_assign_sql() for the DuckDB mirror.
 
+    `centroids` (optional, (centroid_id, c_emb)) lets a caller whose
+    `emb` is a filtered/collapsed view still train on the FULL table:
+    the collapse-first dedup rewrites pass representatives here, and
+    without this the centroid set would silently change whenever two
+    of the first N_CENTROIDS vectors share an embedding (the
+    representative collapse drops the higher id, freeing an nprobe
+    slot and changing the candidate set vs the oracle).
+
     Scale: centroids broadcast (N_CENTROIDS rows), one narrow pass
     over the corpus, no shuffle until the consumer's equi-join on
     centroid_id — the zones technique in vector space."""
-    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+    cent = centroids if centroids is not None else emb.filter(
+        F.col("vec_id") < N_CENTROIDS
+    ).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
     )
     v = emb.alias("v")
