@@ -278,15 +278,17 @@ def llm_dedup_ngram(spark, sf_dir):
         F.first("text").alias("r_text"),
         F.count("*").alias("sz"),
     )
-    mem = tagged.join(F.broadcast(groups.select("fp", "rid")), "fp").select(
-        "doc_id", "rid"
-    )
+    # groups/mem are one row per distinct text / per document —
+    # corpus-sized on a low-duplication corpus, so every join against
+    # them is a plain shuffle equi-join, never a broadcast (the same
+    # OOM-at-scale argument that demoted the embcos broadcasts)
+    mem = tagged.join(groups.select("fp", "rid"), "fp").select("doc_id", "rid")
     rdocs = groups.select(F.col("rid").alias("doc_id"), F.col("r_text").alias("text"))
     tok = (
         _shingled(rdocs)
         .select("doc_id", F.explode("shingles").alias("s"))
         .join(
-            F.broadcast(groups.select(F.col("rid").alias("doc_id"), "sz")),
+            groups.select(F.col("rid").alias("doc_id"), "sz"),
             "doc_id",
         )
     )
@@ -315,14 +317,16 @@ def llm_dedup_ngram(spark, sf_dir):
     ma = mem.select(F.col("doc_id").alias("va"), F.col("rid").alias("ga"))
     mb = mem.select(F.col("doc_id").alias("vb"), F.col("rid").alias("gb"))
     cross = (
-        rp.join(F.broadcast(ma), "ga")
-        .join(F.broadcast(mb), "gb")
+        rp.join(ma, "ga")
+        .join(mb, "gb")
         .select(
             F.least("va", "vb").alias("doc_a"),
             F.greatest("va", "vb").alias("doc_b"),
             "jaccard",
         )
     )
+    # gjac is one row per distinct text with a surviving shingle —
+    # group-sized, so shuffle equi-join (no broadcast hint)
     gjac = sz_sh.select(
         F.col("doc_id").alias("g"),
         F.round(F.col("c") / (F.col("c") + F.col("c") - F.col("c")), 4).alias("jaccard"),
@@ -331,7 +335,7 @@ def llm_dedup_ngram(spark, sf_dir):
         mem.select(F.col("doc_id").alias("va"), F.col("rid").alias("g"))
         .join(mem.select(F.col("doc_id").alias("vb"), F.col("rid").alias("g")), "g")
         .filter(F.col("va") < F.col("vb"))
-        .join(F.broadcast(gjac), "g")
+        .join(gjac, "g")
         .select(F.col("va").alias("doc_a"), F.col("vb").alias("doc_b"), "jaccard")
     )
     return cross.unionByName(within).orderBy("doc_a", "doc_b")
@@ -659,9 +663,9 @@ def llm_dedup_edit(spark, sf_dir):
     groups = tagged.groupBy("fp").agg(
         F.min("doc_id").alias("rid"), F.first("text").alias("r_text")
     )
-    mem = tagged.join(F.broadcast(groups.select("fp", "rid")), "fp").select(
-        "doc_id", "rid"
-    )
+    # groups/mem are corpus-sized on a low-duplication corpus:
+    # shuffle equi-joins, never broadcasts
+    mem = tagged.join(groups.select("fp", "rid"), "fp").select("doc_id", "rid")
     blk = F.md5(F.substring("r_text", 1, EDIT_BLOCK_CHARS).cast("binary"))
     d = groups.select(F.col("rid").alias("doc_id"), F.col("r_text").alias("text"), blk.alias("blk"))
     a, b = d.alias("a"), d.alias("b")
@@ -680,8 +684,8 @@ def llm_dedup_edit(spark, sf_dir):
     ma = mem.select(F.col("doc_id").alias("va"), F.col("rid").alias("ga"))
     mb = mem.select(F.col("doc_id").alias("vb"), F.col("rid").alias("gb"))
     cross = (
-        rp.join(F.broadcast(ma), "ga")
-        .join(F.broadcast(mb), "gb")
+        rp.join(ma, "ga")
+        .join(mb, "gb")
         .select(
             F.least("va", "vb").alias("doc_a"),
             F.greatest("va", "vb").alias("doc_b"),

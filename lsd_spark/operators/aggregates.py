@@ -707,7 +707,8 @@ def agg_retention_cohorts(spark, sf_dir):
         "SELECT user_id, COUNT(*) AS n_obs, "
         "CAST(FLOOR((SUM(dv * dv) / (COUNT(*) - 1)) / VAR_SAMP(value) "
         "* 1000 + 0.5) AS BIGINT) AS eta_q "
-        "FROM d GROUP BY user_id HAVING COUNT(*) >= 3 ORDER BY user_id"
+        "FROM d GROUP BY user_id "
+        "HAVING COUNT(*) >= 3 AND VAR_SAMP(value) > 0 ORDER BY user_id"
     ),
 )
 def agg_variability_eta(spark, sf_dir):
@@ -722,7 +723,12 @@ def agg_variability_eta(spark, sf_dir):
     group aggregate (the window's hash partitioning is reused by the
     groupBy — no second exchange); the quantization grid (1e-3)
     absorbs both engines' float summation reassociation, the
-    (ts, event_id) tiebreak makes the lag deterministic."""
+    (ts, event_id) tiebreak makes the lag deterministic.
+
+    The VAR_SAMP > 0 guard drops constant lightcurves: eta is
+    undefined there, and the engines disagree on 0/0 — Spark's
+    non-ANSI divide yields NULL while DuckDB yields +inf, where
+    CAST(FLOOR(inf) AS BIGINT) aborts the whole oracle query."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     dv = F.col("value") - F.lag("value").over(w)
@@ -731,6 +737,7 @@ def agg_variability_eta(spark, sf_dir):
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_obs"),
+            F.var_samp("value").alias("_var"),
             F.floor(
                 (F.sum(F.col("dv") * F.col("dv")) / (F.count("*") - 1))
                 / F.var_samp("value")
@@ -740,6 +747,7 @@ def agg_variability_eta(spark, sf_dir):
             .cast("bigint")
             .alias("eta_q"),
         )
-        .filter(F.col("n_obs") >= 3)
+        .filter((F.col("n_obs") >= 3) & (F.col("_var") > 0))
+        .drop("_var")
         .orderBy("user_id")
     )

@@ -1,0 +1,135 @@
+"""Crafted-fixture regression tests for edges the stock testdata
+structurally cannot produce (round-5 VERDICT #2/#3):
+
+- duplicate embeddings among ``vec_id < N_CENTROIDS`` — the
+  motivating case of the round-5 full-table-centroid fix (inflate_sf
+  uses disjoint key offsets, so the first 8 vec_ids are always
+  distinct there);
+- a zero-norm embedding duplicated across two vec_ids — the
+  NULL-self-cosine edge the within-group threshold refilter guards;
+- a constant-valued lightcurve with >= 3 epochs — 0/0 eta, where
+  Spark's non-ANSI divide yields NULL but DuckDB yields +inf and
+  CAST(FLOOR(inf) AS BIGINT) aborts the whole oracle query.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.test_collapse_equivalence import _naive_embcos_pairs, _rows
+
+
+@pytest.fixture(scope="module")
+def dup_centroid_dir(tmp_path_factory):
+    """16 vectors, dim 8, integer-valued floats (exact float64 dot
+    products on both engines). vec 5 duplicates vec 3 (both inside
+    the first-8 centroid window); vecs 10/11 are the duplicated zero
+    vector; vecs 12/13 are an ordinary duplicate pair."""
+    rng = np.random.RandomState(42)
+    vecs = rng.randint(1, 10, size=(16, 8)).astype(np.float32)
+    vecs[5] = vecs[3]
+    vecs[10] = 0.0
+    vecs[11] = 0.0
+    vecs[13] = vecs[12]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(16), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * 16, pa.int32()),
+        }
+    )
+    d = tmp_path_factory.mktemp("dup_centroid")
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_embcos_dup_centroid_and_zero_norm(spark, dup_centroid_dir):
+    from lsd_spark.llm.dedup import embcos_near_pairs
+
+    ref = _rows(_naive_embcos_pairs(spark, dup_centroid_dir))
+    got = _rows(embcos_near_pairs(spark, dup_centroid_dir))
+    assert got == ref
+    pairs = {(a, b) for a, b, _ in got}
+    # the duplicate-inside-the-centroid-window pair survives, sim 1.0
+    assert (3, 5) in pairs
+    assert next(s for a, b, s in got if (a, b) == (3, 5)) == 1.0
+    # the ordinary within-group clique fires too
+    assert (12, 13) in pairs
+    # the zero-norm duplicate pair is ABSENT from both plans: its
+    # self-cosine is NULL under non-ANSI divide and the threshold
+    # drops NULL — the round-5 refilter keeps the rewrite identical
+    assert (10, 11) not in pairs
+
+
+def test_embcos_dup_centroid_matches_duckdb_oracle(spark, dup_centroid_dir):
+    from lsd_spark.registry import ORACLES, QUERIES, load_all
+
+    load_all()
+    got = _rows(QUERIES["llm_dedup_embcos"](spark, dup_centroid_dir))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{dup_centroid_dir}/embeddings.parquet'"
+    )
+    oracle = sorted(map(tuple, con.sql(ORACLES["llm_dedup_embcos"]).fetchall()))
+    con.close()
+    assert got == oracle
+
+
+@pytest.fixture(scope="module")
+def constant_lightcurve_dir(tmp_path_factory):
+    """user 1: constant value over 4 epochs (0/0 eta); user 2: a
+    varying 5-epoch curve; user 3: 2 epochs (below the n_obs cut)."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(4):
+        rows.append((eid, base + datetime.timedelta(hours=i), 1, "obs", 5.0))
+        eid += 1
+    for i, v in enumerate([1.0, 4.0, 2.0, 8.0, 3.0]):
+        rows.append((eid, base + datetime.timedelta(hours=i), 2, "obs", v))
+        eid += 1
+    for i, v in enumerate([1.0, 2.0]):
+        rows.append((eid, base + datetime.timedelta(hours=i), 3, "obs", v))
+        eid += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = tmp_path_factory.mktemp("const_lc")
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_variability_eta_constant_lightcurve(spark, constant_lightcurve_dir):
+    from lsd_spark.registry import ORACLES, QUERIES, load_all
+
+    load_all()
+    got = _rows(QUERIES["agg_variability_eta"](spark, constant_lightcurve_dir))
+    # the constant curve (user 1) is filtered, not NULL'd; the
+    # 2-epoch curve (user 3) fails the n_obs cut; user 2 survives
+    assert [r[0] for r in got] == [2]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{constant_lightcurve_dir}/events.parquet'"
+    )
+    # without the VAR_SAMP > 0 guard this query ABORTS in DuckDB
+    # (CAST(FLOOR(+inf) AS BIGINT) on the 0/0 row)
+    oracle = sorted(map(tuple, con.sql(ORACLES["agg_variability_eta"]).fetchall()))
+    con.close()
+    assert got == oracle
