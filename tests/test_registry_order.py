@@ -1,9 +1,10 @@
-"""Pin the CORRECTNESS-ledger tier ordering (round-3 VERDICT #1):
-the driver records at most ~50 rows per round in REGISTRATION ORDER,
-so the registry must lead with ops that have no GREEN driver row
-yet, then ops new this round, then the already-recorded ids. A
-refactor that silently breaks this ordering would waste a whole
-round of ledger coverage."""
+"""Pin the CORRECTNESS-ledger tier ordering (round-3 VERDICT #1,
+rotated per round-4/5 VERDICT #1): the driver records at most ~50
+rows per round in REGISTRATION ORDER, so the registry must lead with
+(1) ops that have no driver row yet, then (2) the refresh rotation —
+already-green ops ordered oldest-driver-confirmation first — then
+(3) the freshest-recorded ids. A refactor that silently breaks this
+ordering would waste a whole round of ledger coverage."""
 
 from __future__ import annotations
 
@@ -11,44 +12,63 @@ from lsd_spark.registry import (
     _R1_LEDGER,
     _R2_LEDGER,
     _R3_LEDGER,
-    _R4_PENDING,
+    _R4_LEDGER,
+    _ROWS_ONLY_BY_DESIGN,
+    _refresh_rotation,
     QUERIES,
     load_all,
 )
 
 load_all()
 
+_ALL_RECORDED = (
+    set(_R1_LEDGER) | set(_R2_LEDGER) | set(_R3_LEDGER) | set(_R4_LEDGER)
+)
 
-def test_tier1_pending_ops_lead_registration_order():
+
+def test_tier1_new_ops_lead_registration_order():
     names = list(QUERIES)
-    assert names[: len(_R4_PENDING)] == _R4_PENDING
+    n_new = sum(1 for k in names if k not in _ALL_RECORDED)
+    head = names[:n_new]
+    assert all(k not in _ALL_RECORDED for k in head), head
 
 
-def test_tier2_is_new_ops_then_tier3_recorded():
+def test_tier2_is_refresh_rotation_oldest_first():
+    """After the new ops, the rotation must run r01-greens, then the
+    r02 residue, then the r03 residue — exactly _refresh_rotation()."""
     names = list(QUERIES)
-    recorded = set(_R1_LEDGER) | set(_R2_LEDGER) | set(_R3_LEDGER)
-    tail = names[len(_R4_PENDING):]
-    # tier2 = not yet driver-recorded, tier3 = recorded; no interleave
-    seen_recorded = False
-    for n in tail:
-        if n in recorded:
-            seen_recorded = True
-        else:
-            assert not seen_recorded, f"unrecorded op {n} after recorded ops"
+    n_new = sum(1 for k in names if k not in _ALL_RECORDED)
+    rotation = [k for k in _refresh_rotation() if k in QUERIES]
+    assert names[n_new:n_new + len(rotation)] == rotation
 
 
-def test_pending_plus_new_fit_driver_cap():
-    """Everything that needs a fresh driver row this round — the 30
-    tier-1 pending ops plus every tier-2 new op — must fit inside
-    the driver's observed 50-row per-round cap, or the overflow
-    silently waits another full round."""
+def test_r06_window_reconfirms_stale_r01_ops():
+    """The point of the rotation: the first 50 registered ops (the
+    driver's observed per-round cap) must be dominated by ops whose
+    latest driver row is r01 — the stalest cohort."""
+    names = list(QUERIES)[:50]
+    r01_stale = [k for k in names
+                 if k in set(_R1_LEDGER) - set(_R3_LEDGER) - set(_R4_LEDGER)]
+    assert len(r01_stale) >= 40, (
+        f"only {len(r01_stale)} r01-stale ops inside the 50-row window"
+    )
+
+
+def test_new_ops_fit_driver_cap():
+    """Every op that has never been driver-recorded must fit inside
+    the 50-row per-round cap, or it silently waits another round."""
     names = list(QUERIES)
-    recorded = set(_R1_LEDGER) | set(_R2_LEDGER) | set(_R3_LEDGER)
-    needs_row = [n for n in names if n not in recorded]
+    needs_row = [n for n in names if n not in _ALL_RECORDED]
     assert len(needs_row) <= 50, (
         f"{len(needs_row)} ops need a driver row but only 50 fit: "
         f"{needs_row}"
     )
+
+
+def test_rotation_excludes_rows_only_ops():
+    """agg_approx_distinct / llm_dedup_near can never upgrade past a
+    `no_oracle` row — queueing them wastes capped slots."""
+    assert not (_ROWS_ONLY_BY_DESIGN & set(_refresh_rotation()))
 
 
 def test_every_query_has_oracle_or_documented_reason():
