@@ -41,6 +41,29 @@ from lsd_spark.registry import register
 
 MAX_ITERS = 60
 
+# Catalog-statistic cache for the degree-routing probe: node counts
+# are a property of the (session, logical plan) pair, so repeated
+# FoF calls (bench warm runs, multi-op pipelines over the same
+# table) skip one count job each. Cleared alongside the registry's
+# plan cache (registry.clear_plan_cache) so a changed sf_dir never
+# serves a stale statistic.
+_NODE_COUNT_CACHE: dict[tuple[str, int], int] = {}
+
+
+def clear_node_counts() -> None:
+    _NODE_COUNT_CACHE.clear()
+
+
+def _node_count(df: DataFrame) -> int:
+    from lsd_spark.catalog import session_key
+
+    key = (session_key(df.sparkSession), df.semanticHash())
+    n = _NODE_COUNT_CACHE.get(key)
+    if n is None:
+        n = df.count()
+        _NODE_COUNT_CACHE[key] = n
+    return n
+
 
 def _fof_oracle(pairs_sql: str) -> str:
     return (
@@ -73,23 +96,32 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     undirected edge set as (u, v) one-way; returns
     (vec_id, object_id).
 
-    Convergence needs O(min-label eccentricity) rounds, so the
-    propagation loop fits SUBCRITICAL match graphs — the physically
-    meaningful regime for FoF. ADAPTIVE ROUTING (round 4): the edge
-    set is generated and checkpointed ONCE, then average degree
-    2E/N is measured on the checkpointed edges (two cheap counts,
-    no recomputation); above DEGREE_SUPERCRITICAL the graph is
-    percolating — min-label would need O(component diameter /
-    linking length) rounds — so the labeling routes to the O(log n)
-    large-star/small-star path instead, reusing the same checkpointed
-    edges. Both paths compute the exact same min-label components,
-    so the routing is a pure physical-plan choice — the 10x
-    density stress (scripts/inflate_sf.py) exercises it. The
-    round cap still raises rather than returning non-converged
-    labels. A per-iteration pointer-jumping variant was tried and
-    reverted: the label-of-label self-join re-executed pathologically
-    (iteration cost doubled per round on Spark 4.1 despite truncated
-    logical AND RDD lineage).
+    Phase order (round 6 — barrier-minimal on the common case):
+    (1) checkpoint the ONE-WAY pairs (one execution of the edge-gen
+    plan; the symmetrized view is a lazy union over the checkpoint —
+    materializing the union would run the candidate join twice);
+    (2) SEED: per-partition union-find contraction
+    (_local_cc_labels, one Arrow job) joined to the node set and
+    checkpointed; (3) PROBE: one job checking for any edge whose
+    endpoints carry different labels — a min-label state is THE
+    fixpoint iff no such edge exists, so when every component's
+    edges landed in one partition (the norm for subcritical FoF
+    graphs) the whole labeling finishes in 4 barriers total with no
+    propagation loop and no count jobs. Only a failed probe pays
+    the routing counts: average degree 2E/N above
+    DEGREE_SUPERCRITICAL routes to the O(log n) large-star/
+    small-star path (the giant-component regime, where min-label
+    would need O(component diameter / linking length) rounds);
+    otherwise the Pregel loop runs from the contraction seed, whose
+    remaining eccentricity is bounded by the QUOTIENT graph
+    (supernodes = partitions touched per component), not the raw
+    chain length. Both paths compute the exact same min-label
+    components — the 10x density stress (scripts/inflate_sf.py)
+    exercises the routing. The round cap still raises rather than
+    returning non-converged labels. A per-iteration pointer-jumping
+    variant was tried and reverted: the label-of-label self-join
+    re-executed pathologically (iteration cost doubled per round on
+    Spark 4.1 despite truncated logical AND RDD lineage).
 
     Memory hygiene (found the hard way at sf0.1 on a stock 1g
     session): iteration checkpoints are DISK_ONLY, the previous
@@ -101,16 +133,53 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_sp), 16)))
     try:
-        edges = pairs.unionAll(
-            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-        n_half_edges = edges.count()  # = 2E, on the checkpoint
-        n_nodes = max(1, emb.count())
+        one_way = pairs.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
+        edges = one_way.unionAll(
+            one_way.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        local = _local_cc_labels(edges).groupBy("vec_id").agg(
+            F.min("lmin").alias("lmin")
+        )
+        labels = (
+            emb.select("vec_id")
+            .join(local, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.coalesce(F.col("lmin"), F.col("vec_id")).alias("object_id"),
+            )
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
+        la = labels.select(F.col("vec_id").alias("eu"), F.col("object_id").alias("lu"))
+        lb = labels.select(F.col("vec_id").alias("ev"), F.col("object_id").alias("lv"))
+        cross = (
+            edges.join(la, edges.u == la.eu)
+            .join(lb, edges.v == lb.ev)
+            .filter(F.col("lu") != F.col("lv"))
+            .limit(1)
+            .count()
+        )
+        if cross == 0:
+            one_way.unpersist()
+            return labels.orderBy("vec_id")
+        # probe failed: pay the routing counts now
+        n_half_edges = 2 * one_way.count()  # = 2E, on the checkpoint
+        n_nodes = max(1, _node_count(emb))
+        # size the loop's shuffles to the measured edge count (~100k
+        # edge-rows per partition): iterative stages on a tiny
+        # quotient graph should not pay 16 near-empty tasks per
+        # round — the same call AQE's coalesce makes when enabled
+        loop_sp = max(1, min(int(old_sp), n_half_edges // 100_000 + 1))
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
         if n_half_edges / n_nodes > DEGREE_SUPERCRITICAL:
+            labels.unpersist()
             out = _alternating_loop(emb, edges)
-            edges.unpersist()
+            one_way.unpersist()
             return out
-        return _fixpoint_loop(emb, edges)
+        out = _fixpoint_loop(emb, edges, labels)
+        one_way.unpersist()
+        return out
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
@@ -122,14 +191,67 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
 DEGREE_SUPERCRITICAL = 3.0
 
 
-def _fixpoint_loop(emb: DataFrame, edges: DataFrame) -> DataFrame:
-    """`edges` arrives SYMMETRIZED and checkpointed (the router in
-    min_label_fixpoint generated them once for the degree probe)."""
+def _local_cc_labels(edges: DataFrame) -> DataFrame:
+    """Per-partition union-find contraction — ONE Arrow job over the
+    checkpointed edges. Within each partition, every node of the
+    local subgraph maps to the MIN vec_id of its partition-local
+    component; a node split across partitions emits one row per
+    partition (resolved by a min-aggregate in the caller).
+
+    This is the classic local-aggregation-before-global-iteration
+    CC optimization: chains that live inside one partition collapse
+    in this single pass, so the global min-label loop only resolves
+    CROSS-PARTITION chains — the quotient graph has at most
+    (partitions-touched) super-nodes per component, so iterations
+    drop from O(min-label eccentricity) (~7 on the sf0.1 FoF graph)
+    to ~2. At scale the per-partition state is a dict over the
+    partition's node ids — bounded by maxPartitionBytes, the same
+    envelope every hash aggregate needs."""
+    import pandas as pd
+
+    def part(batches):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for b in batches:
+            for u, v in zip(b["u"].to_numpy(), b["v"].to_numpy()):
+                u, v = int(u), int(v)
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # smaller id stays root, so find() yields the min
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        if parent:
+            nodes = list(parent)
+            yield pd.DataFrame(
+                {"vec_id": nodes, "lmin": [find(n) for n in nodes]}
+            )
+
+    return edges.mapInPandas(part, "vec_id bigint, lmin bigint")
+
+
+def _fixpoint_loop(
+    emb: DataFrame, edges: DataFrame, seed: DataFrame
+) -> DataFrame:
+    """`edges` arrives SYMMETRIZED, backed by a checkpointed one-way
+    RDD; `seed` is the checkpointed contraction labeling from the
+    router (whose convergence probe already failed, so at least one
+    cross-partition merge remains)."""
     from pyspark.storagelevel import StorageLevel
 
     level = StorageLevel.DISK_ONLY
-    labels = emb.select(F.col("vec_id"), F.col("vec_id").alias("object_id"))
-    prev = None
+    labels = seed
+    prev = seed
     for _ in range(MAX_ITERS):
         # candidate new label: min over own label and neighbors' labels
         nbr = (

@@ -430,9 +430,18 @@ def cluster_fof_2d(spark, sf_dir):
     brute-force distance pairs — a physically different candidate
     plan reaching the identical component labeling."""
     from lsd_spark.plans.cluster import min_label_fixpoint
+    from lsd_spark.registry import cached_plan
 
-    pts = points(spark, sf_dir, "view").select(F.col("event_id").alias("vec_id"))
-    pairs = self_radius_pairs(spark, sf_dir, "view", FOF2D_R)
+    pts = cached_plan(
+        spark, sf_dir, "fof2d_pts",
+        lambda: points(spark, sf_dir, "view").select(
+            F.col("event_id").alias("vec_id")
+        ),
+    )
+    pairs = cached_plan(
+        spark, sf_dir, "fof2d_pairs",
+        lambda: self_radius_pairs(spark, sf_dir, "view", FOF2D_R),
+    )
     labels = min_label_fixpoint(pts, pairs)
     return labels.select(
         F.col("vec_id").alias("point_id"), "object_id"
