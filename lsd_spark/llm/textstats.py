@@ -194,23 +194,24 @@ def llm_pipeline_e2e(spark, sf_dir):
     keep-first -> deterministic 50% subsample -> per-language corpus
     stats. The composition the individual §2.J operators exist for,
     in one lazy plan: Catalyst fuses the quality filter into the
-    scan, the dedup is one fingerprint agg + equi-join, the sample is
-    a map-only hash filter, and the final stats are a partial+final
-    agg — three shuffles total end-to-end, each on keys orders of
-    magnitude smaller than the corpus. At 100 TB this plan shape IS
-    the curation job."""
+    scan, the dedup is ONE corpus exchange on the fingerprint (a
+    row_number window keeping the min doc_id per group — strictly
+    less shuffle than the agg+join formulation, which moves the
+    corpus through the join exchange AND the key set through the
+    agg), the sample is a map-only hash filter, and the final stats
+    are a partial+final agg — two shuffles total end-to-end. At
+    100 TB this plan shape IS the curation job."""
+    from pyspark.sql import Window
+
     from lsd_spark.llm.dedup import HASH60_SPARK
 
     docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 10)
     fp = F.md5(F.col("text").cast("binary"))
-    keepers = (
-        docs.select(fp.alias("k_fp"), "doc_id")
-        .groupBy("k_fp")
-        .agg(F.min("doc_id").alias("keeper"))
-    )
-    deduped = docs.withColumn("fp", fp).join(
-        keepers,
-        (F.col("fp") == F.col("k_fp")) & (F.col("doc_id") == F.col("keeper")),
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    deduped = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
     sampled = deduped.filter(
         F.expr(HASH60_SPARK.format(t="CAST(doc_id AS STRING)")) % 2 == 0
