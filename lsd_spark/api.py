@@ -308,6 +308,33 @@ class DB:
         base = [t for t in TABLES if os.path.exists(os.path.join(self.path, f"{t}.parquet"))]
         return base + sorted(self._extra)
 
+    def ingest(
+        self,
+        df: DataFrame,
+        name: str,
+        id_spec: tuple[str, str, str, str] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        """lsd-import analog: write `df` into this DB's warehouse as
+        table `name`. With `id_spec=(epoch_col, cx_col, cy_col,
+        order_col)` the packed 64-bit `_id` primary key is stamped at
+        write time — LSD's import step, where every detection gets
+        its (epoch, cell, index) identity as it enters the database
+        [lsd:src/lsd/table.py _ID packing — UNVERIFIED]. Returns the
+        read-back table."""
+        if id_spec is not None:
+            from lsd_spark.plans.spatial import stamp_packed_id
+
+            df = stamp_packed_id(df, *id_spec)
+        out = os.path.join(self.warehouse, f"{name}.parquet")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(out)
+        self._extra[name] = out
+        self._views_done = False
+        return self.table(name)
+
     def table(self, name: str) -> DataFrame:
         if name in self._extra:
             return self.spark.read.parquet(self._extra[name])

@@ -59,6 +59,10 @@ def cmd_import(args, spark=None):
         df = reader.option("header", "true").csv(args.src)
     else:
         df = reader.json(args.src)
+    if args.stamp_id:
+        from lsd_spark.plans.spatial import stamp_packed_id
+
+        df = stamp_packed_id(df, *args.stamp_id.split(":"))
     out = os.path.join(args.db, f"{args.table}.parquet")
     w = df.write.mode("overwrite")
     if args.partition_by:
@@ -126,6 +130,13 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--src-format", choices=["csv", "json"], default="csv")
     i.add_argument("--db", required=True, help="writable warehouse dir")
     i.add_argument("--partition-by", default=None)
+    i.add_argument(
+        "--stamp-id",
+        default=None,
+        metavar="EPOCH:CX:CY:ORDER",
+        help="stamp the packed 64-bit _id (epoch<<36 | morton(cx,cy)<<20 "
+        "| index) from these columns at import time",
+    )
     i.set_defaults(fn=cmd_import)
 
     x = sub.add_parser("xmatch", help="materialize a cross-match table (lsd-xmatch)")

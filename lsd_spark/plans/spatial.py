@@ -225,6 +225,117 @@ def fn_morton_key(spark, sf_dir):
     )
 
 
+# --- packed _ID primary key: LSD's 64-bit (epoch, cell, index) key ------
+
+# field widths: 20 bits of within-cell index, 16 bits of Morton cell
+# (two 8-bit axes), the rest (27 bits used here) for the time epoch —
+# the [lsd:src/lsd/table.py _ID packing — UNVERIFIED] layout where a
+# detection's primary key IS its (when, where, which) coordinates, so
+# range scans on the key ARE spatio-temporal scans.
+PACK_CELL_SHIFT = 1 << 20
+PACK_EPOCH_SHIFT = 1 << 36
+
+
+def stamp_packed_id(df, epoch_col: str, cx_col: str, cy_col: str, order_col: str):
+    """Add the packed 64-bit `_id` column:
+
+        _id = epoch * 2^36 + morton(cx, cy) * 2^20 + index
+
+    where `index` is the row's rank within its (epoch, cell) group
+    ordered by `order_col` (deterministic, gap-free). Pure field
+    addition over non-overlapping bit ranges — the same integer on
+    any engine, no bitwise-OR dialect issues. One shuffle on
+    (epoch, cell): exactly the physical partitioning the key is
+    DESIGNED to express, so the write that follows is already
+    co-located. Used by `DB.ingest(id_spec=...)` and
+    `cli import --stamp-id`."""
+    from pyspark.sql import Window
+
+    cell = F.expr(_morton_sql(cx_col, cy_col))
+    w = Window.partitionBy(F.col(epoch_col), cell).orderBy(order_col)
+    idx = (F.row_number().over(w) - 1).cast("long")
+    packed = (
+        F.col(epoch_col).cast("long") * F.lit(PACK_EPOCH_SHIFT)
+        + cell * F.lit(PACK_CELL_SHIFT)
+        + idx
+    )
+    return df.withColumn("_id", packed)
+
+
+_PACKED_HX = (
+    "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'x'), 1, 15))::BIGINT "
+    "% 100000 AS BIGINT) // 500"
+)
+_PACKED_HY = (
+    "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'y'), 1, 15))::BIGINT "
+    "% 100000 AS BIGINT) // 500"
+)
+_PACKED_ORACLE = (
+    "WITH d AS (SELECT event_id, "
+    "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch, "
+    f"{_PACKED_HX} AS cx, {_PACKED_HY} AS cy "
+    "FROM events WHERE event_type = 'purchase'), "
+    "k AS (SELECT event_id, epoch, "
+    + _morton_sql("cx", "cy")
+    + " AS cell, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY epoch, "
+    + _morton_sql("cx", "cy")
+    + " ORDER BY event_id) - 1 AS BIGINT) AS idx FROM d) "
+    f"SELECT event_id, epoch * {PACK_EPOCH_SHIFT} + cell * {PACK_CELL_SHIFT} "
+    "+ idx AS _id, epoch, cell, idx FROM k ORDER BY event_id"
+)
+
+
+@register("source_packed_id", oracle=_PACKED_ORACLE, cacheable=False)
+def source_packed_id(spark, sf_dir):
+    """Packed `_ID` primary key END-TO-END (round-5 VERDICT #6): the
+    purchase detections are ingested through `api.DB.ingest` with
+    `id_spec`, which stamps `_id = epoch<<36 | morton(cx,cy)<<20 |
+    index` at write time [lsd:src/lsd/table.py _ID packing —
+    UNVERIFIED]; the written table is then read back and the key is
+    UNPACKED with the `fn_bitwise` arithmetic (div/mod over the
+    field shifts). The oracle computes pack + fields directly from
+    `events` in DuckDB, so a hash match proves (a) the Spark packing
+    matches the reference arithmetic bit-for-bit and (b) the
+    parquet round-trip through the warehouse preserves the key —
+    unpack(pack(x)) == x across the storage boundary."""
+    from lsd_spark.plans.materialize import materialized
+
+    def build(tmp: str) -> str:
+        from lsd_spark.api import DB
+
+        db = DB(spark, sf_dir, warehouse=tmp)
+        ev = load(spark, sf_dir, "events").filter(
+            F.col("event_type") == "purchase"
+        )
+        hx = (
+            "CAST(conv(substr(md5(CAST(event_id AS STRING) || 'x'), 1, 15), 16, 10) "
+            "AS BIGINT) % 100000"
+        )
+        hy = (
+            "CAST(conv(substr(md5(CAST(event_id AS STRING) || 'y'), 1, 15), 16, 10) "
+            "AS BIGINT) % 100000"
+        )
+        det = ev.selectExpr(
+            "event_id",
+            "unix_micros(ts) div 86400000000 AS epoch",
+            f"({hx}) div 500 AS cx",
+            f"({hy}) div 500 AS cy",
+        )
+        db.ingest(det, "detections", id_spec=("epoch", "cx", "cy", "event_id"))
+        return tmp
+
+    base = materialized(spark, "packed_id", sf_dir, build)
+    back = spark.read.parquet(f"{base}/detections.parquet")
+    return back.selectExpr(
+        "event_id",
+        "_id",
+        f"_id div {PACK_EPOCH_SHIFT} AS epoch",
+        f"(_id div {PACK_CELL_SHIFT}) % {PACK_EPOCH_SHIFT // PACK_CELL_SHIFT} AS cell",
+        f"_id % {PACK_CELL_SHIFT} AS idx",
+    ).orderBy("event_id")
+
+
 @register(
     "join_xmatch_2d_knn",
     oracle=(

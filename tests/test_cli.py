@@ -67,3 +67,38 @@ def test_cli_xmatch2d_and_decontaminate(capsys, spark):
     out = capsys.readouterr().out.strip()
     # 0+ contaminated rows, each (doc_id, n_hits)
     assert all(len(ln.split("\t")) == 2 for ln in out.splitlines() if ln)
+
+
+def test_cli_import_stamp_id(spark, tmp_path, capsys):
+    """--stamp-id stamps the packed _id at import: fields round-trip
+    through div/mod unpacking and the index is gap-free per cell."""
+    from lsd_spark.cli import main
+
+    src = str(tmp_path / "det.csv")
+    db = str(tmp_path / "db")
+    with open(src, "w") as fh:
+        fh.write("det_id,epoch,cx,cy\n")
+        for i in range(12):
+            fh.write(f"{i},{100 + i % 2},{i % 3},{i % 2}\n")
+    main(
+        ["import", src, "--table", "det",
+         "--schema", "det_id bigint, epoch bigint, cx bigint, cy bigint",
+         "--db", db, "--stamp-id", "epoch:cx:cy:det_id"],
+        spark=spark,
+    )
+    assert "imported 12 rows" in capsys.readouterr().out
+    back = spark.read.parquet(f"{db}/det.parquet")
+    rows = back.selectExpr(
+        "det_id", "epoch", "cx", "cy", "_id",
+        "_id div 68719476736 AS epoch_u",
+        "_id % 1048576 AS idx_u",
+    ).collect()
+    assert all(r.epoch_u == r.epoch for r in rows)
+    # index gap-free per (epoch, cell): each group's indexes are 0..n-1
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[(r.epoch, (r._id // 1048576) % 65536)].append(r.idx_u)
+    for idxs in groups.values():
+        assert sorted(idxs) == list(range(len(idxs)))
