@@ -140,22 +140,52 @@ def build_margin_table(
     return out
 
 
-@register("join_asof_margin", oracle=ASOF_ORACLE, cacheable=False)
-def join_asof_margin(spark, sf_dir):
-    """As-of (latest prior click <=1h per purchase) against the
-    margin-duplicated click table: the left side probes ONLY its own
-    zone — the margin copies stand in for zone-1 — so the join is a
-    single-key-pair equi-join over a zone-partitioned layout."""
-    ev = load(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
-    path = materialized(
-        spark, "margin_asof", sf_dir,
-        lambda base: build_margin_table(
-            spark, clicks, ts="ts", zone_width_us=ZONE_US,
-            out_path=base + "/margin", margin_us=HOUR_US,
-        ),
-        prefix="lsd_margin_",
+def refresh_margin_table(
+    spark: SparkSession,
+    delta: DataFrame,
+    path: str,
+    ts: str = "ts",
+    zone_width_us: int = ZONE_US,
+    margin_us: int | None = None,
+) -> str:
+    """INCREMENTAL margin maintenance (round-5 VERDICT #7): append
+    new rows to an existing margin layout by expanding ONLY the delta
+    with its margin copies and appending the result into the
+    zone-partitioned dataset. Untouched zone dirs are not rewritten —
+    their files are never even opened; the zones the delta lands in
+    (home zone + zone+1 for boundary-strip copies) receive new files.
+
+    Correct because the layout is append-structured: a zone dir's
+    contents are the union of home rows and neighbors' boundary
+    copies, each derived ROW-LOCALLY from the source row alone — so
+    a new row's entire contribution to the layout is exactly its own
+    strip expansion, independent of what's already on disk. This is
+    LSD's nightly-ingest pattern: a day of new detections touches a
+    day of zone dirs (plus one margin neighbor each), never the
+    multi-year history [lsd:src/lsd/table.py append + neighbor-cache
+    maintenance — UNVERIFIED]."""
+    expanded = strip_copies(
+        delta,
+        [StripDim(
+            "zone", F.unix_micros(F.col(ts)).cast("double"),
+            float(zone_width_us), 0.0, float(margin_us or zone_width_us),
+        )],
     )
+    (
+        expanded
+        .repartition("zone")
+        .write.mode("append")
+        .partitionBy("zone")
+        .parquet(path)
+    )
+    return path
+
+
+def _asof_over_margin(spark, sf_dir: str, path: str) -> DataFrame:
+    """The shared as-of probe (latest prior click <=1h per purchase)
+    against a zone-partitioned margin layout at `path`: the left side
+    probes ONLY its own zone — margin copies stand in for zone-1."""
+    ev = load(spark, sf_dir, "events")
     margin = spark.read.parquet(path).select(
         F.col("user_id").alias("r_user_id"),
         F.col("ts").alias("r_ts"),
@@ -185,3 +215,55 @@ def join_asof_margin(spark, sf_dir):
     return best.select(
         F.col("l_event_id").alias("purchase_id"), F.col("r_event_id").alias("click_id")
     )
+
+
+@register("join_asof_margin", oracle=ASOF_ORACLE, cacheable=False)
+def join_asof_margin(spark, sf_dir):
+    """As-of (latest prior click <=1h per purchase) against the
+    margin-duplicated click table: the left side probes ONLY its own
+    zone — the margin copies stand in for zone-1 — so the join is a
+    single-key-pair equi-join over a zone-partitioned layout."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    path = materialized(
+        spark, "margin_asof", sf_dir,
+        lambda base: build_margin_table(
+            spark, clicks, ts="ts", zone_width_us=ZONE_US,
+            out_path=base + "/margin", margin_us=HOUR_US,
+        ),
+        prefix="lsd_margin_",
+    )
+    return _asof_over_margin(spark, sf_dir, path)
+
+
+@register("sink_margin_refresh", oracle=ASOF_ORACLE, cacheable=False)
+def sink_margin_refresh(spark, sf_dir):
+    """Incremental append + neighbor-cache refresh, end-to-end: the
+    margin layout is built from every click BEFORE the final day,
+    then the final day's clicks are appended with
+    `refresh_margin_table` (delta expansion only — untouched zone
+    dirs keep their files, pinned by tests/test_margin_refresh.py),
+    and the SAME as-of join runs over the refreshed layout. The
+    oracle is the full-data as-of semantics, so a hash match proves
+    the incrementally-maintained layout is indistinguishable from a
+    full rebuild."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+
+    def build(base: str) -> str:
+        cutoff = clicks.agg(
+            F.date_trunc("DAY", F.max("ts")).alias("d")
+        ).collect()[0]["d"]  # one scalar: the last day's midnight
+        path = build_margin_table(
+            spark, clicks.filter(F.col("ts") < F.lit(cutoff)), ts="ts",
+            zone_width_us=ZONE_US, out_path=base + "/margin",
+            margin_us=HOUR_US,
+        )
+        return refresh_margin_table(
+            spark, clicks.filter(F.col("ts") >= F.lit(cutoff)), path,
+            ts="ts", zone_width_us=ZONE_US, margin_us=HOUR_US,
+        )
+
+    path = materialized(spark, "margin_refresh", sf_dir, build,
+                        prefix="lsd_margin_")
+    return _asof_over_margin(spark, sf_dir, path)
