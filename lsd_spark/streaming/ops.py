@@ -103,18 +103,87 @@ def stream_session(spark, sf_dir):
     )
 
 
-def _run_stream(spark, sf_dir, build, mode: str):
-    """Replay events.parquet through a real file-source stream
-    (availableNow) into a memory sink; return the sink table."""
-    # the file stream source wants a directory: expose the single
-    # parquet file through a symlinked staging dir
+# Maximum per-row arrival displacement for the multi-batch replay:
+# 90 minutes, strictly inside every op's 2-hour watermark. Any row r
+# is preceded only by rows s with s.ts <= r.ts + DISPLACE (arrival
+# order is ts + bounded hash jitter), so the watermark at r's
+# processing is <= r.ts + DISPLACE - 2h < r.ts: every late row is
+# late-but-within-watermark, which is exactly the regime where the
+# stream must still equal the batch oracle while the state store
+# ACTUALLY evicts finalized windows/keys behind the advancing
+# watermark.
+DISPLACE_US = 90 * 60 * 1_000_000
+
+
+def staged_stream_source(spark, sf_dir: str, batches: int):
+    """Stage events.parquet as `batches` arrival-ordered files (one
+    micro-batch each under maxFilesPerTrigger=1 + availableNow).
+
+    batches=1: a symlink to the original file — single-batch replay.
+    batches>1: rows are ordered by (ts + hash-jitter <= DISPLACE_US)
+    and ntile-sliced, so slices are chronological but rows near every
+    boundary arrive one batch later than their event-time peers —
+    genuine late data crossing >= batches-1 micro-batch boundaries,
+    deterministic (xxhash64 of event_id, fixed seed). Files get
+    strictly increasing mtimes (the file source processes in
+    mtime order). The staged dir is built once per (session, sf_dir)
+    via the materialize registry."""
+    from lsd_spark.plans.materialize import materialized
+
     path = table_path(sf_dir, "events")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stage = tempfile.mkdtemp(prefix="lsd_stream_src_")
-    os.symlink(os.path.abspath(path), f"{stage}/events.parquet")
-    src = spark.readStream.schema(spark.read.parquet(path).schema).parquet(stage)
-    # same ts normalization as the batch loader (ns int64 / NTZ -> µs LTZ ts)
-    src = normalize_ts(src)
+
+    def build_stage(base: str) -> str:
+        import glob
+        import shutil
+        import time as _time
+
+        stage = f"{base}/stage"
+        os.makedirs(stage, exist_ok=True)
+        if batches == 1:
+            os.symlink(os.path.abspath(path), f"{stage}/events.parquet")
+            return stage
+        from pyspark.sql import Window
+
+        ev = normalize_ts(spark.read.parquet(path))
+        arr = F.unix_micros("ts") + F.pmod(F.xxhash64("event_id"), F.lit(DISPLACE_US))
+        sliced = ev.withColumn(
+            "_b",
+            F.ntile(batches).over(Window.orderBy(arr.alias("_arr"), "event_id")),
+        )
+        now = _time.time()
+        for i in range(1, batches + 1):
+            pdir = f"{base}/slice{i}"
+            sliced.filter(F.col("_b") == i).drop("_b").coalesce(1).write.parquet(pdir)
+            part = glob.glob(f"{pdir}/part-*.parquet")[0]
+            dst = f"{stage}/b{i:02d}.parquet"
+            shutil.move(part, dst)
+            os.utime(dst, (now + i, now + i))
+            shutil.rmtree(pdir, ignore_errors=True)
+        return stage
+
+    stage = materialized(
+        spark, f"stream_stage_{batches}", sf_dir, build_stage,
+        prefix="lsd_stream_src_",
+    )
+    reader = spark.readStream.schema(
+        spark.read.parquet(f"{stage}/*.parquet").schema
+    )
+    if batches > 1:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    return normalize_ts(reader.parquet(stage))
+
+
+def _run_stream(spark, sf_dir, build, mode: str, batches: int = 4):
+    """Replay events.parquet through a real file-source stream
+    (availableNow) into a memory sink; return the sink table. The
+    default replay is MULTI-BATCH (round-5 VERDICT #8): 4 micro-
+    batches with bounded-late rows crossing every boundary, so the
+    watermark genuinely advances and evicts state between batches —
+    each op's sink-fold argument (max-fold / first-emit / distinct)
+    is exercised under real slicing, not just the degenerate
+    one-batch replay."""
+    src = staged_stream_source(spark, sf_dir, batches)
     name = "lsd_stream_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix="lsd_ckpt_")
     # The state-store partition count is frozen into the checkpoint at
@@ -154,15 +223,16 @@ def stream_watermark_late(spark, sf_dir):
     """Real stream: 2h watermark + tumbling agg, update mode. The
     watermark bounds state (late rows beyond 2h are dropped at scale).
 
-    Full oracle (upgraded from rows-only): the availableNow replay
-    delivers every row before the watermark advances past it, so
-    nothing is dropped and the final per-key state equals the batch
-    tumbling count. Update mode re-emits a key's running count each
-    micro-batch; COUNT is strictly monotone per key, so max-folding
-    the sink recovers the final state no matter how the replay was
-    sliced into micro-batches (same argument as stream_custom_state).
-    The *drop* semantics (rows later than 2h discarded) stay covered
-    by the shuffled-replay test in tests/test_streaming.py."""
+    Full oracle under the MULTI-BATCH replay (round-5 VERDICT #8):
+    the 4-slice staged source delivers late rows across every batch
+    boundary, but each is late by at most DISPLACE_US (90 min) —
+    inside the 2 h watermark — so every row is accepted while the
+    watermark still advances and evicts finalized windows between
+    batches (asserted in tests/test_streaming.py). COUNT is strictly
+    monotone per key, so max-folding the update-mode sink recovers
+    the final state under any slicing (same argument as
+    stream_custom_state). Beyond-watermark drops stay covered by the
+    shuffled-replay test in tests/test_streaming.py."""
 
     def build(src):
         return (
@@ -192,13 +262,14 @@ def stream_dedup(spark, sf_dir):
     """Real stream: stateful dropDuplicates within the watermark —
     emits each (user_id, event_type) once.
 
-    Full oracle (upgraded from rows-only): append-mode dropDuplicates
-    emits a key exactly the first time it is seen and never again, so
-    across any micro-batch slicing the sink holds each distinct
-    (user_id, event_type) exactly once == batch DISTINCT. The
-    watermark only affects *state eviction* (keys older than 2h can be
-    forgotten at scale), not the emitted set, because the replay is in
-    one availableNow pass."""
+    Full oracle under the multi-batch replay: append-mode
+    dropDuplicates emits a key the first time it is seen PER STATE
+    LIFETIME — after the watermark evicts a key (its last-seen event
+    time falls 2h behind), a much-later duplicate re-emits it. That
+    is the correct streaming semantics (bounded state cannot dedup
+    an unbounded past), so the sink is folded with DISTINCT — the
+    dedup analog of the count ops' max-fold — recovering the global
+    distinct set under any slicing."""
 
     def build(src):
         return (
@@ -209,7 +280,7 @@ def stream_dedup(spark, sf_dir):
         )
 
     sink = _run_stream(spark, sf_dir, build, "append")
-    return sink.orderBy("user_id", "event_type")
+    return sink.distinct().orderBy("user_id", "event_type")
 
 
 @register(
@@ -351,12 +422,15 @@ def stream_static_join(spark, sf_dir):
 def stream_stream_join(spark, sf_dir):
     """STREAM-STREAM interval self-join: purchases joined to prior
     clicks within 1h, both sides watermarked (the watermark + time
-    bound lets Spark evict join state — unbounded otherwise). With
-    the availableNow single-batch replay nothing is late, so the
-    streamed result equals the batch band join exactly — full
-    oracle, the 5th physically-distinct implementation of the as-of
-    candidate set. At 100 TB this is the live enrich path: state is
-    bounded to 1h of clicks per key, shuffled once on user_id."""
+    bound lets Spark evict join state — unbounded otherwise). Under
+    the multi-batch replay rows arrive up to DISPLACE_US (90 min)
+    late; the 2 h watermark leaves a 30 min safety margin, so no
+    needed click is evicted before its (possibly late) purchase
+    arrives and the streamed result still equals the batch band join
+    exactly — full oracle, the 5th physically-distinct
+    implementation of the as-of candidate set. At 100 TB this is the
+    live enrich path: state is bounded to ~watermark+1h of clicks
+    per key, shuffled once on user_id."""
 
     def build(src):
         p = (

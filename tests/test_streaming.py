@@ -110,3 +110,59 @@ def test_session_stream_equals_batch(spark):
     assert len(merged) == len(batch)
     assert (merged["n_sessions_b"] == merged["n_sessions_s"]).all()
     assert (merged["n_events_b"] == merged["n_events_s"]).all()
+
+
+def test_multibatch_replay_advances_watermark_and_evicts_state(spark):
+    """Round-5 VERDICT #8: the registered streaming ops now replay in
+    4 micro-batches with bounded-late rows crossing every boundary.
+    Pin the mechanics here: >= 3 data batches ran, the watermark
+    advanced between batches, state rows were EVICTED behind it, and
+    no row was dropped as too-late (the 90 min displacement stays
+    inside the 2 h watermark, so the oracles remain exact)."""
+    import json
+
+    from lsd_spark.streaming.ops import staged_stream_source
+
+    src = staged_stream_source(spark, SF_DIR, 4)
+    name = "wmtest_" + uuid.uuid4().hex[:10]
+    ckpt = tempfile.mkdtemp(prefix="lsd_ckpt_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            src.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("cnt"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 3, f"only {len(data_batches)} data batches"
+    wms = [
+        p["eventTime"]["watermark"]
+        for p in data_batches
+        if p.get("eventTime", {}).get("watermark", "1970-01-01T00:00:00.000Z")
+        != "1970-01-01T00:00:00.000Z"
+    ]
+    assert len(set(wms)) >= 2, f"watermark never advanced: {wms}"
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in data_batches
+        for op in p.get("stateOperators", [])
+    )
+    assert removed > 0, "no state rows evicted behind the watermark"
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 0, f"{dropped} rows dropped as too-late"
