@@ -132,11 +132,28 @@ def main():
         "cluster_fof", "cluster_fof_exact", "cluster_fof_2d",
         "agg_object_coadd", "llm_dedup_keep_best",
         "join_xmatch_2d", "join_xmatch_2d_knn", "join_xmatch_2d_margin",
-        "xmatch_2d_count", "join_xmatch_sphere", "join_xmatch_sphere_knn",
-        "join_xmatch_sphere_margin", "xmatch_sphere_count",
+        "join_xmatch_sphere", "join_xmatch_sphere_knn",
+        "join_xmatch_sphere_margin",
         "llm_dedup_embcos_exact",
     }
+    # Sampling oracle at inflated scale (round-5 VERDICT #9): the
+    # count ops keep a REAL hash-match there — hash-pick ~0.4% of
+    # left keys (md5 prefix '00'), brute-force only those in DuckDB
+    # (the key filter pushes below the quadratic join: measured
+    # 5-23 s at the 10x dir vs infeasible unsampled), and compare
+    # against the Spark result restricted to the same keys.
+    sample_filter: dict[str, str] = {}
     if not SF01.startswith("/root/testdata/"):
+        for name in ("xmatch_2d_count", "xmatch_sphere_count"):
+            if name in oracles:
+                sample_filter[name] = "l_id"
+                oracles[name] = (
+                    "SELECT * FROM (" + oracles[name] + ") WHERE "
+                    "substring(md5(CAST(l_id AS VARCHAR)), 1, 2) = '00'"
+                )
+        if sample_filter:
+            print("  note: sampled oracle (md5-prefix '00' keys) at "
+                  f"inflated scale: {', '.join(sorted(sample_filter))}")
         demoted = sorted(heavy_brute & set(oracles))
         for name in demoted:
             del oracles[name]
@@ -172,6 +189,15 @@ def main():
         t_op = time.perf_counter()
         try:
             sdf = qs[name](spark, SF01).toPandas()
+            if name in sample_filter:
+                import hashlib
+
+                key = sample_filter[name]
+                mask = sdf[key].map(
+                    lambda v: hashlib.md5(str(int(v)).encode())
+                    .hexdigest()[:2] == "00"
+                )
+                sdf = sdf[mask]
             if name in oracles:
                 ddf = con.sql(oracles[name]).df()
                 sc, sr = canon(sdf)
