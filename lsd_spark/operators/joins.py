@@ -241,6 +241,22 @@ COS_DUCK = (
     "SQRT(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
 )
 
+# Factored pieces of COS_SPARK for hot candidate-refine paths: the
+# per-vector norm is computed ONCE per vector and joined through,
+# instead of twice per candidate pair — higher-order array functions
+# are interpreted (never whole-stage codegen'd), so cutting the
+# per-pair HOF count from 3 aggregates to 1 is a direct ~3x on the
+# refine kernel. BIT-IDENTICAL to COS_SPARK: the same subexpressions
+# produce the same doubles, and the division keeps the exact
+# dot / (norm_a * norm_b) association.
+DOT_SPARK = (
+    "AGGREGATE(ZIP_WITH({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "0D, (acc, v) -> acc + v)"
+)
+NORM_SPARK = (
+    "SQRT(AGGREGATE({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+)
+
 
 @register(
     "join_xmatch_radius_knn",
