@@ -451,3 +451,34 @@ def test_min_label_loop_runs_when_contraction_is_partial(spark):
         for r in cluster.min_label_fixpoint(nodes, pairs1).collect()
     }
     assert got1 == got
+
+
+def test_pipeline_e2e_dedups_in_one_corpus_exchange(spark):
+    """llm_pipeline_e2e's round-6 rewrite: keep-first dedup is a
+    row_number window over the fingerprint — the corpus crosses
+    exactly ONE exchange for the dedup plus one for the final lang
+    aggregate (plus the orderBy's range partitioning); the old
+    agg+join formulation added a third corpus-bearing exchange."""
+    p = qplan("llm_pipeline_e2e", spark)
+    # formatted mode lists each Exchange once in the tree section
+    n_exchanges = p.count("+- Exchange") + p.count("   Exchange")
+    assert n_exchanges <= 3, f"{n_exchanges} exchanges:\n{p}"
+    assert "RunningWindowFunction" in p or "Window" in p, p
+
+
+def test_packed_id_stamp_shuffles_once_on_epoch_cell(spark):
+    """stamp_packed_id's index window partitions by (epoch, cell):
+    the plan must contain exactly one hash exchange (the window's),
+    i.e. the key derivation adds no extra shuffle."""
+    from pyspark.sql import functions as F
+
+    from lsd_spark.plans.spatial import stamp_packed_id
+
+    df = spark.range(100).select(
+        F.col("id").alias("det_id"),
+        (F.col("id") % 3).alias("epoch"),
+        (F.col("id") % 5).alias("cx"),
+        (F.col("id") % 7).alias("cy"),
+    )
+    p = plan(stamp_packed_id(df, "epoch", "cx", "cy", "det_id"), mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
