@@ -68,6 +68,32 @@ COMMENTARY = {
         "hash equi-join on (cell_x, cell_y), exact-distance residual filter, "
         "window rank nmax=1. The BHpix cell-local join contract.",
     ),
+    "llm_pipeline_e2e": (
+        "q_dedup_e2e (curation pipeline)",
+        "Quality filter fused into the scan; keep-first dedup is ONE corpus "
+        "exchange (row_number window over the text fingerprint — round 6 replaced "
+        "the agg+join formulation, which moved the corpus through a second "
+        "exchange); hash subsample is map-only; final per-lang stats partial+final. "
+        "Two corpus-bearing exchanges end-to-end.",
+    ),
+    "knn_ivf": (
+        "q_knn_ivf (bucket-pruned ANN)",
+        "Corpus x 8 broadcast centroids assigns buckets (linear, no pair "
+        "explosion); queries probe nprobe=2 buckets via equi-join on centroid_id; "
+        "cosine refine only on bucket-bounded candidates; per-query top-k through "
+        "WindowGroupLimit. The IVF analog of the BHpix cell join.",
+    ),
+    "cluster_fof_2d": (
+        "q_fof (friends-of-friends clustering)",
+        "ITERATIVE op — the meaningful 'plan' is the barrier sequence, not one "
+        "tree: (1) zone-bucketed candidate pair join checkpointed once (one-way; "
+        "the symmetrized view is a lazy union over the checkpoint), (2) "
+        "per-partition union-find contraction seed (one Arrow job), (3) one "
+        "cross-label-edge probe proving the seed IS the min-label fixpoint "
+        "(subcritical common case — no propagation loop at all), else the "
+        "Pregel loop runs from the seed with quotient-graph-bounded rounds. "
+        "The tree below is the returned labeling (checkpoint scan + sort).",
+    ),
 }
 
 
