@@ -238,6 +238,23 @@ _R4_LEDGER = [
 _ROWS_ONLY_BY_DESIGN = {"agg_approx_distinct", "llm_dedup_near"}
 
 
+# Ops whose PHYSICAL PLAN (or oracle) changed in round 6 — the
+# broadcast demotions + norm factoring in the dedup family, the
+# contraction-seeded FoF fixpoint, the window-dedup pipeline rewrite,
+# the zero-variance eta guard, and the multi-batch streaming replay.
+# Evidence freshness beats staleness rotation: a changed plan whose
+# newest driver row predates the change is effectively unverified by
+# the ledger, so these jump the refresh queue (round-5 ADVICE #4).
+_R6_TOUCHED = [
+    "llm_dedup_embcos", "llm_dedup_ngram", "llm_dedup_edit",
+    "llm_pipeline_e2e", "cluster_fof", "cluster_fof_2d",
+    "llm_dedup_keep_best", "agg_object_coadd", "agg_variability_eta",
+    "stream_watermark_late", "stream_dedup", "stream_stateful_count",
+    "stream_custom_state", "stream_stream_join", "stream_static_join",
+    "stream_session_real",
+]
+
+
 def _refresh_rotation() -> list[str]:
     """Round-6 ledger rotation (round-4/5 VERDICT #1): every op's
     LATEST driver confirmation should stay fresh. Ops whose newest
@@ -255,23 +272,29 @@ def _refresh_rotation() -> list[str]:
 
 
 def _reorder_for_ledger() -> None:
-    """Three tiers: (1) ops with no driver-recorded row in any prior
-    round's CORRECTNESS ledger (i.e., new this round), (2) the
-    refresh rotation — already-green ops ordered oldest-confirmation
-    first, (3) the freshest-recorded ids — so a capped driver run
-    both covers new ops and re-confirms stale ones."""
+    """Four tiers: (1) ops with no driver-recorded row in any prior
+    round's CORRECTNESS ledger (i.e., new this round), (2) ops whose
+    plan changed this round (_R6_TOUCHED — their old green rows no
+    longer witness the current code), (3) the refresh rotation —
+    already-green ops ordered oldest-confirmation first, (4) the
+    freshest-recorded ids — so a capped driver run covers new ops,
+    re-verifies changed ones, and re-confirms stale ones, in that
+    order."""
     all_recorded = (set(_R1_LEDGER) | set(_R2_LEDGER)
                     | set(_R3_LEDGER) | set(_R4_LEDGER))
     tier1 = [k for k in QUERIES if k not in all_recorded]
-    tier2 = [k for k in _refresh_rotation() if k in QUERIES]
+    tier2 = [k for k in _R6_TOUCHED if k in QUERIES]
     seen = set(tier1) | set(tier2)
-    tier3 = []
+    tier3 = [k for k in _refresh_rotation()
+             if k in QUERIES and k not in seen]
+    seen |= set(tier3)
+    tier4 = []
     for k in _R4_LEDGER + _R3_LEDGER + _R2_LEDGER + _R1_LEDGER:
         if k in QUERIES and k not in seen:
             seen.add(k)
-            tier3.append(k)
+            tier4.append(k)
     for d in (QUERIES, QUERIES_RAW, ORACLES):
-        ordered = {k: d[k] for k in tier1 + tier2 + tier3 if k in d}
+        ordered = {k: d[k] for k in tier1 + tier2 + tier3 + tier4 if k in d}
         d.clear()
         d.update(ordered)
 

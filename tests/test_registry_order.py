@@ -13,6 +13,7 @@ from lsd_spark.registry import (
     _R2_LEDGER,
     _R3_LEDGER,
     _R4_LEDGER,
+    _R6_TOUCHED,
     _ROWS_ONLY_BY_DESIGN,
     _refresh_rotation,
     QUERIES,
@@ -33,23 +34,31 @@ def test_tier1_new_ops_lead_registration_order():
     assert all(k not in _ALL_RECORDED for k in head), head
 
 
-def test_tier2_is_refresh_rotation_oldest_first():
-    """After the new ops, the rotation must run r01-greens, then the
-    r02 residue, then the r03 residue — exactly _refresh_rotation()."""
+def test_tier2_is_touched_then_rotation():
+    """After the new ops come the round-6-touched ops (changed plans
+    need fresh driver rows), then the staleness rotation (r01-greens,
+    then the r02 residue, then r03) minus the touched set."""
     names = list(QUERIES)
     n_new = sum(1 for k in names if k not in _ALL_RECORDED)
-    rotation = [k for k in _refresh_rotation() if k in QUERIES]
-    assert names[n_new:n_new + len(rotation)] == rotation
+    touched = [k for k in _R6_TOUCHED if k in QUERIES]
+    assert names[n_new:n_new + len(touched)] == touched
+    rotation = [k for k in _refresh_rotation()
+                if k in QUERIES and k not in set(touched)]
+    start = n_new + len(touched)
+    assert names[start:start + len(rotation)] == rotation
 
 
-def test_r06_window_reconfirms_stale_r01_ops():
-    """The point of the rotation: the first 50 registered ops (the
-    driver's observed per-round cap) must be dominated by ops whose
-    latest driver row is r01 — the stalest cohort."""
+def test_r06_window_covers_new_touched_and_stale(  # noqa: D103
+):
+    """The 50-row driver window must contain every never-recorded op,
+    every round-6-touched op, and fill the rest with the stalest
+    (r01) cohort."""
     names = list(QUERIES)[:50]
+    window = set(names)
+    assert all(k in window for k in _R6_TOUCHED if k in QUERIES)
     r01_stale = [k for k in names
                  if k in set(_R1_LEDGER) - set(_R3_LEDGER) - set(_R4_LEDGER)]
-    assert len(r01_stale) >= 40, (
+    assert len(r01_stale) >= 25, (
         f"only {len(r01_stale)} r01-stale ops inside the 50-row window"
     )
 
