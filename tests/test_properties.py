@@ -119,3 +119,68 @@ def test_period_search_recovers_planted_period(spark):
     }
     assert got[1] == 5, got
     assert got[2] == 3, got
+
+
+def test_packed_id_unpack_roundtrip_and_uniqueness(spark):
+    """Packed _ID invariants on arbitrary-ish inputs: div/mod
+    unpacking recovers (epoch, cell, index) exactly, _id is unique,
+    and sorting by _id sorts by (epoch, cell, index) — the property
+    that makes key ranges spatio-temporal scans."""
+    from lsd_spark.plans.spatial import (
+        PACK_CELL_SHIFT,
+        PACK_EPOCH_SHIFT,
+        stamp_packed_id,
+    )
+
+    df = spark.range(3000).select(
+        F.col("id").alias("det_id"),
+        (F.col("id") % 7 + 19000).alias("epoch"),
+        (F.col("id") * 37 % 200).alias("cx"),
+        (F.col("id") * 11 % 200).alias("cy"),
+    )
+    out = stamp_packed_id(df, "epoch", "cx", "cy", "det_id").select(
+        "det_id", "epoch", "_id",
+        (F.col("_id") / PACK_EPOCH_SHIFT).cast("long").alias("epoch_u"),
+        (F.col("_id") % PACK_CELL_SHIFT).alias("idx_u"),
+        ((F.col("_id") / PACK_CELL_SHIFT).cast("long")
+         % (PACK_EPOCH_SHIFT // PACK_CELL_SHIFT)).alias("cell_u"),
+    )
+    got = out.collect()
+    assert all(r.epoch_u == r.epoch for r in got)
+    ids = [r._id for r in got]
+    assert len(set(ids)) == len(ids)  # primary key
+    # _id order == (epoch, cell, idx) lexicographic order
+    by_id = sorted(got, key=lambda r: r._id)
+    by_fields = sorted(got, key=lambda r: (r.epoch_u, r.cell_u, r.idx_u))
+    assert [r.det_id for r in by_id] == [r.det_id for r in by_fields]
+
+
+def test_margin_refresh_commutes_with_any_split(spark, tmp_path):
+    """refresh_margin_table must be split-invariant: build(full) ==
+    build(part) + refresh(rest) for an arbitrary (non-temporal!)
+    split — stronger than the last-day case the registered op uses,
+    because margin copies of old and new rows interleave freely."""
+    from lsd_spark.plans.margin import (
+        HOUR_US,
+        ZONE_US,
+        build_margin_table,
+        refresh_margin_table,
+    )
+
+    clicks = load(spark, SF_DIR, "events").filter(
+        F.col("event_type") == "click"
+    ).select("user_id", "ts", "event_id").limit(2000)
+    old = clicks.filter(F.col("event_id") % 3 != 0)
+    new = clicks.filter(F.col("event_id") % 3 == 0)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    build_margin_table(spark, old, ts="ts", zone_width_us=ZONE_US,
+                       out_path=inc, margin_us=HOUR_US)
+    refresh_margin_table(spark, new, inc, ts="ts",
+                         zone_width_us=ZONE_US, margin_us=HOUR_US)
+    build_margin_table(spark, clicks, ts="ts", zone_width_us=ZONE_US,
+                       out_path=full, margin_us=HOUR_US)
+    cols = ["user_id", "ts", "event_id", "_cached", "zone"]
+    assert rows(spark.read.parquet(inc).select(*cols)) == rows(
+        spark.read.parquet(full).select(*cols)
+    )
