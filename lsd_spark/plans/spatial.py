@@ -262,6 +262,26 @@ def stamp_packed_id(df, epoch_col: str, cx_col: str, cy_col: str, order_col: str
     return df.withColumn("_id", packed)
 
 
+def _purchase_detections(spark, sf_dir):
+    """(event_id, epoch, cx, cy) for the purchase detections — the
+    shared derivation behind source_packed_id / sink_zorder."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    hx = (
+        "CAST(conv(substr(md5(CAST(event_id AS STRING) || 'x'), 1, 15), 16, 10) "
+        "AS BIGINT) % 100000"
+    )
+    hy = (
+        "CAST(conv(substr(md5(CAST(event_id AS STRING) || 'y'), 1, 15), 16, 10) "
+        "AS BIGINT) % 100000"
+    )
+    return ev.selectExpr(
+        "event_id",
+        "unix_micros(ts) div 86400000000 AS epoch",
+        f"({hx}) div 500 AS cx",
+        f"({hy}) div 500 AS cy",
+    )
+
+
 _PACKED_HX = (
     "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'x'), 1, 15))::BIGINT "
     "% 100000 AS BIGINT) // 500"
@@ -270,7 +290,7 @@ _PACKED_HY = (
     "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'y'), 1, 15))::BIGINT "
     "% 100000 AS BIGINT) // 500"
 )
-_PACKED_ORACLE = (
+_PACKED_CTE = (
     "WITH d AS (SELECT event_id, "
     "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch, "
     f"{_PACKED_HX} AS cx, {_PACKED_HY} AS cy "
@@ -281,7 +301,11 @@ _PACKED_ORACLE = (
     "CAST(ROW_NUMBER() OVER (PARTITION BY epoch, "
     + _morton_sql("cx", "cy")
     + " ORDER BY event_id) - 1 AS BIGINT) AS idx FROM d) "
-    f"SELECT event_id, epoch * {PACK_EPOCH_SHIFT} + cell * {PACK_CELL_SHIFT} "
+)
+
+_PACKED_ORACLE = (
+    _PACKED_CTE
+    + f"SELECT event_id, epoch * {PACK_EPOCH_SHIFT} + cell * {PACK_CELL_SHIFT} "
     "+ idx AS _id, epoch, cell, idx FROM k ORDER BY event_id"
 )
 
@@ -305,24 +329,10 @@ def source_packed_id(spark, sf_dir):
         from lsd_spark.api import DB
 
         db = DB(spark, sf_dir, warehouse=tmp)
-        ev = load(spark, sf_dir, "events").filter(
-            F.col("event_type") == "purchase"
+        db.ingest(
+            _purchase_detections(spark, sf_dir), "detections",
+            id_spec=("epoch", "cx", "cy", "event_id"),
         )
-        hx = (
-            "CAST(conv(substr(md5(CAST(event_id AS STRING) || 'x'), 1, 15), 16, 10) "
-            "AS BIGINT) % 100000"
-        )
-        hy = (
-            "CAST(conv(substr(md5(CAST(event_id AS STRING) || 'y'), 1, 15), 16, 10) "
-            "AS BIGINT) % 100000"
-        )
-        det = ev.selectExpr(
-            "event_id",
-            "unix_micros(ts) div 86400000000 AS epoch",
-            f"({hx}) div 500 AS cx",
-            f"({hy}) div 500 AS cy",
-        )
-        db.ingest(det, "detections", id_spec=("epoch", "cx", "cy", "event_id"))
         return tmp
 
     base = materialized(spark, "packed_id", sf_dir, build)
@@ -334,6 +344,66 @@ def source_packed_id(spark, sf_dir):
         f"(_id div {PACK_CELL_SHIFT}) % {PACK_EPOCH_SHIFT // PACK_CELL_SHIFT} AS cell",
         f"_id % {PACK_CELL_SHIFT} AS idx",
     ).orderBy("event_id")
+
+
+_ZORDER_ORACLE = (
+    _PACKED_CTE
+    + "SELECT epoch, count(*) AS n_det, MIN(cell) AS mn_cell, "
+    "MAX(cell) AS mx_cell, CAST(SUM(idx) AS BIGINT) AS sum_idx "
+    "FROM k WHERE epoch = (SELECT min(epoch) FROM k) "
+    "GROUP BY epoch ORDER BY epoch"
+)
+
+
+@register("sink_zorder", oracle=_ZORDER_ORACLE, cacheable=False)
+def sink_zorder(spark, sf_dir):
+    """Z-ordered layout on the packed `_ID`: detections written
+    RANGE-PARTITIONED AND SORTED by the key, then queried through a
+    key-range predicate — the property the packing exists for
+    [lsd:src/lsd/bhpix.py space-filling layout — UNVERIFIED]. Because
+    _id orders as (epoch, cell, index), a one-epoch query is the
+    literal range [e*2^36, (e+1)*2^36), which reaches the parquet
+    scan as a pushed min/max filter; with the sorted layout the
+    per-file _id ranges are disjoint, so the scan opens ~1 of the 8
+    files (tests/test_plans.py pins both the pushdown and the
+    disjointness from the parquet footers). The oracle recomputes
+    the min-epoch aggregate from the source table, so a hash match
+    proves the pruned read loses no rows."""
+    from lsd_spark.plans.materialize import materialized
+
+    def build(tmp: str) -> str:
+        det = stamp_packed_id(
+            _purchase_detections(spark, sf_dir),
+            "epoch", "cx", "cy", "event_id",
+        )
+        (
+            det.repartitionByRange(8, "_id")
+            .sortWithinPartitions("_id")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/zorder")
+        )
+        return tmp
+
+    base = materialized(spark, "zorder", sf_dir, build)
+    back = spark.read.parquet(f"{base}/zorder")
+    e0 = back.agg(F.min("_id")).collect()[0][0] // PACK_EPOCH_SHIFT
+    lo, hi = e0 * PACK_EPOCH_SHIFT, (e0 + 1) * PACK_EPOCH_SHIFT - 1
+    return (
+        back.filter((F.col("_id") >= lo) & (F.col("_id") <= hi))
+        .selectExpr(
+            f"_id div {PACK_EPOCH_SHIFT} AS epoch",
+            f"(_id div {PACK_CELL_SHIFT}) % {PACK_EPOCH_SHIFT // PACK_CELL_SHIFT} AS cell",
+            f"_id % {PACK_CELL_SHIFT} AS idx",
+        )
+        .groupBy("epoch")
+        .agg(
+            F.count("*").alias("n_det"),
+            F.min("cell").alias("mn_cell"),
+            F.max("cell").alias("mx_cell"),
+            F.sum("idx").cast("long").alias("sum_idx"),
+        )
+        .orderBy("epoch")
+    )
 
 
 @register(

@@ -482,3 +482,46 @@ def test_packed_id_stamp_shuffles_once_on_epoch_cell(spark):
     )
     p = plan(stamp_packed_id(df, "epoch", "cx", "cy", "det_id"), mode="simple")
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_zorder_layout_prunes_key_ranges(spark):
+    """sink_zorder's contract: per-file _id ranges are disjoint and
+    ordered (so a key-range query touches ~1 of 8 files via parquet
+    min/max stats), and the range predicate reaches the scan as a
+    pushed filter."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    from lsd_spark.plans.materialize import materialized
+    from lsd_spark.plans.spatial import PACK_EPOCH_SHIFT
+
+    QUERIES["sink_zorder"](spark, SF_DIR).collect()  # materialize
+    base = materialized(
+        spark, "zorder", SF_DIR,
+        lambda _: (_ for _ in ()).throw(AssertionError("not cached")),
+    )
+    ranges = []
+    for f in _glob.glob(f"{base}/zorder/part-*.parquet"):
+        md = _pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["_id"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {hi1} >= {lo2}"
+    # a one-epoch key range overlaps exactly one file here
+    e0 = ranges[0][0] // PACK_EPOCH_SHIFT
+    lo, hi = e0 * PACK_EPOCH_SHIFT, (e0 + 1) * PACK_EPOCH_SHIFT - 1
+    touched = [r for r in ranges if not (r[1] < lo or r[0] > hi)]
+    assert len(touched) == 1, touched
+    # and the predicate is pushed to the scan
+    back = spark.read.parquet(f"{base}/zorder")
+    p = plan(back.filter((F.col("_id") >= lo) & (F.col("_id") <= hi)))
+    assert "PushedFilters: [IsNotNull(_id), GreaterThanOrEqual(_id," in p, p
