@@ -459,11 +459,17 @@ def test_pipeline_e2e_dedups_in_one_corpus_exchange(spark):
     exactly ONE exchange for the dedup plus one for the final lang
     aggregate (plus the orderBy's range partitioning); the old
     agg+join formulation added a third corpus-bearing exchange."""
-    p = qplan("llm_pipeline_e2e", spark)
-    # formatted mode lists each Exchange once in the tree section
-    n_exchanges = p.count("+- Exchange") + p.count("   Exchange")
+    import re
+
+    from lsd_spark.registry import QUERIES_RAW
+
+    # build a FRESH plan (the registry-cached DataFrame may already
+    # be executed, and an executed AQE plan formats differently)
+    df = QUERIES_RAW["llm_pipeline_e2e"](spark, SF_DIR)
+    p = plan(df)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
     assert n_exchanges <= 3, f"{n_exchanges} exchanges:\n{p}"
-    assert "RunningWindowFunction" in p or "Window" in p, p
+    assert "Window" in p, p
 
 
 def test_packed_id_stamp_shuffles_once_on_epoch_cell(spark):
