@@ -166,3 +166,81 @@ def test_multibatch_replay_advances_watermark_and_evicts_state(spark):
         for op in p.get("stateOperators", [])
     )
     assert dropped == 0, f"{dropped} rows dropped as too-late"
+
+
+def test_multibatch_stream_stream_join_evicts_state(spark):
+    """The stream-stream interval join under the 4-batch replay:
+    both sides' watermarks advance, the symmetric hash join evicts
+    buffered rows behind them, and the joined output still equals
+    the batch band join (the 90 min displacement leaves a 30 min
+    margin inside the 2 h watermark minus the 1 h join bound)."""
+    import json
+
+    from lsd_spark.streaming.ops import staged_stream_source
+
+    src = staged_stream_source(spark, SF_DIR, 4)
+    p = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    c = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("purchase_id", "click_id")
+    name = "ssj_" + uuid.uuid4().hex[:10]
+    ckpt = tempfile.mkdtemp(prefix="lsd_ckpt_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = [json.loads(pr.json) for pr in q.recentProgress]
+        got = sorted(map(tuple, spark.table(name).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    data_batches = [pr for pr in progress if pr["numInputRows"] > 0]
+    assert len(data_batches) >= 3
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for pr in data_batches
+        for op in pr.get("stateOperators", [])
+    )
+    assert removed > 0, "join state never evicted behind the watermark"
+    batch = (
+        load(spark, SF_DIR, "events").alias("p")
+        .filter(F.col("p.event_type") == "purchase")
+        .join(
+            load(spark, SF_DIR, "events").alias("c")
+            .filter(F.col("c.event_type") == "click"),
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("c.ts") < F.col("p.ts"))
+            & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(F.col("p.event_id"), F.col("c.event_id"))
+    )
+    assert got == sorted(map(tuple, batch.collect()))
