@@ -470,6 +470,117 @@ def llm_cluster_assign(spark, sf_dir):
     )
 
 
+SEMDEDUP_T = 0.45
+
+
+def _semdedup_oracle(iters: int = 3) -> str:
+    """DuckDB mirror of llm_dedup_semantic: the shared Lloyd chain,
+    per-vector centroid cosine, within-cluster similar pairs, and
+    the keep-the-centroid-farthest rule."""
+    ctes, final_cent = _kmeans_cte_chain(iters)
+    ctes.append(_kmeans_assign_cte(final_cent, "assigned", 1))
+    c_cos = "ROUND(" + COS_DUCK.format(a="a.embedding", b="c.c_emb") + ", 6)"
+    ctes.append(
+        f"cs AS (SELECT a.vec_id, a.embedding, a.centroid_id, {c_cos} AS c_sim "
+        f"FROM assigned a JOIN {final_cent} c USING (centroid_id))"
+    )
+    p_cos = "ROUND(" + COS_DUCK.format(a="x.embedding", b="y.embedding") + ", 6)"
+    ctes.append(
+        "p AS (SELECT x.vec_id AS v, y.vec_id AS u FROM cs x JOIN cs y "
+        "ON x.centroid_id = y.centroid_id AND x.vec_id <> y.vec_id "
+        f"AND {p_cos} >= {SEMDEDUP_T})"
+    )
+    ctes.append(
+        "dropped AS (SELECT DISTINCT p.v FROM p "
+        "JOIN cs cu ON cu.vec_id = p.u JOIN cs cv ON cv.vec_id = p.v "
+        "WHERE cu.c_sim < cv.c_sim "
+        "OR (cu.c_sim = cv.c_sim AND p.u < p.v))"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT cs.vec_id, cs.centroid_id AS cluster_id, cs.c_sim, "
+        "(dropped.v IS NULL) AS kept "
+        "FROM cs LEFT JOIN dropped ON dropped.v = cs.vec_id "
+        "ORDER BY cs.vec_id"
+    )
+
+
+@register("llm_dedup_semantic", oracle=_semdedup_oracle(), cacheable=False)
+def llm_dedup_semantic(spark, sf_dir):
+    """SemDedup-style semantic pruning (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public algorithm): cluster the embeddings with
+    the shared RNG-free Lloyd refinement, then WITHIN each cluster
+    mark every vector that has an epsilon-similar neighbor closer to
+    the centroid than itself as a duplicate — keeping the
+    centroid-FARTHEST exemplar of each similar group, the paper's
+    keep-low-centroid-similarity rule (deterministic id tiebreak).
+
+    Scale shape: candidate pairs meet in an equi-join on centroid_id
+    (the IVF-zones pattern — NEVER corpus all-pairs); the pairwise
+    work is bounded per cluster, and at 100 TB k scales with the
+    corpus so cluster sizes stay at the O(corpus/k) budget the paper
+    tunes. The refine reuses the factored dot/(n_a*n_b) cosine (one
+    interpreted aggregate per pair). Full oracle via the shared
+    Lloyd CTE chain — the entire train->assign->pair->keep pipeline
+    is differential-tested. Uncacheable: kmeans_centroids runs
+    driver-bounded collect rounds at build time."""
+    from lsd_spark.operators.joins import DOT_SPARK, NORM_SPARK
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(spark, emb)
+    assigned = _nearest_centroids(emb, cent, 1).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    c_sim = F.round(
+        F.expr(DOT_SPARK.format(a="embedding", b="c_emb"))
+        / (F.expr(NORM_SPARK.format(a="embedding"))
+           * F.expr(NORM_SPARK.format(a="c_emb"))),
+        6,
+    )
+    cs = (
+        assigned.join(F.broadcast(cent), "centroid_id")
+        .select(
+            "vec_id", "embedding", "centroid_id",
+            c_sim.alias("c_sim"),
+            F.expr(NORM_SPARK.format(a="embedding")).alias("n"),
+        )
+    )
+    x = cs.alias("x")
+    y = cs.alias("y")
+    pair_sim = F.round(
+        F.expr(DOT_SPARK.format(a="x.embedding", b="y.embedding"))
+        / (F.col("x.n") * F.col("y.n")),
+        6,
+    )
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.centroid_id") == F.col("y.centroid_id"))
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        )
+        .filter(pair_sim >= SEMDEDUP_T)
+        .filter(
+            (F.col("y.c_sim") < F.col("x.c_sim"))
+            | ((F.col("y.c_sim") == F.col("x.c_sim"))
+               & (F.col("y.vec_id") < F.col("x.vec_id")))
+        )
+        .select(F.col("x.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        cs.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("centroid_id").alias("cluster_id"),
+            "c_sim",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 N_PLANES = 8
 
 

@@ -73,3 +73,20 @@ def test_fof_bucketed_refines_exact_components(spark):
         by_obj.setdefault(oid, []).append(vid)
     for members in by_obj.values():
         assert len({exact[v] for v in members}) == 1, members
+
+
+def test_semdedup_drop_rule_invariants(spark):
+    """llm_dedup_semantic: some vectors must actually drop at sf0.01,
+    every vector appears exactly once, and (the paper's rule) each
+    cluster with any epsilon-similar pair keeps its centroid-farthest
+    member — the minimum-c_sim vector of a cluster is NEVER dropped."""
+    rows = QUERIES["llm_dedup_semantic"](spark, SF_B).collect()
+    assert len(rows) == len({r.vec_id for r in rows})
+    dropped = [r for r in rows if not r.kept]
+    assert dropped, "fixture produced no semantic duplicates"
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for members in by_cluster.values():
+        mn = min(members, key=lambda r: (r.c_sim, r.vec_id))
+        assert mn.kept, f"centroid-farthest member {mn.vec_id} was dropped"
