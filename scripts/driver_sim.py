@@ -135,6 +135,11 @@ def main():
         "join_xmatch_sphere", "join_xmatch_sphere_knn",
         "join_xmatch_sphere_margin",
         "llm_dedup_embcos_exact",
+        # quadratic-per-cluster with the FIXED fixture k=8: at the
+        # inflated dir each cluster is corpus/8-sized, so the
+        # within-cluster pairwise (engine AND oracle) is O(n^2)/8 by
+        # construction — at 100 TB k scales with the corpus instead
+        "llm_dedup_semantic",
     }
     # Sampling oracle at inflated scale (round-5 VERDICT #9): the
     # count ops keep a REAL hash-match there — hash-pick ~0.4% of
