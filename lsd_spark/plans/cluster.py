@@ -101,14 +101,15 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     plan; the symmetrized view is a lazy union over the checkpoint —
     materializing the union would run the candidate join twice);
     (2) SEED: per-partition union-find contraction
-    (_local_cc_labels, one Arrow job) joined to the node set and
-    checkpointed; (3) PROBE: one job checking for any edge whose
-    endpoints carry different labels — a min-label state is THE
-    fixpoint iff no such edge exists, so when every component's
-    edges landed in one partition (the norm for subcritical FoF
-    graphs) the whole labeling finishes in 4 barriers total with no
-    propagation loop and no count jobs. Only a failed probe pays
-    the routing counts: average degree 2E/N above
+    (_local_cc_labels, one Arrow job, checkpointed); (3) PROBE: one
+    tiny aggregate over the contraction output — if no node received
+    two distinct partition-local labels, the min-aggregated labeling
+    provably IS the min-label fixpoint (see the inline soundness
+    note), so when every component's edges landed in one partition
+    (the norm for subcritical FoF graphs) the whole labeling
+    finishes in 3 barriers plus the caller's collect, with no
+    propagation loop, no count jobs, and no seed-label
+    materialization. Only a failed probe pays the routing counts: average degree 2E/N above
     DEGREE_SUPERCRITICAL routes to the O(log n) large-star/
     small-star path (the giant-component regime, where min-label
     would need O(component diameter / linking length) rounds);
@@ -139,30 +140,44 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
         edges = one_way.unionAll(
             one_way.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        local = _local_cc_labels(edges).groupBy("vec_id").agg(
-            F.min("lmin").alias("lmin")
+        local_raw = _local_cc_labels(edges).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
         )
-        labels = (
+        # Convergence probe on the contraction output itself — NO
+        # edge join needed. Soundness: within a partition, an edge's
+        # endpoints always share the partition-local component label,
+        # so if every node received ONE distinct lmin across all the
+        # partitions it appears in, the min-aggregated global labels
+        # equal the per-partition labels everywhere and no edge can
+        # join two different labels — which is exactly the min-label
+        # fixpoint condition (labels are same-component node ids and
+        # the component minimum labels itself). Disagreement merely
+        # routes to the loop, whose own changed-count still decides.
+        dis = (
+            local_raw.groupBy("vec_id")
+            .agg(F.count_distinct("lmin").alias("c"))
+            .filter(F.col("c") > 1)
+            .limit(1)
+            .count()
+        )
+        local = local_raw.groupBy("vec_id").agg(F.min("lmin").alias("lmin"))
+        seed = (
             emb.select("vec_id")
             .join(local, "vec_id", "left")
             .select(
                 "vec_id",
                 F.coalesce(F.col("lmin"), F.col("vec_id")).alias("object_id"),
             )
-            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )
-        la = labels.select(F.col("vec_id").alias("eu"), F.col("object_id").alias("lu"))
-        lb = labels.select(F.col("vec_id").alias("ev"), F.col("object_id").alias("lv"))
-        cross = (
-            edges.join(la, edges.u == la.eu)
-            .join(lb, edges.v == lb.ev)
-            .filter(F.col("lu") != F.col("lv"))
-            .limit(1)
-            .count()
-        )
-        if cross == 0:
+        if dis == 0:
+            # provably converged: the labeling stays LAZY (it folds
+            # into the caller's collect — no seed checkpoint barrier)
             one_way.unpersist()
-            return labels.orderBy("vec_id")
+            return seed.orderBy("vec_id")
+        labels = seed.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
+        local_raw.unpersist()  # labels checkpoint truncated its lineage
         # probe failed: pay the routing counts now
         n_half_edges = 2 * one_way.count()  # = 2E, on the checkpoint
         n_nodes = max(1, _node_count(emb))
