@@ -56,6 +56,34 @@ WARM_TABLES = [
     "embeddings", "documents",
 ]
 
+# q_fof's live DuckDB baseline: the zones-bucketed formulation of the
+# same algorithm (cell grid, 9-neighbor probe postings, equi-join,
+# distance refine, recursive-CTE components) — BASELINE.md's recorded
+# 0.49 s query verbatim. The op's ORACLE (naive all-pairs recursive
+# CTE) measures ~48 s at sf0.1 and would be a strawman baseline.
+_FOF_XY = (
+    "SELECT event_id, CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) "
+    "|| 'x'), 1, 15))::BIGINT % 100000 AS DOUBLE) / 1000.0 AS x, "
+    "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'y'), 1, 15))"
+    "::BIGINT % 100000 AS DOUBLE) / 1000.0 AS y "
+    "FROM events WHERE event_type = 'view'"
+)
+_FOF_ZONES_SQL = f"""
+WITH RECURSIVE pts AS ({_FOF_XY}),
+home AS (SELECT event_id, x, y, CAST(floor(x/0.3) AS INT) AS cx,
+         CAST(floor(y/0.3) AS INT) AS cy FROM pts),
+probe AS (SELECT event_id, x, y, cx+dx AS cx, cy+dy AS cy FROM home,
+          (SELECT unnest([-1,0,1]) AS dx), (SELECT unnest([-1,0,1]) AS dy)),
+pairs AS (SELECT DISTINCT a.event_id AS u, b.event_id AS v FROM probe a
+          JOIN home b ON a.cx=b.cx AND a.cy=b.cy AND a.event_id < b.event_id
+          WHERE sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) <= 0.3),
+e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+reach(src, node) AS (SELECT event_id, event_id FROM pts
+  UNION SELECT r.src, e.v FROM reach r JOIN e ON r.node = e.u)
+SELECT src AS point_id, min(node) AS object_id FROM reach
+GROUP BY src ORDER BY point_id
+"""
+
 
 def main() -> None:
     os.environ.setdefault("LSD_SHUFFLE_PARTITIONS", "8")
@@ -135,6 +163,42 @@ def main() -> None:
         floor_samples.append(time.perf_counter() - t0)
     job_floor = round(statistics.median(floor_samples), 4)
 
+    # LIVE baselines: the same DuckDB queries BASELINE.md's static
+    # numbers came from, re-measured in THIS run (warm median of 3,
+    # in-process, all threads) — so when the noisy-neighbor VM slows
+    # everything down, both sides of the comparison see the same
+    # weather. The static numbers stay for cross-round comparability;
+    # the live ones decide the budget status. For the 8 oracle-backed
+    # queries the baseline SQL IS the registry oracle; q_fof uses the
+    # zones-bucketed formulation (BASELINE.md note — the naive
+    # recursive-CTE oracle is 100x slower and would be a strawman).
+    live_base: dict[str, float] = {}
+    try:
+        import duckdb
+
+        from lsd_spark.registry import ORACLES
+
+        con = duckdb.connect()
+        for t in catalog.TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{catalog.table_path(SF_DIR, t)}'"
+            )
+        for name, qid in HEADLINE.items():
+            sql = _FOF_ZONES_SQL if name == "q_fof" else ORACLES.get(qid)
+            if not sql:
+                continue
+            con.sql(sql).fetchall()  # warm
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.sql(sql).fetchall()
+                samples.append(time.perf_counter() - t0)
+            live_base[name] = round(statistics.median(samples), 4)
+        con.close()
+    except Exception:  # noqa: BLE001 — live baseline is best-effort
+        live_base = {}
+
     budget_cfg = {}
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -149,12 +213,22 @@ def main() -> None:
         for name, base in budget_cfg["baseline_sec"].items():
             if name not in medians:
                 continue
-            limit = round(max(factor * base, barriers.get(name, 1) * job_floor), 4)
-            budget[name] = {
+            floor_part = barriers.get(name, 1) * job_floor
+            static_limit = round(max(factor * base, floor_part), 4)
+            got = min(medians[name], mins[name])
+            entry = {
                 "baseline_sec": base,
-                "budget_sec": limit,
-                "status": "ok" if min(medians[name], mins[name]) <= limit else "over",
+                "budget_sec": static_limit,
+                "status_static": "ok" if got <= static_limit else "over",
             }
+            if name in live_base:
+                live_limit = round(max(factor * live_base[name], floor_part), 4)
+                entry["baseline_live_sec"] = live_base[name]
+                entry["budget_live_sec"] = live_limit
+                entry["status"] = "ok" if got <= live_limit else "over"
+            else:
+                entry["status"] = entry["status_static"]
+            budget[name] = entry
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
