@@ -520,16 +520,39 @@ def llm_dedup_semantic(spark, sf_dir):
     (the IVF-zones pattern — NEVER corpus all-pairs); the pairwise
     work is bounded per cluster, and at 100 TB k scales with the
     corpus so cluster sizes stay at the O(corpus/k) budget the paper
-    tunes. The refine reuses the factored dot/(n_a*n_b) cosine (one
-    interpreted aggregate per pair). Full oracle via the shared
-    Lloyd CTE chain — the entire train->assign->pair->keep pipeline
-    is differential-tested. Uncacheable: kmeans_centroids runs
-    driver-bounded collect rounds at build time."""
+    tunes. COLLAPSE-IDENTICAL-FIRST (the embcos_near_pairs
+    discipline): duplicate-heavy corpora blow the within-cluster
+    pair count up quadratically in the multiplicity, so the pairwise
+    refine runs over one REPRESENTATIVE per distinct embedding and
+    the keep-rule expands exactly — (a) a non-rep member of a normal
+    identical-group always drops (its rep is an epsilon-similar
+    neighbor with equal centroid-cosine and a smaller id), (b) a rep
+    drops iff some OTHER group's rep satisfies the rule (group
+    members share c_sim and pair sims, and the id tiebreak is
+    easiest at the other group's min id = its rep), and (c) zero-
+    norm groups (NULL cosines) neither drop nor get dropped — the
+    rep-level NULL filters mirror the member-level ones. Centroid
+    TRAINING stays on the full table (duplicates weight the means).
+    The refine reuses the factored dot/(n_a*n_b) cosine. Full
+    oracle via the shared Lloyd CTE chain — the entire
+    train->assign->pair->keep pipeline is differential-tested, and
+    tests/test_collapse_equivalence.py pins bit-identity against
+    the naive member-level plan on plain and duplicated dirs.
+    Uncacheable: kmeans_centroids runs driver-bounded collect
+    rounds at build time."""
     from lsd_spark.operators.joins import DOT_SPARK, NORM_SPARK
 
     emb = load(spark, sf_dir, "embeddings")
     cent = kmeans_centroids(spark, emb)
-    assigned = _nearest_centroids(emb, cent, 1).select(
+    fp = F.md5(F.col("embedding").cast("string"))
+    tagged = emb.select("vec_id", "embedding", fp.alias("fp"))
+    groups = tagged.groupBy("fp").agg(
+        F.min("vec_id").alias("rvid"), F.first("embedding").alias("r_emb")
+    )
+    # membership is corpus-sized: shuffle equi-join, never broadcast
+    mem = tagged.join(groups.select("fp", "rvid"), "fp").select("vec_id", "rvid")
+    reps = groups.select(F.col("rvid").alias("vec_id"), F.col("r_emb").alias("embedding"))
+    assigned = _nearest_centroids(reps, cent, 1).select(
         "vec_id", "embedding", "centroid_id"
     )
     c_sim = F.round(
@@ -538,12 +561,24 @@ def llm_dedup_semantic(spark, sf_dir):
            * F.expr(NORM_SPARK.format(a="c_emb"))),
         6,
     )
+    norm = F.expr(NORM_SPARK.format(a="embedding"))
     cs = (
         assigned.join(F.broadcast(cent), "centroid_id")
         .select(
             "vec_id", "embedding", "centroid_id",
             c_sim.alias("c_sim"),
-            F.expr(NORM_SPARK.format(a="embedding")).alias("n"),
+            norm.alias("n"),
+        )
+        # the rep's SELF-cosine: 1.0 for normal vectors, NULL for a
+        # zero-norm embedding — exactly the flag deciding whether the
+        # within-group drop fires for the group's non-rep members
+        .withColumn(
+            "ssim",
+            F.round(
+                F.expr(DOT_SPARK.format(a="embedding", b="embedding"))
+                / (F.col("n") * F.col("n")),
+                6,
+            ),
         )
     )
     x = cs.alias("x")
@@ -553,7 +588,7 @@ def llm_dedup_semantic(spark, sf_dir):
         / (F.col("x.n") * F.col("y.n")),
         6,
     )
-    dropped = (
+    rep_dropped = (
         x.join(
             y,
             (F.col("x.centroid_id") == F.col("y.centroid_id"))
@@ -565,17 +600,28 @@ def llm_dedup_semantic(spark, sf_dir):
             | ((F.col("y.c_sim") == F.col("x.c_sim"))
                & (F.col("y.vec_id") < F.col("x.vec_id")))
         )
-        .select(F.col("x.vec_id").alias("vec_id"))
+        .select(F.col("x.vec_id").alias("rvid"))
         .distinct()
-        .withColumn("_dropped", F.lit(True))
+        .withColumn("_rdropped", F.lit(True))
+    )
+    info = cs.select(
+        F.col("vec_id").alias("rvid"),
+        F.col("centroid_id").alias("cluster_id"),
+        "c_sim", "ssim",
     )
     return (
-        cs.join(dropped, "vec_id", "left")
+        mem.join(info, "rvid")
+        .join(rep_dropped, "rvid", "left")
         .select(
             "vec_id",
-            F.col("centroid_id").alias("cluster_id"),
+            "cluster_id",
             "c_sim",
-            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+            F.when(
+                F.col("vec_id") == F.col("rvid"),
+                F.coalesce(~F.col("_rdropped"), F.lit(True)),
+            )
+            .otherwise(~F.coalesce(F.col("ssim") >= SEMDEDUP_T, F.lit(False)))
+            .alias("kept"),
         )
         .orderBy("vec_id")
     )

@@ -162,3 +162,75 @@ def test_ngram_dedup_bit_identical(spark, inflated_dir, dir_kind):
     assert got == ref
     if dir_kind == "inflated":
         assert any(abs(r[2] - 1.0) < 1e-9 for r in got)  # replica cliques
+
+
+def _naive_semdedup(spark, sf_dir):
+    """The pre-optimization member-level SemDedup reference plan:
+    assign EVERY vector, pair every within-cluster member pair."""
+    from lsd_spark.catalog import load
+    from lsd_spark.llm.simsearch import (
+        SEMDEDUP_T,
+        _nearest_centroids,
+        kmeans_centroids,
+    )
+    from lsd_spark.operators.joins import DOT_SPARK, NORM_SPARK
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(spark, emb)
+    assigned = _nearest_centroids(emb, cent, 1).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    c_sim = F.round(
+        F.expr(DOT_SPARK.format(a="embedding", b="c_emb"))
+        / (F.expr(NORM_SPARK.format(a="embedding"))
+           * F.expr(NORM_SPARK.format(a="c_emb"))),
+        6,
+    )
+    cs = assigned.join(F.broadcast(cent), "centroid_id").select(
+        "vec_id", "embedding", "centroid_id",
+        c_sim.alias("c_sim"),
+        F.expr(NORM_SPARK.format(a="embedding")).alias("n"),
+    )
+    x, y = cs.alias("x"), cs.alias("y")
+    pair_sim = F.round(
+        F.expr(DOT_SPARK.format(a="x.embedding", b="y.embedding"))
+        / (F.col("x.n") * F.col("y.n")),
+        6,
+    )
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.centroid_id") == F.col("y.centroid_id"))
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        )
+        .filter(pair_sim >= SEMDEDUP_T)
+        .filter(
+            (F.col("y.c_sim") < F.col("x.c_sim"))
+            | ((F.col("y.c_sim") == F.col("x.c_sim"))
+               & (F.col("y.vec_id") < F.col("x.vec_id")))
+        )
+        .select(F.col("x.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return cs.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        F.col("centroid_id").alias("cluster_id"),
+        "c_sim",
+        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+    )
+
+
+@pytest.mark.parametrize("dir_kind", ["plain", "inflated"])
+def test_semdedup_collapse_bit_identical(spark, inflated_dir, dir_kind):
+    from lsd_spark.registry import QUERIES, load_all
+
+    load_all()
+    d = SF_SMALL if dir_kind == "plain" else inflated_dir
+    ref = _rows(_naive_semdedup(spark, d))
+    got = _rows(QUERIES["llm_dedup_semantic"](spark, d))
+    assert got == ref
+    if dir_kind == "inflated":
+        # replica groups guarantee within-group drops fired
+        dropped = [r for r in got if not r[3]]
+        assert len(dropped) >= len(got) // 2

@@ -133,3 +133,26 @@ def test_variability_eta_constant_lightcurve(spark, constant_lightcurve_dir):
     oracle = sorted(map(tuple, con.sql(ORACLES["agg_variability_eta"]).fetchall()))
     con.close()
     assert got == oracle
+
+
+def test_semdedup_zero_norm_and_dup_centroid(spark, dup_centroid_dir):
+    """The collapse-first SemDedup on the crafted dir: bit-identical
+    to the naive member-level plan, and the duplicated ZERO-NORM
+    vectors (NULL cosines) are all kept — they can neither drop nor
+    be dropped, the member-level semantics the rep-level NULL
+    filters must reproduce."""
+    from tests.test_collapse_equivalence import _naive_semdedup
+
+    from lsd_spark.registry import QUERIES, load_all
+
+    load_all()
+    ref = _rows(_naive_semdedup(spark, dup_centroid_dir))
+    got = _rows(QUERIES["llm_dedup_semantic"](spark, dup_centroid_dir))
+    assert got == ref
+    by_id = {r[0]: r for r in got}
+    assert by_id[10][3] and by_id[11][3]  # zero-norm pair kept
+    # non-rep members of the identical pairs always drop (their rep
+    # is an equal-c_sim smaller-id similar neighbor); the reps' own
+    # fates depend on cross-group neighbors, asserted via ref above
+    assert not by_id[5][3]
+    assert not by_id[13][3]
