@@ -547,14 +547,30 @@ _FOF2D_PAIRS_SQL = (
 
 
 def self_radius_pairs(spark, sf_dir: str, etype: str, radius: float):
-    """Same-set pairs within `radius` via the 3x3 cell equi-join
-    (cell size == radius, a.id < b.id)."""
+    """Same-set pairs within `radius` (cell size == radius), output
+    contract (u, v) with u < v, each unordered pair exactly once.
+
+    Probe geometry: a SELF-join only needs the forward HALF-PLANE of
+    neighbor cells, not the full 3x3. Any within-radius pair spans
+    cell displacement d with |dx|,|dy| <= 1; for d != 0 exactly one
+    of {d, -d} lies in the forward set {(0,1),(1,-1),(1,0),(1,1)},
+    so emitting probes for home + those 4 directions generates every
+    cross-cell pair once (from its lower cell) and same-cell pairs
+    twice, deduped by the u < v guard that applies ONLY when the
+    probe is the home cell. 5 probe copies instead of 9: ~44% less
+    exploded join input — at 100 TB this is the dominant shuffle of
+    the FoF job, so the half-plane cut is nearly a 2x on the wire.
+    (The cross-set variant, radius_candidates, keeps the full 3x3 —
+    there is no symmetry to exploit between two distinct sets.)"""
     cell = lambda c: F.floor(F.col(c) / F.lit(radius))  # noqa: E731
     probe_cells = F.array(
         *[
-            F.struct((cell("x") + dx).alias("cx"), (cell("y") + dy).alias("cy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
+            F.struct(
+                (cell("x") + dx).alias("cx"),
+                (cell("y") + dy).alias("cy"),
+                F.lit(dx == 0 and dy == 0).alias("home"),
+            )
+            for dx, dy in ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
         ]
     )
     pts = points(spark, sf_dir, etype)
@@ -563,7 +579,12 @@ def self_radius_pairs(spark, sf_dir: str, etype: str, radius: float):
         F.col("x").alias("lx"),
         F.col("y").alias("ly"),
         F.explode(probe_cells).alias("pc"),
-    ).select("u", "lx", "ly", F.col("pc.cx").alias("cx"), F.col("pc.cy").alias("cy"))
+    ).select(
+        "u", "lx", "ly",
+        F.col("pc.cx").alias("cx"),
+        F.col("pc.cy").alias("cy"),
+        F.col("pc.home").alias("home"),
+    )
     r = pts.select(
         F.col("event_id").alias("v"),
         F.col("x").alias("rx"),
@@ -580,11 +601,13 @@ def self_radius_pairs(spark, sf_dir: str, etype: str, radius: float):
             r,
             (F.col("cx") == F.col("r_cx"))
             & (F.col("cy") == F.col("r_cy"))
-            & (F.col("u") < F.col("v")),
+            & (~F.col("home") | (F.col("u") < F.col("v"))),
         )
         .withColumn("dist", dist)
-        .filter(F.col("dist") <= radius)
-        .select("u", "v")
+        .filter((F.col("dist") <= radius) & (F.col("u") != F.col("v")))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
     )
 
 
