@@ -794,3 +794,151 @@ def llm_winnowing(spark, sf_dir):
         .distinct()
         .orderBy("doc_id", "fpos")
     )
+
+
+# --- exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — public): find document pairs
+# sharing an exact run of >= SUBSTR_K consecutive tokens. The paper
+# builds a corpus-wide suffix array; the Spark-native equivalent is a
+# K-gram posting join — every K-token window hashed, postings
+# equi-joined, so a shared run of L tokens surfaces as L-K+1 colliding
+# grams. Same zones discipline as the other dedup ops: candidates come
+# from an equi-join on the gram fingerprint, never an all-pairs scan,
+# and a document-frequency cap bounds the hottest posting list (a
+# boilerplate gram shared by the whole corpus would otherwise create a
+# quadratic bucket — the exact skew the 100 TB path must refuse).
+
+SUBSTR_K = 8  # tokens per window (the paper uses 50 BPE tokens; 8
+#   whitespace tokens at the fixture's ~60-token docs keeps the same
+#   run-detection semantics at test scale)
+SUBSTR_DF_CAP = 50  # max docs a gram may appear in before it's dropped
+
+
+@register(
+    "llm_dedup_substring",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "grams AS (SELECT DISTINCT doc_id, "
+        f"md5(array_to_string(list_slice(t, i, i+{SUBSTR_K - 1}), ' ')) AS fp "
+        f"FROM toks, LATERAL (SELECT unnest(range(1, len(t)-{SUBSTR_K - 2})) AS i) r "
+        f"WHERE len(t) >= {SUBSTR_K}), "
+        f"ok AS (SELECT fp FROM grams GROUP BY fp HAVING count(*) <= {SUBSTR_DF_CAP}), "
+        "g2 AS (SELECT g.doc_id, g.fp FROM grams g JOIN ok USING (fp)), "
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "count(*) AS n FROM g2 a JOIN g2 b ON a.fp = b.fp "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, CAST(n AS BIGINT) AS n_shared_grams "
+        "FROM pairs ORDER BY doc_a, doc_b"
+    ),
+)
+def llm_dedup_substring(spark, sf_dir):
+    """Exact-substring duplicate pairs: documents sharing >= 1 exact
+    SUBSTR_K-token run, scored by the number of distinct shared
+    K-grams (a shared run of L tokens contributes L-K+1). Plan:
+    tokenize -> K-gram windows (JVM transform/slice, no Python) ->
+    md5 fingerprint -> distinct postings -> df-cap anti-join (skew
+    guard, mirrored in the oracle) -> posting self-equi-join ->
+    count per pair. At 100 TB the posting join shuffles only gram
+    collisions (~duplicated bytes), not the corpus; the df cap turns
+    the one pathological boilerplate gram from O(n^2) pairs into a
+    dropped key, exactly the NGRAM_DF_CAP discipline above."""
+    docs = load(spark, sf_dir, "documents")
+    tok = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.size(tok) - (SUBSTR_K - 1))
+    grams = (
+        docs.filter(F.size(tok) >= SUBSTR_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        idx,
+                        lambda i: F.md5(
+                            F.concat_ws(" ", F.slice(tok, i, SUBSTR_K)).cast("binary")
+                        ),
+                    )
+                )
+            ).alias("fp"),
+        )
+    )
+    hot = (
+        grams.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SUBSTR_DF_CAP)
+        .select("fp")
+    )
+    g2 = grams.join(hot, "fp", "left_anti")
+    a = g2.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = g2.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, (a.fp == b.fp) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_grams"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- incremental dedup: the production shape. A live pipeline never
+# re-deduplicates the corpus against itself; it dedupes the NEW BATCH
+# against (a) the corpus fingerprint index and (b) itself, keep-first.
+# Batch membership is a deterministic doc_id slice so both engines
+# agree without a date column.
+
+INCR_BATCH_MOD = 5  # doc_id % 5 == 0 -> the incoming 20% batch
+
+
+@register(
+    "llm_dedup_incremental",
+    oracle=(
+        "WITH fp AS (SELECT doc_id, md5(array_to_string("
+        "list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp, "
+        f"doc_id % {INCR_BATCH_MOD} = 0 AS is_new FROM documents), "
+        "idx AS (SELECT DISTINCT fp FROM fp WHERE NOT is_new), "
+        "batch AS (SELECT f.doc_id, f.fp, i.fp IS NOT NULL AS in_corpus, "
+        "ROW_NUMBER() OVER (PARTITION BY f.fp ORDER BY f.doc_id) AS rn "
+        "FROM fp f LEFT JOIN idx i ON f.fp = i.fp WHERE f.is_new) "
+        "SELECT doc_id, CASE WHEN in_corpus THEN 'dup_corpus' "
+        "WHEN rn > 1 THEN 'dup_batch' ELSE 'fresh' END AS status "
+        "FROM batch ORDER BY doc_id"
+    ),
+)
+def llm_dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup of an incoming batch: each new doc is
+    'dup_corpus' (fingerprint already in the corpus index),
+    'dup_batch' (a smaller-id batch twin exists, keep-first), or
+    'fresh'. The fingerprint is the sorted distinct token set (bag
+    normalization — catches reorder-only rewrites the byte hash
+    misses, the standard exact-dedup canonicalization). Plan: corpus
+    side reduces to a DISTINCT fingerprint
+    index (built once, reused across batches in production); the
+    batch left-joins the index and runs one keep-first window keyed
+    by fingerprint. Work scales with |batch| + |index|, never
+    |corpus|² — re-running yesterday's dedup is exactly the
+    anti-pattern this op replaces. dup_corpus deliberately wins over
+    dup_batch: two batch twins of an indexed doc are BOTH corpus
+    dups (neither survives), so keep-first rank only adjudicates
+    fingerprints the corpus has never seen."""
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split("text", " ")))
+            ).cast("binary")
+        ).alias("fp"),
+        (F.col("doc_id") % INCR_BATCH_MOD == 0).alias("is_new"),
+    )
+    idx = fp.filter(~F.col("is_new")).select("fp").distinct()
+    idx = idx.withColumn("in_corpus", F.lit(True))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    batch = (
+        fp.filter("is_new")
+        .join(idx, "fp", "left")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    status = (
+        F.when(F.col("in_corpus"), F.lit("dup_corpus"))
+        .when(F.col("rn") > 1, F.lit("dup_batch"))
+        .otherwise(F.lit("fresh"))
+    )
+    return batch.select("doc_id", status.alias("status")).orderBy("doc_id")

@@ -434,3 +434,82 @@ def llm_oov_rate(spark, sf_dir):
         .agg(F.count("*").alias("n_tokens"), rate.alias("oov_rate"))
         .orderBy("doc_id")
     )
+
+
+# --- PII detection / redaction (public pattern: Presidio/CCNet-style
+# regex scrubbing pass every curation pipeline runs before training).
+# The synthetic corpus carries no contact strings, so — the same
+# technique as the synthetic sphere coordinates (plans/sphere.py) —
+# a deterministic "dirty" view is derived from doc_id: a third of the
+# docs gain an email, a quarter a phone number (overlapping, so some
+# docs have both and some neither), and detection runs for real on
+# the result. Patterns are kept to the Java-regex ∩ RE2 common
+# subset so Spark and the DuckDB oracle agree byte-for-byte.
+
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,4}"
+PII_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+_PII_TEXT_DUCK = (
+    "text || CASE WHEN doc_id % 3 = 0 THEN ' Contact user' || doc_id "
+    "|| '@example.com for details.' ELSE '' END || "
+    "CASE WHEN doc_id % 4 = 0 THEN ' Call +1-555-' "
+    "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now.' ELSE '' END"
+)
+
+
+@register(
+    "llm_pii_redact",
+    oracle=(
+        f"WITH dirty AS (SELECT doc_id, {_PII_TEXT_DUCK} AS t FROM documents) "
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones, "
+        f"md5(regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PII_PHONE_RE}', '<PHONE>', 'g')) AS red_fp "
+        "FROM dirty ORDER BY doc_id"
+    ),
+)
+def llm_pii_redact(spark, sf_dir):
+    """Detect and mask PII spans: per doc, the email/phone match
+    counts and the md5 of the redacted text (the fingerprint proves
+    the rewrite, not just the counts, survived). Pure map — two
+    regexp_extract_all + two regexp_replace per row, all JVM-side,
+    zero shuffles before the final presentation sort; at 100 TB this
+    is the textbook embarrassingly-parallel scrubbing pass (the
+    regex NFA is the bottleneck, and it runs inside codegen, not in
+    Python)."""
+    docs = load(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" Contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com for details."),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" Call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" now."),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(dirty, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(dirty, F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(dirty, F.lit(PII_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(red.cast("binary")).alias("red_fp"),
+    ).orderBy("doc_id")

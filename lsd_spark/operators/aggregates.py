@@ -751,3 +751,69 @@ def agg_variability_eta(spark, sf_dir):
         .drop("_var")
         .orderBy("user_id")
     )
+
+
+# --- dense time-series resample with gap fill: the operation every
+# monitoring / lightcurve pipeline needs and GROUP BY alone can't
+# express — empty bins must EXIST (count 0), so the plan generates
+# the bin spine and left-joins the aggregates onto it.
+
+RESAMPLE_SEC = 900  # 15-minute bins
+
+
+@register(
+    "agg_resample_gapfill",
+    oracle=(
+        f"WITH b AS (SELECT event_type, "
+        f"CAST(FLOOR(epoch(ts) / {RESAMPLE_SEC}) AS BIGINT) * {RESAMPLE_SEC} AS bin, "
+        "count(*) AS n, SUM(value) AS sv FROM events GROUP BY 1, 2), "
+        "spine AS (SELECT CAST(unnest(range(mn, mx + 1, "
+        f"{RESAMPLE_SEC})) AS BIGINT) AS bin FROM (SELECT min(bin) AS mn, "
+        "max(bin) AS mx FROM b) r), "
+        "grid AS (SELECT t.event_type, s.bin FROM spine s CROSS JOIN "
+        "(SELECT DISTINCT event_type FROM events) t) "
+        "SELECT g.event_type, g.bin AS bin_start_sec, "
+        "CAST(COALESCE(b.n, 0) AS BIGINT) AS n_events, "
+        "FLOOR(COALESCE(b.sv, 0) * 100 + 0.5) / 100 AS sum_value "
+        "FROM grid g LEFT JOIN b ON g.event_type = b.event_type "
+        "AND g.bin = b.bin ORDER BY g.event_type, g.bin"
+    ),
+)
+def agg_resample_gapfill(spark, sf_dir):
+    """Resample events into dense 15-minute bins per event_type, gaps
+    filled with zero rows. Plan: (1) partial+final hash agg to the
+    sparse (type, bin) grid; (2) the global [min, max] bin span — a
+    1-row aggregate — broadcast onto the 5 distinct types; (3)
+    sequence() + explode generates the spine JVM-side (never a
+    driver loop); (4) broadcast left-join of the sparse aggregates
+    onto the dense grid. The expensive input scan is aggregated
+    FIRST — the spine join touches only (types x bins) rows, so at
+    100 TB the gap-fill cost is a function of the output calendar,
+    not the event count."""
+    ev = load(spark, sf_dir, "events")
+    binc = (F.floor(F.unix_timestamp("ts") / RESAMPLE_SEC) * RESAMPLE_SEC).cast(
+        "long"
+    )
+    b = ev.groupBy(F.col("event_type"), binc.alias("bin")).agg(
+        F.count("*").alias("n"), F.sum("value").alias("sv")
+    )
+    span = b.agg(F.min("bin").alias("mn"), F.max("bin").alias("mx"))
+    spine = span.select(
+        F.explode(
+            F.sequence("mn", "mx", F.lit(RESAMPLE_SEC).cast("long"))
+        ).alias("bin")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(spine)
+    return (
+        grid.join(b, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            F.col("bin").alias("bin_start_sec"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            (
+                F.floor(F.coalesce("sv", F.lit(0.0)) * 100 + F.lit(0.5)) / 100
+            ).alias("sum_value"),
+        )
+        .orderBy("event_type", "bin_start_sec")
+    )

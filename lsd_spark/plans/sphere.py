@@ -130,13 +130,20 @@ def sphere_points(
 
 
 def sphere_xmatch(
-    l_pts: DataFrame, r_pts: DataFrame, radius: float = R_SPHERE
+    l_pts: DataFrame,
+    r_pts: DataFrame,
+    radius: float = R_SPHERE,
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """All (l_id, r_id, dist) pairs within `radius` degrees angular
     separation. Inputs: (event_id, ra, dec) DataFrames. The probe
     side explodes to <= 9 (zone, bucket) cells (array_distinct keeps
     pole caps from triple-joining); the data side is stationary in
-    its single cell, so each qualifying pair meets exactly once."""
+    its single cell, so each qualifying pair meets exactly once.
+    `extra_keys` names columns present on BOTH inputs that join as
+    additional equi-keys alongside (zone, bucket) — e.g. an epoch
+    column, so a time-bounded match prunes in the shuffle hash
+    instead of post-filtering the distance refine."""
     nb = zone_counts(radius)
     nz = len(nb)
     nb_arr = F.array(*[F.lit(v) for v in nb])
@@ -150,6 +157,7 @@ def sphere_xmatch(
         F.col("event_id").alias("r_id"),
         F.col("ra").alias("rra"),
         F.col("dec").alias("rdec"),
+        *extra_keys,
     )
     rz = zone_of(F.col("rdec"))
     rnb = F.element_at(nb_arr, rz + 1)
@@ -161,6 +169,7 @@ def sphere_xmatch(
         F.col("event_id").alias("l_id"),
         F.col("ra").alias("lra"),
         F.col("dec").alias("ldec"),
+        *extra_keys,
     )
     lz = zone_of(F.col("ldec"))
     keys = []
@@ -175,16 +184,23 @@ def sphere_xmatch(
                 F.when(valid, F.struct(zp.cast("int").alias("z"), bk.cast("int").alias("b")))
             )
     cells = F.array_distinct(F.filter(F.array(*keys), lambda x: x.isNotNull()))
-    l = l.select("l_id", "lra", "ldec", F.explode(cells).alias("cell")).select(
-        "l_id", "lra", "ldec", F.col("cell.z").alias("z"), F.col("cell.b").alias("b")
+    l = l.select(
+        "l_id", "lra", "ldec", *extra_keys, F.explode(cells).alias("cell")
+    ).select(
+        "l_id",
+        "lra",
+        "ldec",
+        *extra_keys,
+        F.col("cell.z").alias("z"),
+        F.col("cell.b").alias("b"),
     )
 
     dist = F.expr(DIST_SPHERE.format(ldec="ldec", rdec="rdec", lra="lra", rra="rra"))
     return (
-        l.join(r, ["z", "b"])
+        l.join(r, ["z", "b", *extra_keys])
         .withColumn("dist", dist)
         .filter(F.col("dist") <= radius)
-        .select("l_id", "r_id", "dist", "lra", "ldec", "rra", "rdec")
+        .select("l_id", "r_id", "dist", "lra", "ldec", "rra", "rdec", *extra_keys)
     )
 
 
@@ -657,3 +673,126 @@ def join_xmatch_sphere_knn(spark, sf_dir):
     return best.select(
         "l_id", "r_id", F.round("dist", 9).alias("dist_deg")
     ).orderBy("l_id")
+
+
+# --- moving-object tracklet linking (LSD heritage: Pan-STARRS MOPS,
+# Kubica et al. 2007 — public): detections of the same moving object
+# on consecutive nights land within v_max * dt of each other. Pair
+# linking is a spatial join with an EPOCH equi-key: candidates only
+# form between night d and night d+1 inside the same (zone, bucket)
+# cell, so the shuffle prunes both time and space before any
+# trigonometry runs.
+
+TRACKLET_VMAX = 1.5  # deg/day max apparent motion
+_TRACKLET_DAY_DUCK = "datediff('day', DATE '2024-01-01', CAST(ts AS DATE))"
+
+
+@register(
+    "join_tracklet_link",
+    oracle=(
+        f"WITH det AS (SELECT event_id, ra, dec, {_TRACKLET_DAY_DUCK} AS day "
+        f"FROM ({_sphere_points_sql('error', cols=('ts',))}) base) "
+        "SELECT a.event_id AS det_a, b.event_id AS det_b, "
+        "CAST(a.day AS BIGINT) AS day_a, "
+        f"ROUND({_SPHERE_DIST_ORACLE}, 9) AS dist_deg "
+        "FROM det a JOIN det b ON b.day = a.day + 1 "
+        f"AND {_SPHERE_DIST_ORACLE} <= {TRACKLET_VMAX} "
+        "ORDER BY det_a, det_b"
+    ),
+)
+def join_tracklet_link(spark, sf_dir):
+    """Link detections across consecutive nights into tracklet pairs:
+    (det_a on night d) -> (det_b on night d+1) within TRACKLET_VMAX
+    degrees of apparent motion. The 'error' stream plays the
+    detection catalog on the synthetic sphere. Plan: one zoned
+    self-join where the probe side carries lnk=day and the data side
+    lnk=day-1, so the equi-key (zone, bucket, lnk) meets exactly the
+    consecutive-night neighbors — same-night and distant-night pairs
+    never leave the hash table, and the haversine refine runs only on
+    time-admissible candidates. Oracle: brute-force O(n^2) join with
+    the same day arithmetic. At 100 TB (LSST-scale nightly epochs)
+    the epoch key keeps per-bucket candidate lists proportional to
+    two nights' sky density, independent of survey length."""
+    det = sphere_points(spark, sf_dir, "error", cols=("ts",)).select(
+        "event_id",
+        "ra",
+        "dec",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("day"),
+    )
+    l = det.withColumn("lnk", F.col("day"))
+    r = det.withColumn("lnk", F.col("day") - 1)
+    cand = sphere_xmatch(l, r, TRACKLET_VMAX, extra_keys=("lnk",))
+    day_a = F.col("lnk")  # l-side day rode the join key through
+    return (
+        cand.select(
+            F.col("l_id").alias("det_a"),
+            F.col("r_id").alias("det_b"),
+            day_a.cast("long").alias("day_a"),
+            F.round("dist", 9).alias("dist_deg"),
+        )
+        .orderBy("det_a", "det_b")
+    )
+
+
+# --- density-adaptive HEALPix map: LSD's adaptive BHpix subdivision
+# [lsd:src/lsd/bhpix.py adaptive cell split — UNVERIFIED] re-expressed
+# as a two-resolution NEST aggregation. Cells above the split
+# threshold refine to the next order (children nest exactly inside
+# the parent), so dense sky regions get 4x the resolution while the
+# empty sky stays coarse — the adaptive partitioning that keeps
+# per-cell row counts bounded under a skewed sky at 100 TB.
+
+ADAPTIVE_SPLIT_T = 25  # detections per coarse cell before refining
+_HPX8 = healpix_nest_sql("ra", "dec", 8)
+_HPX16 = healpix_nest_sql("ra", "dec", 16)
+
+
+@register(
+    "agg_density_adaptive",
+    oracle=(
+        f"WITH pts AS (SELECT event_id, ra, dec, {_HPX8} AS c8, {_HPX16} AS c16 "
+        f"FROM ({_sphere_points_sql(None)}) base), "
+        "hot AS (SELECT c8 FROM pts GROUP BY c8 "
+        f"HAVING count(*) > {ADAPTIVE_SPLIT_T}) "
+        "SELECT CAST(CASE WHEN h.c8 IS NULL THEN 8 ELSE 16 END AS INTEGER) "
+        "AS nside, CASE WHEN h.c8 IS NULL THEN p.c8 ELSE p.c16 END AS cell, "
+        "count(*) AS n FROM pts p LEFT JOIN hot h ON p.c8 = h.c8 "
+        "GROUP BY 1, 2 ORDER BY nside, cell"
+    ),
+)
+def agg_density_adaptive(spark, sf_dir):
+    """Adaptive-resolution sky density map: every event lands in its
+    nside=8 NEST cell unless that cell holds > ADAPTIVE_SPLIT_T
+    events, in which case it refines to nside=16 (4 children per
+    parent — NEST pix//4 is the ancestor, so the refined key is
+    still one prefix-prunable column). Plan: coarse partial+final
+    hash agg -> the hot-cell set (tiny, broadcast) -> one map-side
+    CASE picks each row's adaptive cell -> final hash agg. Two
+    aggregations, one broadcast, no row ever shuffled twice; the
+    identical expression text runs in the DuckDB oracle."""
+    pts = sphere_points(spark, sf_dir, None).select(
+        "event_id",
+        F.expr(_HPX8).alias("c8"),
+        F.expr(_HPX16).alias("c16"),
+    )
+    hot = (
+        pts.groupBy("c8")
+        .agg(F.count("*").alias("nc"))
+        .filter(F.col("nc") > ADAPTIVE_SPLIT_T)
+        .select("c8", F.lit(1).alias("is_hot"))
+    )
+    return (
+        pts.join(F.broadcast(hot), "c8", "left")
+        .select(
+            F.when(F.col("is_hot").isNull(), F.lit(8))
+            .otherwise(F.lit(16))
+            .cast("int")
+            .alias("nside"),
+            F.when(F.col("is_hot").isNull(), F.col("c8"))
+            .otherwise(F.col("c16"))
+            .alias("cell"),
+        )
+        .groupBy("nside", "cell")
+        .agg(F.count("*").alias("n"))
+        .orderBy("nside", "cell")
+    )
