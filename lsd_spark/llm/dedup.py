@@ -942,3 +942,223 @@ def llm_dedup_incremental(spark, sf_dir):
         .otherwise(F.lit("fresh"))
     )
     return batch.select("doc_id", status.alias("status")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MinHash/LSH with a PORTABLE hash — fully oracle-checked.
+#
+# llm_dedup_near (above) is rows-only because xxhash64 has no DuckDB
+# twin. This variant derives each minhash from md5 hex (the same
+# HASH60 trick as simhash: Spark conv(hex,16,10) == DuckDB
+# '0x'||hex cast), so the signatures, the band keys, and therefore
+# the LSH candidate set are bit-exact across engines — the full
+# MinHash pipeline (shingle -> H minhashes -> band equi-join ->
+# exact-Jaccard refine) gets a hash-matched differential oracle.
+# ---------------------------------------------------------------------------
+
+MINHASH_H = 12
+MINHASH_BANDS = 4
+MINHASH_R = MINHASH_H // MINHASH_BANDS
+
+
+def _mh_spark(seed: int) -> str:
+    return (
+        "array_min(transform(shingles, s -> "
+        f"CAST(conv(substr(md5(concat(s, '|{seed}')),1,15),16,10) AS BIGINT)))"
+    )
+
+
+def _mh_duck(seed: int) -> str:
+    return (
+        "list_min(list_transform(sh, s -> "
+        f"('0x' || substring(md5(s || '|{seed}'),1,15))::BIGINT))"
+    )
+
+
+def _mh_band_duck(b: int) -> str:
+    cols = ", ".join(f"mh[{b * MINHASH_R + r + 1}]" for r in range(MINHASH_R))
+    return f"md5(concat_ws(',', {cols}))"
+
+
+_MINHASH_MD5_ORACLE = (
+    "WITH sg AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, greatest(len(t) - 2, 1) + 1), i -> array_to_string(t[i:i+2], ' '))) AS sh "
+    "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)), "
+    "sig AS (SELECT doc_id, sh, ["
+    + ", ".join(_mh_duck(s) for s in range(MINHASH_H))
+    + "] AS mh FROM sg), "
+    "bands AS (SELECT doc_id, sh, mh, j, CASE j "
+    + " ".join(f"WHEN {b} THEN {_mh_band_duck(b)}" for b in range(MINHASH_BANDS))
+    + " END AS bk FROM sig CROSS JOIN (SELECT unnest(["
+    + ", ".join(str(b) for b in range(MINHASH_BANDS))
+    + "]) AS j)), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "a.sh AS sh_a, b.sh AS sh_b, a.mh AS mh_a, b.mh AS mh_b "
+    "FROM bands a JOIN bands b ON a.j = b.j AND a.bk = b.bk AND a.doc_id < b.doc_id), "
+    "scored AS (SELECT doc_a, doc_b, "
+    "ROUND(len(list_intersect(sh_a, sh_b)) * 1.0 / "
+    "len(list_distinct(list_concat(sh_a, sh_b))), 4) AS jaccard, "
+    "ROUND(len(list_filter(range(1, "
+    f"{MINHASH_H} + 1), i -> mh_a[i] = mh_b[i])) * 1.0 / {MINHASH_H}, 4) AS mh_est "
+    "FROM cand) "
+    f"SELECT doc_a, doc_b, jaccard, mh_est FROM scored WHERE jaccard >= {JACCARD_T} "
+    "ORDER BY doc_a, doc_b"
+)
+
+
+@register("llm_dedup_minhash_md5", oracle=_MINHASH_MD5_ORACLE)
+def llm_dedup_minhash_md5(spark, sf_dir):
+    """MinHash/LSH near-duplicate pairs with a PORTABLE hash: H=12
+    minhashes over 3-token shingles, each min(hash60(md5(shingle ||
+    '|seed'))), banded 4x3; candidates are the band-key equi-join
+    (the zones technique: linear in collision count, never
+    all-pairs), refined by exact Jaccard >= 0.6 and annotated with
+    the signature-agreement estimate mh_est (the quantity real
+    MinHash pipelines threshold on before the exact refine). At
+    100 TB the signature pass is map-only higher-order functions in
+    codegen; the only shuffles are the band join and the final
+    dedup. Unlike llm_dedup_near (xxhash64, rows-only by design),
+    every stage here is bit-exact against the DuckDB oracle."""
+    docs = load(spark, sf_dir, "documents")
+    sig = _shingled(docs).selectExpr(
+        "doc_id",
+        "shingles",
+        "array(" + ", ".join(_mh_spark(s) for s in range(MINHASH_H)) + ") AS mh",
+    )
+    bands = sig.select(
+        "doc_id",
+        "shingles",
+        "mh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            "md5(concat_ws(',', "
+                            + ", ".join(
+                                f"element_at(mh, {b * MINHASH_R + r + 1})"
+                                for r in range(MINHASH_R)
+                            )
+                            + "))"
+                        ).alias("bk"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "shingles", "mh", "x.band", "x.bk")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+            F.col("a.mh").alias("mh_a"),
+            F.col("b.mh").alias("mh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    est = F.expr(
+        f"size(filter(sequence(1, {MINHASH_H}), "
+        f"i -> element_at(mh_a, i) = element_at(mh_b, i))) / {MINHASH_H}"
+    )
+    return (
+        cand.withColumn("jaccard", F.round(jac.cast("double"), 4))
+        .withColumn("mh_est", F.round(est.cast("double"), 4))
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard", "mh_est")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL-canonicalization dedup — the standard web-corpus pass that
+# collapses crawl records pointing at the same resource. The
+# synthetic corpus has no URL column, so (the llm_pii_redact
+# technique) a deterministic crawl URL is derived per doc_id with
+# the noise real crawls carry — mixed-case scheme/host, default
+# ports, tracking params, fragments, trailing slashes — and
+# canonicalization runs for real on the result.
+# ---------------------------------------------------------------------------
+
+_URL_DUCK = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://' || "
+    "CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM' ELSE 'www.example.com' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END || "
+    "'/site' || CAST(doc_id % 7 AS VARCHAR) || '/page' || CAST(doc_id % 20 AS VARCHAR) || "
+    "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_campaign=x' ELSE '' END || "
+    "CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END"
+)
+
+@register(
+    "llm_dedup_url",
+    oracle=(
+        "WITH raw AS (SELECT doc_id, " + _URL_DUCK + " AS u FROM documents), "
+        "canon AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+        "lower(u), ':443/', '/'), '#.*$', ''), '([?&]utm_[^&#]*)+$', '') AS c1 "
+        "FROM raw), "
+        "fin AS (SELECT doc_id, regexp_replace(regexp_replace(c1, '\\?$', ''), "
+        "'/$', '') AS cu FROM canon) "
+        "SELECT cu AS canonical_url, count(*) AS n_docs, "
+        "CAST(min(doc_id) AS BIGINT) AS keep_id "
+        "FROM fin GROUP BY cu HAVING count(*) > 1 ORDER BY cu"
+    ),
+)
+def llm_dedup_url(spark, sf_dir):
+    """URL-canonicalization dedup: normalize crawl URLs (lowercase,
+    strip default port / fragment / utm_* tracking params / trailing
+    slash) and report each canonical URL claimed by >1 record with
+    its keep-first winner. Pure map + one 16-byte-key groupBy — at
+    100 TB this is the cheapest dedup pass in the pipeline and runs
+    before any content hashing. The synthetic URL derivation (doc_id
+    arithmetic) mirrors the oracle exactly; the regexes stay in the
+    Java-regex / RE2 common subset."""
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    u = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("WWW.Example.COM")).otherwise(F.lit("www.example.com")),
+        F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/site"),
+        (did % 7).cast("string"),
+        F.lit("/page"),
+        (did % 20).cast("string"),
+        F.when(did % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit("?utm_source=feed&utm_campaign=x")).otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    cu = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(u), ":443/", "/"),
+                    "#.*$",
+                    "",
+                ),
+                r"([?&]utm_[^&#]*)+$",
+                "",
+            ),
+            r"\?$",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        docs.select(cu.alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").cast("long").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("canonical_url")
+    )

@@ -322,3 +322,96 @@ def llm_mix_temperature(spark, sf_dir):
         .cast("bigint")
         .alias("epochs_mil"),
     ).orderBy("source")
+
+
+CHUNK_LEN = 200  # chars per chunk
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+@register(
+    "llm_chunk_docs",
+    oracle=(
+        "WITH starts AS (SELECT doc_id, n_chars, unnest(generate_series(1, "
+        f"greatest(n_chars - {CHUNK_LEN - CHUNK_STRIDE}, 1), {CHUNK_STRIDE})) AS st "
+        "FROM documents), "
+        f"ch AS (SELECT doc_id, st, substr(text, st, {CHUNK_LEN}) AS chunk "
+        "FROM starts JOIN documents USING (doc_id)) "
+        "SELECT doc_id, CAST((st - 1) / " + str(CHUNK_STRIDE) + " AS BIGINT) AS chunk_idx, "
+        "CAST(st AS BIGINT) AS start_pos, CAST(len(chunk) AS BIGINT) AS chunk_len, "
+        "md5(chunk) AS chunk_fp "
+        "FROM ch ORDER BY doc_id, chunk_idx"
+    ),
+)
+def llm_chunk_docs(spark, sf_dir):
+    """Sliding-window document chunking (RAG / context-window prep):
+    each doc explodes into CHUNK_LEN-char windows every CHUNK_STRIDE
+    chars (50-char overlap), emitting the chunk index, offset,
+    length, and content fingerprint. Pure generate+explode map — no
+    shuffle before the presentation sort — and the fan-out factor is
+    n_chars/stride, so output partitioning follows input
+    partitioning; at 100 TB chunking is IO-bound, exactly as it
+    should be. Fingerprint instead of raw chunk text keeps the
+    result row narrow (the pattern for auditing a chunker without
+    re-shipping the corpus)."""
+    docs = load(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.col("n_chars") - F.lit(CHUNK_LEN - CHUNK_STRIDE), F.lit(1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    ch = docs.select(
+        "doc_id", "text", F.explode(starts).alias("st")
+    ).withColumn("chunk", F.expr(f"substr(text, st, {CHUNK_LEN})"))
+    return ch.select(
+        "doc_id",
+        ((F.col("st") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.col("st").cast("long").alias("start_pos"),
+        F.length("chunk").cast("long").alias("chunk_len"),
+        F.md5(F.col("chunk").cast("binary")).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 90  # 80-90 val, 90+ test
+
+
+_SPLIT_BUCKET_DUCK = HASH60_DUCK.format(t="CAST(doc_id AS VARCHAR) || '|split'") + " % 100"
+_SPLIT_BUCKET_SPARK = HASH60_SPARK.format(t="concat(CAST(doc_id AS STRING), '|split')") + " % 100"
+
+
+@register(
+    "llm_split_stratified",
+    oracle=(
+        "WITH tagged AS (SELECT lang, n_chars, CASE "
+        f"WHEN {_SPLIT_BUCKET_DUCK} < {SPLIT_TRAIN_PCT} THEN 'train' "
+        f"WHEN {_SPLIT_BUCKET_DUCK} < {SPLIT_VAL_PCT} THEN 'val' "
+        "ELSE 'test' END AS split FROM documents) "
+        "SELECT lang, split, count(*) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS n_chars "
+        "FROM tagged GROUP BY lang, split ORDER BY lang, split"
+    ),
+)
+def llm_split_stratified(spark, sf_dir):
+    """Deterministic train/val/test split: bucket = hash60(md5(id ||
+    salt)) % 100, 80/10/10 — the reproducible content-independent
+    split every training pipeline stamps before anything else. The
+    hash is portable (md5-hex -> BIGINT, the simhash trick) so the
+    assignment — not just the counts — is verified cross-engine.
+    Audit output: per (lang, split) doc and char counts, which is
+    also the stratification check (each lang should split ~80/10/10;
+    a skewed lang reveals id-correlated content). Pure map + one
+    tiny groupBy; at 100 TB the split column is computed inline at
+    scan time, never materialized via shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.expr(_SPLIT_BUCKET_SPARK)
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("long").alias("n_chars"))
+        .orderBy("lang", "split")
+    )

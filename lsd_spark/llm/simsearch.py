@@ -745,3 +745,63 @@ def knn_lsh(spark, sf_dir):
         .orderBy("vec_id", "rn")
         .select("vec_id", "neighbor_id", "sim")
     )
+
+
+QUANT_LEVELS = 255  # int8 code book: 0..255 per dimension
+
+
+@register(
+    "llm_embed_quantize",
+    oracle=(
+        "WITH base AS (SELECT vec_id, list_transform(embedding, x -> "
+        "CAST(x AS DOUBLE)) AS e FROM embeddings), "
+        "rng AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM base), "
+        "codes AS (SELECT vec_id, mn, mx, CASE WHEN mx > mn THEN "
+        f"list_transform(e, x -> CAST(floor((x - mn) * {QUANT_LEVELS} / (mx - mn) + 0.5) "
+        "AS BIGINT)) ELSE list_transform(e, x -> 0) END AS q FROM rng) "
+        "SELECT vec_id, CAST(len(q) AS INTEGER) AS n_dims, "
+        "CAST(list_sum(q) AS BIGINT) AS code_sum, "
+        "md5(array_to_string(q, ',')) AS code_fp, "
+        f"ROUND((mx - mn) / {QUANT_LEVELS}, 6) AS scale "
+        "FROM codes ORDER BY vec_id"
+    ),
+)
+def llm_embed_quantize(spark, sf_dir):
+    """Per-vector int8 scalar quantization (the standard 4x storage
+    /bandwidth reduction before ANN at scale): code_i = floor((x -
+    min) * 255 / (max - min) + 0.5), per-vector min/max codebook.
+    Map-only higher-order functions — no shuffle, no Python; the
+    float32 -> float64 widening and the identical expression tree on
+    both engines make the codes (hence code_fp) bit-exact, so the
+    oracle verifies the actual quantized values, not a summary. At
+    100 TB this runs at scan time and writes a corpus 4x smaller for
+    the IVF probe path; floor(x + 0.5) instead of round() because
+    half-even vs half-up tie-breaking is the classic cross-engine
+    divergence."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    rng = emb.select(
+        "vec_id",
+        e.alias("e"),
+        F.array_min(e).alias("mn"),
+        F.array_max(e).alias("mx"),
+    )
+    q = F.when(
+        F.col("mx") > F.col("mn"),
+        F.transform(
+            "e",
+            lambda x: F.floor(
+                (x - F.col("mn")) * QUANT_LEVELS / (F.col("mx") - F.col("mn")) + 0.5
+            ).cast("long"),
+        ),
+    ).otherwise(F.transform("e", lambda x: F.lit(0).cast("long")))
+    codes = rng.select("vec_id", "mn", "mx", q.alias("q"))
+    return codes.select(
+        "vec_id",
+        F.size("q").cast("int").alias("n_dims"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("code_sum"),
+        F.md5(F.concat_ws(",", F.transform("q", lambda x: x.cast("string"))).cast("binary")).alias(
+            "code_fp"
+        ),
+        F.round((F.col("mx") - F.col("mn")) / QUANT_LEVELS, 6).alias("scale"),
+    ).orderBy("vec_id")

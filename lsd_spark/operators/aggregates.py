@@ -817,3 +817,41 @@ def agg_resample_gapfill(spark, sf_dir):
         )
         .orderBy("event_type", "bin_start_sec")
     )
+
+
+RESERVOIR_K = 5  # deterministic sample size per group
+
+
+@register(
+    "agg_sample_reservoir",
+    oracle=(
+        "WITH r AS (SELECT event_type, event_id, "
+        "md5(CAST(event_id AS VARCHAR) || '|rsv') AS h, "
+        "row_number() OVER (PARTITION BY event_type "
+        "ORDER BY md5(CAST(event_id AS VARCHAR) || '|rsv'), event_id) AS rk "
+        "FROM events) "
+        f"SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id, h FROM r WHERE rk <= {RESERVOIR_K} "
+        "ORDER BY event_type, rk"
+    ),
+)
+def agg_sample_reservoir(spark, sf_dir):
+    """Deterministic per-group reservoir sample: the K rows with the
+    smallest salted md5 per event_type — hash-order sampling, the
+    reproducible (re-runnable, auditable) replacement for
+    rand()-based reservoirs. The md5 hex ordering is portable, so
+    the oracle verifies the exact sample membership, not just its
+    size. At 100 TB the window-per-group shape is fine while groups
+    are few; for high-cardinality groups the production path
+    pre-filters on a hash prefix bound before ranking (the same
+    trick llm_sample_hash uses), cutting the sort input by ~the
+    sampling rate."""
+    ev = load(spark, sf_dir, "events")
+    h = F.md5(F.concat(F.col("event_id").cast("string"), F.lit("|rsv")).cast("binary"))
+    w = Window.partitionBy("event_type").orderBy("h", "event_id")
+    return (
+        ev.select("event_type", "event_id", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select("event_type", F.col("rk").cast("long").alias("rk"), "event_id", "h")
+        .orderBy("event_type", "rk")
+    )

@@ -340,3 +340,84 @@ def win_sessionize(spark, sf_dir):
         )
         .orderBy("user_id", "session_id")
     )
+
+
+INTERP_MASK_MOD = 7  # every 7th event's value is masked, then rebuilt
+
+
+@register(
+    "win_interpolate_linear",
+    oracle=(
+        "WITH m AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, "
+        f"CASE WHEN event_id % {INTERP_MASK_MOD} = 0 THEN NULL ELSE value END AS v "
+        "FROM events), "
+        "ctx AS (SELECT event_id, user_id, t_us, v, "
+        "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t_us, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv, "
+        "last_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS) "
+        "OVER (PARTITION BY user_id ORDER BY t_us, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt, "
+        "first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t_us, event_id "
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv, "
+        "first_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS) "
+        "OVER (PARTITION BY user_id ORDER BY t_us, event_id "
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt "
+        "FROM m) "
+        "SELECT event_id, user_id, (v IS NULL) AS was_masked, "
+        "ROUND(CASE WHEN v IS NOT NULL THEN v "
+        "WHEN pv IS NOT NULL AND nv IS NOT NULL THEN "
+        "pv + (nv - pv) * (t_us - pt) / (nt - pt) "
+        "WHEN pv IS NOT NULL THEN pv ELSE nv END, 4) AS value_filled "
+        "FROM ctx ORDER BY event_id"
+    ),
+)
+def win_interpolate_linear(spark, sf_dir):
+    """Linear gap interpolation over a per-user time series: every
+    7th event's value is masked (the deterministic-corruption
+    technique — the fixture has no nulls), then rebuilt from the
+    time-weighted line between the nearest non-null neighbors
+    (boundary gaps fall back to nearest-value). Two ordered window
+    passes per user partition — both run in ONE exchange on user_id
+    since they share partitioning and ordering; at 100 TB the state
+    per task is O(1) (running last / pending first), the classic
+    fill-forward shape. Timestamps compare in microseconds
+    (unix_micros == DuckDB epoch_us) so the lerp arithmetic is
+    bit-identical across engines."""
+    ev = load(spark, sf_dir, "events")
+    m = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.when(F.col("event_id") % INTERP_MASK_MOD == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    wb = w.rowsBetween(Window.unboundedPreceding, -1)
+    wa = w.rowsBetween(1, Window.unboundedFollowing)
+    vt = F.when(F.col("v").isNotNull(), F.col("t_us"))
+    ctx = m.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(vt, ignorenulls=True).over(wb).alias("pt"),
+        F.first("v", ignorenulls=True).over(wa).alias("nv"),
+        F.first(vt, ignorenulls=True).over(wa).alias("nt"),
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * (F.col("t_us") - F.col("pt")) / (
+        F.col("nt") - F.col("pt")
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), lerp)
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return ctx.select(
+        "event_id",
+        "user_id",
+        F.col("v").isNull().alias("was_masked"),
+        F.round(filled, 4).alias("value_filled"),
+    ).orderBy("event_id")

@@ -58,8 +58,15 @@ def test_r06_window_covers_new_touched_and_stale(  # noqa: D103
     assert all(k in window for k in _R6_TOUCHED if k in QUERIES)
     r01_stale = [k for k in names
                  if k in set(_R1_LEDGER) - set(_R3_LEDGER) - set(_R4_LEDGER)]
-    assert len(r01_stale) >= 25, (
-        f"only {len(r01_stale)} r01-stale ops inside the 50-row window"
+    # tier1 (never-recorded) and tier2 (plan-changed) take window
+    # slots by right; every REMAINING slot must go to the stalest
+    # (r01) cohort — nothing fresher may jump the rotation.
+    n_new = sum(1 for k in QUERIES if k not in _ALL_RECORDED)
+    n_touched = sum(1 for k in _R6_TOUCHED if k in QUERIES)
+    expected = max(0, 50 - n_new - n_touched)
+    assert len(r01_stale) == expected, (
+        f"{len(r01_stale)} r01-stale ops inside the 50-row window, "
+        f"expected {expected} (new={n_new}, touched={n_touched})"
     )
 
 
