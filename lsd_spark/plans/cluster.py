@@ -97,19 +97,23 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     (vec_id, object_id).
 
     Phase order (round 6 — barrier-minimal on the common case):
-    (1) checkpoint the ONE-WAY pairs (one execution of the edge-gen
-    plan; the symmetrized view is a lazy union over the checkpoint —
-    materializing the union would run the candidate join twice);
-    (2) SEED: per-partition union-find contraction
-    (_local_cc_labels, one Arrow job, checkpointed); (3) PROBE: one
+    (1) SEED: per-partition union-find contraction (_local_cc_labels,
+    one Arrow job, checkpointed) consuming the LAZY one-way edge plan
+    directly — union-find connectivity is direction-agnostic, so the
+    symmetrized view is never needed here, and fusing edge generation
+    into the contraction job removes both a barrier and a DISK_ONLY
+    round-trip of the full edge set; (2) PROBE: one
     tiny aggregate over the contraction output — if no node received
     two distinct partition-local labels, the min-aggregated labeling
     provably IS the min-label fixpoint (see the inline soundness
     note), so when every component's edges landed in one partition
     (the norm for subcritical FoF graphs) the whole labeling
-    finishes in 3 barriers plus the caller's collect, with no
-    propagation loop, no count jobs, and no seed-label
-    materialization. Only a failed probe pays the routing counts: average degree 2E/N above
+    finishes in 2 barriers plus the caller's collect, with no
+    propagation loop, no count jobs, no edge materialization, and no
+    seed-label materialization. Only a failed probe checkpoints the
+    one-way edges (re-executing the edge-gen plan once — the rare
+    regime pays, not the common one) and runs the routing counts:
+    average degree 2E/N above
     DEGREE_SUPERCRITICAL routes to the O(log n) large-star/
     small-star path (the giant-component regime, where min-label
     would need O(component diameter / linking length) rounds);
@@ -134,14 +138,23 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_sp), 16)))
     try:
-        one_way = pairs.localCheckpoint(
-            eager=True, storageLevel=StorageLevel.DISK_ONLY
-        )
-        edges = one_way.unionAll(
-            one_way.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        local_raw = _local_cc_labels(edges).localCheckpoint(
-            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        # union-find sees each {u, v} once; direction is irrelevant
+        # to connectivity, so the contraction job runs on the raw
+        # one-way plan (edge-gen executes inside this job, fused) —
+        # and the per-node aggregate (min label + disagreement flag)
+        # rides the SAME job: checkpointing the aggregated output
+        # instead of the raw contraction rows folds the probe's
+        # shuffle into the contraction barrier, so the probe itself
+        # degrades to a filter-limit-count over checkpointed,
+        # node-sized data (a floor-cost job, no shuffle).
+        local_agg = (
+            _local_cc_labels(pairs)
+            .groupBy("vec_id")
+            .agg(
+                F.min("lmin").alias("lmin"),
+                F.count_distinct("lmin").alias("c"),
+            )
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )
         # Convergence probe on the contraction output itself — NO
         # edge join needed. Soundness: within a partition, an edge's
@@ -153,14 +166,8 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
         # fixpoint condition (labels are same-component node ids and
         # the component minimum labels itself). Disagreement merely
         # routes to the loop, whose own changed-count still decides.
-        dis = (
-            local_raw.groupBy("vec_id")
-            .agg(F.count_distinct("lmin").alias("c"))
-            .filter(F.col("c") > 1)
-            .limit(1)
-            .count()
-        )
-        local = local_raw.groupBy("vec_id").agg(F.min("lmin").alias("lmin"))
+        dis = local_agg.filter(F.col("c") > 1).limit(1).count()
+        local = local_agg.select("vec_id", "lmin")
         seed = (
             emb.select("vec_id")
             .join(local, "vec_id", "left")
@@ -172,13 +179,21 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
         if dis == 0:
             # provably converged: the labeling stays LAZY (it folds
             # into the caller's collect — no seed checkpoint barrier)
-            one_way.unpersist()
             return seed.orderBy("vec_id")
         labels = seed.localCheckpoint(
             eager=True, storageLevel=StorageLevel.DISK_ONLY
         )
-        local_raw.unpersist()  # labels checkpoint truncated its lineage
-        # probe failed: pay the routing counts now
+        local_agg.unpersist()  # labels checkpoint truncated its lineage
+        # probe failed: NOW materialize the one-way edges (one more
+        # execution of the edge-gen plan — only this rare path pays)
+        # and derive the symmetrized view the loops need as a lazy
+        # union over the checkpoint
+        one_way = pairs.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
+        edges = one_way.unionAll(
+            one_way.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
         n_half_edges = 2 * one_way.count()  # = 2E, on the checkpoint
         n_nodes = max(1, _node_count(emb))
         # size the loop's shuffles to the measured edge count (~100k
