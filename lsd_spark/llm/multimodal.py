@@ -624,3 +624,78 @@ def mm_decode_wav(spark, sf_dir):
     return docs.mapInPandas(
         roundtrip_kernel, schema="doc_id bigint, n_frames bigint, rate int, rms double"
     ).orderBy("doc_id")
+
+
+PHASH_BITS = 60  # signed-BIGINT-safe, the hash60 convention
+
+
+def _phash_duck() -> str:
+    """DuckDB expression for the perceptual hash of doc_id's derived
+    image: gray pixel p (p < 60) is digest byte (3p mod 16) — channel
+    0 of the md5-tiled RGB image mm_decode_png builds — and bit p
+    fires when the pixel exceeds the image mean. The threshold
+    compares in INTEGERS (16*byte > sum-of-16-bytes), so no float
+    crosses the engine boundary."""
+    byte = lambda k: f"('0x' || substring(md5(text), {2 * k + 1}, 2))::BIGINT  "  # noqa: E731
+    total = " + ".join(byte(k) for k in range(16))
+    bits = " + ".join(
+        f"(CASE WHEN 16 * {byte((3 * p) % 16)} > tot THEN {1 << p} ELSE 0 END)"
+        for p in range(PHASH_BITS)
+    )
+    return f"(SELECT {bits} FROM (SELECT ({total}) AS tot) t)"
+
+
+@register(
+    "mm_phash_dedup",
+    oracle=(
+        "WITH ph AS (SELECT doc_id, " + _phash_duck() + " AS phash FROM documents) "
+        "SELECT CAST(phash AS BIGINT) AS phash, count(*) AS n_images, "
+        "CAST(min(doc_id) AS BIGINT) AS keep_id "
+        "FROM ph GROUP BY phash HAVING count(*) > 1 ORDER BY phash"
+    ),
+)
+def mm_phash_dedup(spark, sf_dir):
+    """Perceptual-hash image dedup — the standard near-dup pass for
+    image corpora: encode each doc's derived 8x8 RGB image to a REAL
+    PNG, decode it back (the same stdlib codec mm_decode_png
+    exercises), threshold the 60 leading gray pixels against the
+    image mean into a 60-bit pHash, then group-by-hash keep-first.
+    The Spark side computes the hash from DECODED pixels, the oracle
+    recomputes it from the md5 derivation — so a decoder bug breaks
+    the hash match, making this an end-to-end codec + dedup check.
+    At 100 TB: decode+hash is a map-only Arrow kernel; the dedup is
+    one 8-byte-key groupBy (near-dup banding would reuse the simhash
+    band join; exact pHash grouping is the common first pass)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    encode, decode = _make_png_codec()  # driver-side; ships by value
+
+    def kernel(batches):
+        import hashlib as _hl
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = _hl.md5(t.encode("utf-8")).digest()
+                arr = np.frombuffer((d * 12)[:192], np.uint8).reshape(8, 8, 3)
+                h, w, nch, dec = decode(encode(arr))
+                gray = dec[:, :, 0].reshape(-1).astype(np.int64)  # channel 0
+                tot = int(gray[: 16].copy().astype(np.int64).sum())  # noqa: E203
+                # image mean over the tiled image == mean of the
+                # first 16 gray pixels (one full digest cycle)
+                ph = 0
+                for p in range(PHASH_BITS):
+                    if 16 * int(gray[p]) > tot:
+                        ph |= 1 << p
+                ids.append(int(doc_id))
+                hashes.append(ph)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    ph = docs.mapInPandas(kernel, schema="doc_id bigint, phash bigint")
+    return (
+        ph.groupBy("phash")
+        .agg(F.count("*").alias("n_images"), F.min("doc_id").cast("long").alias("keep_id"))
+        .filter(F.col("n_images") > 1)
+        .orderBy("phash")
+    )

@@ -805,3 +805,99 @@ def llm_embed_quantize(spark, sf_dir):
         ),
         F.round((F.col("mx") - F.col("mn")) / QUANT_LEVELS, 6).alias("scale"),
     ).orderBy("vec_id")
+
+
+def _sq8_recon_spark(e_col):
+    """Reconstructed (de-quantized) vector after int8 scalar
+    quantization — the exact llm_embed_quantize code formula followed
+    by code -> mn + code*(mx-mn)/255. Identical expression tree to
+    the oracle's list_transform, so the reconstructed doubles are
+    bit-equal cross-engine."""
+    e = F.transform(e_col, lambda x: x.cast("double"))
+    mn, mx = F.array_min(e), F.array_max(e)
+    return F.when(
+        mx > mn,
+        F.transform(
+            e,
+            lambda x: mn
+            + F.floor((x - mn) * QUANT_LEVELS / (mx - mn) + 0.5)
+            * (mx - mn)
+            / QUANT_LEVELS,
+        ),
+    ).otherwise(e)
+
+
+def _ivf_sq8_oracle() -> str:
+    assign_cos = "ROUND(" + COS_DUCK.format(a="v.embedding", b="c.c_emb") + ", 6)"
+    refine_cos = "ROUND(" + COS_DUCK.format(a="q.q_emb", b="r.recon") + ", 6)"
+    recon = (
+        f"CASE WHEN mx > mn THEN list_transform(e, x -> mn + "
+        f"floor((x - mn) * {QUANT_LEVELS} / (mx - mn) + 0.5) * (mx - mn) / {QUANT_LEVELS}) "
+        "ELSE e END"
+    )
+    return (
+        f"WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb "
+        f"FROM embeddings WHERE vec_id < {N_CENTROIDS}), "
+        "rec AS (SELECT vec_id, " + recon + " AS recon FROM ("
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, "
+        "list_min(CAST(embedding AS DOUBLE[])) AS mn, "
+        "list_max(CAST(embedding AS DOUBLE[])) AS mx FROM embeddings)), "
+        "assigned AS (SELECT vec_id, centroid_id FROM ("
+        "SELECT v.vec_id, c.centroid_id, "
+        f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {assign_cos} DESC, "
+        "c.centroid_id ASC) AS crn FROM embeddings v CROSS JOIN cent c) "
+        "WHERE crn <= 1), "
+        "queries AS (SELECT q_id, q_emb, centroid_id FROM ("
+        "SELECT v.vec_id AS q_id, v.embedding AS q_emb, c.centroid_id, "
+        f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {assign_cos} DESC, "
+        "c.centroid_id ASC) AS crn FROM embeddings v CROSS JOIN cent c "
+        f"WHERE v.vec_id < 5) WHERE crn <= {N_PROBE}), "
+        "cand AS (SELECT DISTINCT q.q_id AS vec_id, b.vec_id AS neighbor_id, "
+        f"{refine_cos} AS sim FROM queries q JOIN assigned b USING (centroid_id) "
+        "JOIN rec r ON r.vec_id = b.vec_id WHERE q.q_id <> b.vec_id) "
+        "SELECT vec_id, neighbor_id, sim FROM ("
+        "SELECT vec_id, neighbor_id, sim, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rn FROM cand) "
+        "WHERE rn <= 5 ORDER BY vec_id, neighbor_id"
+    )
+
+
+@register("knn_ivf_sq8", oracle=_ivf_sq8_oracle())
+def knn_ivf_sq8(spark, sf_dir):
+    """IVF + int8 scalar quantization — the FAISS 'IVF,SQ8' layout:
+    buckets and probes are the knn_ivf structure (raw-vector
+    assignment, centroid equi-join), but the REFINE cosine runs
+    against the RECONSTRUCTED corpus vectors (llm_embed_quantize's
+    code formula inverted), i.e. the distance the index would
+    compute after storing the corpus at 1 byte/dim. At 100 TB the
+    probe side reads 4x fewer bytes than raw-float IVF and the
+    reconstruction is a map-only higher-order function; queries stay
+    full-precision (the standard asymmetric setup). Full oracle: the
+    same quantize->reconstruct->cosine chain in DuckDB, so the
+    quantization error surface itself is cross-engine verified."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = _seed_centroids(emb)
+    corpus = emb.select("vec_id", "embedding", _sq8_recon_spark(F.col("embedding")).alias("recon"))
+    assigned = _nearest_centroids(corpus, cent, 1)
+    queries = _nearest_centroids(emb.filter(F.col("vec_id") < 5), cent, N_PROBE).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("centroid_id"),
+    )
+    sim_qr = F.round(F.expr(COS_SPARK.format(a="q.q_emb", b="b.recon")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        queries.alias("q")
+        .join(assigned.alias("b"), "centroid_id")
+        .filter(F.col("q.q_id") != F.col("b.vec_id"))
+        .select(
+            F.col("q.q_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            sim_qr.alias("sim"),
+        )
+        .dropDuplicates(["vec_id", "neighbor_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("vec_id", "rn")
+        .select("vec_id", "neighbor_id", "sim")
+    )
