@@ -980,8 +980,10 @@ def _mh_band_duck(b: int) -> str:
     return f"md5(concat_ws(',', {cols}))"
 
 
-_MINHASH_MD5_ORACLE = (
-    "WITH sg AS (SELECT doc_id, list_distinct(list_transform("
+# the shared CTE bodies (everything up to the threshold filter) —
+# reused by llm_dedup_cluster's transitive-closure oracle
+_MINHASH_CTES = (
+    "sg AS (SELECT doc_id, list_distinct(list_transform("
     "range(1, greatest(len(t) - 2, 1) + 1), i -> array_to_string(t[i:i+2], ' '))) AS sh "
     "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)), "
     "sig AS (SELECT doc_id, sh, ["
@@ -1000,26 +1002,21 @@ _MINHASH_MD5_ORACLE = (
     "len(list_distinct(list_concat(sh_a, sh_b))), 4) AS jaccard, "
     "ROUND(len(list_filter(range(1, "
     f"{MINHASH_H} + 1), i -> mh_a[i] = mh_b[i])) * 1.0 / {MINHASH_H}, 4) AS mh_est "
-    "FROM cand) "
+    "FROM cand)"
+)
+
+_MINHASH_MD5_ORACLE = (
+    "WITH " + _MINHASH_CTES + " "
     f"SELECT doc_a, doc_b, jaccard, mh_est FROM scored WHERE jaccard >= {JACCARD_T} "
     "ORDER BY doc_a, doc_b"
 )
 
 
-@register("llm_dedup_minhash_md5", oracle=_MINHASH_MD5_ORACLE)
-def llm_dedup_minhash_md5(spark, sf_dir):
-    """MinHash/LSH near-duplicate pairs with a PORTABLE hash: H=12
-    minhashes over 3-token shingles, each min(hash60(md5(shingle ||
-    '|seed'))), banded 4x3; candidates are the band-key equi-join
-    (the zones technique: linear in collision count, never
-    all-pairs), refined by exact Jaccard >= 0.6 and annotated with
-    the signature-agreement estimate mh_est (the quantity real
-    MinHash pipelines threshold on before the exact refine). At
-    100 TB the signature pass is map-only higher-order functions in
-    codegen; the only shuffles are the band join and the final
-    dedup. Unlike llm_dedup_near (xxhash64, rows-only by design),
-    every stage here is bit-exact against the DuckDB oracle."""
-    docs = load(spark, sf_dir, "documents")
+def _minhash_md5_scored(docs):
+    """Shared MinHash/LSH candidate pipeline: shingle → H portable
+    minhashes → band equi-join → (doc_a, doc_b, jaccard, mh_est),
+    unthresholded. Used by llm_dedup_minhash_md5 (pair report) and
+    llm_dedup_cluster (transitive-closure grouping)."""
     sig = _shingled(docs).selectExpr(
         "doc_id",
         "shingles",
@@ -1071,12 +1068,93 @@ def llm_dedup_minhash_md5(spark, sf_dir):
         f"size(filter(sequence(1, {MINHASH_H}), "
         f"i -> element_at(mh_a, i) = element_at(mh_b, i))) / {MINHASH_H}"
     )
+    return cand.withColumn("jaccard", F.round(jac.cast("double"), 4)).withColumn(
+        "mh_est", F.round(est.cast("double"), 4)
+    )
+
+
+@register("llm_dedup_minhash_md5", oracle=_MINHASH_MD5_ORACLE)
+def llm_dedup_minhash_md5(spark, sf_dir):
+    """MinHash/LSH near-duplicate pairs with a PORTABLE hash: H=12
+    minhashes over 3-token shingles, each min(hash60(md5(shingle ||
+    '|seed'))), banded 4x3; candidates are the band-key equi-join
+    (the zones technique: linear in collision count, never
+    all-pairs), refined by exact Jaccard >= 0.6 and annotated with
+    the signature-agreement estimate mh_est (the quantity real
+    MinHash pipelines threshold on before the exact refine). At
+    100 TB the signature pass is map-only higher-order functions in
+    codegen; the only shuffles are the band join and the final
+    dedup. Unlike llm_dedup_near (xxhash64, rows-only by design),
+    every stage here is bit-exact against the DuckDB oracle."""
+    docs = load(spark, sf_dir, "documents")
     return (
-        cand.withColumn("jaccard", F.round(jac.cast("double"), 4))
-        .withColumn("mh_est", F.round(est.cast("double"), 4))
+        _minhash_md5_scored(docs)
         .filter(F.col("jaccard") >= JACCARD_T)
         .select("doc_a", "doc_b", "jaccard", "mh_est")
         .orderBy("doc_a", "doc_b")
+    )
+
+
+_CLUSTER_ORACLE = (
+    "WITH RECURSIVE " + _MINHASH_CTES + ", "
+    f"pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= {JACCARD_T}), "
+    "e AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+    "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+    "reach(src, node) AS ("
+    "SELECT u, u FROM e UNION SELECT r.src, e.v FROM reach r JOIN e ON r.node = e.u), "
+    "lab AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src) "
+    "SELECT CAST(cluster_id AS BIGINT) AS cluster_id, count(*) AS n_docs, "
+    "md5(array_to_string(list(doc_id ORDER BY doc_id), ',')) AS member_fp "
+    "FROM lab GROUP BY cluster_id ORDER BY cluster_id"
+)
+
+
+@register("llm_dedup_cluster", oracle=_CLUSTER_ORACLE, cacheable=False)
+def llm_dedup_cluster(spark, sf_dir):
+    """Near-duplicate CLUSTERS — the production dedup shape: pairwise
+    MinHash hits only give edges, so real pipelines take the
+    transitive closure (a doc chained A~B~C must dedup as ONE group
+    even when A~C misses the threshold) and keep one exemplar per
+    component. Plan: the shared MinHash/LSH candidate pipeline →
+    jaccard-thresholded edges → min-label connected components (the
+    same contraction-seeded fixpoint FoF uses — dedup IS
+    friends-of-friends in text space) → per-cluster count + an
+    exact-membership fingerprint (md5 of the sorted member list, so
+    the oracle verifies the component STRUCTURE, not just sizes).
+    Isolated docs are skipped on both sides: output is only the
+    multi-doc clusters — the keep-first winner is cluster_id (min
+    doc_id) and everything else in the group drops."""
+    from lsd_spark.plans.cluster import min_label_fixpoint
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        _minhash_md5_scored(docs)
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+    # nodes = only docs that appear in some pair (isolated docs are
+    # their own cluster and are excluded from the report anyway)
+    nodes = (
+        pairs.select(F.col("u").alias("vec_id"))
+        .unionAll(pairs.select(F.col("v").alias("vec_id")))
+        .distinct()
+    )
+    labels = min_label_fixpoint(nodes, pairs)
+    return (
+        labels.groupBy(F.col("object_id").cast("long").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("vec_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                ).cast("binary")
+            ).alias("member_fp"),
+        )
+        .orderBy("cluster_id")
     )
 
 

@@ -421,3 +421,66 @@ def win_interpolate_linear(spark, sf_dir):
         F.col("v").isNull().alias("was_masked"),
         F.round(filled, 4).alias("value_filled"),
     ).orderBy("event_id")
+
+
+EWMA_ALPHA = 0.5  # powers of 0.5 are exact binary doubles
+EWMA_W = 8  # bounded horizon: last W observations
+
+
+def _ewma_terms_duck() -> tuple[str, str]:
+    """(numerator, denominator) lag-chain SQL for the oracle. The
+    weights 0.5^k are exact in binary, so the literals are
+    bit-identical across engines; the per-row tree (guarded lag
+    terms summed left to right) mirrors the Spark column sum."""
+    num, den = [], []
+    for k in range(EWMA_W):
+        w = EWMA_ALPHA**k
+        lag = f"lag(value, {k}) OVER win"
+        num.append(f"COALESCE({lag} * {w!r}, 0.0)")
+        den.append(f"(CASE WHEN {lag} IS NOT NULL THEN {w!r} ELSE 0.0 END)")
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_NUM_DUCK, _EWMA_DEN_DUCK = _ewma_terms_duck()
+
+
+@register(
+    "win_ewma",
+    oracle=(
+        "SELECT event_id, user_id, "
+        f"ROUND(({_EWMA_NUM_DUCK}) / ({_EWMA_DEN_DUCK}), 4) AS ewma "
+        "FROM events "
+        "WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) "
+        "ORDER BY event_id"
+    ),
+)
+def win_ewma(spark, sf_dir):
+    """Bounded exponentially-weighted moving average per user time
+    series: ewma_t = Σ α^k·v_{t-k} / Σ α^k over the last W=8
+    observations (the truncated-horizon form every SQL engine can
+    express — the infinite-horizon recurrence needs a recursive
+    window no engine has). One exchange on user_id; all W lag terms
+    share a single window frame, so the plan is one Window operator,
+    not W. At 100 TB this is the standard smoothing pass over
+    per-entity event streams (anomaly baselines, rate smoothing)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    num = sum(
+        (
+            F.coalesce(F.lag("value", k).over(w) * F.lit(EWMA_ALPHA**k), F.lit(0.0))
+            for k in range(EWMA_W)
+        ),
+        F.lit(0.0),
+    )
+    den = sum(
+        (
+            F.when(F.lag("value", k).over(w).isNotNull(), F.lit(EWMA_ALPHA**k)).otherwise(
+                F.lit(0.0)
+            )
+            for k in range(EWMA_W)
+        ),
+        F.lit(0.0),
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(num / den, 4).alias("ewma")
+    ).orderBy("event_id")
