@@ -135,6 +135,8 @@ def main():
         "join_xmatch_sphere", "join_xmatch_sphere_knn",
         "join_xmatch_sphere_margin",
         "llm_dedup_embcos_exact",
+        # recursive-CTE transitive closure over the MinHash pair CTEs
+        "llm_dedup_cluster",
         # quadratic-per-cluster with the FIXED fixture k=8: at the
         # inflated dir each cluster is corpus/8-sized, so the
         # within-cluster pairwise (engine AND oracle) is O(n^2)/8 by
