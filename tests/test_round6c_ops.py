@@ -186,3 +186,88 @@ def test_reservoir_sample_is_hash_smallest(spark):
         got = set(out.loc[out.event_type == et, "event_id"])
         assert got == want, f"{et}: sample membership diverged"
         assert len(got) == min(RESERVOIR_K, len(g))
+
+
+def test_mm_phash_dedup_groups_match_exact_text_groups(spark):
+    """The image derives from md5(text), so docs with identical text
+    MUST share a pHash group; and every reported group has >1 member
+    with keep_id == min member."""
+    out = QUERIES["mm_phash_dedup"](spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert (out.n_images > 1).all()
+    docs = pd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    # exact-duplicate texts -> identical digest -> identical image
+    dup_texts = docs.groupby("text").doc_id.agg(["count", "min"])
+    dup_texts = dup_texts[dup_texts["count"] > 1]
+    assert dup_texts["count"].sum() <= out.n_images.sum()
+
+
+def test_knn_ivf_sq8_close_to_ivf_raw(spark):
+    """SQ8 refine ranks on reconstructed vectors: same buckets as
+    knn_ivf, similar (not identical) top-k — at 8-bit resolution the
+    neighbor overlap per query should be high."""
+    raw = QUERIES["knn_ivf"](spark, SF_DIR).toPandas()
+    sq8 = QUERIES["knn_ivf_sq8"](spark, SF_DIR).toPandas()
+    assert set(sq8.vec_id) == set(raw.vec_id)
+    overlaps = []
+    for q in sorted(set(raw.vec_id)):
+        a = set(raw.loc[raw.vec_id == q, "neighbor_id"])
+        b = set(sq8.loc[sq8.vec_id == q, "neighbor_id"])
+        overlaps.append(len(a & b) / len(a))
+    assert sum(overlaps) / len(overlaps) >= 0.6, overlaps
+
+
+def test_dedup_cluster_is_transitive_closure_of_pairs(spark):
+    """Clusters == connected components of the thresholded MinHash
+    pair graph (recomputed in pure python union-find)."""
+    pairs = QUERIES["llm_dedup_minhash_md5"](spark, SF_DIR).toPandas()
+    out = QUERIES["llm_dedup_cluster"](spark, SF_DIR).toPandas()
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    want = {
+        (cid, len(m), hashlib.md5(",".join(map(str, sorted(m))).encode()).hexdigest())
+        for cid, m in comps.items()
+        if len(m) > 1
+    }
+    got = {(r.cluster_id, r.n_docs, r.member_fp) for r in out.itertuples(index=False)}
+    assert got == want
+
+
+def test_win_ewma_recomputes_in_pandas(spark):
+    from lsd_spark.operators.windows import EWMA_ALPHA, EWMA_W
+
+    out = QUERIES["win_ewma"](spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(os.path.join(SF_DIR, "events.parquet"))
+    assert len(out) == len(ev)
+    ev = ev.assign(t_us=ev.ts.astype("int64") // 1000)
+    got = dict(zip(out.event_id, out.ewma))
+    checked = 0
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["t_us", "event_id"])
+        vals = g.value.to_numpy()
+        ids = g.event_id.to_numpy()
+        for i in range(len(vals)):
+            lo = max(0, i - EWMA_W + 1)
+            window = vals[lo : i + 1][::-1]  # most recent first
+            ws = [EWMA_ALPHA**k for k in range(len(window))]
+            want = round(sum(w * v for w, v in zip(ws, window)) / sum(ws), 4)
+            assert math.isclose(got[ids[i]], want, abs_tol=1e-9), (ids[i], got[ids[i]], want)
+            checked += 1
+        if checked > 300:
+            break
+    assert checked > 0
