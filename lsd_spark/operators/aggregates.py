@@ -855,3 +855,77 @@ def agg_sample_reservoir(spark, sf_dir):
         .select("event_type", F.col("rk").cast("long").alias("rk"), "event_id", "h")
         .orderBy("event_type", "rk")
     )
+
+
+DRIFT_BUCKET_W = 10.0  # value-bucket width
+DRIFT_BUCKET_CAP = 19  # buckets 0..19, tail clamped
+
+
+@register(
+    "agg_drift_chi2",
+    oracle=(
+        "WITH tagged AS (SELECT event_type, "
+        "CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 0 THEN 'a' ELSE 'b' END AS period, "
+        f"least(CAST(floor(value / {DRIFT_BUCKET_W!r}) AS BIGINT), {DRIFT_BUCKET_CAP}) AS bucket "
+        "FROM events), "
+        "cnt AS (SELECT event_type, bucket, "
+        "SUM(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS na, "
+        "SUM(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS nb "
+        "FROM tagged GROUP BY event_type, bucket), "
+        "tot AS (SELECT event_type, SUM(na) AS ta, SUM(nb) AS tb, "
+        "count(*) AS n_buckets FROM cnt GROUP BY event_type), "
+        "terms AS (SELECT c.event_type, "
+        "(na * 1.0 / ta - nb * 1.0 / tb) * (na * 1.0 / ta - nb * 1.0 / tb) / "
+        "((na * 1.0 / ta + nb * 1.0 / tb) / 2) AS term "
+        "FROM cnt c JOIN tot t ON c.event_type = t.event_type) "
+        "SELECT tm.event_type, ROUND(SUM(term), 6) AS chi2, "
+        "CAST(MAX(ta) AS BIGINT) AS n_a, CAST(MAX(tb) AS BIGINT) AS n_b, "
+        "CAST(MAX(n_buckets) AS BIGINT) AS n_buckets "
+        "FROM terms tm JOIN tot t ON tm.event_type = t.event_type "
+        "GROUP BY tm.event_type ORDER BY tm.event_type"
+    ),
+)
+def agg_drift_chi2(spark, sf_dir):
+    """Distribution-drift monitor — the pipeline health check every
+    production training-data flow runs between ingest batches: split
+    the stream into two periods (even/odd epoch day — the fixture
+    has no explicit batch column), histogram `value` into fixed
+    buckets per event_type, and score the shift with the symmetric
+    chi-square statistic Σ(p−q)²/((p+q)/2). Chi-square instead of
+    the textbook PSI because PSI's ln() is the classic cross-engine
+    last-ulp divergence, while this is pure rational arithmetic on
+    counts — bit-exact everywhere. Two map-side-combined aggregates
+    over (type, bucket) then (type): the shuffle moves at most
+    types×buckets rows regardless of corpus size."""
+    ev = load(spark, sf_dir, "events")
+    period = F.when(
+        (F.unix_micros("ts") / F.lit(86400000000)).cast("long") % 2 == 0, F.lit("a")
+    ).otherwise(F.lit("b"))
+    bucket = F.least(
+        F.floor(F.col("value") / DRIFT_BUCKET_W).cast("long"), F.lit(DRIFT_BUCKET_CAP)
+    )
+    cnt = (
+        ev.select("event_type", period.alias("period"), bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.when(F.col("period") == "a", 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("period") == "b", 1).otherwise(0)).alias("nb"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    p = F.col("na") * 1.0 / F.col("ta")
+    q = F.col("nb") * 1.0 / F.col("tb")
+    term = (p - q) * (p - q) / ((p + q) / 2)
+    return (
+        cnt.withColumn("ta", F.sum("na").over(wt))
+        .withColumn("tb", F.sum("nb").over(wt))
+        .withColumn("n_buckets", F.count("*").over(wt))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(term), 6).alias("chi2"),
+            F.max("ta").cast("long").alias("n_a"),
+            F.max("tb").cast("long").alias("n_b"),
+            F.max("n_buckets").cast("long").alias("n_buckets"),
+        )
+        .orderBy("event_type")
+    )
