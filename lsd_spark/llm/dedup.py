@@ -341,6 +341,78 @@ def llm_dedup_ngram(spark, sf_dir):
     return cross.unionByName(within).orderBy("doc_a", "doc_b")
 
 
+CONTAIN_T = 0.8
+
+_CONTAIN_ORACLE = (
+    "WITH sg AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, greatest(len(t) - 2, 1) + 1), i -> array_to_string(t[i:i+2], ' '))) AS sh "
+    "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)), "
+    "tok AS (SELECT doc_id, unnest(sh) AS s FROM sg), "
+    f"ok AS (SELECT s FROM tok GROUP BY s HAVING count(*) <= {NGRAM_DF_CAP}), "
+    "tk AS (SELECT tok.doc_id, tok.s FROM tok JOIN ok USING (s)), "
+    "sz AS (SELECT doc_id, count(*) AS c FROM tk GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i "
+    "FROM tk a JOIN tk b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "dirs AS ("
+    "SELECT u AS doc_a, v AS doc_b, ROUND(i * 1.0 / sa.c, 4) AS containment "
+    "FROM inter JOIN sz sa ON u = sa.doc_id "
+    "UNION ALL "
+    "SELECT v, u, ROUND(i * 1.0 / sb.c, 4) "
+    "FROM inter JOIN sz sb ON v = sb.doc_id) "
+    f"SELECT doc_a, doc_b, containment FROM dirs WHERE containment >= {CONTAIN_T} "
+    "ORDER BY doc_a, doc_b"
+)
+
+
+@register("llm_dedup_containment", oracle=_CONTAIN_ORACLE)
+def llm_dedup_containment(spark, sf_dir):
+    """DIRECTED shingle containment C(A -> B) = |S(A) ∩ S(B)| / |S(A)|
+    at >= 0.8 — the sub-document duplication detector Jaccard cannot
+    express: a paragraph pasted into a much longer page has tiny
+    Jaccard (union is huge) but containment ~1 from the short side,
+    exactly the "quoted boilerplate inside otherwise-novel documents"
+    case a pretraining curation pipeline must catch (Broder 1997's
+    resemblance vs containment distinction — public).
+
+    Same inverted-index discipline as llm_dedup_ngram: distinct
+    3-token shingles, document-frequency cap on hot shingles (the
+    posting self-join's skew guard), posting equi-join for the
+    intersection, then BOTH directed ratios from one undirected
+    intersection row — the asymmetry costs one projection, not a
+    second join. All shuffles key on shingle or doc_id; nothing
+    corpus-sized is broadcast; output is only the pairs that clear
+    the threshold."""
+    docs = load(spark, sf_dir, "documents")
+    tok = _shingled(docs).select("doc_id", F.explode("shingles").alias("s"))
+    hot = tok.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > NGRAM_DF_CAP)
+    tk = tok.join(F.broadcast(hot.select("s")), "s", "left_anti").select("doc_id", "s")
+    sz = tk.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a, b = tk.alias("a"), tk.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .agg(F.count("*").alias("i"))
+    )
+    su = sz.select(F.col("doc_id").alias("u"), F.col("c").alias("cu"))
+    sv = sz.select(F.col("doc_id").alias("v"), F.col("c").alias("cv"))
+    both = inter.join(su, "u").join(sv, "v")
+    fwd = both.select(
+        F.col("u").alias("doc_a"),
+        F.col("v").alias("doc_b"),
+        F.round(F.col("i") / F.col("cu"), 4).alias("containment"),
+    )
+    rev = both.select(
+        F.col("v").alias("doc_a"),
+        F.col("u").alias("doc_b"),
+        F.round(F.col("i") / F.col("cv"), 4).alias("containment"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("containment") >= CONTAIN_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dedup: semantic duplicates.
 # ---------------------------------------------------------------------------

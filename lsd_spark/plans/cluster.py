@@ -582,6 +582,112 @@ def graph_pagerank(spark, sf_dir):
     )
 
 
+@register(
+    "graph_triangle_count",
+    oracle=(
+        "WITH pairs AS (" + _BUCKETED_PAIRS_SQL + "), "
+        "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+        "FROM pairs e1 JOIN pairs e2 ON e2.u = e1.v "
+        "JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v), "
+        "tn AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri "
+        "UNION ALL SELECT c FROM tri), "
+        "an AS (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs), "
+        "deg AS (SELECT node, count(*) AS degree FROM an GROUP BY node), "
+        "tc AS (SELECT node, count(*) AS n_tri FROM tn GROUP BY node) "
+        "SELECT d.node, d.degree, COALESCE(t.n_tri, 0) AS n_tri "
+        "FROM deg d LEFT JOIN tc t ON d.node = t.node ORDER BY d.node"
+    ),
+    cacheable=False,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Per-node triangle counts over the near-duplicate graph — the
+    third diagnostic on the same bucketed edge set (after
+    graph_degree_hist and graph_pagerank): triangles/degree separates
+    CLIQUE-like template families (every member pairs with every
+    other — the safe bulk-drop case) from STAR-like hubs (one
+    boilerplate doc similar to many mutually-dissimilar docs — the
+    case where transitive dedup over-merges).
+
+    Plan: degree-ORIENTED wedge counting (Suri & Vassilvitskii 2011,
+    "Counting Triangles and the Curse of the Last Reducer" — public
+    MapReduce algorithm). Each undirected edge is directed from its
+    lower-(degree, id) endpoint to the higher; wedges are generated
+    only at each triangle's minimum-rank apex, which bounds the
+    self-join fan-out by O(sqrt(m)) per node — total work O(m^1.5)
+    regardless of degree skew, vs the unbounded hot-hub blowup of
+    naive per-node wedge enumeration (the "last reducer" a 100 TB
+    boilerplate hub would otherwise become). Every step is an
+    equi-join or map-side-combined aggregate on node keys: no
+    broadcast of anything corpus-sized, no driver data motion.
+
+    The ORACLE enumerates the same triangle set the simple way
+    (canonical u<v<w three-way join) — fixture-scale tractable, and
+    an independent formulation: agreement checks the orientation
+    logic, not just the arithmetic."""
+    # materialize the edge list once (the pagerank/FoF edges-are-an-
+    # artifact decision): this plan references it FOUR times (degree,
+    # orientation, wedge self-join, closure probe) — without the
+    # checkpoint each reference re-expands the whole IVF candidate
+    # pipeline and the logical tree balloons ~40x
+    pairs = (
+        embcos_near_pairs(spark, sf_dir)
+        .select(F.col("vec_a").alias("u"), F.col("vec_b").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # the oriented list is the self-joined side — checkpoint it too
+    # (same row count as pairs; one tiny eager job) so the wedge
+    # join's both legs and the closure probe read a settled plan
+    oriented = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = (
+        x.join(y, F.col("x.src") == F.col("y.src"))
+        .filter(F.col("x.dst") < F.col("y.dst"))
+        .select(
+            F.col("x.src").alias("a"),
+            F.col("x.dst").alias("b"),
+            F.col("y.dst").alias("c"),
+        )
+    )
+    tri = wedges.join(
+        pairs,
+        (F.least("b", "c") == F.col("u")) & (F.greatest("b", "c") == F.col("v")),
+    ).select("a", "b", "c")
+    tn = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    tc = tn.groupBy("node").agg(F.count("*").alias("n_tri"))
+    return (
+        deg.join(tc, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0).cast("long")).alias("n_tri"),
+        )
+        .orderBy("node")
+    )
+
+
 _QSCORE_SQL = (
     "CAST(FLOOR((LEAST(n_chars / 400.0, 1.0) * 0.5 + "
     "LEAST(len(string_split(text, ' ')) / 80.0, 1.0) * 0.5) * 10000 + 0.5) / 10000 "

@@ -593,3 +593,58 @@ def join_point_in_polygon(spark, sf_dir):
         .select("event_id", "poly_id")
         .orderBy("event_id", "poly_id")
     )
+
+
+# --- dynamic partition pruning over the zone layout -----------------------
+
+TARGET_MOD = 9973  # deterministic rare target list: event_id % mod == 0
+
+_Z_SQL = f"CAST(LEAST(FLOOR((dec + 90.0) / {GRID}), {_NZ - 1}) AS INT)"
+
+
+@register(
+    "scan_partition_prune_dynamic",
+    oracle=(
+        f"WITH p AS ({_sphere_points_sql(None)}), "
+        f"pz AS (SELECT event_id, {_Z_SQL} AS z FROM p), "
+        f"t AS (SELECT DISTINCT z FROM pz WHERE event_id % {TARGET_MOD} = 0) "
+        "SELECT pz.z, count(*) AS n_pts FROM pz JOIN t ON pz.z = t.z "
+        "GROUP BY pz.z ORDER BY pz.z"
+    ),
+    cacheable=False,
+)
+def scan_partition_prune_dynamic(spark, sf_dir):
+    """DYNAMIC partition pruning: fetch the full contents of every
+    zone containing a target-list object — LSD's neighborhood
+    retrieval ("give me the cells my targets live in"), and the
+    partition-pruning case `scan_partition_prune` can NOT express:
+    the zone set comes from DATA (a runtime subquery), not from a
+    literal predicate, so static pruning is impossible by
+    construction.
+
+    Plan: the zone-PARTITIONED sky layout (build_region_layout —
+    at 100 TB the ingest-time directory layout) joined on the
+    partition column `z` to the filtered target list. Catalyst
+    inserts a DPP filter — the fact scan's PartitionFilters gain
+    `dynamicpruningexpression(z IN subquery)`, executed as a reused
+    broadcast — so non-target zone DIRECTORIES are never opened:
+    at sf0.1 the scan reads ~11 of 180 zone dirs, and at 100 TB the
+    same plan reads only the target cells' bytes
+    (tests/test_plans.py pins the dynamicpruning marker in the
+    executed plan). The target list itself is a full scan of the
+    layout but keeps ~1/10000 of rows (selective filter -> tiny
+    broadcast); per-zone counts are map-side combined."""
+    path = build_region_layout(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    targets = (
+        spark.read.parquet(path)
+        .filter(F.col("event_id") % TARGET_MOD == 0)
+        .select("z")
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(targets), "z")
+        .groupBy("z")
+        .agg(F.count("*").alias("n_pts"))
+        .orderBy("z")
+    )

@@ -531,3 +531,19 @@ def test_zorder_layout_prunes_key_ranges(spark):
     back = spark.read.parquet(f"{base}/zorder")
     p = plan(back.filter((F.col("_id") >= lo) & (F.col("_id") <= hi)))
     assert "PushedFilters: [IsNotNull(_id), GreaterThanOrEqual(_id," in p, p
+
+
+def test_dynamic_partition_pruning_fires_on_zone_layout(spark):
+    """scan_partition_prune_dynamic's fact scan must carry a
+    dynamicpruningexpression on the partition column z — the
+    runtime-subquery analog of the cone's static INSET list — and
+    the target side must reach the join as a broadcast (DPP reuses
+    it as the pruning filter)."""
+    from lsd_spark.registry import QUERIES
+
+    df = QUERIES["scan_partition_prune_dynamic"](spark, SF_DIR)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in p.lower(), p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
