@@ -796,3 +796,100 @@ def agg_density_adaptive(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("nside", "cell")
     )
+
+
+# --- chained multi-catalog cross-match (the LSD hallmark query) ----------
+
+_CHAIN_BC_SQL = (
+    # stage 2 candidates: only the DISTINCT matched B objects pay the
+    # second match (b coords come from the click catalog itself)
+    "SELECT ab.r_id AS b_id, c.event_id AS c_id, "
+    + DIST_SPHERE.format(ldec="b.dec", rdec="c.dec", lra="b.ra", rra="c.ra")
+    + " AS dist "
+    f"FROM (SELECT DISTINCT r_id FROM ab) ab "
+    f"JOIN ({_sphere_points_sql('click')}) b ON b.event_id = ab.r_id "
+    f"JOIN ({_sphere_points_sql('view')}) c ON "
+    + DIST_SPHERE.format(ldec="b.dec", rdec="c.dec", lra="b.ra", rra="c.ra")
+    + f" <= {R_SPHERE}"
+)
+
+
+@register(
+    "join_xmatch_sphere_chain",
+    oracle=(
+        f"WITH candab AS ({_SPHERE_CAND_SQL}), "
+        "ab AS (SELECT l_id, r_id, dist FROM ("
+        "SELECT l_id, r_id, dist, ROW_NUMBER() OVER ("
+        "PARTITION BY l_id ORDER BY dist ASC, r_id ASC) AS rn FROM candab) "
+        "WHERE rn = 1), "
+        f"candbc AS ({_CHAIN_BC_SQL}), "
+        "bc AS (SELECT b_id, c_id, dist FROM ("
+        "SELECT b_id, c_id, dist, ROW_NUMBER() OVER ("
+        "PARTITION BY b_id ORDER BY dist ASC, c_id ASC) AS rn FROM candbc) "
+        "WHERE rn = 1) "
+        "SELECT ab.l_id AS a_id, ab.r_id AS b_id, bc.c_id, "
+        "ROUND(ab.dist, 9) AS dist_ab_deg, ROUND(bc.dist, 9) AS dist_bc_deg "
+        "FROM ab JOIN bc ON ab.r_id = bc.b_id ORDER BY a_id"
+    ),
+)
+def join_xmatch_sphere_chain(spark, sf_dir):
+    """CHAINED three-catalog cross-match — the signature LSD query
+    shape (`FROM ps1, sdss(matchedto=ps1, nmax=1),
+    twomass(matchedto=sdss)`): every purchase keeps its nearest
+    click within R_SPHERE, and every MATCHED click keeps its nearest
+    view, giving (a, b, c, dist_ab, dist_bc) rows. Inner-join
+    semantics on both hops (a row exists iff both matches exist) —
+    the lsd-xmatch chained default.
+
+    Plan shape: hop 1 is the shared zones candidate join + per-a
+    rank; hop 2 re-keys only the DISTINCT matched b objects (never
+    the full click catalog — at 100 TB the second hop's probe side
+    is bounded by |A|, the chain's narrowest catalog) through the
+    same zones join + per-b rank; the final assembly is one
+    equi-join on b_id. Each hop is the standard bounded-fanout
+    (<= 9 cells) equi-join — chaining composes LINEARLY: an n-hop
+    chain costs n bounded shuffles, never a growing cross product."""
+    from lsd_spark.plans.zones import rank_nearest
+
+    ab = rank_nearest(
+        sphere_xmatch(
+            sphere_points(spark, sf_dir, "purchase"),
+            sphere_points(spark, sf_dir, "click"),
+            R_SPHERE,
+        ),
+        partition_cols=["l_id"],
+        order_cols=[F.col("dist").asc(), F.col("r_id").asc()],
+        nmax=1,
+    ).select(
+        F.col("l_id").alias("a_id"),
+        F.col("r_id").alias("b_id"),
+        F.col("dist").alias("dist_ab"),
+        F.col("rra").alias("bra"),
+        F.col("rdec").alias("bdec"),
+    )
+    bs = ab.select(
+        F.col("b_id").alias("event_id"),
+        F.col("bra").alias("ra"),
+        F.col("bdec").alias("dec"),
+    ).distinct()
+    bc = rank_nearest(
+        sphere_xmatch(bs, sphere_points(spark, sf_dir, "view"), R_SPHERE),
+        partition_cols=["l_id"],
+        order_cols=[F.col("dist").asc(), F.col("r_id").asc()],
+        nmax=1,
+    ).select(
+        F.col("l_id").alias("b_id"),
+        F.col("r_id").alias("c_id"),
+        F.col("dist").alias("dist_bc"),
+    )
+    return (
+        ab.join(bc, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "c_id",
+            F.round("dist_ab", 9).alias("dist_ab_deg"),
+            F.round("dist_bc", 9).alias("dist_bc_deg"),
+        )
+        .orderBy("a_id")
+    )

@@ -133,7 +133,7 @@ def main():
         "agg_object_coadd", "llm_dedup_keep_best",
         "join_xmatch_2d", "join_xmatch_2d_knn", "join_xmatch_2d_margin",
         "join_xmatch_sphere", "join_xmatch_sphere_knn",
-        "join_xmatch_sphere_margin",
+        "join_xmatch_sphere_margin", "join_xmatch_sphere_chain",
         "llm_dedup_embcos_exact",
         # recursive-CTE transitive closure over the MinHash pair CTEs
         "llm_dedup_cluster",
