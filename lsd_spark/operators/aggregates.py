@@ -929,3 +929,66 @@ def agg_drift_chi2(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --- mergeable fixed-grid quantile sketch ---------------------------------
+
+SKETCH_BINS = 512  # fixed grid over the value domain [0, 512)
+_SKETCH_BIN_DUCK = f"CAST(LEAST(FLOOR(value), {SKETCH_BINS - 1}) AS INT)"
+
+
+@register(
+    "agg_quantile_sketch",
+    oracle=(
+        f"WITH h AS (SELECT event_type, {_SKETCH_BIN_DUCK} AS bin, count(*) AS c "
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), "
+        "cw AS (SELECT event_type, bin, c, "
+        "SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum, "
+        "SUM(c) OVER (PARTITION BY event_type) AS n FROM h) "
+        "SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, "
+        "CAST(MIN(CASE WHEN cum * 100 >= 50 * n THEN bin END) AS BIGINT) AS p50_est, "
+        "CAST(MIN(CASE WHEN cum * 100 >= 95 * n THEN bin END) AS BIGINT) AS p95_est, "
+        "CAST(MIN(CASE WHEN cum * 100 >= 99 * n THEN bin END) AS BIGINT) AS p99_est "
+        "FROM cw GROUP BY event_type ORDER BY event_type"
+    ),
+)
+def agg_quantile_sketch(spark, sf_dir):
+    """Mergeable fixed-grid quantile SKETCH — the 100 TB shape for
+    percentiles: `agg_percentiles`' exact interpolated quantile is a
+    sort-based aggregate (every value crosses the wire), while this
+    histogram sketch is one map-side-combined count per (group, bin)
+    — the shuffle moves <= groups x SKETCH_BINS rows at ANY corpus
+    size, and partial histograms merge by addition (the same
+    mergeability contract t-digest offers, minus the approximation
+    opacity: a fixed grid's error bound is the bin width, stated up
+    front). Quantile estimate = lower edge of the first bin whose
+    cumulative count reaches ceil(q*n), computed with INTEGER
+    cross-multiplication (cum*100 >= q*n) so the crossing decision
+    is bit-exact on both engines — no float quantile arithmetic
+    anywhere. The rank-over-bins second stage runs on the tiny
+    histogram, not the data."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = F.least(F.floor(F.col("value")), F.lit(SKETCH_BINS - 1)).cast("int")
+    h = ev.groupBy("event_type", b.alias("bin")).agg(F.count("*").alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cw = h.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_all)
+    )
+    est = lambda pct: F.min(  # noqa: E731
+        F.when(F.col("cum") * 100 >= F.lit(pct) * F.col("n"), F.col("bin"))
+    ).cast("long")
+    return (
+        cw.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            est(50).alias("p50_est"),
+            est(95).alias("p95_est"),
+            est(99).alias("p99_est"),
+        )
+        .orderBy("event_type")
+    )

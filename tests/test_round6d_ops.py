@@ -126,3 +126,21 @@ def test_containment_is_invisible_to_jaccard(spark, containment_dir):
     out = QUERIES["llm_dedup_ngram"](spark, containment_dir).toPandas()
     pairs = {(int(r.doc_a), int(r.doc_b)) for r in out.itertuples(index=False)}
     assert (1, 2) not in pairs and (2, 1) not in pairs
+
+
+def test_quantile_sketch_within_one_bin_of_exact(spark):
+    """The sketch's stated error bound is the bin width (1.0):
+    every estimate must be the floor of a value at-or-below the
+    exact quantile's bin neighborhood, independently recomputed
+    with numpy's inverted_cdf (the same rank definition)."""
+    from tests.conftest import SF_DIR
+
+    out = QUERIES["agg_quantile_sketch"](spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(os.path.join(SF_DIR, "events.parquet"))
+    ev = ev[ev.value.notna()]
+    for r in out.itertuples(index=False):
+        vals = np.sort(ev[ev.event_type == r.event_type].value.values)
+        assert r.n == len(vals)
+        for pct, got in ((50, r.p50_est), (95, r.p95_est), (99, r.p99_est)):
+            exact = vals[int(np.ceil(pct / 100 * len(vals))) - 1]
+            assert abs(got - np.floor(exact)) <= 1, (r.event_type, pct, got, exact)
