@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from lsd_spark.catalog import load
 from lsd_spark.plans.sphere import (
     N_SIDE,
     _sphere_points_sql,
@@ -276,3 +277,63 @@ def agg_sky_coverage(spark, sf_dir):
         .cast("bigint")
         .alias("area_cdeg2"),
     )
+
+
+# --- MJD <-> timestamp conversion ----------------------------------------
+
+_MJD_UNIX_EPOCH = 40587  # 1970-01-01 00:00 UTC in Modified Julian Days
+_US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "fn_mjd_convert",
+    oracle=(
+        "WITH e AS (SELECT event_id, ts, "
+        "epoch_us(ts) AS us FROM events WHERE event_type = 'click'), "
+        f"m AS (SELECT event_id, ts, us + CAST({_MJD_UNIX_EPOCH} AS BIGINT) "
+        f"* {_US_PER_DAY} AS mjd_us FROM e) "
+        f"SELECT event_id, CAST(mjd_us // {_US_PER_DAY} AS BIGINT) AS mjd_day, "
+        f"CAST(mjd_us % {_US_PER_DAY} AS BIGINT) AS mjd_frac_us, "
+        f"CAST(FLOOR((CAST(mjd_us AS DOUBLE) / {_US_PER_DAY}) * 100000 + 0.5) "
+        "AS BIGINT) AS mjd_x1e5, "
+        f"CAST(CASE WHEN make_timestamp(mjd_us - CAST({_MJD_UNIX_EPOCH} AS BIGINT) "
+        f"* {_US_PER_DAY}) = ts THEN 1 ELSE 0 END AS INT) AS roundtrip_ok "
+        "FROM m ORDER BY event_id"
+    ),
+)
+def fn_mjd_convert(spark, sf_dir):
+    """Modified-Julian-Date conversion — the astronomical time axis
+    LSD stamps on every detection (epoch keys, proper-motion
+    baselines). Both directions, EXACT: timestamp -> MJD as integer
+    microseconds since the MJD epoch (Unix epoch == MJD 40587, a
+    public constant), split into whole days + intra-day microseconds
+    by integer division — no float time arithmetic anywhere, so the
+    oracle is bit-exact by construction; the conventional fractional
+    MJD is emitted only as a quantized display column (x1e5 ~ 0.9 s
+    resolution). The inverse direction is verified in-row:
+    make_timestamp/timestamp_micros(mjd_us - epoch_offset) must
+    reproduce the source timestamp (roundtrip_ok == 1 for every
+    row).
+
+    Map-only projection, whole-stage codegen, no shuffle at any
+    scale — the canonical cheap derived-column stamp an ingest
+    pipeline fuses into its first pass."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "ts")
+    )
+    us = F.unix_micros(F.col("ts"))
+    mjd_us = us + F.lit(_MJD_UNIX_EPOCH).cast("long") * F.lit(_US_PER_DAY)
+    back = F.timestamp_micros(
+        mjd_us - F.lit(_MJD_UNIX_EPOCH).cast("long") * F.lit(_US_PER_DAY)
+    )
+    return ev.select(
+        "event_id",
+        (mjd_us / F.lit(_US_PER_DAY)).cast("long").alias("mjd_day"),
+        (mjd_us % F.lit(_US_PER_DAY)).cast("long").alias("mjd_frac_us"),
+        F.floor((mjd_us.cast("double") / _US_PER_DAY) * 100000 + 0.5)
+        .cast("long")
+        .alias("mjd_x1e5"),
+        F.when(back == F.col("ts"), 1).otherwise(0).cast("int").alias("roundtrip_ok"),
+    ).orderBy("event_id")

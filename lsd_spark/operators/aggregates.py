@@ -992,3 +992,144 @@ def agg_quantile_sketch(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --- kappa-sigma clipped mean (robust coadd statistic) --------------------
+
+_CLIP_KAPPA = 2  # clip at kappa * sigma; integer so the literal is exact
+
+_SIGMA_CLIP_ORACLE = (
+    "WITH s AS (SELECT user_id, value FROM events WHERE value IS NOT NULL), "
+    "m AS (SELECT user_id, ROUND(AVG(value), 6) AS m0, "
+    "ROUND(STDDEV_SAMP(value), 6) AS sd0, COUNT(*) AS n_raw "
+    "FROM s GROUP BY user_id HAVING COUNT(*) >= 3), "
+    "k AS (SELECT s.user_id, s.value, m.n_raw FROM s JOIN m USING (user_id) "
+    f"WHERE ABS(s.value - m.m0) <= {_CLIP_KAPPA} * m.sd0) "
+    "SELECT user_id, CAST(MAX(n_raw) AS BIGINT) AS n_raw, "
+    "CAST(COUNT(*) AS BIGINT) AS n_kept, "
+    "CAST(FLOOR(AVG(value) * 1000 + 0.5) AS BIGINT) AS clip_mean_milli "
+    "FROM k GROUP BY user_id ORDER BY user_id"
+)
+
+
+@register("agg_sigma_clip", oracle=_SIGMA_CLIP_ORACLE)
+def agg_sigma_clip(spark, sf_dir):
+    """Kappa-sigma clipped mean per user — the robust stacking
+    statistic of astronomical coaddition (reject outlier epochs at
+    kappa*sigma, then average the survivors; one clip pass, fixed
+    kappa=2, groups gated to n>=3 so sigma is always defined).
+
+    Plan: window-based, join-free — mean/stddev/count are computed
+    OVER (PARTITION BY user_id) so the per-group moments ride the
+    same single hash exchange the final re-aggregation needs; the
+    between-stage clip is a filter on the windowed columns. The
+    moments are ROUND(,6)-ed BEFORE the clip comparison so both
+    engines threshold on the identical literal (ulp-order summation
+    differences vanish under the round; the same convention as the
+    eta-statistic's variance guard).
+
+    100 TB: one shuffle on the group key, no join-back of a
+    corpus-sized moments table; the windowed first pass and the
+    final groupBy share partitioning (exchange reuse). kappa-sigma
+    outlier rejection at scale is per-group-bounded work — no
+    global sort, no iteration (the fixed single pass is the
+    standard coadd recipe; iterating to convergence would add one
+    bounded filter+agg round per extra pass)."""
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "value")
+    )
+    w = Window.partitionBy("user_id")
+    s = (
+        s.withColumn("m0", F.round(F.avg("value").over(w), 6))
+        .withColumn("sd0", F.round(F.stddev_samp("value").over(w), 6))
+        .withColumn("n_raw", F.count("*").over(w))
+        .filter(F.col("n_raw") >= 3)
+        .filter(F.abs(F.col("value") - F.col("m0")) <= _CLIP_KAPPA * F.col("sd0"))
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.max("n_raw").cast("long").alias("n_raw"),
+            F.count("*").cast("long").alias("n_kept"),
+            F.floor(F.avg("value") * 1000 + 0.5).cast("long").alias("clip_mean_milli"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- lightcurve structure function ---------------------------------------
+
+_SF_LAG_US = 7 * 86_400_000_000  # lag bin width: 7 days in microseconds
+_SF_NBINS = 8
+
+_SF_ORACLE = (
+    "WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS us, value "
+    "FROM events WHERE value IS NOT NULL), "
+    "p AS (SELECT a.event_type, "
+    f"CAST(LEAST(ABS(b.us - a.us) // {_SF_LAG_US}, {_SF_NBINS - 1}) AS INT) AS lag_bin, "
+    "ABS(b.value - a.value) AS dv "
+    "FROM s a JOIN s b ON a.user_id = b.user_id "
+    "AND a.event_type = b.event_type AND a.us < b.us) "
+    "SELECT event_type, lag_bin, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+    "CAST(FLOOR(AVG(dv) * 1000 + 0.5) AS BIGINT) AS sf_milli "
+    "FROM p GROUP BY event_type, lag_bin ORDER BY event_type, lag_bin"
+)
+
+
+@register("agg_structure_function", oracle=_SF_ORACLE)
+def agg_structure_function(spark, sf_dir):
+    """First-order structure function SF(tau) — the standard
+    characterization of AGN/variable-star variability timescales
+    (public formula, e.g. Schmidt et al. 2010): mean |delta value|
+    over all epoch pairs of the same series, binned by time lag.
+    Series key = (user_id, event_type); 7-day lag bins, capped at 8.
+
+    Plan: per-series SELF-JOIN on the series key (one shuffle; both
+    sides are the same scan, so the exchange is reused), forward
+    pairs only (a.ts < b.ts), then a map-side-combined mean per
+    (event_type, lag_bin) — output is types x bins rows regardless
+    of corpus size. Lag binning is exact integer arithmetic on
+    epoch microseconds; only the final mean is float, quantized to
+    1e-3 for the cross-engine hash.
+
+    100 TB: the pair count is quadratic in EPOCHS PER SERIES (a
+    survey-cadence constant, ~10^2-10^3), never in catalog size —
+    the same per-cell-bounded argument as LSD's lightcurve kernels;
+    series are hash-partitioned so each task sees whole series and
+    the quadratic stays in-memory per group."""
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+            "value",
+        )
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.us") < F.col("b.us")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.least(
+            F.expr(f"abs(b.us - a.us) div {_SF_LAG_US}"),
+            F.lit(_SF_NBINS - 1).cast("long"),
+        )
+        .cast("int")
+        .alias("lag_bin"),
+        F.abs(F.col("b.value") - F.col("a.value")).alias("dv"),
+    )
+    return (
+        pairs.groupBy("event_type", "lag_bin")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.floor(F.avg("dv") * 1000 + 0.5).cast("long").alias("sf_milli"),
+        )
+        .orderBy("event_type", "lag_bin")
+    )

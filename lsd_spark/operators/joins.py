@@ -398,3 +398,130 @@ def join_interval_overlap(spark, sf_dir):
         .agg(F.count("*").alias("n_overlaps"))
         .orderBy("l_id")
     )
+
+
+# --- Bloom-filter semi-join pruning --------------------------------------
+
+_BLOOM_M = 4096  # bit-array size; k = 3 md5-derived hash functions
+_BLOOM_PRICE = 490_000.0  # selective build-side predicate
+
+# one md5-derived bit position per (key, hash index) — identical text
+# on both engines modulo the hex-literal spelling
+_BIT_SPARK = (
+    "CAST(conv(substr(md5(concat(CAST({key} AS STRING), 'b{i}')), 1, 15), 16, 10) "
+    f"AS BIGINT) % {_BLOOM_M}"
+)
+_BIT_DUCK = (
+    "('0x' || substring(md5(CAST({key} AS VARCHAR) || 'b{i}'), 1, 15))::BIGINT "
+    f"% {_BLOOM_M}"
+)
+
+
+def _bloom_union_duck(src: str, key: str) -> str:
+    """UNION of the k=3 per-hash bit projections of `src`."""
+    return " UNION ".join(
+        f"SELECT {i} AS i, {_BIT_DUCK.format(key=key, i=i)} AS bit FROM {src}"
+        for i in range(3)
+    )
+
+
+@register(
+    "join_bloom_prune",
+    oracle=(
+        "WITH build AS (SELECT DISTINCT o_custkey FROM orders "
+        f"WHERE o_totalprice > {_BLOOM_PRICE}), "
+        f"bits AS (SELECT DISTINCT bit FROM ({_bloom_union_duck('build', 'o_custkey')})), "
+        "probe AS (SELECT c_custkey, i, "
+        "bit FROM (SELECT c_custkey FROM customer) c CROSS JOIN LATERAL ("
+        f"SELECT 0 AS i, {_BIT_DUCK.format(key='c_custkey', i=0)} AS bit "
+        f"UNION SELECT 1, {_BIT_DUCK.format(key='c_custkey', i=1)} "
+        f"UNION SELECT 2, {_BIT_DUCK.format(key='c_custkey', i=2)}) h), "
+        "pass AS (SELECT c_custkey FROM probe JOIN bits USING (bit) "
+        "GROUP BY c_custkey HAVING COUNT(DISTINCT i) = 3) "
+        "SELECT p.c_custkey, "
+        "CAST(CASE WHEN b.o_custkey IS NULL THEN 0 ELSE 1 END AS INT) AS in_build "
+        "FROM pass p LEFT JOIN build b ON p.c_custkey = b.o_custkey "
+        "ORDER BY p.c_custkey"
+    ),
+)
+def join_bloom_prune(spark, sf_dir):
+    """Bloom-filter semi-join pruning — THE technique for shrinking a
+    100 TB probe side before an expensive join: hash the (small)
+    build side's keys into an m-bit filter with k hash functions,
+    ship only the filter, and drop every probe row whose k bits are
+    not all set. Spark's runtime-filter feature does exactly this
+    under AQE (spark.sql.optimizer.runtime.bloomFilter.enabled);
+    this operator is the technique spelled out declaratively — with
+    DETERMINISTIC md5-derived hash positions, so the filter's exact
+    false-positive set is reproducible cross-engine and the oracle
+    is a full hash-match (Spark's builtin BloomFilterAggregate
+    hashes with xxhash, which no other engine reproduces).
+
+    Plan: build-side bits = distinct (i, bit) projection, <= m rows
+    by construction -> BROADCAST to the probe's 3-bit explode; a
+    probe key passes iff all k=3 hash indexes matched
+    (COUNT(DISTINCT i) = 3 — counting i, not bit, so two of a key's
+    hashes colliding into one bit cannot under-count). `in_build`
+    labels the survivors: 0-rows are the filter's false positives
+    (visible at fixture scale: m=4096 is sized to the sf0.01 build
+    set; production sizes m from expectedNumItems the way Spark's
+    BloomFilterImpl does, keeping fpp fixed as n grows).
+
+    100 TB: the broadcast is <= m bits regardless of corpus size;
+    the probe side is filtered BEFORE any shuffle (map-side explode
+    + broadcast hash join + partial count), so the join that
+    follows moves only passing keys. No corpus-sized collect, no
+    two-sided shuffle."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    build = (
+        orders.filter(F.col("o_totalprice") > _BLOOM_PRICE)
+        .select("o_custkey")
+        .distinct()
+    )
+    bit_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.expr(_BIT_SPARK.format(key="o_custkey", i=i)).alias("bit"),
+            )
+            for i in range(3)
+        ]
+    )
+    bits = (
+        build.select(F.explode(bit_structs).alias("h"))
+        .select(F.col("h.bit").alias("bit"))
+        .distinct()
+    )
+    probe_bits = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.expr(_BIT_SPARK.format(key="c_custkey", i=i)).alias("bit"),
+            )
+            for i in range(3)
+        ]
+    )
+    probe = cust.select(
+        "c_custkey", F.explode(probe_bits).alias("h")
+    ).select("c_custkey", F.col("h.i").alias("i"), F.col("h.bit").alias("bit"))
+    passed = (
+        probe.join(F.broadcast(bits), "bit")
+        .groupBy("c_custkey")
+        .agg(F.countDistinct("i").alias("k_hit"))
+        .filter(F.col("k_hit") == 3)
+        .select("c_custkey")
+    )
+    return (
+        passed.join(
+            F.broadcast(build.withColumnRenamed("o_custkey", "c_custkey")
+                        .withColumn("in_build", F.lit(1))),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("in_build"), F.lit(0)).cast("int").alias("in_build"),
+        )
+        .orderBy("c_custkey")
+    )

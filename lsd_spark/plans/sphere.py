@@ -52,7 +52,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from lsd_spark.catalog import load
 from lsd_spark.registry import register
@@ -892,4 +892,162 @@ def join_xmatch_sphere_chain(spark, sf_dir):
             F.round("dist_bc", 9).alias("dist_bc_deg"),
         )
         .orderBy("a_id")
+    )
+
+
+# --- two-point angular correlation (pair-count histogram) ----------------
+
+CORR_NBINS = 8  # separation bins of width R_SPHERE / CORR_NBINS degrees
+
+_CORR_SELF_SQL = (
+    f"SELECT a.event_id AS l_id, b.event_id AS r_id, "
+    f"ROUND({_SPHERE_DIST_ORACLE}, 9) AS dist "
+    f"FROM ({_sphere_points_sql('purchase')}) a "
+    f"JOIN ({_sphere_points_sql('purchase')}) b "
+    f"ON a.event_id < b.event_id AND {_SPHERE_DIST_ORACLE} <= {R_SPHERE}"
+)
+
+
+@register(
+    "agg_angular_corr",
+    oracle=(
+        f"WITH dd AS ({_CORR_SELF_SQL}), "
+        f"h AS (SELECT CAST(LEAST(FLOOR(dist * {CORR_NBINS} / {R_SPHERE}), "
+        f"{CORR_NBINS - 1}) AS INT) AS bin, count(*) AS dd_pairs FROM dd GROUP BY 1) "
+        f"SELECT bin, "
+        f"CAST(bin AS DOUBLE) * {R_SPHERE} / {CORR_NBINS} AS theta_lo_deg, "
+        f"CAST(dd_pairs AS BIGINT) AS dd_pairs, "
+        f"CAST(FLOOR(dd_pairs * 1e6 / SUM(dd_pairs) OVER () + 0.5) AS BIGINT) "
+        f"AS frac_ppm FROM h ORDER BY bin"
+    ),
+)
+def agg_angular_corr(spark, sf_dir):
+    """Two-point angular pair-count histogram DD(theta) — the core
+    statistic of galaxy-clustering analyses (Landy-Szalay DD term;
+    Landy & Szalay 1993, public formula) and a canonical LSD-class
+    workload: count catalog self-pairs binned by angular separation
+    up to R_SPHERE degrees.
+
+    Plan: the SAME zone/bucket candidate generation as the radius
+    cross-match (sphere_xmatch against itself), forward half only
+    (l_id < r_id) so each unordered pair is counted exactly once,
+    then a map-side-combined count per separation bin — the output
+    is CORR_NBINS rows regardless of corpus size. Separation is
+    rounded to 9 decimals BEFORE binning so both engines floor the
+    identical literal (the same portability convention as the
+    xmatch dist output). Oracle = all-pairs brute force (different
+    plan, same histogram); quadratic, so the stress dir demotes it
+    to rows-only like the other brute-force distance oracles.
+
+    100 TB: pair counting is the textbook zones workload — the
+    shuffle carries (zone, bucket) cells, each task counts within
+    its cell block, and the full-sky histogram is an 8-row reduce.
+    The DR/RR terms of the full Landy-Szalay estimator are the SAME
+    operator run against a random catalog (a generated table, not a
+    new plan)."""
+    pts = sphere_points(spark, sf_dir, "purchase")
+    dd = sphere_xmatch(pts, pts, R_SPHERE).filter(F.col("l_id") < F.col("r_id"))
+    b = F.least(
+        F.floor(F.round("dist", 9) * CORR_NBINS / F.lit(R_SPHERE)),
+        F.lit(CORR_NBINS - 1),
+    ).cast("int")
+    h = dd.groupBy(b.alias("bin")).agg(F.count("*").alias("dd_pairs"))
+    return h.select(
+        "bin",
+        (F.col("bin").cast("double") * R_SPHERE / CORR_NBINS).alias("theta_lo_deg"),
+        F.col("dd_pairs").cast("long").alias("dd_pairs"),
+        F.floor(
+            F.col("dd_pairs") * 1e6 / F.sum("dd_pairs").over(Window.partitionBy())
+            + 0.5
+        )
+        .cast("long")
+        .alias("frac_ppm"),
+    ).orderBy("bin")
+
+
+# --- Bayesian probabilistic cross-match ----------------------------------
+
+# per-catalog astrometric sigma (deg) and the photometric prior sigma
+BAYES_S1, BAYES_S2, BAYES_SM = 0.3, 0.4, 1.5
+_BAYES_S2SUM = BAYES_S1 * BAYES_S1 + BAYES_S2 * BAYES_S2
+
+# deterministic synthetic magnitude per event (same trick as ra/dec)
+_MAG_SPARK = (
+    "CAST(CAST(conv(substr(md5(CAST({id} AS STRING) || 'm'), 1, 15), 16, 10) "
+    "AS BIGINT) % 10000 AS DOUBLE) / 1000.0"
+)
+_MAG_DUCK = (
+    "CAST(('0x' || substring(md5(CAST({id} AS VARCHAR) || 'm'), 1, 15))::BIGINT "
+    "% 10000 AS DOUBLE) / 1000.0"
+)
+
+# ln(Bayes factor): astrometric Gaussian + photometric (mag) prior;
+# the {dist}/{dmag} slots take engine-side column references
+_LNB = (
+    f"ln(2.0 / {_BAYES_S2SUM}) "
+    f"- ({{dist}} * {{dist}}) / (2.0 * {_BAYES_S2SUM}) "
+    f"- ({{dmag}} * {{dmag}}) / (2.0 * {BAYES_SM * BAYES_SM})"
+)
+
+
+@register(
+    "join_xmatch_bayes",
+    oracle=(
+        f"WITH cand AS (SELECT a.event_id AS l_id, b.event_id AS r_id, "
+        f"{_SPHERE_DIST_ORACLE} AS dist, "
+        f"{_MAG_DUCK.format(id='a.event_id')} - {_MAG_DUCK.format(id='b.event_id')} "
+        f"AS dmag FROM ({_sphere_points_sql('purchase')}) a "
+        f"JOIN ({_sphere_points_sql('click')}) b "
+        f"ON {_SPHERE_DIST_ORACLE} <= {R_SPHERE}), "
+        "s AS (SELECT l_id, r_id, "
+        f"ROUND({_LNB.format(dist='dist', dmag='dmag')}, 6) AS lnb, "
+        "ROW_NUMBER() OVER (PARTITION BY l_id ORDER BY "
+        f"ROUND({_LNB.format(dist='dist', dmag='dmag')}, 6) DESC, r_id) AS rn "
+        "FROM cand) "
+        "SELECT l_id, r_id, lnb FROM s WHERE rn = 1 AND lnb > 0 "
+        "ORDER BY l_id"
+    ),
+)
+def join_xmatch_bayes(spark, sf_dir):
+    """Bayesian probabilistic cross-match (Budavári & Szalay 2008,
+    public formulas): instead of 'nearest within R', each candidate
+    pair is scored by a Bayes factor combining the astrometric
+    Gaussian (per-catalog positional sigmas) with a photometric
+    prior (magnitude agreement), and the highest-posterior
+    counterpart wins — a closer-but-wrong-brightness neighbor LOSES
+    to a slightly-farther photometric twin, which is exactly the
+    blended-field failure mode positional-only matching gets wrong.
+    Keep matches with ln B > 0 (posterior odds favor association).
+
+    Plan: the SAME zone/bucket candidate generation as the radius
+    xmatch bounds the scored set; ln B is computed (not exp — the
+    log form keeps the numerics tame), ROUND(,6)-ed BEFORE ranking
+    so both engines order identical literals (r_id tie-break), then
+    one ROW_NUMBER window per left object. Magnitudes are
+    md5-derived like ra/dec — no extra table plumbing, same text
+    both engines.
+
+    100 TB: identical cost shape to join_xmatch_sphere_knn (bounded
+    candidates, one window over per-object groups); the score swap
+    is free. Extending to n catalogs multiplies likelihoods —
+    chained bounded joins, never a product."""
+    cand = sphere_xmatch(
+        sphere_points(spark, sf_dir, "purchase"),
+        sphere_points(spark, sf_dir, "click"),
+        R_SPHERE,
+    )
+    dmag = F.expr(_MAG_SPARK.format(id="l_id")) - F.expr(_MAG_SPARK.format(id="r_id"))
+    lnb = F.round(
+        F.expr(
+            _LNB.format(dist="dist", dmag="__dmag__").replace("__dmag__", "dmag")
+        ),
+        6,
+    )
+    scored = cand.withColumn("dmag", dmag).withColumn("lnb", lnb)
+    w = Window.partitionBy("l_id").orderBy(F.col("lnb").desc(), F.col("r_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("lnb") > 0))
+        .select("l_id", "r_id", "lnb")
+        .orderBy("l_id")
     )
