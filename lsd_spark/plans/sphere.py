@@ -1051,3 +1051,55 @@ def join_xmatch_bayes(spark, sf_dir):
         .select("l_id", "r_id", "lnb")
         .orderBy("l_id")
     )
+
+
+# --- mutual-nearest (one-to-one) cross-match -----------------------------
+
+
+@register(
+    "join_xmatch_mutual",
+    oracle=(
+        f"WITH cand AS ({_SPHERE_CAND_SQL}), "
+        "f AS (SELECT l_id, r_id, ROUND(dist, 9) AS dist, "
+        "ROW_NUMBER() OVER (PARTITION BY l_id ORDER BY ROUND(dist, 9), r_id) AS rl, "
+        "ROW_NUMBER() OVER (PARTITION BY r_id ORDER BY ROUND(dist, 9), l_id) AS rr "
+        "FROM cand) "
+        "SELECT l_id, r_id, dist AS dist_deg FROM f "
+        "WHERE rl = 1 AND rr = 1 ORDER BY l_id"
+    ),
+)
+def join_xmatch_mutual(spark, sf_dir):
+    """Mutual-nearest (symmetric best) cross-match — the one-to-one
+    assignment real catalog pipelines publish: keep (a, b) only when
+    b is a's nearest counterpart AND a is b's nearest, which
+    resolves the many-to-one collisions a one-sided nearest match
+    leaves in crowded fields (two left objects claiming the same
+    right object). Greedy mutual-NN is the standard first-order
+    approximation to optimal one-to-one assignment.
+
+    Plan: ONE candidate generation (the shared zone/bucket join),
+    then two ROW_NUMBER windows over the same candidate set — one
+    partitioned by each side — and a conjunctive rank filter.
+    Distances ROUND(,9)-ed before ranking, id tie-breaks, so both
+    engines order identical literals. The candidate set is scanned
+    once; Spark's WindowGroupLimit pushes both rank-1 filters into
+    the window sort.
+
+    100 TB: same bounded-candidate cost as the knn variant plus one
+    extra window exchange (partitioned on r_id); no iteration — the
+    mutual filter is a single conjunction, not the full stable-
+    marriage fixpoint (LSD publishes the same greedy product)."""
+    cand = sphere_xmatch(
+        sphere_points(spark, sf_dir, "purchase"),
+        sphere_points(spark, sf_dir, "click"),
+        R_SPHERE,
+    ).withColumn("dist", F.round("dist", 9))
+    wl = Window.partitionBy("l_id").orderBy(F.col("dist"), F.col("r_id"))
+    wr = Window.partitionBy("r_id").orderBy(F.col("dist"), F.col("l_id"))
+    return (
+        cand.withColumn("rl", F.row_number().over(wl))
+        .withColumn("rr", F.row_number().over(wr))
+        .filter((F.col("rl") == 1) & (F.col("rr") == 1))
+        .select("l_id", "r_id", F.col("dist").alias("dist_deg"))
+        .orderBy("l_id")
+    )

@@ -501,3 +501,45 @@ def merge_scd2(spark, sf_dir):
         )
         .orderBy("user_id", "version")
     )
+
+
+@register(
+    "source_jsonl_import",
+    oracle=(
+        "SELECT source, count(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+        "CAST(SUM(('0x' || substring(md5(text), 1, 8))::BIGINT) AS BIGINT) AS text_fp "
+        "FROM documents GROUP BY source ORDER BY source"
+    ),
+    cacheable=False,
+)
+def source_jsonl_import(spark, sf_dir):
+    """JSONL round-trip — newline-delimited JSON is the de-facto
+    interchange format of LLM training corpora (one document object
+    per line); `lsd-import` analog for it. Write `documents` out as
+    JSONL, re-ingest with the EXPLICIT schema (never inference in
+    engine paths, SURVEY.md §1.2), and prove content fidelity: the
+    oracle aggregates the ORIGINAL table while the plan aggregates
+    the re-ingested copy, including an md5-derived fingerprint of
+    every text payload — a single mangled character (quote escaping,
+    unicode, newline handling) breaks the hash match.
+
+    100 TB: JSONL ingest is an embarrassingly parallel line-split
+    scan (Spark splits by newline offsets within file blocks); the
+    aggregate is one map-side-combined groupBy on `source`. The
+    write side demonstrates the export path (sharded part files, no
+    driver funnel)."""
+    tmp = tempfile.mkdtemp(prefix="lsd_jsonl_")
+    docs = load(spark, sf_dir, "documents")
+    docs.coalesce(4).write.mode("overwrite").json(f"{tmp}/jsonl")
+    back = spark.read.schema(DOC_SCHEMA).json(f"{tmp}/jsonl")
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(
+                F.expr("CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT)")
+            ).alias("text_fp"),
+        )
+        .orderBy("source")
+    )

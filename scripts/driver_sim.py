@@ -134,7 +134,7 @@ def main():
         "join_xmatch_2d", "join_xmatch_2d_knn", "join_xmatch_2d_margin",
         "join_xmatch_sphere", "join_xmatch_sphere_knn",
         "join_xmatch_sphere_margin", "join_xmatch_sphere_chain",
-        "agg_angular_corr", "join_xmatch_bayes",
+        "agg_angular_corr", "join_xmatch_bayes", "join_xmatch_mutual",
         "llm_dedup_embcos_exact",
         # recursive-CTE transitive closure over the MinHash pair CTEs
         "llm_dedup_cluster",

@@ -193,3 +193,27 @@ def test_structure_function_matches_pandas(spark):
         assert len(r) == 1, (et, b)
         assert int(r.n_pairs.iloc[0]) == len(dvs)
         assert int(r.sf_milli.iloc[0]) == int(np.floor(np.mean(dvs) * 1000 + 0.5))
+
+
+def test_mutual_xmatch_is_one_to_one_subset(spark):
+    """One-to-one property: no l_id or r_id appears twice; and the
+    mutual set is exactly the intersection of the two one-sided
+    nearest assignments recomputed from the raw candidates."""
+    from lsd_spark.plans.sphere import R_SPHERE, sphere_points, sphere_xmatch
+
+    out = QUERIES["join_xmatch_mutual"](spark, SF_DIR).toPandas()
+    assert out.l_id.is_unique and out.r_id.is_unique
+    cand = sphere_xmatch(
+        sphere_points(spark, SF_DIR, "purchase"),
+        sphere_points(spark, SF_DIR, "click"),
+        R_SPHERE,
+    ).toPandas()
+    cand["dist"] = cand.dist.round(9)
+    nl = cand.sort_values(["l_id", "dist", "r_id"]).groupby("l_id").first()
+    nr = cand.sort_values(["r_id", "dist", "l_id"]).groupby("r_id").first()
+    expect = {
+        (lid, row.r_id)
+        for lid, row in nl.iterrows()
+        if nr.loc[row.r_id].l_id == lid
+    }
+    assert set(zip(out.l_id, out.r_id)) == expect
