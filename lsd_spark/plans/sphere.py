@@ -1103,3 +1103,79 @@ def join_xmatch_mutual(spark, sf_dir):
         .select("l_id", "r_id", F.col("dist").alias("dist_deg"))
         .orderBy("l_id")
     )
+
+
+# --- survey completeness (matched fraction per magnitude bin) ------------
+
+_COMP_NBINS = 10  # mag in [0, 10): 1-mag bins from the synthetic scale
+
+
+@register(
+    "agg_completeness_mag",
+    oracle=(
+        f"WITH l AS (SELECT event_id, ra, dec, "
+        f"{_MAG_DUCK.format(id='event_id')} AS mag "
+        f"FROM ({_sphere_points_sql('purchase')})), "
+        f"m AS (SELECT DISTINCT a.event_id FROM l a "
+        f"JOIN ({_sphere_points_sql('click')}) b "
+        f"ON {_SPHERE_DIST_ORACLE} <= {R_SPHERE}), "
+        "s AS (SELECT l.event_id, CAST(LEAST(FLOOR(l.mag), "
+        f"{_COMP_NBINS - 1}) AS INT) AS mag_bin, "
+        "CASE WHEN m.event_id IS NULL THEN 0 ELSE 1 END AS matched "
+        "FROM l LEFT JOIN m ON l.event_id = m.event_id) "
+        "SELECT mag_bin, CAST(COUNT(*) AS BIGINT) AS n_objects, "
+        "CAST(SUM(matched) AS BIGINT) AS n_matched, "
+        "CAST(FLOOR(SUM(matched) * 10000.0 / COUNT(*) + 0.5) AS BIGINT) "
+        "AS completeness_x1e4 "
+        "FROM s GROUP BY mag_bin ORDER BY mag_bin"
+    ),
+)
+def agg_completeness_mag(spark, sf_dir):
+    """Survey completeness curve — the standard depth QA product:
+    for each magnitude bin of catalog A, the fraction of objects
+    with at least one counterpart in catalog B within the match
+    radius (completeness rolls off at the faint end in real
+    surveys; the cross-match + per-bin fraction is the measurement
+    LSD pipelines run after every lsd-xmatch build).
+
+    Plan: zone/bucket candidate join -> DISTINCT matched left ids
+    (an aggregation, not a row multiplier — an object with 5
+    counterparts counts once) -> LEFT join back onto the left
+    catalog (nulls = unmatched) -> map-side-combined count/sum per
+    mag bin. Output is NBINS rows at any corpus size; the
+    completeness ratio is quantized x1e4 by integer-safe FLOOR.
+    Magnitudes are the shared md5-derived synthetic scale.
+
+    100 TB: both joins are equi-joins on bounded keys (zone cells,
+    then the left id); the DISTINCT collapses candidate
+    multiplicity BEFORE the join-back so no fan-out survives. The
+    matched-id set is |A|-bounded and co-partitioned with A on the
+    id key."""
+    l_pts = sphere_points(spark, sf_dir, "purchase").withColumn(
+        "mag", F.expr(_MAG_SPARK.format(id="event_id"))
+    )
+    matched = (
+        sphere_xmatch(
+            l_pts.select("event_id", "ra", "dec"),
+            sphere_points(spark, sf_dir, "click"),
+            R_SPHERE,
+        )
+        .select(F.col("l_id").alias("event_id"))
+        .distinct()
+        .withColumn("matched", F.lit(1))
+    )
+    s = l_pts.join(matched, "event_id", "left").select(
+        F.least(F.floor("mag"), F.lit(_COMP_NBINS - 1)).cast("int").alias("mag_bin"),
+        F.coalesce(F.col("matched"), F.lit(0)).alias("matched"),
+    )
+    return (
+        s.groupBy("mag_bin")
+        .agg(
+            F.count("*").cast("long").alias("n_objects"),
+            F.sum("matched").cast("long").alias("n_matched"),
+            F.floor(F.sum("matched") * 10000.0 / F.count("*") + 0.5)
+            .cast("long")
+            .alias("completeness_x1e4"),
+        )
+        .orderBy("mag_bin")
+    )

@@ -217,3 +217,39 @@ def test_mutual_xmatch_is_one_to_one_subset(spark):
         if nr.loc[row.r_id].l_id == lid
     }
     assert set(zip(out.l_id, out.r_id)) == expect
+
+
+def test_completeness_totals_and_fraction(spark):
+    """Bin totals must partition the left catalog; matched counts
+    must equal the distinct-matched recomputation from the raw
+    candidate set; the quantized fraction must be arithmetically
+    consistent with (n_matched, n_objects)."""
+    from lsd_spark.plans.sphere import R_SPHERE, sphere_points, sphere_xmatch
+
+    out = QUERIES["agg_completeness_mag"](spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(os.path.join(SF_DIR, "events.parquet"))
+    n_purchase = int((ev.event_type == "purchase").sum())
+    assert int(out.n_objects.sum()) == n_purchase
+    cand = sphere_xmatch(
+        sphere_points(spark, SF_DIR, "purchase"),
+        sphere_points(spark, SF_DIR, "click"),
+        R_SPHERE,
+    ).toPandas()
+    ids = ev[ev.event_type == "purchase"].event_id.values
+    mags = np.array(
+        [
+            (int(hashlib.md5(f"{i}m".encode()).hexdigest()[:15], 16) % 10000) / 1000.0
+            for i in ids
+        ]
+    )
+    bins = np.minimum(np.floor(mags).astype(int), 9)
+    matched_ids = set(cand.l_id)
+    for b in sorted(set(bins)):
+        sel = bins == b
+        nm = sum(1 for i, s in zip(ids, sel) if s and i in matched_ids)
+        r = out[out.mag_bin == b]
+        assert int(r.n_objects.iloc[0]) == int(sel.sum())
+        assert int(r.n_matched.iloc[0]) == nm
+        assert int(r.completeness_x1e4.iloc[0]) == int(
+            np.floor(nm * 10000.0 / sel.sum() + 0.5)
+        )
