@@ -105,13 +105,12 @@ def _sphere_points_sql(etype: str | None, cols: tuple[str, ...] = ()) -> str:
     )
 
 
-def sphere_points(
-    spark, sf_dir: str, etype: str | None, cols: tuple[str, ...] = ()
+def as_sphere_points(
+    ev: DataFrame, etype: str | None, cols: tuple[str, ...] = ()
 ) -> DataFrame:
-    """(event_id, ra, dec[, *cols]) on the synthetic sphere;
-    etype=None keeps every event; `cols` passes extra event columns
-    (e.g. ts for space x time bounds) through unchanged."""
-    ev = load(spark, sf_dir, "events")
+    """Derive (event_id, ra, dec[, *cols]) from ANY events-shaped
+    DataFrame — batch or STREAMING (the expressions are stateless
+    projections, so the same derivation keys a stream-static join)."""
     ra = (
         F.expr(
             "CAST(conv(substr(md5(CAST(event_id AS STRING) || 'r'), 1, 15), 16, 10) AS BIGINT)"
@@ -127,6 +126,15 @@ def sphere_points(
     if etype is not None:
         ev = ev.filter(F.col("event_type") == etype)
     return ev.select("event_id", ra.alias("ra"), dec.alias("dec"), *cols)
+
+
+def sphere_points(
+    spark, sf_dir: str, etype: str | None, cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(event_id, ra, dec[, *cols]) on the synthetic sphere;
+    etype=None keeps every event; `cols` passes extra event columns
+    (e.g. ts for space x time bounds) through unchanged."""
+    return as_sphere_points(load(spark, sf_dir, "events"), etype, cols)
 
 
 def sphere_xmatch(

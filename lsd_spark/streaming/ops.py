@@ -494,3 +494,68 @@ def stream_session_real(spark, sf_dir):
         .agg(F.count("*").alias("n_sessions"), F.sum("n").cast("long").alias("n_events"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_xmatch_sphere",
+    oracle=(
+        "WITH cand AS (SELECT a.event_id AS l_id, b.event_id AS r_id, "
+        "degrees(2*asin(least(1.0, sqrt("
+        "pow(sin(radians((a.dec-b.dec)/2)),2) + "
+        "cos(radians(a.dec))*cos(radians(b.dec))*"
+        "pow(sin(radians((a.ra-b.ra)/2)),2))))) AS dist "
+        "FROM (SELECT event_id, "
+        "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'r'), 1, 15))"
+        "::BIGINT % 360000 AS DOUBLE) / 1000.0 AS ra, "
+        "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'd'), 1, 15))"
+        "::BIGINT % 180000 AS DOUBLE) / 1000.0 - 90.0 AS dec "
+        "FROM events WHERE event_type = 'purchase') a "
+        "JOIN (SELECT event_id, "
+        "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'r'), 1, 15))"
+        "::BIGINT % 360000 AS DOUBLE) / 1000.0 AS ra, "
+        "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'd'), 1, 15))"
+        "::BIGINT % 180000 AS DOUBLE) / 1000.0 - 90.0 AS dec "
+        "FROM events WHERE event_type = 'click') b ON TRUE) "
+        "SELECT l_id, r_id, ROUND(dist, 9) AS dist_deg FROM cand "
+        "WHERE dist <= 1.0 ORDER BY l_id, r_id"
+    ),
+    cacheable=False,
+)
+def stream_xmatch_sphere(spark, sf_dir):
+    """STREAMING spherical cross-match — the alert-broker deployment
+    (ZTF/LSST-style: a live stream of new detections matched against
+    a static reference catalog in real time). The stream side maps
+    each arriving detection to its (zone, bucket) cell and the 3x3
+    neighbor probe — stateless projections, so the whole match is a
+    stream-static equi-join in append mode: no watermark, no state
+    store, each micro-batch joins only its own rows against the
+    (broadcastable) reference side.
+
+    Replayed through the 4-micro-batch staged source: every
+    detection is matched in whichever batch it arrives, the union
+    over batches must equal the batch cross-match exactly — pinned
+    by sharing join_xmatch_sphere's brute-force oracle.
+
+    100 TB shape: the static side is loaded once and hash-joined per
+    micro-batch (Spark re-broadcasts per batch unless it's persisted
+    — at broker scale you pre-partition the reference catalog by
+    (zone, bucket) and the stream side shuffles its constant 9-cell
+    fan-out only); match latency is bounded by micro-batch size,
+    not by catalog size."""
+    from lsd_spark.plans.sphere import (
+        R_SPHERE,
+        as_sphere_points,
+        sphere_points,
+        sphere_xmatch,
+    )
+
+    static = sphere_points(spark, sf_dir, "click")
+
+    def build(src):
+        pts = as_sphere_points(src, "purchase")
+        return sphere_xmatch(pts, static, R_SPHERE).select(
+            "l_id", "r_id", F.round("dist", 9).alias("dist_deg")
+        )
+
+    sink = _run_stream(spark, sf_dir, build, "append")
+    return sink.orderBy("l_id", "r_id")

@@ -253,3 +253,13 @@ def test_completeness_totals_and_fraction(spark):
         assert int(r.completeness_x1e4.iloc[0]) == int(
             np.floor(nm * 10000.0 / sel.sum() + 0.5)
         )
+
+
+def test_stream_xmatch_equals_batch(spark):
+    """The union of per-micro-batch match results must equal the
+    batch cross-match row-for-row (same ids, same rounded dists)."""
+    stream = QUERIES["stream_xmatch_sphere"](spark, SF_DIR).toPandas()
+    batch = QUERIES["join_xmatch_sphere"](spark, SF_DIR).toPandas()
+    s = set(zip(stream.l_id, stream.r_id, stream.dist_deg))
+    b = set(zip(batch.l_id, batch.r_id, batch.dist_deg))
+    assert s == b
