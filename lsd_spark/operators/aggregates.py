@@ -1133,3 +1133,70 @@ def agg_structure_function(spark, sf_dir):
         )
         .orderBy("event_type", "lag_bin")
     )
+
+
+# --- referential-integrity audit -----------------------------------------
+
+_RI_EDGES = [
+    # (child table, fk col, parent table, pk col)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+_RI_ORACLE = " UNION ALL ".join(
+    f"SELECT '{c}.{fk}' AS fk_edge, "
+    f"CAST((SELECT count(*) FROM {c}) AS BIGINT) AS n_child, "
+    f"CAST((SELECT count(*) FROM {c} WHERE {fk} IS NULL) AS BIGINT) AS n_null, "
+    f"CAST((SELECT count(*) FROM {c} WHERE {fk} IS NOT NULL "
+    f"AND {fk} NOT IN (SELECT {pk} FROM {p} WHERE {pk} IS NOT NULL)) AS BIGINT) "
+    f"AS n_orphan"
+    for c, fk, p, pk in _RI_EDGES
+) + " ORDER BY fk_edge"
+
+
+@register("agg_referential_audit", oracle=f"SELECT * FROM ({_RI_ORACLE})")
+def agg_referential_audit(spark, sf_dir):
+    """Referential-integrity audit over the star schema's foreign-key
+    edges — the ingest gate a pipeline runs before trusting a new
+    data drop: per edge, child rows / NULL keys / ORPHANS (non-null
+    keys with no parent). A nonzero orphan count means a broken
+    import or a parent-side deletion that must cascade.
+
+    Plan: each edge is a LEFT ANTI join child->parent (Catalyst
+    turns the small parent side into a broadcast for every dim
+    edge) plus one count aggregate; the five 1-row results union
+    into the audit report. Output is |edges| rows at any scale.
+
+    100 TB: anti-join against a broadcast parent is a map-only pass
+    over the child; the lineitem->orders edge (fact->fact) shuffles
+    once on the key — or zero times when both sides share the
+    bucketed layout (sink_bucketed). Orphan checks on every edge
+    are ONE scan per child table, not per edge-pair."""
+    rows = []
+    for child, fk, parent, pk in _RI_EDGES:
+        c = load(spark, sf_dir, child)
+        p = load(spark, sf_dir, parent).select(pk).where(F.col(pk).isNotNull())
+        orphans = (
+            c.where(F.col(fk).isNotNull())
+            .join(p, c[fk] == p[pk], "left_anti")
+            .agg(F.count("*").alias("n_orphan"))
+        )
+        base = c.agg(
+            F.count("*").alias("n_child"),
+            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0)).alias("n_null"),
+        )
+        rows.append(
+            base.crossJoin(orphans).select(
+                F.lit(f"{child}.{fk}").alias("fk_edge"),
+                F.col("n_child").cast("long"),
+                F.coalesce(F.col("n_null"), F.lit(0)).cast("long").alias("n_null"),
+                F.col("n_orphan").cast("long"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("fk_edge")

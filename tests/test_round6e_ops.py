@@ -263,3 +263,42 @@ def test_stream_xmatch_equals_batch(spark):
     s = set(zip(stream.l_id, stream.r_id, stream.dist_deg))
     b = set(zip(batch.l_id, batch.r_id, batch.dist_deg))
     assert s == b
+
+
+def test_referential_audit_detects_orphans(spark, tmp_path):
+    """On the pristine fixture all orphan counts are 0; on a crafted
+    copy with a deleted parent and a NULL fk the audit must report
+    exactly the injected damage."""
+    out = QUERIES["agg_referential_audit"](spark, SF_DIR).toPandas()
+    assert (out.n_orphan == 0).all()
+    import shutil
+
+    d = tmp_path / "broken"
+    d.mkdir()
+    for t in (
+        "lineitem orders customer nation region supplier part events "
+        "documents embeddings".split()
+    ):
+        shutil.copy(os.path.join(SF_DIR, f"{t}.parquet"), d / f"{t}.parquet")
+    nat = pd.read_parquet(d / "nation.parquet")
+    dropped = nat.n_nationkey.iloc[0]
+    nat[nat.n_nationkey != dropped].to_parquet(d / "nation.parquet", index=False)
+    cust = pd.read_parquet(d / "customer.parquet")
+    n_orph_cust = int((cust.c_nationkey == dropped).sum())
+    cust.loc[cust.index[:3], "c_nationkey"] = None
+    n_orph_cust -= int(
+        (pd.read_parquet(os.path.join(SF_DIR, "customer.parquet"))
+         .c_nationkey.iloc[:3] == dropped).sum()
+    )
+    cust.to_parquet(d / "customer.parquet", index=False)
+    from lsd_spark.registry import clear_plan_cache
+
+    clear_plan_cache()
+    try:
+        broken = QUERIES["agg_referential_audit"](spark, str(d)).toPandas()
+    finally:
+        clear_plan_cache()
+    row = broken[broken.fk_edge == "customer.c_nationkey"].iloc[0]
+    assert int(row.n_null) == 3
+    assert int(row.n_orphan) == n_orph_cust
+    assert int(row.n_orphan) > 0
