@@ -238,61 +238,93 @@ _R4_LEDGER = [
 _ROWS_ONLY_BY_DESIGN = {"agg_approx_distinct", "llm_dedup_near"}
 
 
-# Ops whose PHYSICAL PLAN (or oracle) changed in round 6 — the
-# broadcast demotions + norm factoring in the dedup family, the
-# contraction-seeded FoF fixpoint, the window-dedup pipeline rewrite,
-# the zero-variance eta guard, and the multi-batch streaming replay.
-# Evidence freshness beats staleness rotation: a changed plan whose
-# newest driver row predates the change is effectively unverified by
-# the ledger, so these jump the refresh queue (round-5 ADVICE #4).
-_R6_TOUCHED = [
-    "llm_dedup_embcos", "llm_dedup_ngram", "llm_dedup_edit",
-    "llm_pipeline_e2e", "cluster_fof", "cluster_fof_2d",
-    "llm_dedup_keep_best", "agg_object_coadd", "agg_variability_eta",
-    "stream_watermark_late", "stream_dedup", "stream_stateful_count",
-    "stream_custom_state", "stream_stream_join", "stream_static_join",
-    "stream_session_real",
+# The 50 ops recorded by the round-6 driver run (all green — the
+# exact key list of CORRECTNESS_r06.json): the 38 round-6 additions
+# plus the head of round 6's touched-plan re-verification queue.
+_R6_LEDGER = [
+    "agg_resample_gapfill", "agg_sample_reservoir",
+    "agg_drift_chi2", "agg_quantile_sketch", "agg_sigma_clip",
+    "agg_structure_function", "agg_referential_audit",
+    "join_bloom_prune", "win_interpolate_linear", "win_ewma",
+    "llm_dedup_containment", "llm_dedup_semantic",
+    "llm_embed_quantize", "knn_ivf_sq8", "llm_dedup_substring",
+    "llm_dedup_incremental", "llm_dedup_minhash_md5",
+    "llm_dedup_cluster", "llm_dedup_url", "llm_pii_redact",
+    "mm_phash_dedup", "stream_xmatch_sphere", "source_jsonl_import",
+    "graph_triangle_count", "sink_margin_refresh",
+    "source_packed_id", "sink_zorder", "join_tracklet_link",
+    "agg_density_adaptive", "join_xmatch_sphere_chain",
+    "agg_angular_corr", "join_xmatch_bayes", "join_xmatch_mutual",
+    "agg_completeness_mag", "llm_chunk_docs",
+    "llm_split_stratified", "scan_partition_prune_dynamic",
+    "fn_mjd_convert", "llm_dedup_embcos", "llm_dedup_ngram",
+    "llm_dedup_edit", "llm_pipeline_e2e", "cluster_fof",
+    "cluster_fof_2d", "llm_dedup_keep_best", "agg_object_coadd",
+    "agg_variability_eta", "stream_watermark_late", "stream_dedup",
+    "stream_stateful_count",
 ]
 
 
+# Ops whose PHYSICAL PLAN (or oracle) changed in round 7. A changed
+# plan whose newest driver row predates the change is effectively
+# unverified by the ledger, so these jump the refresh queue
+# (round-5 ADVICE #4 pattern). Extend as round-7 edits land.
+_R7_TOUCHED: list[str] = []
+
+
+# (round, exact recorded key list) — r05 re-recorded the r04 window
+# verbatim, so _R4_LEDGER carries freshness 5, not 4.
+_LEDGER_HISTORY = [
+    (1, _R1_LEDGER), (2, _R2_LEDGER), (3, _R3_LEDGER),
+    (5, _R4_LEDGER), (6, _R6_LEDGER),
+]
+
+
+def _latest_confirmed() -> dict[str, int]:
+    """op -> newest round with a driver-recorded green row."""
+    latest: dict[str, int] = {}
+    for rnd, lst in _LEDGER_HISTORY:
+        for k in lst:
+            latest[k] = max(latest.get(k, 0), rnd)
+    return latest
+
+
 def _refresh_rotation() -> list[str]:
-    """Round-6 ledger rotation (round-4/5 VERDICT #1): every op's
-    LATEST driver confirmation should stay fresh. Ops whose newest
-    green row is r01 go first (49 of them), then the r02 residue
-    (the ~34 r02 ops not re-recorded by r04), then r03. The driver's
-    ~50-row cap takes new-op tier 1 plus the head of this rotation;
-    the tail cycles back in the following round."""
-    recorded_later = set(_R3_LEDGER) | set(_R4_LEDGER)
-    r1 = [k for k in _R1_LEDGER
-          if k not in recorded_later and k not in _ROWS_ONLY_BY_DESIGN]
-    r2 = [k for k in _R2_LEDGER
-          if k not in recorded_later and k not in _ROWS_ONLY_BY_DESIGN]
-    r3 = [k for k in _R3_LEDGER if k not in set(_R4_LEDGER)]
-    return r1 + r2 + r3
+    """Ledger rotation (round-4/5 VERDICT #1): every op's LATEST
+    driver confirmation should stay fresh. Order already-recorded
+    ops stalest-first — by newest-confirmation round ascending,
+    stable within a round by that round's recording order. The
+    driver's ~50-row cap takes new-op tier 1 plus the head of this
+    rotation; the tail cycles back in the following round."""
+    latest = _latest_confirmed()
+    out: list[str] = []
+    seen: set[str] = set()
+    for rnd, lst in _LEDGER_HISTORY:  # ascending round order
+        for k in lst:
+            if (latest[k] == rnd and k not in seen
+                    and k not in _ROWS_ONLY_BY_DESIGN):
+                seen.add(k)
+                out.append(k)
+    return out
 
 
 def _reorder_for_ledger() -> None:
-    """Four tiers: (1) ops with no driver-recorded row in any prior
+    """Three tiers: (1) ops with no driver-recorded row in any prior
     round's CORRECTNESS ledger (i.e., new this round), (2) ops whose
-    plan changed this round (_R6_TOUCHED — their old green rows no
+    plan changed this round (_R7_TOUCHED — their old green rows no
     longer witness the current code), (3) the refresh rotation —
-    already-green ops ordered oldest-confirmation first, (4) the
-    freshest-recorded ids — so a capped driver run covers new ops,
-    re-verifies changed ones, and re-confirms stale ones, in that
-    order."""
-    all_recorded = (set(_R1_LEDGER) | set(_R2_LEDGER)
-                    | set(_R3_LEDGER) | set(_R4_LEDGER))
+    every already-recorded op ordered oldest-confirmation-first (its
+    tail is by construction the freshest-recorded ids) — so a capped
+    driver run covers new ops, re-verifies changed ones, and
+    re-confirms stale ones, in that order."""
+    all_recorded = set(_latest_confirmed())
     tier1 = [k for k in QUERIES if k not in all_recorded]
-    tier2 = [k for k in _R6_TOUCHED if k in QUERIES]
+    tier2 = [k for k in _R7_TOUCHED if k in QUERIES]
     seen = set(tier1) | set(tier2)
     tier3 = [k for k in _refresh_rotation()
              if k in QUERIES and k not in seen]
     seen |= set(tier3)
-    tier4 = []
-    for k in _R4_LEDGER + _R3_LEDGER + _R2_LEDGER + _R1_LEDGER:
-        if k in QUERIES and k not in seen:
-            seen.add(k)
-            tier4.append(k)
+    tier4 = [k for k in QUERIES if k not in seen]
     for d in (QUERIES, QUERIES_RAW, ORACLES):
         ordered = {k: d[k] for k in tier1 + tier2 + tier3 + tier4 if k in d}
         d.clear()

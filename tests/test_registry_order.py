@@ -1,20 +1,18 @@
 """Pin the CORRECTNESS-ledger tier ordering (round-3 VERDICT #1,
 rotated per round-4/5 VERDICT #1): the driver records at most ~50
 rows per round in REGISTRATION ORDER, so the registry must lead with
-(1) ops that have no driver row yet, then (2) the refresh rotation —
-already-green ops ordered oldest-driver-confirmation first — then
-(3) the freshest-recorded ids. A refactor that silently breaks this
-ordering would waste a whole round of ledger coverage."""
+(1) ops that have no driver row yet, then (2) ops whose plan changed
+this round, then (3) the refresh rotation — already-green ops
+ordered oldest-driver-confirmation first. A refactor that silently
+breaks this ordering would waste a whole round of ledger coverage."""
 
 from __future__ import annotations
 
 from lsd_spark.registry import (
-    _R1_LEDGER,
-    _R2_LEDGER,
-    _R3_LEDGER,
-    _R4_LEDGER,
-    _R6_TOUCHED,
+    _LEDGER_HISTORY,
+    _R7_TOUCHED,
     _ROWS_ONLY_BY_DESIGN,
+    _latest_confirmed,
     _refresh_rotation,
     QUERIES,
     load_all,
@@ -22,9 +20,8 @@ from lsd_spark.registry import (
 
 load_all()
 
-_ALL_RECORDED = (
-    set(_R1_LEDGER) | set(_R2_LEDGER) | set(_R3_LEDGER) | set(_R4_LEDGER)
-)
+_LATEST = _latest_confirmed()
+_ALL_RECORDED = set(_LATEST)
 
 
 def test_tier1_new_ops_lead_registration_order():
@@ -35,12 +32,12 @@ def test_tier1_new_ops_lead_registration_order():
 
 
 def test_tier2_is_touched_then_rotation():
-    """After the new ops come the round-6-touched ops (changed plans
-    need fresh driver rows), then the staleness rotation (r01-greens,
-    then the r02 residue, then r03) minus the touched set."""
+    """After the new ops come the round-7-touched ops (changed plans
+    need fresh driver rows), then the staleness rotation (stalest
+    newest-confirmation first) minus the touched set."""
     names = list(QUERIES)
     n_new = sum(1 for k in names if k not in _ALL_RECORDED)
-    touched = [k for k in _R6_TOUCHED if k in QUERIES]
+    touched = [k for k in _R7_TOUCHED if k in QUERIES]
     assert names[n_new:n_new + len(touched)] == touched
     rotation = [k for k in _refresh_rotation()
                 if k in QUERIES and k not in set(touched)]
@@ -48,31 +45,31 @@ def test_tier2_is_touched_then_rotation():
     assert names[start:start + len(rotation)] == rotation
 
 
-def test_r06_window_covers_new_touched_and_stale(  # noqa: D103
-):
+def test_rotation_is_stalest_first():
+    """The refresh rotation must be non-decreasing in
+    newest-confirmation round — an op last confirmed in r01 may
+    never queue behind one confirmed in r06."""
+    rounds = [_LATEST[k] for k in _refresh_rotation()]
+    assert rounds == sorted(rounds)
+
+
+def test_r07_window_covers_new_touched_and_stale():
     """The 50-row driver window must contain every never-recorded op
     first (they have NO driver row at all — strictly the scarcest
-    evidence), then as many round-6-touched ops as fit, then the
-    stalest (r01) cohort. When tier1+tier2 overflow the window (37
-    new + 16 touched this round), the touched overflow waits a round
-    — it still has historic green rows plus current self-checks,
-    which never-recorded ops don't."""
+    evidence), then as many touched ops as fit, then the stalest
+    cohort: every remaining slot goes to the ops with the OLDEST
+    newest-confirmation round present in the rotation."""
     names = list(QUERIES)[:50]
     window = set(names)
     n_new = sum(1 for k in QUERIES if k not in _ALL_RECORDED)
     assert all(k in window for k in QUERIES if k not in _ALL_RECORDED)
-    touched = [k for k in _R6_TOUCHED if k in QUERIES]
+    touched = [k for k in _R7_TOUCHED if k in QUERIES]
     n_touched_fit = min(len(touched), max(0, 50 - n_new))
     assert all(k in window for k in touched[:n_touched_fit])
-    r01_stale = [k for k in names
-                 if k in set(_R1_LEDGER) - set(_R3_LEDGER) - set(_R4_LEDGER)]
-    # every REMAINING slot must go to the stalest (r01) cohort —
-    # nothing fresher may jump the rotation.
-    expected = max(0, 50 - n_new - n_touched_fit)
-    assert len(r01_stale) == expected, (
-        f"{len(r01_stale)} r01-stale ops inside the 50-row window, "
-        f"expected {expected} (new={n_new}, touched_fit={n_touched_fit})"
-    )
+    rotation = [k for k in _refresh_rotation()
+                if k in QUERIES and k not in set(touched)]
+    n_rot = max(0, 50 - n_new - n_touched_fit)
+    assert all(k in window for k in rotation[:n_rot])
 
 
 def test_new_ops_fit_driver_cap():
@@ -84,6 +81,15 @@ def test_new_ops_fit_driver_cap():
         f"{len(needs_row)} ops need a driver row but only 50 fit: "
         f"{needs_row}"
     )
+
+
+def test_ledger_history_is_ascending_and_covers_all_queries():
+    rounds = [r for r, _ in _LEDGER_HISTORY]
+    assert rounds == sorted(rounds)
+    # every previously-registered op has at least one driver row;
+    # only this round's additions may be missing.
+    missing = [k for k in QUERIES if k not in _ALL_RECORDED]
+    assert len(missing) == len(set(missing))
 
 
 def test_rotation_excludes_rows_only_ops():
