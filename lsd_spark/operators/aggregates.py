@@ -1200,3 +1200,395 @@ def agg_referential_audit(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("fk_edge")
+
+
+# --- lag-k autocorrelation -------------------------------------------------
+
+ACF_MAX_LAG = 3  # report r_1..r_3 per event type
+
+
+@register(
+    "agg_autocorr",
+    oracle=(
+        "WITH s AS (SELECT event_type, value, "
+        + ", ".join(
+            f"LAG(value, {k}) OVER (PARTITION BY user_id, event_type "
+            f"ORDER BY epoch_us(ts), event_id) AS v{k}"
+            for k in range(1, ACF_MAX_LAG + 1)
+        )
+        + " FROM events), u AS ("
+        + " UNION ALL ".join(
+            f"SELECT event_type, {k} AS lag, value, v{k} AS v_lag "
+            f"FROM s WHERE v{k} IS NOT NULL"
+            for k in range(1, ACF_MAX_LAG + 1)
+        )
+        + ") SELECT event_type, CAST(lag AS INTEGER) AS lag, "
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(FLOOR(corr(value, v_lag) * 10000 + 0.5) AS BIGINT) "
+        "AS acf_x1e4 FROM u GROUP BY event_type, lag "
+        "ORDER BY event_type, lag"
+    ),
+)
+def agg_autocorr(spark, sf_dir):
+    """Lag-k autocorrelation function (ACF) per event type: Pearson
+    correlation between a series value and its k-step-lagged self,
+    k = 1..3, pooled over every (user, type) series — the standard
+    first look at temporal structure (is the signal white noise or
+    does it persist?).
+
+    Plan: ONE window pass per (user_id, event_type) series computes
+    all three lag columns in a single sorted exchange; the lagged
+    pairs are then stacked (map-side, no shuffle) and reduced by a
+    map-side-combined corr per (type, lag). Output is
+    types x ACF_MAX_LAG rows at any corpus size.
+
+    100 TB: the window key is high-cardinality (user x type), the
+    final aggregate output is bounded; corr is a 5-accumulator
+    algebraic aggregate so the reduce is one combine tree, no
+    row materialization."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    lagged = ev.select(
+        "event_type",
+        "value",
+        *[
+            F.lag("value", k).over(w).alias(f"v{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    stack_expr = "stack({n}, {args}) AS (lag, v_lag)".format(
+        n=ACF_MAX_LAG,
+        args=", ".join(f"{k}, v{k}" for k in range(1, ACF_MAX_LAG + 1)),
+    )
+    pairs = lagged.select(
+        "event_type", "value", F.expr(stack_expr)
+    ).filter(F.col("v_lag").isNotNull())
+    return (
+        pairs.groupBy("event_type", F.col("lag").cast("int").alias("lag"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.floor(F.corr("value", "v_lag") * 10000 + 0.5)
+            .cast("long")
+            .alias("acf_x1e4"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+# --- weighted median -------------------------------------------------------
+
+
+@register(
+    "agg_weighted_median",
+    oracle=(
+        "WITH s AS (SELECT l_returnflag AS flag, l_extendedprice AS v, "
+        "CAST(l_quantity AS BIGINT) AS w FROM lineitem), "
+        "c AS (SELECT flag, v, "
+        "SUM(w) OVER (PARTITION BY flag ORDER BY v "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw, "
+        "SUM(w) OVER (PARTITION BY flag) AS tw FROM s) "
+        "SELECT flag, CAST(FLOOR(MIN(v) * 100 + 0.5) AS BIGINT) "
+        "AS wmedian_cents FROM c WHERE 2 * cw >= tw "
+        "GROUP BY flag ORDER BY flag"
+    ),
+)
+def agg_weighted_median(spark, sf_dir):
+    """Quantity-weighted median price per return flag: the smallest
+    price at which the running quantity weight reaches half the
+    group total (the classic weighted-median definition; the
+    UNWEIGHTED percentile family is agg_percentiles). The crossing
+    test is exact integer arithmetic (2*cumw >= total on bigint
+    weights), and equal prices make the answer independent of
+    intra-tie ordering, so no float or tiebreak trap.
+
+    Plan: one exchange on the group key; cumulative and total
+    weights share the partition, then a map-side-combined MIN per
+    group. 100 TB: the window partition is the GROUP (few, large) —
+    acceptable here because the crossing filter runs inside the
+    sorted pass and only group-sized partials survive; for
+    high-cardinality groups this op would switch to the
+    agg_percentiles sketch path."""
+    s = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    wf = Window.partitionBy("flag").orderBy("v")
+    c = s.select(
+        "flag",
+        "v",
+        F.sum("w").over(wf.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tw"),
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.floor(F.min("v") * 100 + 0.5).cast("long").alias("wmedian_cents")
+        )
+        .orderBy("flag")
+    )
+
+
+# --- Gini concentration ----------------------------------------------------
+
+
+@register(
+    "agg_gini",
+    oracle=(
+        "WITH s AS (SELECT o_orderpriority AS pri, "
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents "
+        "FROM orders), "
+        "r AS (SELECT pri, cents, ROW_NUMBER() OVER (PARTITION BY pri "
+        "ORDER BY cents, 1) AS i FROM s), "
+        "g AS (SELECT pri, COUNT(*) AS n, SUM(cents) AS sx, "
+        "SUM(i * cents) AS six FROM r GROUP BY pri) "
+        "SELECT pri, CAST(n AS BIGINT) AS n, "
+        "CAST(FLOOR((2.0 * six / (CAST(n AS DOUBLE) * sx) "
+        "- (n + 1.0) / n) * 10000 + 0.5) AS BIGINT) AS gini_x1e4 "
+        "FROM g ORDER BY pri"
+    ),
+)
+def agg_gini(spark, sf_dir):
+    """Gini concentration coefficient of order value per priority
+    class — the standard inequality measure (0 = all orders equal,
+    1 = one order holds all the value), via the sorted-rank formula
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n (public, e.g. any
+    statistics text). Prices quantize to integer cents FIRST, so
+    both rank products and sums are exact bigint; ranks over tied
+    cents contribute identically however the tie breaks (swapping
+    ranks i,j between equal x leaves sum(i*x) unchanged).
+
+    Plan: one exchange on the priority key for the rank window,
+    then a map-side-combined 3-accumulator aggregate; output is
+    one row per class. 100 TB: same caveat as agg_weighted_median —
+    the window partitions by GROUP; for high-cardinality entity
+    keys the rank pass stays per-entity and small."""
+    s = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    i = F.row_number().over(Window.partitionBy("pri").orderBy("cents"))
+    r = s.select("pri", "cents", i.alias("i"))
+    return (
+        r.groupBy("pri")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("sx"),
+            F.sum(F.col("i") * F.col("cents")).alias("six"),
+        )
+        .select(
+            "pri",
+            F.col("n").cast("long").alias("n"),
+            F.floor(
+                (
+                    2.0 * F.col("six") / (F.col("n").cast("double") * F.col("sx"))
+                    - (F.col("n") + 1.0) / F.col("n")
+                )
+                * 10000
+                + 0.5
+            )
+            .cast("long")
+            .alias("gini_x1e4"),
+        )
+        .orderBy("pri")
+    )
+
+
+# --- Benford first-digit audit ---------------------------------------------
+
+# FLOOR(log10(1 + 1/d) * 1e4 + 0.5) precomputed so both engines see
+# the same literal (no cross-engine log10 evaluation)
+_BENFORD_X1E4 = {1: 3010, 2: 1761, 3: 1249, 4: 969, 5: 792,
+                 6: 669, 7: 580, 8: 512, 9: 458}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {v}" for d, v in _BENFORD_X1E4.items())
+    + " END"
+)
+
+
+@register(
+    "agg_benford",
+    oracle=(
+        "WITH s AS (SELECT CAST(SUBSTRING(CAST(CAST(FLOOR("
+        "o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) "
+        "AS INTEGER) AS digit FROM orders WHERE o_totalprice > 0), "
+        "g AS (SELECT digit, COUNT(*) AS n FROM s GROUP BY digit), "
+        "t AS (SELECT SUM(n) AS total FROM g) "
+        "SELECT digit, CAST(n AS BIGINT) AS n, "
+        "CAST(FLOOR(n * 10000.0 / total + 0.5) AS BIGINT) AS pct_x1e4, "
+        f"CAST({_BENFORD_CASE} AS BIGINT) AS benford_x1e4 "
+        "FROM g, t ORDER BY digit"
+    ),
+)
+def agg_benford(spark, sf_dir):
+    """Benford's-law first-digit audit over order totals — the
+    classic forensic data-quality screen: natural multi-scale
+    amounts follow P(d) = log10(1 + 1/d); a fabricated or truncated
+    column visibly doesn't. Emits observed count/share per leading
+    digit next to the Benford expectation (both x1e4 integers; the
+    expectation is a precomputed literal so neither engine
+    evaluates log10).
+
+    The digit is extracted from the INTEGER cents via string head —
+    never from float formatting, which renders differently across
+    engines. Plan: map-side digit projection, 9-row hash aggregate,
+    then a broadcast of the 1-row total onto the 9-row result —
+    nothing here scales with corpus size except the first scan.
+    100 TB: single pass, partial aggregation, 9-row shuffle."""
+    s = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice") * 100 + 0.5)
+                .cast("long")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    g = s.groupBy("digit").agg(F.count("*").alias("n"))
+    t = g.agg(F.sum("n").alias("total"))
+    return (
+        g.join(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.floor(F.col("n") * 10000.0 / F.col("total") + 0.5)
+            .cast("long")
+            .alias("pct_x1e4"),
+            F.expr(_BENFORD_CASE).cast("long").alias("benford_x1e4"),
+        )
+        .orderBy("digit")
+    )
+
+
+# --- activity heatmap (hour x day-of-week) ----------------------------------
+
+_US_PER_DAY = 86_400_000_000
+_US_PER_HOUR = 3_600_000_000
+
+
+@register(
+    "agg_heatmap_hour_dow",
+    oracle=(
+        "WITH s AS (SELECT epoch_us(ts) AS us FROM events) "
+        f"SELECT CAST((us // {_US_PER_DAY} + 4) % 7 AS INTEGER) AS dow, "
+        f"CAST((us % {_US_PER_DAY}) // {_US_PER_HOUR} AS INTEGER) AS hour, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM s GROUP BY dow, hour ORDER BY dow, hour"
+    ),
+)
+def agg_heatmap_hour_dow(spark, sf_dir):
+    """Activity heatmap: event counts per (day-of-week, hour-of-day)
+    — the standard temporal-usage grid behind cadence planning and
+    load dashboards. Both coordinates come from PURE INTEGER
+    arithmetic on epoch microseconds (1970-01-01 was a Thursday, so
+    dow = (days_since_epoch + 4) mod 7 with 0 = Sunday) — engine
+    dayofweek() builtins disagree on week origin (Spark 1=Sunday,
+    DuckDB 0=Sunday) and on session-timezone handling, so neither is
+    used.
+
+    Plan: map-side integer projection + one <=168-row hash
+    aggregate. 100 TB: single scan, map-side combine, bounded
+    output."""
+    us = F.unix_micros("ts")
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            ((us / _US_PER_DAY).cast("long") + 4) % 7,
+            (us % _US_PER_DAY / _US_PER_HOUR).cast("long"),
+        )
+        .toDF("dow", "hour")
+        .select(F.col("dow").cast("int"), F.col("hour").cast("int"))
+        .groupBy("dow", "hour")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy("dow", "hour")
+    )
+
+
+# --- Theil-Sen robust trend --------------------------------------------------
+
+_TS_US_PER_DAY = 86_400_000_000.0
+
+
+@register(
+    "agg_theilsen_slope",
+    oracle=(
+        "WITH s AS (SELECT user_id, epoch_us(ts) AS us, value, event_id "
+        "FROM events WHERE value IS NOT NULL), "
+        "p AS (SELECT a.user_id, "
+        f"(b.value - a.value) * {_TS_US_PER_DAY} / (b.us - a.us) AS slope, "
+        "a.event_id AS ia, b.event_id AS ib "
+        "FROM s a JOIN s b ON a.user_id = b.user_id AND a.us < b.us), "
+        "r AS (SELECT user_id, slope, ROW_NUMBER() OVER ("
+        "PARTITION BY user_id ORDER BY slope, ia, ib) AS rn, "
+        "COUNT(*) OVER (PARTITION BY user_id) AS np FROM p) "
+        "SELECT user_id, CAST(np AS BIGINT) AS n_pairs, "
+        "CAST(FLOOR(slope * 1000 + 0.5) AS BIGINT) AS slope_milli_per_day "
+        "FROM r WHERE rn = (np + 1) // 2 ORDER BY user_id"
+    ),
+)
+def agg_theilsen_slope(spark, sf_dir):
+    """Theil-Sen robust trend per user series: the median of all
+    pairwise slopes (Theil 1950 / Sen 1968, public) — the estimator
+    survey pipelines use for proper-motion and secular-variability
+    fits because one bad epoch wrecks least squares but not a
+    median. Lower median (rank (n+1)//2) with an id tiebreak, so
+    the SELECTED slope is one concrete pair's value — both engines
+    divide the identical doubles, order identically, pick the same
+    row, and only then quantize.
+
+    Plan: per-series self-join on user_id (one shuffle, exchange
+    reused both sides — the structure-function pattern), then one
+    rank window over the same partitioning. Pair count is quadratic
+    in EPOCHS PER SERIES (a cadence constant), never in catalog
+    size; series hash-partition so each task sees whole series.
+    100 TB: same bounded-cell argument as agg_structure_function."""
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("us"), "value", "event_id")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.us") < F.col("b.us")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        (
+            (F.col("b.value") - F.col("a.value"))
+            * _TS_US_PER_DAY
+            / (F.col("b.us") - F.col("a.us"))
+        ).alias("slope"),
+        F.col("a.event_id").alias("ia"),
+        F.col("b.event_id").alias("ib"),
+    )
+    w = Window.partitionBy("user_id")
+    r = p.select(
+        "user_id",
+        "slope",
+        F.row_number()
+        .over(w.orderBy("slope", "ia", "ib"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("np"),
+    )
+    return (
+        r.filter(F.col("rn") == F.expr("(np + 1) div 2"))
+        .select(
+            "user_id",
+            F.col("np").cast("long").alias("n_pairs"),
+            F.floor(F.col("slope") * 1000 + 0.5)
+            .cast("long")
+            .alias("slope_milli_per_day"),
+        )
+        .orderBy("user_id")
+    )

@@ -484,3 +484,146 @@ def win_ewma(spark, sf_dir):
     return ev.select(
         "event_id", "user_id", F.round(num / den, 4).alias("ewma")
     ).orderBy("event_id")
+
+
+# --- rolling z-score anomaly flags ----------------------------------------
+
+ZS_W = 16  # rolling baseline: the current row plus 15 predecessors
+ZS_MIN_N = 8  # below this many observations the baseline is unstable
+ZS_K = 3.0  # flag |value - mean| > K * stddev
+
+
+@register(
+    "win_zscore_anomaly",
+    oracle=(
+        "WITH q AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, "
+        "CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v_m FROM events), "
+        "s AS (SELECT event_id, user_id, v_m, "
+        "SUM(v_m) OVER win AS s1, "
+        "SUM(v_m * v_m) OVER win AS s2, "
+        "COUNT(*) OVER win AS n FROM q "
+        "WINDOW win AS (PARTITION BY user_id "
+        "ORDER BY t_us, event_id "
+        f"ROWS BETWEEN {ZS_W - 1} PRECEDING AND CURRENT ROW)) "
+        "SELECT event_id, user_id, "
+        "CAST(FLOOR((v_m * n - s1) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) "
+        "AS dev_milli, "
+        f"CAST(CASE WHEN n >= {ZS_MIN_N} AND "
+        "(v_m * n - s1) * (v_m * n - s1) * (n - 1) > "
+        f"{int(ZS_K * ZS_K)} * n * (n * s2 - s1 * s1) "
+        "THEN 1 ELSE 0 END AS INTEGER) "
+        "AS is_anomaly FROM s ORDER BY event_id"
+    ),
+)
+def win_zscore_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly detector over each user's event
+    stream: a value is flagged when it sits more than K=3 rolling
+    standard deviations from the rolling mean of its own trailing
+    W=16-row baseline (the classic streaming-telemetry outlier
+    rule). Rows with fewer than 8 baseline observations are never
+    flagged — a 2-point "std" flags everything.
+
+    Cross-engine determinism: the fixture's values sit on an exact
+    milli grid, so a windowed mean lands EXACTLY on .5 quantization
+    boundaries for ~3% of rows (sum/16 is exact binary) — a raw
+    AVG/STDDEV formulation only hash-matches while both engines
+    happen to share sum-then-divide arithmetic. Instead values
+    quantize to integer milli-units first and everything — the
+    deviation (v*n - S1) and the flag's cross-multiplied variance
+    compare (dv^2*(n-1) > K^2*n*(n*S2 - S1^2)) — is EXACT bigint;
+    the single output division is one correctly-rounded IEEE op.
+
+    Plan: ONE exchange on user_id; S1/S2/count share a single
+    window frame so Catalyst emits one Window operator. 100 TB:
+    user_id is high-cardinality, so partitions stay small and the
+    frame is O(W) memory per task — the standard per-entity anomaly
+    pass on telemetry/lightcurve streams."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("v_m"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(-(ZS_W - 1), 0)
+    )
+    s1 = F.sum("v_m").over(w)
+    s2 = F.sum(F.col("v_m") * F.col("v_m")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    dv = F.col("v_m") * n - s1
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.floor(dv / n.cast("double") + 0.5).cast("long").alias("dev_milli"),
+        F.when(
+            (n >= ZS_MIN_N)
+            & (dv * dv * (n - 1) > int(ZS_K * ZS_K) * n * (n * s2 - s1 * s1)),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_anomaly"),
+    ).orderBy("event_id")
+
+
+# --- CUSUM drift statistic -------------------------------------------------
+
+
+@register(
+    "win_cusum_drift",
+    oracle=(
+        "WITH q AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, "
+        "CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v_m FROM events), "
+        "s AS (SELECT event_id, user_id, "
+        "SUM(v_m) OVER (PARTITION BY user_id ORDER BY t_us, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_m, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY t_us, event_id) AS rn, "
+        "SUM(v_m) OVER (PARTITION BY user_id) AS tot_m, "
+        "COUNT(*) OVER (PARTITION BY user_id) AS n FROM q) "
+        "SELECT event_id, user_id, "
+        "CAST(FLOOR((run_m * n - rn * tot_m) / CAST(n AS DOUBLE) + 0.5) "
+        "AS BIGINT) AS cusum_milli FROM s ORDER BY event_id"
+    ),
+)
+def win_cusum_drift(spark, sf_dir):
+    """CUSUM chart statistic per user series: the cumulative sum of
+    deviations from the series mean, C_t = sum_{i<=t}(v_i - mean).
+    A series whose level shifts mid-stream shows a persistent ramp
+    in C_t — the textbook change-detection chart (Page 1954,
+    public).
+
+    Cross-engine determinism: values are quantized to integer
+    milli-units FIRST (one identical IEEE expression per row), then
+    C_t is assembled EXACTLY in bigint arithmetic as
+    (run*n - rn*total)/n — summing raw doubles would accumulate
+    float error in engine-specific order, and the first version of
+    this op did flip quantization boundaries that way. The single
+    final division is one correctly-rounded IEEE op on
+    exactly-representable integers, identical in both engines.
+
+    Plan: one exchange on user_id; the running sum, row number, and
+    whole-partition totals all share that partitioning, so Catalyst
+    runs them in one sorted pass (two Window operators, zero extra
+    exchanges). 100 TB: same per-entity argument as win_ewma."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("v_m"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    wp = Window.partitionBy("user_id")
+    run_m = F.sum("v_m").over(ws.rowsBetween(Window.unboundedPreceding, 0))
+    rn = F.row_number().over(ws)
+    tot_m = F.sum("v_m").over(wp)
+    n = F.count(F.lit(1)).over(wp)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.floor((run_m * n - rn * tot_m) / n.cast("double") + 0.5)
+        .cast("long")
+        .alias("cusum_milli"),
+    ).orderBy("event_id")
