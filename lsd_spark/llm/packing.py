@@ -415,3 +415,60 @@ def llm_split_stratified(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("long").alias("n_chars"))
         .orderBy("lang", "split")
     )
+
+
+# --- importance sampling ---------------------------------------------------
+
+IMP_U_SCALE = 1_000_000  # md5-uniform resolution
+
+
+@register(
+    "llm_sample_importance",
+    oracle=(
+        "WITH s AS (SELECT doc_id, lang, "
+        "FLOOR((LEAST(n_chars / 400.0, 1.0) * 0.5 + "
+        "LEAST(len(string_split(text, ' ')) / 80.0, 1.0) * 0.5) "
+        f"* {IMP_U_SCALE}) AS p_u, "
+        "('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'imp'), 1, 15))"
+        f"::BIGINT % {IMP_U_SCALE} AS u FROM documents) "
+        "SELECT doc_id, lang, CAST(p_u AS BIGINT) AS weight_x1e6 "
+        "FROM s WHERE u < p_u ORDER BY doc_id"
+    ),
+)
+def llm_sample_importance(spark, sf_dir):
+    """Importance (quality-weighted) sampling: each document is kept
+    with probability equal to its quality score — the standard way
+    training pipelines upsample high-quality text without a hard
+    cutoff (soft filtering, e.g. the DCLM/FineWeb recipes, public).
+    Acceptance is deterministic: a per-doc md5-derived uniform u is
+    compared against the score, so the SAME sample reproduces on
+    any engine, run, or partitioning (rand() guarantees none of
+    that, and resampling drift silently changes training mixes).
+
+    Both the score and u are scaled to exact 1e6-grid integers
+    before the comparison — no float boundary can disagree. Plan:
+    map-only filter, no shuffle, pushdown-friendly; the score reuses
+    the llm_quality_score formula. 100 TB: embarrassingly parallel;
+    the acceptance test costs one md5 per row."""
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    score = (
+        F.least(F.col("n_chars") / 400.0, F.lit(1.0)) * 0.5
+        + F.least(ntok / 80.0, F.lit(1.0)) * 0.5
+    )
+    p_u = F.floor(score * IMP_U_SCALE)
+    u = (
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING) || 'imp'), 1, 15), "
+            "16, 10) AS BIGINT)"
+        )
+        % IMP_U_SCALE
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", p_u.alias("p_u"), u.alias("u")
+        )
+        .filter(F.col("u") < F.col("p_u"))
+        .select("doc_id", "lang", F.col("p_u").cast("long").alias("weight_x1e6"))
+        .orderBy("doc_id")
+    )

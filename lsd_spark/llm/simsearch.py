@@ -901,3 +901,61 @@ def knn_ivf_sq8(spark, sf_dir):
         .orderBy("vec_id", "rn")
         .select("vec_id", "neighbor_id", "sim")
     )
+
+
+# --- embedding hygiene audit -----------------------------------------------
+
+EMB_NORM_LO = 0.5  # flag vectors whose L2 norm falls outside this band
+EMB_NORM_HI = 2.0
+
+
+@register(
+    "llm_embed_stats",
+    oracle=(
+        "WITH s AS (SELECT label, "
+        "SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings) "
+        "SELECT label, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(FLOOR(AVG(nrm) * 1000 + 0.5) AS BIGINT) AS avg_norm_milli, "
+        f"CAST(SUM(CASE WHEN nrm < {EMB_NORM_LO} THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_low, "
+        f"CAST(SUM(CASE WHEN nrm > {EMB_NORM_HI} THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_high "
+        "FROM s GROUP BY label ORDER BY label"
+    ),
+)
+def llm_embed_stats(spark, sf_dir):
+    """Embedding hygiene audit per label: vector counts, mean L2
+    norm, and out-of-band norm counts — the pre-flight check every
+    ANN/dedup pipeline runs before trusting cosine math (zero-norm
+    vectors NaN the cosine; un-normalized mixtures skew IVF
+    centroids; both failure modes were hit by this repo's own
+    dedup family in round 5).
+
+    The norm reuses the engine-pinned sequential-fold kernel from
+    the cosine ops (float32 -> double elementwise, left-to-right
+    sum), so both engines produce bit-identical doubles before the
+    quantized mean. Plan: map-side norm + one bounded hash
+    aggregate; output is |labels| rows. 100 TB: single scan,
+    map-side combine."""
+    from lsd_spark.operators.joins import NORM_SPARK
+
+    emb = load(spark, sf_dir, "embeddings")
+    nrm = F.expr(NORM_SPARK.format(a="embedding"))
+    s = emb.select("label", nrm.alias("nrm"))
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.floor(F.avg("nrm") * 1000 + 0.5)
+            .cast("long")
+            .alias("avg_norm_milli"),
+            F.sum(F.when(F.col("nrm") < EMB_NORM_LO, 1).otherwise(0))
+            .cast("long")
+            .alias("n_low"),
+            F.sum(F.when(F.col("nrm") > EMB_NORM_HI, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+        )
+        .orderBy("label")
+    )

@@ -513,3 +513,270 @@ def llm_pii_redact(spark, sf_dir):
         .alias("n_phones"),
         F.md5(red.cast("binary")).alias("red_fp"),
     ).orderBy("doc_id")
+
+
+# --- rule-based quality filter ---------------------------------------------
+
+FILT_MIN_CHARS = 150  # C4 uses word/sentence floors; chars fit the fixture
+FILT_MIN_WORDS = 30
+FILT_MIN_TTR = 0.35  # type-token ratio floor (word-soup repetition screen)
+FILT_MAX_MWL = 12.0  # mean word length ceiling (gibberish screen)
+FILT_MIN_MWL = 2.0
+
+
+@register(
+    "llm_filter_rules",
+    oracle=(
+        "WITH s AS (SELECT doc_id, n_chars, "
+        "len(string_split(text, ' ')) AS n_words, "
+        "len(list_distinct(string_split(text, ' '))) AS n_types, "
+        "length(replace(text, ' ', '')) AS n_letters "
+        "FROM documents), "
+        "r AS (SELECT doc_id, CASE "
+        f"WHEN n_chars < {FILT_MIN_CHARS} THEN 'too_short' "
+        f"WHEN n_words < {FILT_MIN_WORDS} THEN 'too_few_words' "
+        f"WHEN n_types * 100 < n_words * {int(FILT_MIN_TTR * 100)} "
+        "THEN 'low_diversity' "
+        f"WHEN n_letters * 10 > n_words * {int(FILT_MAX_MWL * 10)} "
+        "THEN 'words_too_long' "
+        f"WHEN n_letters * 10 < n_words * {int(FILT_MIN_MWL * 10)} "
+        "THEN 'words_too_short' "
+        "ELSE 'ok' END AS reason FROM s) "
+        "SELECT doc_id, CAST(reason = 'ok' AS BOOLEAN) AS kept, reason "
+        "FROM r ORDER BY doc_id"
+    ),
+)
+def llm_filter_rules(spark, sf_dir):
+    """Rule-based document quality filter — the C4/Gopher-style
+    heuristic gauntlet (public: Raffel et al. 2020 §2.2, Rae et al.
+    2021 Table A1): length floor, word-count floor, type-token
+    diversity floor, mean-word-length band. Emits keep/drop plus
+    the FIRST failing rule as a reason code, which is what a real
+    pipeline logs for ablation accounting.
+
+    Every ratio test is integer cross-multiplication (n_types*100 <
+    n_words*35, not a float division), so engines can't disagree at
+    the boundary. Plan: pure map-side projection — no shuffle, no
+    UDF; the rules compile to string/array builtins inside
+    whole-stage codegen. 100 TB: embarrassingly parallel scan."""
+    docs = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    n_types = F.size(F.array_distinct(F.split("text", " ")))
+    n_letters = F.length(F.regexp_replace("text", " ", ""))
+    reason = (
+        F.when(F.col("n_chars") < FILT_MIN_CHARS, "too_short")
+        .when(n_words < FILT_MIN_WORDS, "too_few_words")
+        .when(
+            n_types * 100 < n_words * int(FILT_MIN_TTR * 100), "low_diversity"
+        )
+        .when(
+            n_letters * 10 > n_words * int(FILT_MAX_MWL * 10),
+            "words_too_long",
+        )
+        .when(
+            n_letters * 10 < n_words * int(FILT_MIN_MWL * 10),
+            "words_too_short",
+        )
+        .otherwise("ok")
+    )
+    return docs.select(
+        "doc_id",
+        (reason == "ok").alias("kept"),
+        reason.alias("reason"),
+    ).orderBy("doc_id")
+
+
+# --- BPE merge-step pair counts --------------------------------------------
+
+BPE_TOP = 50  # report the top merge candidates
+
+
+@register(
+    "llm_bpe_pairs",
+    oracle=(
+        "SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM ("
+        "SELECT substr(w, CAST(i AS INT), 2) AS pair "
+        "FROM (SELECT unnest(string_split(text, ' ')) AS w "
+        "FROM documents), "
+        "LATERAL (SELECT unnest(range(1, length(w)::BIGINT)) AS i) u "
+        "WHERE length(w) >= 2) "
+        f"GROUP BY pair ORDER BY cnt DESC, pair LIMIT {BPE_TOP}"
+    ),
+)
+def llm_bpe_pairs(spark, sf_dir):
+    """The distributed kernel of BPE tokenizer training (Sennrich et
+    al. 2016, public): count every adjacent symbol pair inside each
+    word across the corpus; the argmax pair is the next merge. One
+    training round = this op; a full tokenizer iterates it with the
+    merged symbol table fed back in.
+
+    Plan: pairs are generated INSIDE one map-side array expression
+    (split -> per-word substring windows -> flatten -> explode), so
+    the only shuffle is the final pair-count aggregate with map-side
+    combine, and the explode never materializes per-document arrays
+    bigger than the document itself. Top-k is rank-stable
+    (count DESC, pair ASC). 100 TB: pair cardinality is bounded by
+    |alphabet|^2, so the reduce side is tiny however big the corpus;
+    this is exactly the word-count shape Spark is best at."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform("
+                "  filter(split(text, ' '), w -> length(w) >= 2),"
+                "  w -> transform(sequence(1, length(w) - 1),"
+                "                 i -> substring(w, i, 2))))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(BPE_TOP)
+    )
+
+
+# --- n-gram novelty ----------------------------------------------------------
+
+_NOV_SHINGLE_DUCK = (
+    "SELECT doc_id, unnest(list_distinct(list_transform("
+    "range(1, greatest(len(t) - 2, 1) + 1), "
+    "i -> array_to_string(t[i:i+2], ' ')))) AS s "
+    "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"
+)
+
+
+@register(
+    "llm_ngram_novelty",
+    oracle=(
+        f"WITH tok AS ({_NOV_SHINGLE_DUCK}), "
+        "fst AS (SELECT s, MIN(doc_id) AS first_doc FROM tok GROUP BY s) "
+        "SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles, "
+        "CAST(SUM(CASE WHEN fst.first_doc = tok.doc_id THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_novel, "
+        "CAST(FLOOR(SUM(CASE WHEN fst.first_doc = tok.doc_id THEN 1 ELSE 0 "
+        "END) * 10000.0 / COUNT(*) + 0.5) AS BIGINT) AS novelty_x1e4 "
+        "FROM tok JOIN fst USING (s) GROUP BY tok.doc_id "
+        "ORDER BY tok.doc_id"
+    ),
+)
+def llm_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct 3-token shingles whose FIRST corpus occurrence (min
+    doc_id, the ingest-order proxy) is this document — the standard
+    marginal-contribution measure for data curation (a document
+    whose shingles all appeared earlier adds nothing; dedup ops ask
+    "is it a copy?", novelty asks "how much is new?").
+
+    Plan: shingle explode (map-side, the shared dedup tokenizer) ->
+    min-doc_id per shingle (map-side-combined agg on the shingle
+    key) -> join back on the shingle and re-aggregate per doc. Two
+    shuffles, both on bounded-width keys; the shingle posting list
+    is the SAME structure the ngram-dedup inverted index uses, so
+    at 100 TB this shares its df-cap/skew story. No corpus-sized
+    broadcast anywhere."""
+    from lsd_spark.llm.dedup import _shingled
+
+    docs = load(spark, sf_dir, "documents")
+    tok = _shingled(docs).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    fst = tok.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        tok.join(fst, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            novel.cast("long").alias("n_novel"),
+            F.floor(novel * 10000.0 / F.count("*") + 0.5)
+            .cast("long")
+            .alias("novelty_x1e4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- cross-source vocabulary overlap -----------------------------------------
+
+
+@register(
+    "llm_source_overlap",
+    oracle=(
+        "WITH v AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) "
+        "AS w FROM documents), "
+        "sz AS (SELECT source, COUNT(*) AS c FROM v GROUP BY source), "
+        "inter AS (SELECT a.source AS src_a, b.source AS src_b, "
+        "COUNT(*) AS i FROM v a JOIN v b ON a.w = b.w "
+        "AND a.source < b.source GROUP BY 1, 2) "
+        "SELECT src_a, src_b, CAST(i AS BIGINT) AS n_common, "
+        "CAST(FLOOR(i * 10000.0 / (sa.c + sb.c - i) + 0.5) AS BIGINT) "
+        "AS jaccard_x1e4 "
+        "FROM inter JOIN sz sa ON src_a = sa.source "
+        "JOIN sz sb ON src_b = sb.source "
+        "ORDER BY src_a, src_b"
+    ),
+)
+def llm_source_overlap(spark, sf_dir):
+    """Pairwise vocabulary overlap between corpus sources: Jaccard
+    similarity of the distinct-word sets for every source pair —
+    the source-contamination / redundancy matrix a mixing recipe
+    (llm_mix_sources) is tuned against: two sources with ~1.0
+    vocabulary Jaccard contribute near-duplicate distribution mass.
+
+    Plan: ONE corpus pass — distinct (source, word) postings, then
+    collect the per-WORD sorted source list (a ≤|sources|-element
+    array) and explode every ordered pair x <= y INCLUDING the
+    diagonal: (x,x) rows count each source's vocabulary size, (x,y)
+    rows count intersections, so a SINGLE ≤C(|sources|+1,2)-per-word
+    explode + one pair-count aggregate yields both, and the
+    corpus-scale subtree is consumed exactly once (a naive
+    self-join formulation — the oracle's SQL, semantically
+    identical — re-scans the DISTINCT three times; joining the
+    diagonal back would re-scan it too, because Catalyst duplicates
+    a DataFrame subtree per consumer). The sizes are instead pulled
+    off the diagonal with two WINDOW passes over the ~C(|sources|,2)-
+    row pair table — zero joins, and the audit shows exactly ONE
+    parquet scan. 100 TB: everything after the per-word aggregate
+    is vocabulary-bounded, and a stopword's posting list is
+    |sources| long here, not |docs| long — the DISTINCT already
+    collapsed it."""
+    docs = load(spark, sf_dir, "documents")
+    v = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    g = v.groupBy("w").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    )
+    pairs = g.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (x, i) -> "
+                "transform(slice(srcs, i + 1, size(srcs)), "
+                "y -> struct(x AS src_a, y AS src_b))))"
+            )
+        ).alias("p")
+    ).select("p.src_a", "p.src_b")
+    cnt = pairs.groupBy("src_a", "src_b").agg(F.count("*").alias("i"))
+    diag = F.when(F.col("src_a") == F.col("src_b"), F.col("i"))
+    ca = F.max(diag).over(Window.partitionBy("src_a"))
+    cb = F.max(diag).over(Window.partitionBy("src_b"))
+    return (
+        cnt.select("src_a", "src_b", "i", ca.alias("ca"), cb.alias("cb"))
+        .filter(F.col("src_a") != F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.col("i").cast("long").alias("n_common"),
+            F.floor(
+                F.col("i") * 10000.0 / (F.col("ca") + F.col("cb") - F.col("i"))
+                + 0.5
+            )
+            .cast("long")
+            .alias("jaccard_x1e4"),
+        )
+        .orderBy("src_a", "src_b")
+    )
