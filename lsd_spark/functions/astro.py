@@ -337,3 +337,133 @@ def fn_mjd_convert(spark, sf_dir):
         .alias("mjd_x1e5"),
         F.when(back == F.col("ts"), 1).otherwise(0).cast("int").alias("roundtrip_ok"),
     ).orderBy("event_id")
+
+
+# --- sky dipole moment ------------------------------------------------------
+
+_DIP_SCALE = 1_000_000  # per-object unit-vector components on a 1e-6 grid
+
+# identical expression text in both engines: unit vector of (ra, dec),
+# each component quantized to an exact integer BEFORE any aggregation
+# (per-element trig agrees across engines to well below 1e-6 — the
+# xmatch family pins distances at 1e-9 — and integer sums are exact,
+# so no accumulation-order skew can reach the output)
+_DIP_X = (
+    f"CAST(FLOOR(cos(radians(dec)) * cos(radians(ra)) * {_DIP_SCALE} + 0.5) "
+    "AS BIGINT)"
+)
+_DIP_Y = (
+    f"CAST(FLOOR(cos(radians(dec)) * sin(radians(ra)) * {_DIP_SCALE} + 0.5) "
+    "AS BIGINT)"
+)
+_DIP_Z = f"CAST(FLOOR(sin(radians(dec)) * {_DIP_SCALE} + 0.5) AS BIGINT)"
+
+
+@register(
+    "agg_dipole_sky",
+    oracle=(
+        f"WITH p AS ({_sphere_points_sql(None)}), "
+        f"v AS (SELECT {_DIP_X} AS x, {_DIP_Y} AS y, {_DIP_Z} AS z FROM p), "
+        "s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, "
+        "SUM(z) AS sz FROM v) "
+        "SELECT CAST(n AS BIGINT) AS n, "
+        "CAST(FLOOR(sx / (100.0 * n) + 0.5) AS BIGINT) AS x_x1e4, "
+        "CAST(FLOOR(sy / (100.0 * n) + 0.5) AS BIGINT) AS y_x1e4, "
+        "CAST(FLOOR(sz / (100.0 * n) + 0.5) AS BIGINT) AS z_x1e4, "
+        "CAST(FLOOR(SQRT(CAST(sx AS DOUBLE) * sx + CAST(sy AS DOUBLE) * sy "
+        "+ CAST(sz AS DOUBLE) * sz) / (100.0 * n) + 0.5) AS BIGINT) "
+        "AS amp_x1e4 FROM s"
+    ),
+)
+def agg_dipole_sky(spark, sf_dir):
+    """Sky-distribution dipole moment: the mean unit vector of every
+    source position and its amplitude — the standard isotropy test
+    for a catalog (a uniform sky gives amplitude ~ 1/sqrt(N); a
+    hemispheric depth bias or galactic-plane excess shows up as a
+    significant dipole; the same statistic CMB and quasar-catalog
+    anisotropy studies use, all public formulas).
+
+    Each object's (x, y, z) unit vector is quantized to an exact
+    1e-6-grid integer BEFORE summing, so the aggregate is exact
+    bigint arithmetic and immune to accumulation order; only the
+    final normalization divides (one correctly-rounded IEEE op per
+    output). Plan: map-side projection + a single 4-accumulator
+    global aggregate — one row out, map-side combine, no shuffle
+    wider than the combine tree. 100 TB: the cheapest full-catalog
+    statistic there is."""
+    pts = sphere_points(spark, sf_dir, None)
+    v = pts.select(
+        F.expr(_DIP_X).alias("x"),
+        F.expr(_DIP_Y).alias("y"),
+        F.expr(_DIP_Z).alias("z"),
+    )
+    s = v.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("sx") / (100.0 * F.col("n")) + 0.5)
+        .cast("long")
+        .alias("x_x1e4"),
+        F.floor(F.col("sy") / (100.0 * F.col("n")) + 0.5)
+        .cast("long")
+        .alias("y_x1e4"),
+        F.floor(F.col("sz") / (100.0 * F.col("n")) + 0.5)
+        .cast("long")
+        .alias("z_x1e4"),
+        F.floor(
+            F.sqrt(
+                F.col("sx").cast("double") * F.col("sx")
+                + F.col("sy").cast("double") * F.col("sy")
+                + F.col("sz").cast("double") * F.col("sz")
+            )
+            / (100.0 * F.col("n"))
+            + 0.5
+        )
+        .cast("long")
+        .alias("amp_x1e4"),
+    )
+
+
+# --- galactic-latitude profile ----------------------------------------------
+
+_GLAT_NBINS = 12  # |b| in [0, 90], 7.5-degree bins
+
+
+@register(
+    "agg_galactic_profile",
+    oracle=(
+        f"WITH p AS ({_sphere_points_sql(None)}), "
+        f"g AS (SELECT ROUND({_B_SQL}, 6) AS b FROM p) "
+        f"SELECT CAST(LEAST(FLOOR(ABS(b) / 7.5), {_GLAT_NBINS - 1}) "
+        "AS INTEGER) AS b_bin, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM g GROUP BY b_bin ORDER BY b_bin"
+    ),
+)
+def agg_galactic_profile(spark, sf_dir):
+    """Source counts vs absolute galactic latitude — the classic
+    star-counts profile (disk surveys rise steeply toward the
+    plane; extragalactic catalogs dip there from extinction; LSD's
+    own demos plot exactly this curve). The latitude reuses the
+    fn_equgal rotation, rounded to 1e-6 deg BEFORE binning — the
+    same pin that keeps fn_equgal hash-stable cross-engine — then
+    binned in 7.5-degree |b| bands.
+
+    Plan: map-side rotation + one bounded hash aggregate; output is
+    12 rows at any corpus size. 100 TB: single scan, map-side
+    combine, whole-stage codegen through the trig."""
+    pts = sphere_points(spark, sf_dir, None)
+    b = F.round(F.expr(_B_SQL), 6)
+    return (
+        pts.select(
+            F.least(F.floor(F.abs(b) / 7.5), F.lit(_GLAT_NBINS - 1))
+            .cast("int")
+            .alias("b_bin")
+        )
+        .groupBy("b_bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy("b_bin")
+    )

@@ -1187,3 +1187,197 @@ def agg_completeness_mag(spark, sf_dir):
         )
         .orderBy("mag_bin")
     )
+
+
+# --- epoch-propagated (proper-motion) cross-match --------------------------
+
+# Synthetic per-object epoch displacement (deg, exact milli-deg grid):
+# what pm_ra*dt / pm_dec*dt would be after multiplying a catalog's
+# proper motion by the epoch gap to the reference catalog.
+_DRA_MILLI_SPARK = (
+    "(CAST(conv(substr(md5(CAST(event_id AS STRING) || 'p'), 1, 15), 16, 10) "
+    "AS BIGINT) % 101 - 50)"
+)
+_DRA_MILLI_DUCK = (
+    "(('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'p'), 1, 15))::BIGINT "
+    "% 101 - 50)"
+)
+_DDEC_MILLI_SPARK = _DRA_MILLI_SPARK.replace("|| 'p'", "|| 'q'")
+_DDEC_MILLI_DUCK = _DRA_MILLI_DUCK.replace("|| 'p'", "|| 'q'")
+
+# propagated coordinates — IDENTICAL arithmetic text in both engines
+# (wraparound at RA 0/360; dec clamped inside the open pole bound)
+_PM_RA2 = "(({ra}) + ({dra}) / 1000.0 + 360.0) % 360.0"
+_PM_DEC2 = "greatest(-90.0, least(89.999, ({dec}) + ({ddec}) / 1000.0))"
+
+_PM_PTS_DUCK = (
+    "SELECT event_id, "
+    + _PM_RA2.format(ra=_RA_SQL, dra=_DRA_MILLI_DUCK)
+    + " AS ra, "
+    + _PM_DEC2.format(dec=_DEC_SQL, ddec=_DDEC_MILLI_DUCK)
+    + " AS dec FROM events WHERE event_type = 'purchase'"
+)
+
+
+@register(
+    "join_xmatch_pm_epoch",
+    oracle=(
+        f"SELECT a.event_id AS l_id, b.event_id AS r_id, "
+        f"ROUND({_SPHERE_DIST_ORACLE}, 9) AS dist_deg "
+        f"FROM ({_PM_PTS_DUCK}) a "
+        f"JOIN ({_sphere_points_sql('click')}) b "
+        f"ON {_SPHERE_DIST_ORACLE} <= {R_SPHERE} "
+        "ORDER BY l_id, r_id"
+    ),
+)
+def join_xmatch_pm_epoch(spark, sf_dir):
+    """Epoch-propagated cross-match: the left catalog's positions
+    are first advanced by each object's proper motion times the
+    epoch gap to the right catalog's epoch, THEN radius-matched —
+    the correct way to match surveys taken years apart (a
+    high-proper-motion star moves arcseconds between epochs and a
+    naive positional match loses it; LSD-class survey pipelines
+    propagate before matching). The synthetic displacement is an
+    exact milli-degree grid per object, with RA wraparound at 0/360
+    and dec clamped inside the poles — the same expression text
+    runs in both engines.
+
+    Plan: propagation is a map-side projection on the left scan;
+    the match reuses the zone/bucket equi-join kernel
+    (sphere_xmatch), so the cost is identical to the plain
+    spherical xmatch — propagation adds zero shuffles. 100 TB: the
+    zones argument is unchanged because zoning happens AFTER
+    propagation (objects land in their propagated cell)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    ra2 = F.expr(
+        _PM_RA2.format(
+            ra=(
+                "CAST(CAST(conv(substr(md5(CAST(event_id AS STRING) || 'r'), "
+                "1, 15), 16, 10) AS BIGINT) % 360000 AS DOUBLE) / 1000.0"
+            ),
+            dra=_DRA_MILLI_SPARK,
+        )
+    )
+    dec2 = F.expr(
+        _PM_DEC2.format(
+            dec=(
+                "CAST(CAST(conv(substr(md5(CAST(event_id AS STRING) || 'd'), "
+                "1, 15), 16, 10) AS BIGINT) % 180000 AS DOUBLE) / 1000.0 - 90.0"
+            ),
+            ddec=_DDEC_MILLI_SPARK,
+        )
+    )
+    l_pts = ev.select("event_id", ra2.alias("ra"), dec2.alias("dec"))
+    cand = sphere_xmatch(
+        l_pts, sphere_points(spark, sf_dir, "click"), R_SPHERE
+    )
+    return cand.select(
+        "l_id", "r_id", F.round("dist", 9).alias("dist_deg")
+    ).orderBy("l_id", "r_id")
+
+
+# --- Hess diagram (color-magnitude density) --------------------------------
+
+# two synthetic photometric bands on the exact milli-mag grid
+_GMAG_MILLI_SPARK = (
+    "(CAST(conv(substr(md5(CAST(event_id AS STRING) || 'bg'), 1, 15), 16, 10) "
+    "AS BIGINT) % 10000)"
+)
+_GMAG_MILLI_DUCK = (
+    "(('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'bg'), 1, 15))::BIGINT "
+    "% 10000)"
+)
+_RMAG_MILLI_SPARK = _GMAG_MILLI_SPARK.replace("'bg'", "'br'")
+_RMAG_MILLI_DUCK = _GMAG_MILLI_DUCK.replace("'bg'", "'br'")
+
+
+@register(
+    "agg_hess_diagram",
+    oracle=(
+        f"WITH p AS (SELECT {_GMAG_MILLI_DUCK} AS gm, "
+        f"{_RMAG_MILLI_DUCK} AS rm FROM events) "
+        "SELECT CAST((gm - rm + 10000) // 1000 AS INTEGER) AS color_bin, "
+        "CAST(gm // 1000 AS INTEGER) AS mag_bin, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM p GROUP BY color_bin, mag_bin ORDER BY color_bin, mag_bin"
+    ),
+)
+def agg_hess_diagram(spark, sf_dir):
+    """Hess diagram: source density binned in (color, magnitude)
+    space — THE stellar-populations product of any sky survey (main
+    sequence, giant branch, and disk/halo structure all appear as
+    density features; LSD's docs use it as the canonical
+    full-catalog aggregate). Color = g - r from two synthetic
+    photometric bands on the exact milli-mag grid, so binning is
+    PURE INTEGER arithmetic end to end — no float can disagree.
+
+    Plan: map-side integer projection, then one map-side-combined
+    count per (color_bin, mag_bin); output is <= 20x10 cells at any
+    corpus size. 100 TB: identical shape to agg_density_map_2d —
+    single scan, bounded reduce."""
+    ev = load(spark, sf_dir, "events")
+    gm = F.expr(_GMAG_MILLI_SPARK)
+    rm = F.expr(_RMAG_MILLI_SPARK)
+    p = ev.select(gm.alias("gm"), rm.alias("rm"))
+    return (
+        p.groupBy(
+            F.expr("CAST((gm - rm + 10000) div 1000 AS INT)").alias("color_bin"),
+            F.expr("CAST(gm div 1000 AS INT)").alias("mag_bin"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy("color_bin", "mag_bin")
+    )
+
+
+# --- self nearest neighbor --------------------------------------------------
+
+
+@register(
+    "join_self_nearest_sphere",
+    oracle=(
+        f"WITH p AS ({_sphere_points_sql('purchase')}), "
+        f"cand AS (SELECT a.event_id AS l_id, b.event_id AS r_id, "
+        f"ROUND({_SPHERE_DIST_ORACLE}, 9) AS dist FROM p a JOIN p b "
+        f"ON a.event_id <> b.event_id AND {_SPHERE_DIST_ORACLE} <= {R_SPHERE}), "
+        "r AS (SELECT l_id, r_id, dist, ROW_NUMBER() OVER ("
+        "PARTITION BY l_id ORDER BY dist, r_id) AS rn FROM cand) "
+        "SELECT l_id, r_id AS nn_id, dist AS dist_deg FROM r WHERE rn = 1 "
+        "ORDER BY l_id"
+    ),
+)
+def join_self_nearest_sphere(spark, sf_dir):
+    """Nearest neighbor WITHIN the same catalog: each object's
+    closest other object and the separation — the isolation /
+    crowding statistic behind blend rejection, fiber-collision
+    handling, and the nearest-neighbor separation distribution
+    (a standard clustering diagnostic). The cross-catalog knn ops
+    match A against B; the self-match needs the identity pairs
+    excluded and is otherwise the same zoned kernel.
+
+    Plan: sphere_xmatch(points, points) — one zone/bucket equi-join
+    where each side is the SAME scan (exchange reuse), self-pairs
+    dropped, then a rank-1 window per object on the ROUND(,9)
+    distance with an id tiebreak (the sub-ulp ordering pin all knn
+    ops use). Objects with no neighbor within R_SPHERE are absent by
+    definition (isolated beyond the search radius). 100 TB: the
+    zones argument is unchanged; candidates per object track local
+    density, never catalog size."""
+    pts = sphere_points(spark, sf_dir, "purchase")
+    cand = sphere_xmatch(pts, pts, R_SPHERE).filter(
+        F.col("l_id") != F.col("r_id")
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("l_id").orderBy(F.round("dist", 9), "r_id")
+    )
+    return (
+        cand.select(
+            "l_id", "r_id", F.round("dist", 9).alias("dist_deg"), rn.alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("l_id", F.col("r_id").alias("nn_id"), "dist_deg")
+        .orderBy("l_id")
+    )

@@ -136,6 +136,7 @@ def main():
         "join_xmatch_sphere_margin", "join_xmatch_sphere_chain",
         "agg_angular_corr", "join_xmatch_bayes", "join_xmatch_mutual",
         "agg_completeness_mag", "stream_xmatch_sphere",
+        "join_xmatch_pm_epoch", "join_self_nearest_sphere",
         "llm_dedup_embcos_exact",
         # recursive-CTE transitive closure over the MinHash pair CTEs
         "llm_dedup_cluster",
