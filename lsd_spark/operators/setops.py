@@ -100,3 +100,46 @@ def set_intersect_all(spark, sf_dir):
     f = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
     op_ = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
     return f.intersectAll(op_).orderBy("o_orderpriority")
+
+
+@register(
+    "set_symmetric_diff",
+    oracle=(
+        "WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders "
+        "WHERE year(o_orderdate) = 1994), "
+        "b AS (SELECT DISTINCT o_custkey AS k FROM orders "
+        "WHERE year(o_orderdate) = 1995) "
+        "SELECT k, 'a_only' AS side FROM a WHERE k NOT IN (SELECT k FROM b) "
+        "UNION ALL "
+        "SELECT k, 'b_only' AS side FROM b WHERE k NOT IN (SELECT k FROM a) "
+        "ORDER BY k, side"
+    ),
+)
+def set_symmetric_diff(spark, sf_dir):
+    """Symmetric difference with provenance: customers active in
+    exactly one of two years, tagged with WHICH side they came from
+    — the churn/new-cohort split (A-only = churned, B-only =
+    acquired) that a plain EXCEPT throws away. Completes the set-op
+    family (union/intersect/except all have ops already).
+
+    Plan: both branches are LEFT ANTI joins on the distinct key sets
+    — each anti join broadcasts or shuffles on the SAME key, and the
+    year filters push to the scan, so the whole op is two
+    distinct-aggregates plus two anti joins over pruned scans.
+    100 TB: anti join beats NOT IN at scale (null-safe, no
+    materialized subquery); both sides shrink to |distinct keys|
+    before any join."""
+    o = load(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.year("o_orderdate") == 1994)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    b = (
+        o.filter(F.year("o_orderdate") == 1995)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    a_only = a.join(b, "k", "left_anti").select("k", F.lit("a_only").alias("side"))
+    b_only = b.join(a, "k", "left_anti").select("k", F.lit("b_only").alias("side"))
+    return a_only.unionByName(b_only).orderBy("k", "side")

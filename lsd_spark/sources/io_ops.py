@@ -543,3 +543,161 @@ def source_jsonl_import(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "merge_cdc_apply",
+    oracle=(
+        # changelog derived deterministically from the snapshot:
+        #  seq 1: UPDATE custkey%10==0  (acctbal += 50)
+        #  seq 2: DELETE custkey%15==0  (including some seq-1 updatees)
+        #  seq 2: INSERT custkey+2000000 for custkey%23==0
+        # latest seq per key wins; D removes the key.
+        "WITH chg AS ("
+        "SELECT c_custkey AS k, 1 AS seq, 'U' AS op, "
+        "c_acctbal + 50 AS bal FROM customer WHERE c_custkey % 10 = 0 "
+        "UNION ALL SELECT c_custkey, 2, 'D', NULL FROM customer "
+        "WHERE c_custkey % 15 = 0 "
+        "UNION ALL SELECT c_custkey + 2000000, 2, 'I', 0.0 FROM customer "
+        "WHERE c_custkey % 23 = 0), "
+        "latest AS (SELECT k, op, bal FROM (SELECT k, op, bal, "
+        "ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn "
+        "FROM chg) WHERE rn = 1), "
+        "applied AS ("
+        "SELECT COALESCE(l.k, c.c_custkey) AS c_custkey, "
+        "CASE WHEN l.k IS NULL THEN c.c_acctbal ELSE l.bal END AS bal, "
+        "CASE WHEN l.k IS NULL THEN NULL ELSE l.op END AS op "
+        "FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.k) "
+        "SELECT c_custkey, CAST(FLOOR(bal * 100 + 0.5) AS BIGINT) "
+        "AS acctbal_cents FROM applied "
+        "WHERE op IS DISTINCT FROM 'D' ORDER BY c_custkey"
+    ),
+)
+def merge_cdc_apply(spark, sf_dir):
+    """CDC changelog application — the lakehouse ingest pattern a
+    step past merge_upsert: an ORDERED change stream with inserts,
+    updates, AND deletes (Debezium/Delta CDF shape, public) folds
+    onto a snapshot; per key the LATEST change wins, and a terminal
+    delete removes the row even if earlier changes touched it (the
+    fixture's %30 keys get seq-1 update then seq-2 delete —
+    exercising exactly the ordering bug naive union-and-dedup
+    apply-jobs have).
+
+    Plan: one rank window over the changelog keyed by (key, seq
+    DESC) collapses the stream to its frontier — changelog-sized,
+    not snapshot-sized — then ONE full-outer join applies it.
+    100 TB: the snapshot shuffles once on the key (zero with a
+    bucketed layout — sink_bucketed); the changelog side is
+    batch-sized. Never a row-at-a-time MERGE loop."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    upd = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("c_acctbal") + 50).alias("bal"),
+    )
+    dele = c.filter(F.col("c_custkey") % 15 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("bal"),
+    )
+    ins = c.filter(F.col("c_custkey") % 23 == 0).select(
+        (F.col("c_custkey") + 2000000).alias("k"),
+        F.lit(2).alias("seq"),
+        F.lit("I").alias("op"),
+        F.lit(0.0).alias("bal"),
+    )
+    chg = upd.unionByName(dele).unionByName(ins)
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("k").orderBy(F.desc("seq"))
+    )
+    latest = (
+        chg.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn", "seq")
+    )
+    applied = c.join(latest, c.c_custkey == latest.k, "full_outer").select(
+        F.coalesce(F.col("k"), F.col("c_custkey")).alias("c_custkey"),
+        F.when(F.col("k").isNull(), F.col("c_acctbal"))
+        .otherwise(F.col("bal"))
+        .alias("bal"),
+        F.when(F.col("k").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.col("op"))
+        .alias("op"),
+    )
+    return (
+        applied.filter(
+            F.col("op").isNull() | (F.col("op") != "D")
+        )
+        .select(
+            "c_custkey",
+            F.floor(F.col("bal") * 100 + 0.5)
+            .cast("long")
+            .alias("acctbal_cents"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "sink_partition_overwrite",
+    oracle=(
+        # final state: every non-'click' partition keeps its original
+        # rows; the 'click' partition is replaced by the doubled batch
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_even FROM ("
+        "SELECT event_type, event_id FROM events WHERE event_type <> 'click' "
+        "UNION ALL "
+        "SELECT event_type, event_id FROM events WHERE event_type = 'click' "
+        "UNION ALL "
+        "SELECT event_type, event_id FROM events WHERE event_type = 'click'"
+        ") GROUP BY event_type ORDER BY event_type"
+    ),
+    cacheable=False,
+)
+def sink_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite — the idempotent-backfill write
+    mode: re-running one day's (here: one event_type's) job replaces
+    ONLY the partitions present in the incoming batch, leaving every
+    other partition's files untouched (Spark's
+    partitionOverwriteMode=dynamic; Hive INSERT OVERWRITE
+    semantics). The STATIC default would wipe the whole table — the
+    classic backfill footgun this op exists to demonstrate against.
+
+    The flow: write events partitioned by event_type, then
+    dynamically overwrite the 'click' partition with a doubled
+    batch; the read-back must show every other partition intact and
+    'click' exactly replaced. 100 TB: a backfill touches one
+    partition directory per affected day — IO proportional to the
+    batch, not the table; the partition column must be low-
+    cardinality (event_type/date), never an id."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    base = tempfile.mkdtemp(prefix="lsd_dynpart_")
+    tbl = f"{base}/events_by_type"
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(tbl)
+    clicks = ev.filter(F.col("event_type") == "click")
+    batch = clicks.unionByName(clicks)  # the replacement payload
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        batch.write.partitionBy("event_type").mode("overwrite").parquet(tbl)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    out = (
+        spark.read.parquet(tbl)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.when(F.col("event_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_even"),
+        )
+        .orderBy("event_type")
+    )
+    res = spark.createDataFrame(
+        out.collect(), "event_type string, cnt bigint, n_even bigint"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return res

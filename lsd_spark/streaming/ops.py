@@ -25,6 +25,7 @@ import os
 import tempfile
 import uuid
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from lsd_spark.catalog import load, normalize_ts, table_path
@@ -559,3 +560,65 @@ def stream_xmatch_sphere(spark, sf_dir):
 
     sink = _run_stream(spark, sf_dir, build, "append")
     return sink.orderBy("l_id", "r_id")
+
+
+TOPK_K = 3  # event types reported per window
+
+
+@register(
+    "stream_topk_windowed",
+    oracle=(
+        "WITH c AS (SELECT date_trunc('hour', ts) AS win_start, "
+        "event_type, count(*) AS cnt FROM events "
+        "GROUP BY win_start, event_type), "
+        "r AS (SELECT win_start, event_type, cnt, "
+        "ROW_NUMBER() OVER (PARTITION BY win_start "
+        "ORDER BY cnt DESC, event_type ASC) AS rk FROM c) "
+        f"SELECT win_start, event_type, CAST(cnt AS BIGINT) AS cnt, "
+        f"CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= {TOPK_K} "
+        "ORDER BY win_start, rk"
+    ),
+    cacheable=False,
+)
+def stream_topk_windowed(spark, sf_dir):
+    """Real stream: trending-items leaderboard — the top-K event
+    types per tumbling hour, the canonical streaming-analytics
+    dashboard query. The HEAVY part (windowed counting over the
+    full stream, watermark-bounded state) runs in the streaming
+    engine under the 4-slice multi-batch replay; the K-row-per-
+    window rank is applied to the max-folded sink, because a rank
+    is presentation over finalized counts, not streaming state —
+    ranking per-update would emit retractions Spark's sinks don't
+    carry (the same layering Flink's top-N on windowed aggregates
+    uses, public docs).
+
+    Scale: state is |windows x types| counters behind the
+    watermark; the folded sink is aggregate-sized (not event-
+    sized), so the rank window runs over a tiny table however big
+    the stream. COUNT is monotone per key, so the max-fold
+    recovers final counts under any slicing (stream_watermark_late
+    argument)."""
+
+    def build(src):
+        return (
+            src.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("win_start"), "event_type", "cnt")
+        )
+
+    sink = _run_stream(spark, sf_dir, build, "update")
+    folded = sink.groupBy("win_start", "event_type").agg(
+        F.max("cnt").alias("cnt")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("win_start").orderBy(
+            F.desc("cnt"), F.asc("event_type")
+        )
+    )
+    return (
+        folded.withColumn("rk", rk.cast("int"))
+        .filter(F.col("rk") <= TOPK_K)
+        .select("win_start", "event_type", F.col("cnt").cast("long").alias("cnt"), "rk")
+        .orderBy("win_start", "rk")
+    )
