@@ -1592,3 +1592,165 @@ def agg_theilsen_slope(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --- portable HyperLogLog ----------------------------------------------------
+
+# m = 256 buckets (b = 8); the 60-bit md5 hash splits into bucket
+# (low 8 bits) and a 52-bit pattern word. alpha_m * m^2 * 2^40
+# precomputed in exact double so both engines divide the same literal.
+_HLL_M = 256
+_HLL_ALPHA_NUM = 5.175699493294551e16  # 0.7213/(1+1.079/256) * 256^2 * 2^40
+_HLL_LC_THRESHOLD = 2.5 * _HLL_M  # below this, linear counting applies
+
+
+@register(
+    "agg_approx_distinct_portable",
+    oracle=(
+        "WITH h AS (SELECT ('0x' || substring(md5(CAST(l_orderkey "
+        "AS VARCHAR)), 1, 15))::BIGINT AS h FROM lineitem), "
+        f"b AS (SELECT h % {_HLL_M} AS bucket, h // {_HLL_M} AS w FROM h), "
+        "r AS (SELECT bucket, MAX(CASE WHEN w = 0 THEN 53 "
+        "ELSE 53 - length(bin(w)) END) AS mx FROM b GROUP BY bucket), "
+        "s AS (SELECT COUNT(*) AS present, "
+        "SUM(CAST(POW(2, 40 - LEAST(mx, 40)) AS BIGINT)) AS s_present "
+        "FROM r), "
+        "e AS (SELECT "
+        f"{_HLL_ALPHA_NUM!r} / (s_present + ({_HLL_M} - present) * "
+        "CAST(POW(2, 40) AS BIGINT)) AS e_raw, "
+        f"{_HLL_M} - present AS v_empty FROM s), "
+        "x AS (SELECT CASE WHEN e_raw <= "
+        f"{_HLL_LC_THRESHOLD!r} AND v_empty > 0 "
+        f"THEN {_HLL_M} * ln({_HLL_M}.0 / v_empty) ELSE e_raw END AS est "
+        "FROM e), "
+        "t AS (SELECT COUNT(DISTINCT l_orderkey) AS exact FROM lineitem) "
+        "SELECT CAST(FLOOR(est + 0.5) AS BIGINT) AS est_distinct, "
+        "CAST(exact AS BIGINT) AS exact_distinct, "
+        "CAST(FLOOR(ABS(est - exact) * 1000000.0 / exact + 0.5) AS BIGINT) "
+        "AS err_ppm FROM x, t"
+    ),
+)
+def agg_approx_distinct_portable(spark, sf_dir):
+    """HyperLogLog distinct-count estimate with a PORTABLE hash
+    (Flajolet et al. 2007, public) — the upgrade that moves the
+    approximate-distinct family from rows-only to hash-verified:
+    the builtin approx_count_distinct sketches with engine-private
+    xxhash, so its estimate can never cross-check; this op builds
+    the SAME sketch in both engines from md5 bits. bucket = low 8
+    hash bits, rho = leading-zero rank of the 52-bit remainder via
+    length(bin(w)) — bin() strips leading zeros identically in both
+    engines, so rho is exact integer arithmetic, and the register
+    sum uses exact 2^(40-rho) bigints (accumulation-order-immune).
+    The only floats are the final alpha*m^2/S division (identical
+    literal / identical bigint) and the guarded linear-counting
+    branch. Estimate lands within ~6.5% (1.04/sqrt(256)) of exact —
+    err_ppm is part of the output so the driver hash pins the
+    achieved accuracy, not just the estimate.
+
+    Plan: one map-side projection, a <=256-row register aggregate
+    (map-side max-combine — THE mergeable-sketch shape), plus the
+    exact COUNT(DISTINCT) for the accuracy column. 100 TB: the
+    sketch is 256 ints regardless of corpus; partials merge by
+    register max, which Spark's partial aggregation does for free.
+    The exact branch exists only to report the error; production
+    use drops it."""
+    from lsd_spark.llm.dedup import HASH60_SPARK
+
+    li = load(spark, sf_dir, "lineitem")
+    h60 = HASH60_SPARK.format(t="CAST(l_orderkey AS STRING)")
+    b = li.select(
+        F.expr(f"({h60}) % {_HLL_M}").alias("bucket"),
+        F.expr(f"({h60}) div {_HLL_M}").alias("w"),
+    )
+    r = b.groupBy("bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, 53).otherwise(
+                53 - F.length(F.expr("bin(w)"))
+            )
+        ).alias("mx")
+    )
+    s = r.agg(
+        F.count("*").alias("present"),
+        F.sum(
+            F.pow(F.lit(2.0), 40 - F.least(F.col("mx"), F.lit(40)))
+            .cast("long")
+        ).alias("s_present"),
+    )
+    e = s.select(
+        (
+            F.lit(_HLL_ALPHA_NUM)
+            / (
+                F.col("s_present")
+                + (_HLL_M - F.col("present")) * F.lit(2**40).cast("long")
+            )
+        ).alias("e_raw"),
+        (_HLL_M - F.col("present")).alias("v_empty"),
+    )
+    x = e.select(
+        F.when(
+            (F.col("e_raw") <= _HLL_LC_THRESHOLD) & (F.col("v_empty") > 0),
+            _HLL_M * F.log(_HLL_M / F.col("v_empty").cast("double")),
+        )
+        .otherwise(F.col("e_raw"))
+        .alias("est")
+    )
+    t = li.agg(F.countDistinct("l_orderkey").alias("exact"))
+    return x.join(F.broadcast(t)).select(
+        F.floor(F.col("est") + 0.5).cast("long").alias("est_distinct"),
+        F.col("exact").cast("long").alias("exact_distinct"),
+        F.floor(F.abs(F.col("est") - F.col("exact")) * 1e6 / F.col("exact") + 0.5)
+        .cast("long")
+        .alias("err_ppm"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=(
+        "SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_cust, "
+        "CAST(FLOOR(SUM(c_acctbal) * 100 + 0.5) AS BIGINT) AS bal_cents, "
+        "CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INTEGER) AS gid "
+        "FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY ROLLUP (r_name, n_name) "
+        "ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST"
+    ),
+)
+def agg_rollup(spark, sf_dir):
+    """ROLLUP along the region -> nation hierarchy: per-nation rows,
+    per-region subtotals, and the grand total in ONE pass — the
+    drill-down companion to agg_cube (which materializes every
+    subset; ROLLUP only the hierarchy's prefixes, |levels|+1 grouping
+    sets instead of 2^k). GROUPING() bits disambiguate a NULL key
+    from a subtotal row, the classic rollup pitfall.
+
+    Plan: both dimension joins broadcast (region/nation are tiny);
+    Spark expands the rollup into grouping sets BEFORE the hash
+    aggregate, so partial aggregation still applies per set. 100 TB:
+    one fact scan, map-side combine per grouping set, output bounded
+    by |nations| + |regions| + 1."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    j = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.floor(F.sum("c_acctbal") * 100 + 0.5)
+            .cast("long")
+            .alias("bal_cents"),
+            (F.grouping("r_name") * 2 + F.grouping("n_name"))
+            .cast("int")
+            .alias("gid"),
+        )
+        .select("r_name", "n_name", "n_cust", "bal_cents", "gid")
+        .orderBy(
+            "gid",
+            F.col("r_name").asc_nulls_first(),
+            F.col("n_name").asc_nulls_first(),
+        )
+    )

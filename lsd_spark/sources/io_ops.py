@@ -701,3 +701,123 @@ def sink_partition_overwrite(spark, sf_dir):
     )
     shutil.rmtree(base, ignore_errors=True)
     return res
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle=(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys, "
+        "CAST(FLOOR(SUM(c_acctbal) * 100 + 0.5) AS BIGINT) AS bal_cents, "
+        "md5(string_agg(md5(c_name), '' ORDER BY c_custkey)) AS name_fp "
+        "FROM customer"
+    ),
+)
+def source_orc_roundtrip(spark, sf_dir):
+    """ORC round-trip — the second columnar interchange format real
+    lakehouses carry alongside Parquet (Hive-heritage clusters feed
+    ORC; Spark reads/writes it natively): export customer as ORC,
+    re-ingest, and aggregate the COPY against fidelity fingerprints
+    recomputed by the oracle from the ORIGINAL table — row count,
+    key cardinality, exact-cents balance sum, and an order-pinned
+    md5-of-md5s over every name (one mangled string breaks it).
+
+    Plan: sharded write (no driver funnel), schema-preserving read,
+    one aggregate; the digest chain orders itself with
+    sort_array(collect_list(struct(key, hash))) — an orderBy
+    upstream of collect_list is NOT contractual across partitions,
+    so the order pin lives inside the aggregate. 100 TB: format
+    conversion is embarrassingly parallel per file; the fidelity
+    aggregate would sample."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    base = tempfile.mkdtemp(prefix="lsd_orc_")
+    c.write.mode("overwrite").orc(f"{base}/customer_orc")
+    back = spark.read.orc(f"{base}/customer_orc")
+    name_fp = back.agg(
+        F.md5(
+            F.concat_ws(
+                "",
+                F.expr(
+                    "transform(sort_array(collect_list("
+                    "struct(c_custkey AS k, md5(c_name) AS h))), x -> x.h)"
+                ),
+            )
+        ).alias("name_fp")
+    )
+    agg = back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("c_custkey").cast("long").alias("n_keys"),
+        F.floor(F.sum("c_acctbal") * 100 + 0.5)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    out = agg.join(F.broadcast(name_fp))
+    res = spark.createDataFrame(
+        out.collect(),
+        "n_rows bigint, n_keys bigint, bal_cents bigint, name_fp string",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
+MANIFEST_BUCKET_W = 4096  # orderkey range per file bucket
+
+
+@register(
+    "sink_file_manifest",
+    oracle=(
+        f"SELECT CAST(o_orderkey // {MANIFEST_BUCKET_W} AS INTEGER) "
+        "AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(MIN(o_orderkey) AS BIGINT) AS min_key, "
+        "CAST(MAX(o_orderkey) AS BIGINT) AS max_key "
+        "FROM orders GROUP BY bucket ORDER BY bucket"
+    ),
+    cacheable=False,
+)
+def sink_file_manifest(spark, sf_dir):
+    """Per-file statistics manifest — the metadata layer Delta/
+    Iceberg attach to every data file (row count, min/max per
+    column) so a query planner can skip files by predicate without
+    opening them; LSD's per-cell catalogs carry the same min/max
+    role. Orders are written partitioned into deterministic key-
+    range buckets (floor(key/W), not sampled ranges — sampling
+    makes file boundaries nondeterministic), then the manifest is
+    recomputed FROM THE WRITTEN FILES via input-partition
+    aggregation; the oracle rebuilds it from the source table, so a
+    row lost or misrouted by the write breaks the match.
+
+    The written layout genuinely skips: min/max ranges are disjoint
+    by construction, so a point predicate opens exactly one bucket
+    dir (same pin as sink_zorder's parquet-footer test). 100 TB:
+    manifests are |files|-sized, collected nowhere; the aggregate
+    is one map-side-combined pass over the written data."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    base = tempfile.mkdtemp(prefix="lsd_manifest_")
+    (
+        o.withColumn(
+            "bucket",
+            F.expr(f"CAST(o_orderkey div {MANIFEST_BUCKET_W} AS INT)"),
+        )
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(f"{base}/orders_bucketed")
+    )
+    back = spark.read.parquet(f"{base}/orders_bucketed")
+    manifest = (
+        back.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .orderBy("bucket")
+    )
+    res = spark.createDataFrame(
+        manifest.collect(),
+        "bucket int, n_rows bigint, min_key bigint, max_key bigint",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return res

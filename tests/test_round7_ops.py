@@ -505,3 +505,63 @@ def test_partition_overwrite_replaces_only_target(spark):
             assert r.cnt == 2 * base["click"]
         else:
             assert r.cnt == base[r.event_type]
+
+
+# --- batch 3: portable HLL / rollup / ORC / manifest ----------------------------
+
+
+def test_hll_portable_exact_sketch_recompute(spark):
+    out = QUERIES["agg_approx_distinct_portable"](spark, SF_DIR).toPandas()
+    li = pd.read_parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    keys = li.l_orderkey.unique()
+    regs = [0] * 256
+    for k in keys:
+        h = _md5int(str(k))
+        b, w = h % 256, h // 256
+        rho = 53 if w == 0 else 53 - w.bit_length()
+        regs[b] = max(regs[b], rho)
+    s = sum(2 ** (40 - min(r, 40)) for r in regs)
+    e_raw = 5.175699493294551e16 / s
+    v = sum(1 for r in regs if r == 0)
+    est = 256 * math.log(256.0 / v) if (e_raw <= 640.0 and v > 0) else e_raw
+    assert out.est_distinct.iloc[0] == math.floor(est + 0.5)
+    assert out.exact_distinct.iloc[0] == len(keys)
+    # achieved accuracy within ~2 standard errors of the m=256 sketch
+    assert out.err_ppm.iloc[0] < 130_000
+
+
+def test_rollup_subtotals_consistent(spark):
+    out = QUERIES["agg_rollup"](spark, SF_DIR).toPandas()
+    nation_rows = out[out.gid == 0]
+    region_rows = out[out.gid == 1]
+    grand = out[out.gid == 3]
+    assert len(grand) == 1
+    assert grand.n_cust.iloc[0] == nation_rows.n_cust.sum()
+    for _, r in region_rows.iterrows():
+        sub = nation_rows[nation_rows.r_name == r.r_name]
+        assert r.n_cust == sub.n_cust.sum()
+        assert r.bal_cents == sub.bal_cents.sum()
+        assert pd.isna(r.n_name)
+
+
+def test_orc_roundtrip_fingerprint(spark):
+    out = QUERIES["source_orc_roundtrip"](spark, SF_DIR).toPandas()
+    cust = pd.read_parquet(os.path.join(SF_DIR, "customer.parquet"))
+    assert out.n_rows.iloc[0] == len(cust)
+    assert out.n_keys.iloc[0] == cust.c_custkey.nunique()
+    chain = "".join(
+        hashlib.md5(n.encode()).hexdigest()
+        for n in cust.sort_values("c_custkey").c_name
+    )
+    assert out.name_fp.iloc[0] == hashlib.md5(chain.encode()).hexdigest()
+
+
+def test_file_manifest_disjoint_and_total(spark):
+    out = QUERIES["sink_file_manifest"](spark, SF_DIR).toPandas()
+    od = pd.read_parquet(os.path.join(SF_DIR, "orders.parquet"))
+    assert out.n_rows.sum() == len(od)
+    prev_max = -1
+    for _, r in out.sort_values("bucket").iterrows():
+        assert r.bucket * 4096 <= r.min_key <= r.max_key < (r.bucket + 1) * 4096
+        assert r.min_key > prev_max  # file ranges disjoint => skippable
+        prev_max = r.max_key
