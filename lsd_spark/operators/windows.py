@@ -627,3 +627,71 @@ def win_cusum_drift(spark, sf_dir):
         .cast("long")
         .alias("cusum_milli"),
     ).orderBy("event_id")
+
+
+# --- median absolute deviation -----------------------------------------------
+
+
+@register(
+    "win_mad_robust",
+    oracle=(
+        "WITH q AS (SELECT user_id, "
+        "CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v_m FROM events), "
+        "r AS (SELECT user_id, v_m, ROW_NUMBER() OVER "
+        "(PARTITION BY user_id ORDER BY v_m) AS rn, "
+        "COUNT(*) OVER (PARTITION BY user_id) AS n FROM q), "
+        "med AS (SELECT user_id, v_m AS med_m FROM r "
+        "WHERE rn = (n + 1) // 2), "
+        "d AS (SELECT q.user_id, ABS(q.v_m - med.med_m) AS dev "
+        "FROM q JOIN med USING (user_id)), "
+        "r2 AS (SELECT user_id, dev, ROW_NUMBER() OVER "
+        "(PARTITION BY user_id ORDER BY dev) AS rn, "
+        "COUNT(*) OVER (PARTITION BY user_id) AS n FROM d) "
+        "SELECT user_id, CAST(dev AS BIGINT) AS mad_milli FROM r2 "
+        "WHERE rn = (n + 1) // 2 ORDER BY user_id"
+    ),
+)
+def win_mad_robust(spark, sf_dir):
+    """Median absolute deviation per user series — the robust scale
+    estimator (breakdown point 50%, vs 0% for the standard
+    deviation) that pairs with agg_theilsen_slope's robust location:
+    MAD = median(|v - median(v)|), the dispersion measure variable-
+    star pipelines quote when one bad epoch would wreck sigma.
+
+    Both medians are LOWER medians (rank (n+1)//2) over values
+    quantized to exact milli-integers first, so every comparison and
+    both selections are pure integer — the same determinism recipe
+    as win_cusum_drift. Plan: two rank windows and one join, all
+    partitioned by user_id — a single exchange feeds every stage
+    (Catalyst reuses the partitioning), and the join's right side is
+    one row per user. 100 TB: per-entity windows, same argument as
+    the rest of the family; for the corpus-wide MAD use the
+    quantile-sketch path instead."""
+    q = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("v_m"),
+    )
+    wp = Window.partitionBy("user_id")
+    r = q.select(
+        "user_id",
+        "v_m",
+        F.row_number().over(wp.orderBy("v_m")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    med = r.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "user_id", F.col("v_m").alias("med_m")
+    )
+    d = q.join(med, "user_id").select(
+        "user_id", F.abs(F.col("v_m") - F.col("med_m")).alias("dev")
+    )
+    r2 = d.select(
+        "user_id",
+        "dev",
+        F.row_number().over(wp.orderBy("dev")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    return (
+        r2.filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("user_id", F.col("dev").cast("long").alias("mad_milli"))
+        .orderBy("user_id")
+    )

@@ -565,3 +565,15 @@ def test_file_manifest_disjoint_and_total(spark):
         assert r.bucket * 4096 <= r.min_key <= r.max_key < (r.bucket + 1) * 4096
         assert r.min_key > prev_max  # file ranges disjoint => skippable
         prev_max = r.max_key
+
+
+def test_mad_matches_numpy_lower_median(spark):
+    out = QUERIES["win_mad_robust"](spark, SF_DIR).toPandas()
+    ev = _events()
+    ev["v_m"] = np.floor(ev.value * 1000 + 0.5).astype("int64")
+    for uid, sub in ev.groupby("user_id"):
+        v = np.sort(sub.v_m.values)
+        med = v[(len(v) + 1) // 2 - 1]
+        dev = np.sort(np.abs(sub.v_m.values - med))
+        mad = dev[(len(dev) + 1) // 2 - 1]
+        assert out[out.user_id == uid].mad_milli.iloc[0] == mad
