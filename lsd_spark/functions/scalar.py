@@ -376,3 +376,43 @@ def fn_anonymize(spark, sf_dir):
         .filter(F.col("n_events") >= 5)
         .orderBy("user_token")
     )
+
+
+@register(
+    "fn_variant",
+    oracle=(
+        "SELECT CAST(props ->> 'k' AS INTEGER) % 10 AS k_mod, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(MIN(CAST(props ->> 'k' AS INTEGER)) AS INTEGER) AS min_k "
+        "FROM events WHERE CAST(props ->> 'k' AS INTEGER) >= 20 "
+        "GROUP BY k_mod ORDER BY k_mod"
+    ),
+)
+def fn_variant(spark, sf_dir):
+    """Spark 4 VARIANT ingestion: parse_json lifts the JSON blob
+    into the binary semi-structured VARIANT type ONCE at scan time,
+    then variant_get extracts typed fields with path expressions —
+    the open-table-format answer to repeated get_json_object string
+    re-parsing (one parse, many typed reads; Parquet can store the
+    variant shredded so the extraction pushes down). Filter and
+    group on the extracted field to prove predicate semantics
+    survive the type.
+
+    The oracle reads the same paths through DuckDB's JSON operators
+    — VARIANT is engine-internal, so parity is pinned at the VALUE
+    level, which is exactly what a lakehouse interchange requires.
+    100 TB: parse-once beats per-expression re-parse linearly in
+    the number of extracted fields; everything stays in codegen."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        ev.select(k.alias("k"))
+        .filter(F.col("k") >= 20)
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.min("k").cast("int").alias("min_k"),
+        )
+        .orderBy("k_mod")
+    )

@@ -525,3 +525,43 @@ def join_bloom_prune(spark, sf_dir):
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "join_lateral_topn",
+    oracle=(
+        "SELECT n_name, c_name, "
+        "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents "
+        "FROM nation, LATERAL ("
+        "SELECT c_name, c_acctbal FROM customer "
+        "WHERE c_nationkey = n_nationkey "
+        "ORDER BY c_acctbal DESC, c_name LIMIT 2) c "
+        "ORDER BY n_name, bal_cents DESC, c_name"
+    ),
+)
+def join_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery — top-2 customers per nation
+    written the way SQL users write it (a per-row subquery with
+    ORDER BY/LIMIT), exercised through Catalyst's
+    DecorrelateInnerQuery: the optimizer rewrites the correlated
+    limit into the same partitioned-rank shape win_row_number
+    builds by hand, so the declared form and the window form share
+    a physical plan family. Identical LATERAL text runs in DuckDB.
+
+    100 TB: after decorrelation this is one shuffle on the
+    correlation key + a rank filter — no per-row subquery execution
+    survives; the win over a naive engine is exactly what 'let
+    Catalyst optimize' means."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("lsd_lat_nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "lsd_lat_customer"
+    )
+    return spark.sql(
+        "SELECT n_name, c_name, "
+        "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents "
+        "FROM lsd_lat_nation, LATERAL ("
+        "SELECT c_name, c_acctbal FROM lsd_lat_customer "
+        "WHERE c_nationkey = n_nationkey "
+        "ORDER BY c_acctbal DESC, c_name LIMIT 2) c "
+        "ORDER BY n_name, bal_cents DESC, c_name"
+    )

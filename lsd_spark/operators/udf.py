@@ -146,3 +146,61 @@ def udtf_flatmap(spark, sf_dir):
             yield out.explode("token").dropna()[["doc_id", "token"]]
 
     return docs.mapInPandas(tokenize_kernel, schema=_TOK_SCHEMA)
+
+
+UDTF_CHUNK_TOKENS = 40
+
+
+@register(
+    "udtf_lateral_native",
+    oracle=(
+        "SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx, "
+        f"CAST(LEAST({UDTF_CHUNK_TOKENS}, "
+        f"len(string_split(text, ' ')) - i * {UDTF_CHUNK_TOKENS}) "
+        "AS INTEGER) AS n_tokens "
+        "FROM documents, LATERAL (SELECT unnest(range(0, "
+        "CAST(ceil(len(string_split(text, ' ')) / "
+        f"{UDTF_CHUNK_TOKENS}.0) AS BIGINT))) AS i) u "
+        "ORDER BY doc_id, chunk_idx"
+    ),
+)
+def udtf_lateral_native(spark, sf_dir):
+    """Class-based Python UDTF (Spark 4's native table-function API,
+    distinct from udtf_flatmap's Arrow mapInPandas kernel): a
+    @udtf class registered as a SQL table-valued function and
+    invoked with LATERAL correlation — each document row drives one
+    eval() that yields its token-chunk spans (the RAG-chunking 1:N
+    shape as a lateral join the optimizer can see).
+
+    Honesty note on the hot path: class-based UDTFs execute
+    row-at-a-time in Python — the right tool when per-row logic
+    needs stateful Python (parsers, tokenizers with carry-over),
+    NOT for bulk math; for that the Arrow-batched mapInPandas
+    kernel (udtf_flatmap) is 10-100x faster. This op exists to pin
+    the API surface and its lateral-join plan shape. 100 TB: the
+    lateral TVF parallelizes per partition like any projection;
+    output fan-out is chunks-per-doc."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id bigint, chunk_idx int, n_tokens int"
+    )
+    class SplitChunks:
+        def eval(self, doc_id, text):
+            toks = text.split(" ")
+            for i in range(0, len(toks), UDTF_CHUNK_TOKENS):
+                yield (
+                    doc_id,
+                    i // UDTF_CHUNK_TOKENS,
+                    len(toks[i : i + UDTF_CHUNK_TOKENS]),
+                )
+
+    spark.udtf.register("lsd_split_chunks", SplitChunks)
+    load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "lsd_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT t.* FROM lsd_udtf_docs, "
+        "LATERAL lsd_split_chunks(doc_id, text) t "
+        "ORDER BY doc_id, chunk_idx"
+    )

@@ -22,6 +22,7 @@ identical query bodies.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -622,3 +623,68 @@ def stream_topk_windowed(spark, sf_dir):
         .select("win_start", "event_type", F.col("cnt").cast("long").alias("cnt"), "rk")
         .orderBy("win_start", "rk")
     )
+
+
+@register(
+    "stream_parquet_sink",
+    oracle=(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS sum_milli FROM events "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+    cacheable=False,
+)
+def stream_parquet_sink(spark, sf_dir):
+    """Native streaming parquet FILE sink — the other half of the
+    exactly-once story next to stream_foreach_sink's idempotent
+    batch-keyed writes: the built-in file sink commits each
+    micro-batch atomically through the _spark_metadata transaction
+    log, and a READER THAT HONORS THE LOG sees only committed files
+    (a half-written batch is invisible; re-running a failed batch
+    can't double-count). The 4-slice multi-batch replay appends
+    through the sink, then the read-back aggregate must equal the
+    plain batch GROUP BY — dropped or duplicated micro-batch output
+    breaks the hash, and the value checksum (exact milli integers)
+    catches corruption, not just miscounts.
+
+    Scale: append-mode stateless projection — no state store at
+    all; the sink log is the same mechanism production Spark uses
+    to hand streaming output to downstream batch readers without a
+    lakehouse table format."""
+    src = staged_stream_source(spark, sf_dir, 4).select(
+        "event_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="lsd_psink_")
+    out_dir = f"{base}/out"
+    ckpt = f"{base}/ckpt"
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            src.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    back = spark.read.parquet(out_dir)  # honors _spark_metadata
+    out = (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.floor(F.col("value") * 1000 + 0.5).cast("long"))
+            .cast("long")
+            .alias("sum_milli"),
+        )
+        .orderBy("event_type")
+    )
+    res = spark.createDataFrame(
+        out.collect(), "event_type string, cnt bigint, sum_milli bigint"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return res

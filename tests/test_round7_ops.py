@@ -577,3 +577,53 @@ def test_mad_matches_numpy_lower_median(spark):
         dev = np.sort(np.abs(sub.v_m.values - med))
         mad = dev[(len(dev) + 1) // 2 - 1]
         assert out[out.user_id == uid].mad_milli.iloc[0] == mad
+
+
+def test_stream_parquet_sink_equals_batch(spark):
+    out = QUERIES["stream_parquet_sink"](spark, SF_DIR).toPandas()
+    ev = _events()
+    ev["v_m"] = np.floor(ev.value * 1000 + 0.5).astype("int64")
+    exp = ev.groupby("event_type").agg(cnt=("event_id", "size"), s=("v_m", "sum"))
+    for _, r in out.iterrows():
+        assert r.cnt == exp.loc[r.event_type, "cnt"]
+        assert r.sum_milli == exp.loc[r.event_type, "s"]
+    assert out.cnt.sum() == len(ev)
+
+
+def test_variant_matches_json_recompute(spark):
+    out = QUERIES["fn_variant"](spark, SF_DIR).toPandas()
+    import json as _json
+
+    ev = _events()
+    ks = ev.props.map(lambda p: _json.loads(p)["k"])
+    ks = ks[ks >= 20]
+    exp = ks.groupby(ks % 10).agg(["size", "min"])
+    for _, r in out.iterrows():
+        assert r.cnt == exp.loc[r.k_mod, "size"]
+        assert r.min_k == exp.loc[r.k_mod, "min"]
+
+
+def test_udtf_chunks_cover_every_token(spark):
+    out = QUERIES["udtf_lateral_native"](spark, SF_DIR).toPandas()
+    docs = _docs()
+    ntok = docs.set_index("doc_id").text.str.split(" ").str.len()
+    per_doc = out.groupby("doc_id").n_tokens.sum()
+    assert (per_doc == ntok[per_doc.index]).all()
+    # every chunk but the last is full-width
+    for did, sub in out.groupby("doc_id"):
+        s = sub.sort_values("chunk_idx")
+        assert (s.n_tokens.iloc[:-1] == 40).all()
+        assert list(s.chunk_idx) == list(range(len(s)))
+
+
+def test_lateral_topn_equals_window_rank(spark):
+    out = QUERIES["join_lateral_topn"](spark, SF_DIR).toPandas()
+    cust = pd.read_parquet(os.path.join(SF_DIR, "customer.parquet"))
+    nat = pd.read_parquet(os.path.join(SF_DIR, "nation.parquet"))
+    j = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    for n_name, sub in j.groupby("n_name"):
+        top = sub.sort_values(
+            ["c_acctbal", "c_name"], ascending=[False, True]
+        ).head(2)
+        got = out[out.n_name == n_name]
+        assert set(got.c_name) == set(top.c_name)
