@@ -627,3 +627,36 @@ def test_lateral_topn_equals_window_rank(spark):
         ).head(2)
         got = out[out.n_name == n_name]
         assert set(got.c_name) == set(top.c_name)
+
+
+# --- crafted fixture: HLL linear-counting branch --------------------------------
+
+
+def test_hll_linear_counting_branch(spark, tmp_path_factory):
+    """The stock fixture's ~15k distinct keys keep the HLL in the
+    raw-estimate regime; a 60-key table forces E_raw <= 2.5m with
+    empty registers, exercising the guarded linear-counting branch
+    the driver oracle never reaches — and the estimate must still
+    land within a few percent (LC is near-exact at tiny loads)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("hll_small")
+    keys = [k for k in range(200) if k % 10 < 3]  # 60 distinct keys
+    tbl = pa.table({"l_orderkey": pa.array(keys * 3, pa.int64())})
+    pq.write_table(tbl, str(d / "lineitem.parquet"))
+    out = QUERIES["agg_approx_distinct_portable"](spark, str(d)).toPandas()
+    # python recompute of the SAME sketch confirms the branch taken
+    regs = [0] * 256
+    for k in set(keys):
+        h = _md5int(str(k))
+        b, w = h % 256, h // 256
+        regs[b] = max(regs[b], 53 if w == 0 else 53 - w.bit_length())
+    s = sum(2 ** (40 - min(r, 40)) for r in regs)
+    e_raw = 5.175699493294551e16 / s
+    v = sum(1 for r in regs if r == 0)
+    assert e_raw <= 640.0 and v > 0  # the LC branch IS the one taken
+    est = 256 * math.log(256.0 / v)
+    assert out.est_distinct.iloc[0] == math.floor(est + 0.5)
+    assert out.exact_distinct.iloc[0] == 60
+    assert out.err_ppm.iloc[0] < 100_000
