@@ -474,13 +474,19 @@ def graph_degree_hist(spark, sf_dir):
     """Degree distribution of the near-duplicate graph — the dedup
     health metric (a fat tail means boilerplate clusters; spikes mean
     template families). Two map-side-combined aggs over the bucketed
-    edge list; output size = number of distinct degrees."""
+    edge list; output size = number of distinct degrees.
+
+    Round 7: endpoints come from ONE explode of each edge row, not a
+    unionAll of two projections — Catalyst duplicates a subtree per
+    consumer, and the consumed subtree here is the whole
+    embcos_near_pairs candidate chain (the plan audit showed 55
+    exchanges; the explode halves it)."""
     pairs = (
         embcos_near_pairs(spark, sf_dir)
         .select(F.col("vec_a").alias("u"), F.col("vec_b").alias("v"))
     )
-    nodes = pairs.select(F.col("u").alias("node")).unionAll(
-        pairs.select(F.col("v").alias("node"))
+    nodes = pairs.select(
+        F.explode(F.array("u", "v")).alias("node")
     )
     return (
         nodes.groupBy("node")

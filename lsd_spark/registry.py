@@ -269,7 +269,11 @@ _R6_LEDGER = [
 # plan whose newest driver row predates the change is effectively
 # unverified by the ledger, so these jump the refresh queue
 # (round-5 ADVICE #4 pattern). Extend as round-7 edits land.
-_R7_TOUCHED: list[str] = []
+_R7_TOUCHED: list[str] = [
+    # unionAll-of-projections -> single explode (subtree-duplication
+    # fix): same answer, halved plan
+    "graph_degree_hist",
+]
 
 
 # (round, exact recorded key list) — r05 re-recorded the r04 window
