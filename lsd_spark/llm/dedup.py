@@ -1205,12 +1205,12 @@ def llm_dedup_cluster(spark, sf_dir):
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     )
     # nodes = only docs that appear in some pair (isolated docs are
-    # their own cluster and are excluded from the report anyway)
-    nodes = (
-        pairs.select(F.col("u").alias("vec_id"))
-        .unionAll(pairs.select(F.col("v").alias("vec_id")))
-        .distinct()
-    )
+    # their own cluster and are excluded from the report anyway);
+    # one explode, not a unionAll of two projections — Catalyst
+    # duplicates the whole MinHash chain per consumer otherwise
+    nodes = pairs.select(
+        F.explode(F.array("u", "v")).alias("vec_id")
+    ).distinct()
     labels = min_label_fixpoint(nodes, pairs)
     return (
         labels.groupBy(F.col("object_id").cast("long").alias("cluster_id"))

@@ -273,6 +273,7 @@ _R7_TOUCHED: list[str] = [
     # unionAll-of-projections -> single explode (subtree-duplication
     # fix): same answer, halved plan
     "graph_degree_hist",
+    "llm_dedup_cluster",
 ]
 
 
