@@ -1754,3 +1754,148 @@ def agg_rollup(spark, sf_dir):
             F.col("n_name").asc_nulls_first(),
         )
     )
+
+
+# --- portable count-min sketch ------------------------------------------------
+
+_CM_D = 4  # hash rows
+_CM_W = 256  # counters per row
+_CM_TOPQ = 10  # report the estimate for the 10 hottest true keys
+
+
+def _cm_hash(dialect: str, key: str, i: int) -> str:
+    if dialect == "spark":
+        return (
+            f"CAST(conv(substr(md5(CAST({key} AS STRING) || 'cm{i}'), 1, 15), "
+            f"16, 10) AS BIGINT) % {_CM_W}"
+        )
+    return (
+        f"('0x' || substring(md5(CAST({key} AS VARCHAR) || 'cm{i}'), 1, 15))"
+        f"::BIGINT % {_CM_W}"
+    )
+
+
+@register(
+    "agg_count_min_sketch",
+    oracle=(
+        "WITH cells AS ("
+        + " UNION ALL ".join(
+            f"SELECT {i} AS i, {_cm_hash('duck', 'o_custkey', i)} AS col, "
+            "COUNT(*) AS c FROM orders GROUP BY col"
+            for i in range(_CM_D)
+        )
+        + "), "
+        "hot AS (SELECT o_custkey AS k, COUNT(*) AS true_cnt FROM orders "
+        f"GROUP BY k ORDER BY true_cnt DESC, k LIMIT {_CM_TOPQ}), "
+        "est AS (SELECT k, true_cnt, MIN(c) AS est_cnt FROM hot "
+        "JOIN cells ON col = CASE cells.i "
+        + " ".join(
+            f"WHEN {i} THEN {_cm_hash('duck', 'k', i)}" for i in range(_CM_D)
+        )
+        + " END GROUP BY k, true_cnt) "
+        "SELECT k, CAST(true_cnt AS BIGINT) AS true_cnt, "
+        "CAST(est_cnt AS BIGINT) AS est_cnt FROM est ORDER BY k"
+    ),
+)
+def agg_count_min_sketch(spark, sf_dir):
+    """Count-min sketch (Cormode & Muthukrishnan 2005, public) with
+    a PORTABLE hash — the frequency-estimation companion to
+    agg_approx_distinct_portable's HLL: d=4 x w=256 integer
+    counters, estimate = min over rows of the hashed cell, with the
+    one-sided guarantee est >= true (never under). Both engines
+    build the identical sketch from md5 bits, so the d*w cells AND
+    the estimates hash-match exactly — zero floats anywhere in this
+    op. Reported for the 10 hottest true keys next to their true
+    counts, so the driver pins the overestimate bias achieved, not
+    just the sketch.
+
+    Plan: the build is d map-side-combined 256-cell aggregates over
+    one scan (the mergeable-sketch shape: partials add); the query
+    side is a |hot|x d probe against the 1024-row sketch. 100 TB:
+    sketch size is constant; this is how you count frequencies when
+    the key space doesn't fit anywhere."""
+    o = load(spark, sf_dir, "orders")
+    cells = None
+    for i in range(_CM_D):
+        ci = o.groupBy(
+            F.expr(_cm_hash("spark", "o_custkey", i)).alias("col")
+        ).agg(F.count("*").alias("c")).select(
+            F.lit(i).alias("i"), "col", "c"
+        )
+        cells = ci if cells is None else cells.unionByName(ci)
+    hot = (
+        o.groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("k"))
+        .limit(_CM_TOPQ)
+    )
+    probe = F.expr(
+        "CASE i "
+        + " ".join(
+            f"WHEN {i} THEN {_cm_hash('spark', 'k', i)}"
+            for i in range(_CM_D)
+        )
+        + " END"
+    )
+    return (
+        hot.join(F.broadcast(cells), F.col("col") == probe)
+        .groupBy("k", "true_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+        .select(
+            "k",
+            F.col("true_cnt").cast("long").alias("true_cnt"),
+            F.col("est_cnt").cast("long").alias("est_cnt"),
+        )
+        .orderBy("k")
+    )
+
+
+# --- deterministic mode --------------------------------------------------------
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle=(
+        "WITH c AS (SELECT l_returnflag AS flag, "
+        "CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS n "
+        "FROM lineitem GROUP BY flag, q), "
+        "r AS (SELECT flag, q, n, ROW_NUMBER() OVER ("
+        "PARTITION BY flag ORDER BY n DESC, q ASC) AS rn FROM c) "
+        "SELECT flag, CAST(q AS BIGINT) AS mode_qty, "
+        "CAST(n AS BIGINT) AS n_occurrences FROM r WHERE rn = 1 "
+        "ORDER BY flag"
+    ),
+)
+def agg_mode_deterministic(spark, sf_dir):
+    """Mode with a PINNED tiebreak (max count, then smallest value)
+    — engine builtin mode() leaves ties implementation-defined
+    (whichever value the hash table yields first), which is exactly
+    the nondeterminism a differential harness can't tolerate and a
+    reproducible pipeline shouldn't either. Completes the
+    descriptive-stats family next to the weighted median and MAD.
+
+    Plan: one map-side-combined (group, value) count, then a rank-1
+    window per group over the counted table (|distinct values|-sized,
+    not row-sized). 100 TB: the first aggregate collapses the corpus;
+    everything after is value-cardinality."""
+    c = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("flag").orderBy(F.desc("n"), F.asc("q"))
+    )
+    return (
+        c.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "flag",
+            F.col("q").cast("long").alias("mode_qty"),
+            F.col("n").cast("long").alias("n_occurrences"),
+        )
+        .orderBy("flag")
+    )

@@ -821,3 +821,91 @@ def sink_file_manifest(spark, sf_dir):
     )
     shutil.rmtree(base, ignore_errors=True)
     return res
+
+
+CSV_CORRUPT_MOD = 13  # every 13th doc's numeric field is mangled
+
+
+@register(
+    "source_csv_malformed",
+    oracle=(
+        f"SELECT lang, "
+        f"CAST(SUM(CASE WHEN doc_id % {CSV_CORRUPT_MOD} <> 0 THEN 1 ELSE 0 "
+        "END) AS BIGINT) AS n_good, "
+        f"CAST(SUM(CASE WHEN doc_id % {CSV_CORRUPT_MOD} = 0 THEN 1 ELSE 0 "
+        "END) AS BIGINT) AS n_corrupt, "
+        f"CAST(SUM(CASE WHEN doc_id % {CSV_CORRUPT_MOD} <> 0 THEN n_chars "
+        "ELSE 0 END) AS BIGINT) AS chars_good "
+        "FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    cacheable=False,
+)
+def source_csv_malformed(spark, sf_dir):
+    """Malformed-record handling on CSV ingest — the dirty-data
+    reality every lsd-import analog needs: a deterministically
+    corrupted export (every 13th row's numeric field becomes text)
+    is read back in PERMISSIVE mode with a columnNameOfCorruptRecord
+    column, so bad rows are QUARANTINED with their raw payload
+    instead of silently nulled (DROPMALFORMED) or aborting the load
+    (FAILFAST). Reports per-lang good/corrupt splits plus the good
+    rows' checksum; the oracle derives the same split from the
+    corruption rule, so a row misclassified in either direction
+    breaks the hash.
+
+    100 TB: PERMISSIVE parsing is map-only; the quarantine column
+    routes to a dead-letter sink in production while the load
+    proceeds — the operational pattern this op pins."""
+    docs = load(spark, sf_dir, "documents")
+    line = F.concat_ws(
+        ",",
+        F.col("doc_id").cast("string"),
+        "text",
+        "lang",
+        "source",
+        F.when(
+            F.col("doc_id") % CSV_CORRUPT_MOD == 0, F.lit("notanumber")
+        ).otherwise(F.col("n_chars").cast("string")),
+    )
+    base = tempfile.mkdtemp(prefix="lsd_badcsv_")
+    docs.select(line.alias("value")).coalesce(2).write.mode(
+        "overwrite"
+    ).text(f"{base}/csv")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_bad", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(f"{base}/csv")
+    )
+    out = (
+        back.groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("_bad").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_good"),
+            F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_corrupt"),
+            F.sum(
+                F.when(F.col("_bad").isNull(), F.col("n_chars")).otherwise(0)
+            )
+            .cast("long")
+            .alias("chars_good"),
+        )
+        .orderBy("lang")
+    )
+    res = spark.createDataFrame(
+        out.collect(),
+        "lang string, n_good bigint, n_corrupt bigint, chars_good bigint",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return res

@@ -660,3 +660,55 @@ def test_hll_linear_counting_branch(spark, tmp_path_factory):
     assert out.est_distinct.iloc[0] == math.floor(est + 0.5)
     assert out.exact_distinct.iloc[0] == 60
     assert out.err_ppm.iloc[0] < 100_000
+
+
+def test_count_min_overestimates_never_under(spark):
+    out = QUERIES["agg_count_min_sketch"](spark, SF_DIR).toPandas()
+    od = pd.read_parquet(os.path.join(SF_DIR, "orders.parquet"))
+    true = od.o_custkey.value_counts()
+    # the one-sided guarantee: est >= true for EVERY queried key
+    assert (out.est_cnt >= out.true_cnt).all()
+    for _, r in out.iterrows():
+        assert r.true_cnt == true[r.k]
+    # python recompute of the sketch pins the exact estimates
+    regs = {}
+    for k, n in true.items():
+        for i in range(4):
+            col = _md5int(f"{k}cm{i}") % 256
+            regs[(i, col)] = regs.get((i, col), 0) + n
+    for _, r in out.iterrows():
+        est = min(regs[(i, _md5int(f"{r.k}cm{i}") % 256)] for i in range(4))
+        assert r.est_cnt == est
+
+
+def test_mode_deterministic_tiebreak(spark):
+    out = QUERIES["agg_mode_deterministic"](spark, SF_DIR).toPandas()
+    li = pd.read_parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    for flag, sub in li.groupby("l_returnflag"):
+        c = sub.l_quantity.astype("int64").value_counts()
+        top = c[c == c.max()].index.min()  # max count, smallest value
+        row = out[out.flag == flag]
+        assert row.mode_qty.iloc[0] == top
+        assert row.n_occurrences.iloc[0] == c.max()
+
+
+def test_csv_malformed_quarantine_split(spark):
+    out = QUERIES["source_csv_malformed"](spark, SF_DIR).toPandas()
+    docs = _docs()
+    corrupt = docs.doc_id % 13 == 0
+    exp = docs.groupby("lang").apply(
+        lambda s: pd.Series(
+            {
+                "g": int((s.doc_id % 13 != 0).sum()),
+                "b": int((s.doc_id % 13 == 0).sum()),
+                "ch": int(s[s.doc_id % 13 != 0].n_chars.sum()),
+            }
+        ),
+        include_groups=False,
+    )
+    for _, r in out.iterrows():
+        assert r.n_good == exp.loc[r.lang, "g"]
+        assert r.n_corrupt == exp.loc[r.lang, "b"]
+        assert r.chars_good == exp.loc[r.lang, "ch"]
+    assert out.n_corrupt.sum() == int(corrupt.sum())
+    assert out.n_corrupt.sum() > 0  # the corruption actually happened
