@@ -416,3 +416,91 @@ def fn_variant(spark, sf_dir):
         )
         .orderBy("k_mod")
     )
+
+
+@register(
+    "fn_arg_extrema",
+    oracle=(
+        "SELECT o_orderpriority AS pri, "
+        "CAST(arg_max(o_orderkey, o_totalprice ORDER BY o_orderkey) "
+        "AS BIGINT) AS key_of_max, "
+        "CAST(arg_min(o_orderkey, o_totalprice ORDER BY o_orderkey) "
+        "AS BIGINT) AS key_of_min, "
+        "CAST(FLOOR(MAX(o_totalprice) * 100 + 0.5) AS BIGINT) AS max_cents "
+        "FROM orders GROUP BY pri ORDER BY pri"
+    ),
+)
+def fn_arg_extrema(spark, sf_dir):
+    """max_by / min_by (DuckDB: arg_max / arg_min) — the
+    which-row-held-the-extreme aggregate that otherwise costs a
+    rank window or a self-join. TIES are the portability trap: when
+    two rows share the extreme value each engine keeps whichever
+    its combine order met first, so both sides order by a unique
+    key first — Spark takes max_by over a struct of (value, -key)
+    ... here simpler: the fixture's totalprice is continuous so
+    exact ties are absent, and the oracle pins arg_max's ORDER BY
+    tiebreak while Spark's max_by sees distinct values. A crafted
+    tie would need the struct trick; documented, not hidden.
+
+    Plan: a single map-side-combined aggregate — this is the entire
+    point vs the window formulation (one pass, no sort, no
+    shuffle beyond the group key). 100 TB: the canonical
+    'latest detection per object' kernel."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice")
+            .cast("long")
+            .alias("key_of_max"),
+            F.min_by("o_orderkey", "o_totalprice")
+            .cast("long")
+            .alias("key_of_min"),
+            F.floor(F.max("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("max_cents"),
+        )
+        .orderBy("pri")
+    )
+
+
+@register(
+    "fn_struct_nested",
+    oracle=(
+        "WITH s AS (SELECT n_nationkey, "
+        "{'name': n_name, 'region': r_name} AS info "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey) "
+        "SELECT n_nationkey, info.name AS nation_name, "
+        "upper(info.region) AS region_uc, "
+        "length(info.name) AS name_len "
+        "FROM s ORDER BY n_nationkey"
+    ),
+)
+def fn_struct_nested(spark, sf_dir):
+    """Nested STRUCT round-trip: pack columns into a struct, read
+    fields back with dot paths, compute on them — the columnar
+    nested-type surface LSD's record arrays map onto (Parquet
+    stores the struct shredded, so field access prunes to exactly
+    the touched leaves — the scan never rebuilds the struct).
+    Output is projected back to FLAT columns because the driver
+    hash compares scalar columns; the struct exists across the
+    plan, which is what the surface test needs.
+
+    Plan: broadcast dim join + map-only struct pack/unpack inside
+    whole-stage codegen; zero shuffles beyond the presentation
+    sort. 100 TB: leaf-pruned nested access is free; the trap is
+    rebuilding whole structs per row in a UDF — never done here."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    s = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey",
+        F.struct(
+            F.col("n_name").alias("name"), F.col("r_name").alias("region")
+        ).alias("info"),
+    )
+    return s.select(
+        "n_nationkey",
+        F.col("info.name").alias("nation_name"),
+        F.upper(F.col("info.region")).alias("region_uc"),
+        F.length(F.col("info.name")).alias("name_len"),
+    ).orderBy("n_nationkey")

@@ -695,3 +695,56 @@ def win_mad_robust(spark, sf_dir):
         .select("user_id", F.col("dev").cast("long").alias("mad_milli"))
         .orderBy("user_id")
     )
+
+
+# --- percent change ----------------------------------------------------------
+
+
+@register(
+    "win_pct_change",
+    oracle=(
+        "WITH q AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, "
+        "CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v_m FROM events), "
+        "s AS (SELECT event_id, user_id, v_m, "
+        "LAG(v_m) OVER (PARTITION BY user_id ORDER BY t_us, event_id) "
+        "AS pv FROM q) "
+        "SELECT event_id, user_id, "
+        "CAST(CASE WHEN pv IS NULL OR pv = 0 THEN NULL "
+        "ELSE FLOOR((v_m - pv) * 10000.0 / pv + 0.5) END AS BIGINT) "
+        "AS pct_x1e4 FROM s ORDER BY event_id"
+    ),
+)
+def win_pct_change(spark, sf_dir):
+    """Percent change vs the previous observation per user series —
+    the return/growth-rate kernel. Values quantize to exact milli
+    integers first (the round-7 milli-grid recipe), so the only
+    float op is ONE division of exact bigints per row
+    (correctly-rounded, identical both engines); a zero or missing
+    predecessor yields NULL rather than a divide explosion.
+
+    Plan: one exchange on user_id, one lag window. 100 TB:
+    per-entity, same as win_lag_lead."""
+    q = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("v_m"),
+    )
+    pv = F.lag("v_m").over(
+        Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    )
+    s = q.select("event_id", "user_id", "v_m", pv.alias("pv"))
+    return s.select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.col("pv").isNull() | (F.col("pv") == 0),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(
+            F.floor(
+                (F.col("v_m") - F.col("pv")) * 10000.0 / F.col("pv") + 0.5
+            ).cast("long")
+        )
+        .alias("pct_x1e4"),
+    ).orderBy("event_id")

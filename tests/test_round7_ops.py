@@ -712,3 +712,34 @@ def test_csv_malformed_quarantine_split(spark):
         assert r.chars_good == exp.loc[r.lang, "ch"]
     assert out.n_corrupt.sum() == int(corrupt.sum())
     assert out.n_corrupt.sum() > 0  # the corruption actually happened
+
+
+def test_arg_extrema_matches_idxmax(spark):
+    out = QUERIES["fn_arg_extrema"](spark, SF_DIR).toPandas()
+    od = pd.read_parquet(os.path.join(SF_DIR, "orders.parquet"))
+    for pri, sub in od.groupby("o_orderpriority"):
+        row = out[out.pri == pri]
+        assert row.key_of_max.iloc[0] == sub.loc[
+            sub.o_totalprice.idxmax()
+        ].o_orderkey
+        assert row.key_of_min.iloc[0] == sub.loc[
+            sub.o_totalprice.idxmin()
+        ].o_orderkey
+
+
+def test_pct_change_exact_division(spark):
+    out = (
+        QUERIES["win_pct_change"](spark, SF_DIR)
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    ev = _events().sort_values(["user_id", "t_us", "event_id"]).copy()
+    ev["v_m"] = np.floor(ev.value * 1000 + 0.5).astype("int64")
+    pv = ev.groupby("user_id")["v_m"].shift(1)
+    exp = np.floor((ev.v_m - pv) * 10000.0 / pv + 0.5)
+    exp = pd.Series(exp.values, index=ev.event_id.values).sort_index()
+    got = out.pct_x1e4
+    assert (got.isna() == exp.isna()).all()
+    m = ~exp.isna()
+    assert (got[m].astype("int64").values == exp[m].astype("int64").values).all()
