@@ -435,12 +435,15 @@ def fn_arg_extrema(spark, sf_dir):
     which-row-held-the-extreme aggregate that otherwise costs a
     rank window or a self-join. TIES are the portability trap: when
     two rows share the extreme value each engine keeps whichever
-    its combine order met first, so both sides order by a unique
-    key first — Spark takes max_by over a struct of (value, -key)
-    ... here simpler: the fixture's totalprice is continuous so
-    exact ties are absent, and the oracle pins arg_max's ORDER BY
-    tiebreak while Spark's max_by sees distinct values. A crafted
-    tie would need the struct trick; documented, not hidden.
+    its combine order met first — and the 10x stress dir
+    MANUFACTURES exact ties (replicated rows share totalprice under
+    offset keys), which is how the naive first draft of this op was
+    caught failing there. Pin: smallest key wins a tie on both
+    sides — Spark maximizes struct(value, -key) / minimizes
+    struct(value, key) (struct comparison is lexicographic on the
+    raw double, no quantization assumption); DuckDB's arg_max/
+    arg_min keep the FIRST row of an ORDER BY key ordered
+    aggregate.
 
     Plan: a single map-side-combined aggregate — this is the entire
     point vs the window formulation (one pass, no sort, no
@@ -450,10 +453,16 @@ def fn_arg_extrema(spark, sf_dir):
     return (
         o.groupBy(F.col("o_orderpriority").alias("pri"))
         .agg(
-            F.max_by("o_orderkey", "o_totalprice")
+            F.max_by(
+                "o_orderkey",
+                F.struct(F.col("o_totalprice"), -F.col("o_orderkey")),
+            )
             .cast("long")
             .alias("key_of_max"),
-            F.min_by("o_orderkey", "o_totalprice")
+            F.min_by(
+                "o_orderkey",
+                F.struct(F.col("o_totalprice"), F.col("o_orderkey")),
+            )
             .cast("long")
             .alias("key_of_min"),
             F.floor(F.max("o_totalprice") * 100 + 0.5)

@@ -743,3 +743,26 @@ def test_pct_change_exact_division(spark):
     assert (got.isna() == exp.isna()).all()
     m = ~exp.isna()
     assert (got[m].astype("int64").values == exp[m].astype("int64").values).all()
+
+
+def test_arg_extrema_tie_pins_smallest_key(spark, tmp_path_factory):
+    """The 10x stress dir manufactures exact totalprice ties
+    (replicated rows under offset keys) — the case the eager
+    first draft of fn_arg_extrema failed. Crafted fixture: two keys
+    share the max and two share the min; the smallest key must win
+    BOTH extremes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("argmax_tie")
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([7, 3, 5, 11, 2], pa.int64()),
+            "o_orderpriority": pa.array(["1-URGENT"] * 5),
+            "o_totalprice": pa.array([90.0, 90.0, 50.0, 10.0, 10.0]),
+        }
+    )
+    pq.write_table(tbl, str(d / "orders.parquet"))
+    out = QUERIES["fn_arg_extrema"](spark, str(d)).toPandas()
+    assert out.key_of_max.iloc[0] == 3  # min key among the 90.0 tie
+    assert out.key_of_min.iloc[0] == 2  # min key among the 10.0 tie
