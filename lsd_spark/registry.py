@@ -265,23 +265,45 @@ _R6_LEDGER = [
 ]
 
 
-# Ops whose PHYSICAL PLAN (or oracle) changed in round 7. A changed
+# The 50 ops recorded by the round-7 driver run (all green — the
+# exact key list of CORRECTNESS_r07.json): the 38 round-7 additions,
+# 2 touched plans, and the head of the refresh rotation.
+_R7_LEDGER = [
+    "agg_autocorr", "agg_weighted_median", "agg_gini",
+    "agg_benford", "agg_heatmap_hour_dow", "agg_theilsen_slope",
+    "agg_approx_distinct_portable", "agg_rollup",
+    "agg_count_min_sketch", "agg_mode_deterministic",
+    "join_lateral_topn", "win_zscore_anomaly", "win_cusum_drift",
+    "win_mad_robust", "win_pct_change", "set_symmetric_diff",
+    "fn_variant", "fn_arg_extrema", "fn_struct_nested",
+    "udtf_lateral_native", "llm_embed_stats", "llm_filter_rules",
+    "llm_bpe_pairs", "llm_ngram_novelty", "llm_source_overlap",
+    "stream_topk_windowed", "stream_parquet_sink",
+    "merge_cdc_apply", "sink_partition_overwrite",
+    "source_orc_roundtrip", "sink_file_manifest",
+    "source_csv_malformed", "join_xmatch_pm_epoch",
+    "agg_hess_diagram", "join_self_nearest_sphere",
+    "llm_sample_importance", "agg_dipole_sky",
+    "agg_galactic_profile", "graph_degree_hist",
+    "llm_dedup_cluster", "scan_full", "scan_projection",
+    "scan_partition_prune", "project_expr", "filter_simple",
+    "filter_compound", "filter_null", "filter_between_range",
+    "agg_global", "agg_groupby_hash",
+]
+
+
+# Ops whose PHYSICAL PLAN (or oracle) changed in round 8. A changed
 # plan whose newest driver row predates the change is effectively
 # unverified by the ledger, so these jump the refresh queue
-# (round-5 ADVICE #4 pattern). Extend as round-7 edits land.
-_R7_TOUCHED: list[str] = [
-    # unionAll-of-projections -> single explode (subtree-duplication
-    # fix): same answer, halved plan
-    "graph_degree_hist",
-    "llm_dedup_cluster",
-]
+# (round-5 ADVICE #4 pattern). Extend as round-8 edits land.
+_R8_TOUCHED: list[str] = []
 
 
 # (round, exact recorded key list) — r05 re-recorded the r04 window
 # verbatim, so _R4_LEDGER carries freshness 5, not 4.
 _LEDGER_HISTORY = [
     (1, _R1_LEDGER), (2, _R2_LEDGER), (3, _R3_LEDGER),
-    (5, _R4_LEDGER), (6, _R6_LEDGER),
+    (5, _R4_LEDGER), (6, _R6_LEDGER), (7, _R7_LEDGER),
 ]
 
 
@@ -316,7 +338,7 @@ def _refresh_rotation() -> list[str]:
 def _reorder_for_ledger() -> None:
     """Three tiers: (1) ops with no driver-recorded row in any prior
     round's CORRECTNESS ledger (i.e., new this round), (2) ops whose
-    plan changed this round (_R7_TOUCHED — their old green rows no
+    plan changed this round (_R8_TOUCHED — their old green rows no
     longer witness the current code), (3) the refresh rotation —
     every already-recorded op ordered oldest-confirmation-first (its
     tail is by construction the freshest-recorded ids) — so a capped
@@ -324,7 +346,7 @@ def _reorder_for_ledger() -> None:
     re-confirms stale ones, in that order."""
     all_recorded = set(_latest_confirmed())
     tier1 = [k for k in QUERIES if k not in all_recorded]
-    tier2 = [k for k in _R7_TOUCHED if k in QUERIES]
+    tier2 = [k for k in _R8_TOUCHED if k in QUERIES]
     seen = set(tier1) | set(tier2)
     tier3 = [k for k in _refresh_rotation()
              if k in QUERIES and k not in seen]
