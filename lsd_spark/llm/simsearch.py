@@ -914,14 +914,17 @@ EMB_NORM_HI = 2.0
     oracle=(
         "WITH s AS (SELECT label, "
         "SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), "
-        "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings) "
+        "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), "
+        "q AS (SELECT label, nrm, "
+        "CAST(FLOOR(nrm * 1000000 + 0.5) AS BIGINT) AS nq FROM s) "
         "SELECT label, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(FLOOR(AVG(nrm) * 1000 + 0.5) AS BIGINT) AS avg_norm_milli, "
+        "CAST((2 * SUM(nq) + 1000 * COUNT(*)) // (2000 * COUNT(*)) "
+        "AS BIGINT) AS avg_norm_milli, "
         f"CAST(SUM(CASE WHEN nrm < {EMB_NORM_LO} THEN 1 ELSE 0 END) "
         "AS BIGINT) AS n_low, "
         f"CAST(SUM(CASE WHEN nrm > {EMB_NORM_HI} THEN 1 ELSE 0 END) "
         "AS BIGINT) AS n_high "
-        "FROM s GROUP BY label ORDER BY label"
+        "FROM q GROUP BY label ORDER BY label"
     ),
 )
 def llm_embed_stats(spark, sf_dir):
@@ -934,28 +937,42 @@ def llm_embed_stats(spark, sf_dir):
 
     The norm reuses the engine-pinned sequential-fold kernel from
     the cosine ops (float32 -> double elementwise, left-to-right
-    sum), so both engines produce bit-identical doubles before the
-    quantized mean. Plan: map-side norm + one bounded hash
-    aggregate; output is |labels| rows. 100 TB: single scan,
-    map-side combine."""
+    sum), so both engines produce bit-identical doubles per ROW;
+    each norm then quantizes to integer micro-units BEFORE the
+    aggregate (round-7 ADVICE — AVG over raw doubles has a
+    partial-merge-order-dependent sum, the exact trap the fixture
+    notes flag), and the milli-grid mean is one exact integer
+    division: FLOOR(sum/(1000n) + 0.5) = (2·sum + 1000n) div
+    (2000n) on bigint (sums fit int64 past 1e12 unit-norm rows).
+    Plan: map-side norm + one bounded hash aggregate; output is
+    |labels| rows. 100 TB: single scan, map-side combine."""
     from lsd_spark.operators.joins import NORM_SPARK
 
     emb = load(spark, sf_dir, "embeddings")
     nrm = F.expr(NORM_SPARK.format(a="embedding"))
-    s = emb.select("label", nrm.alias("nrm"))
+    s = emb.select("label", nrm.alias("nrm")).withColumn(
+        "nq", F.floor(F.col("nrm") * 1000000 + 0.5).cast("long")
+    )
     return (
         s.groupBy("label")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.floor(F.avg("nrm") * 1000 + 0.5)
-            .cast("long")
-            .alias("avg_norm_milli"),
+            F.sum("nq").alias("_snq"),
             F.sum(F.when(F.col("nrm") < EMB_NORM_LO, 1).otherwise(0))
             .cast("long")
             .alias("n_low"),
             F.sum(F.when(F.col("nrm") > EMB_NORM_HI, 1).otherwise(0))
             .cast("long")
             .alias("n_high"),
+        )
+        .select(
+            "label",
+            "n",
+            F.expr(
+                "CAST((2 * _snq + 1000 * n) div (2000 * n) AS BIGINT)"
+            ).alias("avg_norm_milli"),
+            "n_low",
+            "n_high",
         )
         .orderBy("label")
     )

@@ -1207,25 +1207,48 @@ def agg_referential_audit(spark, sf_dir):
 ACF_MAX_LAG = 3  # report r_1..r_3 per event type
 
 
+# Shared closing expression for the exact-moment Pearson assembly:
+# num/var terms are EXACT 128-bit integers, so the three casts to
+# double (and the IEEE-correctly-rounded sqrt/divide that follow)
+# are the only float steps — identical bit-for-bit on both engines.
+_ACF_CLOSE = (
+    "CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 "
+    "THEN NULL ELSE CAST(FLOOR("
+    "CAST(n * sxy - sx * sy AS DOUBLE) / "
+    "(SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) * "
+    "SQRT(CAST(n * syy - sy * sy AS DOUBLE))) * 10000 + 0.5"
+    ") AS BIGINT) END"
+)
+
+
 @register(
     "agg_autocorr",
     oracle=(
-        "WITH s AS (SELECT event_type, value, "
+        "WITH q AS (SELECT event_type, user_id, ts, event_id, "
+        "CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vq FROM events), "
+        "s AS (SELECT event_type, vq, "
         + ", ".join(
-            f"LAG(value, {k}) OVER (PARTITION BY user_id, event_type "
+            f"LAG(vq, {k}) OVER (PARTITION BY user_id, event_type "
             f"ORDER BY epoch_us(ts), event_id) AS v{k}"
             for k in range(1, ACF_MAX_LAG + 1)
         )
-        + " FROM events), u AS ("
+        + " FROM q), u AS ("
         + " UNION ALL ".join(
-            f"SELECT event_type, {k} AS lag, value, v{k} AS v_lag "
+            f"SELECT event_type, {k} AS lag, vq, v{k} AS v_lag "
             f"FROM s WHERE v{k} IS NOT NULL"
             for k in range(1, ACF_MAX_LAG + 1)
         )
-        + ") SELECT event_type, CAST(lag AS INTEGER) AS lag, "
-        "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
-        "CAST(FLOOR(corr(value, v_lag) * 10000 + 0.5) AS BIGINT) "
-        "AS acf_x1e4 FROM u GROUP BY event_type, lag "
+        + "), m AS (SELECT event_type, lag, "
+        "CAST(COUNT(*) AS HUGEINT) AS n, "
+        "SUM(CAST(vq AS HUGEINT)) AS sx, "
+        "SUM(CAST(v_lag AS HUGEINT)) AS sy, "
+        "SUM(CAST(vq AS HUGEINT) * vq) AS sxx, "
+        "SUM(CAST(v_lag AS HUGEINT) * v_lag) AS syy, "
+        "SUM(CAST(vq AS HUGEINT) * v_lag) AS sxy "
+        "FROM u GROUP BY event_type, lag) "
+        "SELECT event_type, CAST(lag AS INTEGER) AS lag, "
+        "CAST(n AS BIGINT) AS n_pairs, "
+        f"{_ACF_CLOSE} AS acf_x1e4 FROM m "
         "ORDER BY event_type, lag"
     ),
 )
@@ -1236,25 +1259,40 @@ def agg_autocorr(spark, sf_dir):
     first look at temporal structure (is the signal white noise or
     does it persist?).
 
+    Values quantize to integer milli-units BEFORE any aggregation
+    (round-7 ADVICE): engine corr() is a 5-accumulator double
+    reduction whose partial-merge order is partitioning-dependent,
+    so FLOOR(corr*1e4+0.5) could flip at a quantization boundary.
+    Here the six moment sums (n, Σx, Σy, Σx², Σy², Σxy) accumulate
+    as exact DECIMAL(38,0)/HUGEINT — merge-order-free — and Pearson
+    assembles from n·Σxy−ΣxΣy and the two exact variance terms in
+    one shared closing expression, so the only float steps are
+    three correctly-rounded casts, one sqrt pair, one divide: both
+    engines agree bit-for-bit regardless of partitioning. Decimal
+    ceiling: n·Σx² < 1e38 holds past 1e9 pairs per (type, lag) at
+    |vq| ~ 1e9; zero-variance groups yield NULL (matching corr()).
+
     Plan: ONE window pass per (user_id, event_type) series computes
     all three lag columns in a single sorted exchange; the lagged
     pairs are then stacked (map-side, no shuffle) and reduced by a
-    map-side-combined corr per (type, lag). Output is
+    map-side-combined 6-moment aggregate. Output is
     types x ACF_MAX_LAG rows at any corpus size.
 
     100 TB: the window key is high-cardinality (user x type), the
-    final aggregate output is bounded; corr is a 5-accumulator
-    algebraic aggregate so the reduce is one combine tree, no
-    row materialization."""
-    ev = load(spark, sf_dir, "events")
+    final aggregate output is bounded; the moment sums are
+    algebraic so the reduce is one combine tree, no row
+    materialization."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "vq", F.floor(F.col("value") * 1000 + 0.5).cast("long")
+    )
     w = Window.partitionBy("user_id", "event_type").orderBy(
         F.unix_micros("ts"), "event_id"
     )
     lagged = ev.select(
         "event_type",
-        "value",
+        "vq",
         *[
-            F.lag("value", k).over(w).alias(f"v{k}")
+            F.lag("vq", k).over(w).alias(f"v{k}")
             for k in range(1, ACF_MAX_LAG + 1)
         ],
     )
@@ -1263,18 +1301,25 @@ def agg_autocorr(spark, sf_dir):
         args=", ".join(f"{k}, v{k}" for k in range(1, ACF_MAX_LAG + 1)),
     )
     pairs = lagged.select(
-        "event_type", "value", F.expr(stack_expr)
+        "event_type", "vq", F.expr(stack_expr)
     ).filter(F.col("v_lag").isNotNull())
-    return (
-        pairs.groupBy("event_type", F.col("lag").cast("int").alias("lag"))
-        .agg(
-            F.count("*").cast("long").alias("n_pairs"),
-            F.floor(F.corr("value", "v_lag") * 10000 + 0.5)
-            .cast("long")
-            .alias("acf_x1e4"),
-        )
-        .orderBy("event_type", "lag")
+    dec = "decimal(38,0)"
+    m = pairs.groupBy(
+        "event_type", F.col("lag").cast("int").alias("lag")
+    ).agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("vq").cast(dec)).alias("sx"),
+        F.sum(F.col("v_lag").cast(dec)).alias("sy"),
+        F.sum(F.col("vq").cast(dec) * F.col("vq")).alias("sxx"),
+        F.sum(F.col("v_lag").cast(dec) * F.col("v_lag")).alias("syy"),
+        F.sum(F.col("vq").cast(dec) * F.col("v_lag")).alias("sxy"),
     )
+    return m.select(
+        "event_type",
+        "lag",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.expr(_ACF_CLOSE).alias("acf_x1e4"),
+    ).orderBy("event_type", "lag")
 
 
 # --- weighted median -------------------------------------------------------
@@ -1343,11 +1388,12 @@ def agg_weighted_median(spark, sf_dir):
         "FROM orders), "
         "r AS (SELECT pri, cents, ROW_NUMBER() OVER (PARTITION BY pri "
         "ORDER BY cents, 1) AS i FROM s), "
-        "g AS (SELECT pri, COUNT(*) AS n, SUM(cents) AS sx, "
-        "SUM(i * cents) AS six FROM r GROUP BY pri) "
+        "g AS (SELECT pri, COUNT(*) AS n, "
+        "CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS sx, "
+        "SUM(CAST(i AS HUGEINT) * cents) AS six FROM r GROUP BY pri) "
         "SELECT pri, CAST(n AS BIGINT) AS n, "
-        "CAST(FLOOR((2.0 * six / (CAST(n AS DOUBLE) * sx) "
-        "- (n + 1.0) / n) * 10000 + 0.5) AS BIGINT) AS gini_x1e4 "
+        "CAST((40000 * six + sx * (n - 20000 * (n + 1))) "
+        "// (2 * n * sx) AS BIGINT) AS gini_x1e4 "
         "FROM g ORDER BY pri"
     ),
 )
@@ -1356,10 +1402,21 @@ def agg_gini(spark, sf_dir):
     class — the standard inequality measure (0 = all orders equal,
     1 = one order holds all the value), via the sorted-rank formula
     G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n (public, e.g. any
-    statistics text). Prices quantize to integer cents FIRST, so
-    both rank products and sums are exact bigint; ranks over tied
-    cents contribute identically however the tie breaks (swapping
-    ranks i,j between equal x leaves sum(i*x) unchanged).
+    statistics text). Prices quantize to integer cents FIRST and
+    the rank-product sum accumulates as DECIMAL(38,0) (DuckDB:
+    HUGEINT) — sum(i*cents) grows ~avg_cents*n^2/2 and wraps int64
+    past ~1.1M rows per group (round-7 ADVICE), far below the
+    contract scale. Ranks over tied cents contribute identically
+    however the tie breaks (swapping ranks i,j between equal x
+    leaves sum(i*x) unchanged).
+
+    The published FLOOR(G*1e4 + 0.5) has the closed form
+    (40000*six + sx*(n - 20000*(n+1))) div (2*n*sx) — one exact
+    128-bit integer division (numerator >= 0 because G >= 0 for
+    non-negative x), so no double ever touches the result and both
+    engines agree bit-for-bit at any group size up to the decimal
+    ceiling (~1e38 numerator: n*six < 1e38, i.e. beyond 1e12-row
+    groups at TPC-H price scales).
 
     Plan: one exchange on the priority key for the rank window,
     then a map-side-combined 3-accumulator aggregate; output is
@@ -1376,22 +1433,18 @@ def agg_gini(spark, sf_dir):
         r.groupBy("pri")
         .agg(
             F.count("*").alias("n"),
-            F.sum("cents").alias("sx"),
-            F.sum(F.col("i") * F.col("cents")).alias("six"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+            F.sum(
+                F.col("i").cast("decimal(38,0)") * F.col("cents")
+            ).alias("six"),
         )
         .select(
             "pri",
             F.col("n").cast("long").alias("n"),
-            F.floor(
-                (
-                    2.0 * F.col("six") / (F.col("n").cast("double") * F.col("sx"))
-                    - (F.col("n") + 1.0) / F.col("n")
-                )
-                * 10000
-                + 0.5
-            )
-            .cast("long")
-            .alias("gini_x1e4"),
+            F.expr(
+                "CAST((40000 * six + sx * (n - 20000 * (n + 1))) "
+                "div (2 * n * sx) AS BIGINT)"
+            ).alias("gini_x1e4"),
         )
         .orderBy("pri")
     )

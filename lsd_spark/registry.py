@@ -296,7 +296,16 @@ _R7_LEDGER = [
 # plan whose newest driver row predates the change is effectively
 # unverified by the ledger, so these jump the refresh queue
 # (round-5 ADVICE #4 pattern). Extend as round-8 edits land.
-_R8_TOUCHED: list[str] = []
+_R8_TOUCHED: list[str] = [
+    # round-7 ADVICE fixes: exact-integer Gini closing division,
+    # quantize-first ACF/embed-stats moments, CSV-writer-quoted
+    # malformed export, CDC same-seq op tiebreak
+    "agg_gini",
+    "agg_autocorr",
+    "llm_embed_stats",
+    "merge_cdc_apply",
+    "source_csv_malformed",
+]
 
 
 # (round, exact recorded key list) — r05 re-recorded the r04 window

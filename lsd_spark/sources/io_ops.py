@@ -561,7 +561,7 @@ def source_jsonl_import(spark, sf_dir):
         "UNION ALL SELECT c_custkey + 2000000, 2, 'I', 0.0 FROM customer "
         "WHERE c_custkey % 23 = 0), "
         "latest AS (SELECT k, op, bal FROM (SELECT k, op, bal, "
-        "ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn "
+        "ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC, op) AS rn "
         "FROM chg) WHERE rn = 1), "
         "applied AS ("
         "SELECT COALESCE(l.k, c.c_custkey) AS c_custkey, "
@@ -584,11 +584,16 @@ def merge_cdc_apply(spark, sf_dir):
     apply-jobs have).
 
     Plan: one rank window over the changelog keyed by (key, seq
-    DESC) collapses the stream to its frontier — changelog-sized,
-    not snapshot-sized — then ONE full-outer join applies it.
-    100 TB: the snapshot shuffles once on the key (zero with a
-    bucketed layout — sink_bucketed); the changelog side is
-    batch-sized. Never a row-at-a-time MERGE loop."""
+    DESC, op) collapses the stream to its frontier — changelog-
+    sized, not snapshot-sized — then ONE full-outer join applies
+    it. The op tiebreak matters once synthetic insert keys
+    (custkey + 2M) collide with real keys (sf >= ~14, round-7
+    ADVICE): a same-key same-seq D/I tie then resolves to the
+    delete ('D' < 'I') identically on both engines instead of
+    whichever row the engine ranked first. 100 TB: the snapshot
+    shuffles once on the key (zero with a bucketed layout —
+    sink_bucketed); the changelog side is batch-sized. Never a
+    row-at-a-time MERGE loop."""
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     upd = c.filter(F.col("c_custkey") % 10 == 0).select(
         F.col("c_custkey").alias("k"),
@@ -612,7 +617,7 @@ def merge_cdc_apply(spark, sf_dir):
     from pyspark.sql import Window
 
     rn = F.row_number().over(
-        Window.partitionBy("k").orderBy(F.desc("seq"))
+        Window.partitionBy("k").orderBy(F.desc("seq"), "op")
     )
     latest = (
         chg.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn", "seq")
@@ -852,24 +857,34 @@ def source_csv_malformed(spark, sf_dir):
     corruption rule, so a row misclassified in either direction
     breaks the hash.
 
+    The export goes through the DataFrame CSV WRITER — never a
+    hand-concatenated line (round-7 ADVICE): the writer quotes or
+    escapes any comma/double-quote in the payload, so a future
+    fixture with delimiter characters in `text` round-trips instead
+    of silently shifting fields into the quarantine. Embedded
+    newlines are normalized to spaces BEFORE the write (documented
+    lossy step on the text payload only — no output column reads
+    it) because parsing quoted newlines back needs multiLine=true,
+    which makes every file single-split; a dead-letter quarantine
+    scan must stay splittable at 100 TB.
+
     100 TB: PERMISSIVE parsing is map-only; the quarantine column
     routes to a dead-letter sink in production while the load
     proceeds — the operational pattern this op pins."""
     docs = load(spark, sf_dir, "documents")
-    line = F.concat_ws(
-        ",",
-        F.col("doc_id").cast("string"),
-        "text",
+    rows = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.regexp_replace("text", "[\\r\\n]", " ").alias("text"),
         "lang",
         "source",
         F.when(
             F.col("doc_id") % CSV_CORRUPT_MOD == 0, F.lit("notanumber")
-        ).otherwise(F.col("n_chars").cast("string")),
+        )
+        .otherwise(F.col("n_chars").cast("string"))
+        .alias("n_chars"),
     )
     base = tempfile.mkdtemp(prefix="lsd_badcsv_")
-    docs.select(line.alias("value")).coalesce(2).write.mode(
-        "overwrite"
-    ).text(f"{base}/csv")
+    rows.coalesce(2).write.mode("overwrite").csv(f"{base}/csv")
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
