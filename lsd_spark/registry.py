@@ -305,6 +305,18 @@ _R8_TOUCHED: list[str] = [
     "llm_embed_stats",
     "merge_cdc_apply",
     "source_csv_malformed",
+    # round-7 VERDICT #1: multi-scan plans killed via ckpt_shared —
+    # every consumer of the shared embcos edge set / ngram postings
+    # has a new physical plan and needs a fresh driver row
+    "llm_dedup_ngram",
+    "llm_dedup_containment",
+    "llm_pipeline_mm",
+    "graph_degree_hist",
+    "llm_dedup_embcos",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "llm_dedup_keep_best",
+    "cluster_fof",
 ]
 
 

@@ -143,14 +143,19 @@ def test_bucketed_candidate_gen_is_equi_join(spark):
     allowed in these plans is the corpus x N_CENTROIDS assignment,
     which is linear in the corpus; assert it by requiring every BNLJ
     line to involve the tiny broadcast centroid side.)"""
-    from lsd_spark.llm.dedup import embcos_candidate_pairs
+    from lsd_spark.llm.dedup import (
+        _embcos_near_pairs_build,
+        embcos_candidate_pairs,
+    )
 
-    # embcos_candidate_pairs is the single candidate generator behind
-    # BOTH llm_dedup_embcos and cluster_fof (cluster_fof's builder is
-    # eager — its returned plan is the checkpointed labels — so the
-    # shared generator's plan is the thing to pin).
+    # embcos_candidate_pairs is the naive generator; the production
+    # path is _embcos_near_pairs_build — since round 8 every consumer
+    # (llm_dedup_embcos, cluster_fof, the graph ops) reads its
+    # ckpt_shared materialization, so the candidate-join shape to pin
+    # lives in the BUILD plan, not the consumers' 0-scan final plans
+    # (those are pinned in tests/test_plan_ratchet.py).
     for q, df in (
-        ("llm_dedup_embcos", QUERIES["llm_dedup_embcos"](spark, SF_DIR)),
+        ("embcos_near_pairs_build", _embcos_near_pairs_build(spark, SF_DIR)),
         ("embcos_candidate_pairs", embcos_candidate_pairs(spark, SF_DIR)),
     ):
         p = plan(df, mode="simple")
