@@ -50,7 +50,17 @@ HEADLINE = {
     "q_knn_ivf": "knn_ivf",
     "q_fof": "cluster_fof_2d",
     "q_xmatch_sphere": "join_xmatch_sphere",
+    "q_dedup_minhash": "llm_dedup_cluster",
+    "q_dedup_simhash": "llm_dedup_simhash",
 }
+
+# q_dedup_minhash honesty guard (round-7 VERDICT #3): the MinHash
+# chain's ckpt_shared frames are memoized per session, so a naive
+# warm run would time a checkpoint READ while DuckDB recomputes the
+# whole chain. Each timed run first drops every cache entry whose
+# tag matches, forcing the full shingle->signature->band-join->
+# refine->fixpoint pipeline to re-execute inside the timed region.
+RESET_BEFORE_RUN = {"q_dedup_minhash": "minhash"}
 
 WARM_TABLES = [
     "lineitem", "orders", "customer", "nation", "region", "events",
@@ -176,11 +186,16 @@ def main() -> None:
     # 3k-row timestamped result — pure client-binding overhead, not
     # engine work). Arrow transfer is the symmetric choice; every run
     # still executes the full physical plan.
+    from lsd_spark.registry import drop_plans_matching
+
     medians: dict[str, float] = {}
     mins: dict[str, float] = {}
     for name, qid in HEADLINE.items():
+        reset = RESET_BEFORE_RUN.get(name)
         samples = []
         for _ in range(RUNS):
+            if reset:
+                drop_plans_matching(reset)
             t0 = time.perf_counter()
             QUERIES[qid](spark, SF_DIR).toPandas()
             samples.append(time.perf_counter() - t0)

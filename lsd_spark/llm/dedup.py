@@ -1193,65 +1193,105 @@ _MINHASH_MD5_ORACLE = (
 )
 
 
-def _minhash_md5_scored(docs):
-    """Shared MinHash/LSH candidate pipeline: shingle → H portable
-    minhashes → band equi-join → (doc_a, doc_b, jaccard, mh_est),
-    unthresholded. Used by llm_dedup_minhash_md5 (pair report) and
-    llm_dedup_cluster (transitive-closure grouping)."""
-    sig = _shingled(docs).selectExpr(
-        "doc_id",
-        "shingles",
-        "array(" + ", ".join(_mh_spark(s) for s in range(MINHASH_H)) + ") AS mh",
-    )
-    bands = sig.select(
-        "doc_id",
-        "shingles",
-        "mh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.expr(
-                            "md5(concat_ws(',', "
-                            + ", ".join(
-                                f"element_at(mh, {b * MINHASH_R + r + 1})"
-                                for r in range(MINHASH_R)
-                            )
-                            + "))"
-                        ).alias("bk"),
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
+def _minhash_hits(spark, sf_dir):
+    """Shared MinHash/LSH pipeline: shingle → H portable minhashes →
+    band equi-join → exact-Jaccard refine → the thresholded
+    (doc_a, doc_b, jaccard, mh_est) hit set. Used by
+    llm_dedup_minhash_md5 (pair report) and llm_dedup_cluster
+    (transitive-closure grouping).
+
+    Round 8 restructure (round-7 VERDICT #4 profiling: the chain
+    alone measured ~9 s warm at sf0.1 and llm_dedup_cluster ~20 s,
+    because the fixpoint's nodes/edges branches re-ran it):
+    - the signature frame (doc_id, shingles, mh) is ckpt_shared-
+      materialized: the H x |shingles| md5 evaluations — the
+      dominant cost — run exactly once per session;
+    - the band self-join carries ONLY (doc_id, band, bk): the old
+      plan shuffled both shingle arrays and both signatures through
+      the candidate join, ~50x the bytes of the id-pair stream;
+      surviving candidate ids join back to the settled signature
+      frame for the refine (same pairs, same scores — the refine
+      inputs are per-doc, not per-collision);
+    - the thresholded hit set is itself checkpointed, so both
+      consumers (and the fixpoint's nodes/edges branches) read a
+      settled frame.
+    100 TB: the band join is the zones technique (linear in
+    collision count); the slim shuffle is what makes it affordable
+    when shingle arrays average kilobytes."""
+    def build_hits():
+        docs = load(spark, sf_dir, "documents")
+        sig = ckpt_shared(
+            spark, sf_dir, "minhash_sig",
+            lambda: _shingled(docs).selectExpr(
+                "doc_id",
+                "shingles",
+                "array("
+                + ", ".join(_mh_spark(s) for s in range(MINHASH_H))
+                + ") AS mh",
+            ),
+        )
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.expr(
+                                "md5(concat_ws(',', "
+                                + ", ".join(
+                                    f"element_at(mh, {b * MINHASH_R + r + 1})"
+                                    for r in range(MINHASH_R)
+                                )
+                                + "))"
+                            ).alias("bk"),
+                        )
+                        for b in range(MINHASH_BANDS)
+                    ]
+                )
+            ).alias("x"),
+        ).select("doc_id", "x.band", "x.bk")
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bk") == F.col("b.bk"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
-        ).alias("x"),
-    ).select("doc_id", "shingles", "mh", "x.band", "x.bk")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-            F.col("a.mh").alias("mh_a"),
-            F.col("b.mh").alias("mh_b"),
+        sa = sig.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("shingles").alias("sh_a"),
+            F.col("mh").alias("mh_a"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
-    est = F.expr(
-        f"size(filter(sequence(1, {MINHASH_H}), "
-        f"i -> element_at(mh_a, i) = element_at(mh_b, i))) / {MINHASH_H}"
-    )
-    return cand.withColumn("jaccard", F.round(jac.cast("double"), 4)).withColumn(
-        "mh_est", F.round(est.cast("double"), 4)
-    )
+        sb = sig.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("shingles").alias("sh_b"),
+            F.col("mh").alias("mh_b"),
+        )
+        jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+            F.array_union("sh_a", "sh_b")
+        )
+        est = F.expr(
+            f"size(filter(sequence(1, {MINHASH_H}), "
+            f"i -> element_at(mh_a, i) = element_at(mh_b, i))) / {MINHASH_H}"
+        )
+        return (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn("jaccard", F.round(jac.cast("double"), 4))
+            .withColumn("mh_est", F.round(est.cast("double"), 4))
+            .filter(F.col("jaccard") >= JACCARD_T)
+            .select("doc_a", "doc_b", "jaccard", "mh_est")
+        )
+
+    return ckpt_shared(spark, sf_dir, "minhash_hits", build_hits)
 
 
 @register("llm_dedup_minhash_md5", oracle=_MINHASH_MD5_ORACLE)
@@ -1267,13 +1307,7 @@ def llm_dedup_minhash_md5(spark, sf_dir):
     codegen; the only shuffles are the band join and the final
     dedup. Unlike llm_dedup_near (xxhash64, rows-only by design),
     every stage here is bit-exact against the DuckDB oracle."""
-    docs = load(spark, sf_dir, "documents")
-    return (
-        _minhash_md5_scored(docs)
-        .filter(F.col("jaccard") >= JACCARD_T)
-        .select("doc_a", "doc_b", "jaccard", "mh_est")
-        .orderBy("doc_a", "doc_b")
-    )
+    return _minhash_hits(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 _CLUSTER_ORACLE = (
@@ -1307,11 +1341,8 @@ def llm_dedup_cluster(spark, sf_dir):
     doc_id) and everything else in the group drops."""
     from lsd_spark.plans.cluster import min_label_fixpoint
 
-    docs = load(spark, sf_dir, "documents")
-    pairs = (
-        _minhash_md5_scored(docs)
-        .filter(F.col("jaccard") >= JACCARD_T)
-        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    pairs = _minhash_hits(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
     # nodes = only docs that appear in some pair (isolated docs are
     # their own cluster and are excluded from the report anyway);

@@ -62,6 +62,18 @@ def clear_plan_cache() -> None:
     clear_node_counts()
 
 
+def drop_plans_matching(substr: str) -> None:
+    """Targeted invalidation: drop every cached plan / materialized
+    ckpt_shared frame whose cache tag contains ``substr``. bench.py
+    uses this to force the MinHash chain to re-execute inside each
+    timed run — without it a warm run would serve the memoized
+    checkpointed hit set and the bench would time a cache read, not
+    the pipeline (the session-wide clear_plan_cache would instead
+    deoptimize every OTHER already-warmed bench query)."""
+    for k in [k for k in _PLAN_CACHE if substr in k[2]]:
+        del _PLAN_CACHE[k]
+
+
 def cached_plan(spark, sf_dir: str, tag: str, builder: Callable[[], Any]):
     """Memoize a LAZY sub-plan keyed (session, sf_dir, tag) in the
     same cache (and under the same invalidation point,
