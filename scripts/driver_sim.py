@@ -199,6 +199,10 @@ def main():
         t_op = time.perf_counter()
         try:
             sdf = qs[name](spark, SF01).toPandas()
+            # per-side attribution (round-7 VERDICT #4): the stress
+            # sweep's worst numbers were unattributable when one
+            # combined figure covered Spark AND the DuckDB mirror
+            t_spark = time.perf_counter() - t_op
             if name in sample_filter:
                 import hashlib
 
@@ -209,7 +213,9 @@ def main():
                 )
                 sdf = sdf[mask]
             if name in oracles:
+                t_d0 = time.perf_counter()
                 ddf = con.sql(oracles[name]).df()
+                t_duck = time.perf_counter() - t_d0
                 sc, sr = canon(sdf)
                 dc, dr = canon(ddf)
                 if sc != dc:
@@ -220,15 +226,19 @@ def main():
                     d = [(a, b) for a, b in zip(sr, dr) if a != b][:2]
                     failed.append((name, f"values {d}"))
                 else:
-                    print(f"  OK   {name} ({len(sr)} rows, oracle match, {time.perf_counter() - t_op:.1f}s)")
+                    print(f"  OK   {name} ({len(sr)} rows, oracle match, "
+                          f"spark {t_spark:.1f}s + oracle {t_duck:.1f}s)")
             else:
+                t_r0 = time.perf_counter()
                 sdf2 = qs[name](spark, SF01).toPandas()
+                t_run2 = time.perf_counter() - t_r0
                 _, r1 = canon(sdf)
                 _, r2 = canon(sdf2)
                 if r1 != r2:
                     failed.append((name, "rows-only op not deterministic across runs"))
                 else:
-                    print(f"  OK   {name} ({len(r1)} rows, rows-only, stable x2, {time.perf_counter() - t_op:.1f}s)")
+                    print(f"  OK   {name} ({len(r1)} rows, rows-only, stable x2, "
+                          f"spark {t_spark:.1f}s + rerun {t_run2:.1f}s)")
         except Exception as e:  # noqa: BLE001
             failed.append((name, f"EXC {type(e).__name__}: {str(e)[:200]}"))
         # Release the finished op's logical plan (and with it the
