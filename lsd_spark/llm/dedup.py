@@ -855,16 +855,30 @@ def llm_dedup_edit(spark, sf_dir):
     and (zero) distance, so the op runs the join + refine over one
     representative per distinct text, then expands survivors through
     the group membership (within-group pairs at dist 0). Output is
-    bit-identical; the oracle is untouched."""
+    bit-identical; the oracle is untouched.
+
+    Round 8: groups (x3 consumers) and mem (x4) are ckpt_shared-
+    materialized — the plan audit showed 10 documents scans in the
+    final plan from Catalyst's per-branch subtree duplication; now
+    the corpus is scanned twice (the two builds) and every branch
+    reads settled RDDs."""
     docs = load(spark, sf_dir, "documents")
     fp = F.md5(F.col("text").cast("binary"))
     tagged = docs.select("doc_id", "text", fp.alias("fp"))
-    groups = tagged.groupBy("fp").agg(
-        F.min("doc_id").alias("rid"), F.first("text").alias("r_text")
+    groups = ckpt_shared(
+        spark, sf_dir, "edit_groups",
+        lambda: tagged.groupBy("fp").agg(
+            F.min("doc_id").alias("rid"), F.first("text").alias("r_text")
+        ),
     )
     # groups/mem are corpus-sized on a low-duplication corpus:
     # shuffle equi-joins, never broadcasts
-    mem = tagged.join(groups.select("fp", "rid"), "fp").select("doc_id", "rid")
+    mem = ckpt_shared(
+        spark, sf_dir, "edit_mem",
+        lambda: tagged.join(groups.select("fp", "rid"), "fp").select(
+            "doc_id", "rid"
+        ),
+    )
     blk = F.md5(F.substring("r_text", 1, EDIT_BLOCK_CHARS).cast("binary"))
     d = groups.select(F.col("rid").alias("doc_id"), F.col("r_text").alias("text"), blk.alias("blk"))
     a, b = d.alias("a"), d.alias("b")

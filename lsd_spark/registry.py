@@ -333,6 +333,8 @@ _R8_TOUCHED: list[str] = [
     # join + shared checkpointed signature/hit frames)
     "llm_dedup_minhash_md5",
     "llm_dedup_cluster",
+    # round-8 plan-audit follow-up: same ckpt_shared fix (10 scans)
+    "llm_dedup_edit",
 ]
 
 
