@@ -335,6 +335,9 @@ _R8_TOUCHED: list[str] = [
     "llm_dedup_cluster",
     # round-8 plan-audit follow-up: same ckpt_shared fix (10 scans)
     "llm_dedup_edit",
+    # round-8 plan-audit follow-up: two EXCEPTs -> one presence-flag
+    # aggregate (7 scans -> 3, one shuffle)
+    "snapshot_diff",
 ]
 
 

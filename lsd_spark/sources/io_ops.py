@@ -411,11 +411,20 @@ def stream_foreach_sink(spark, sf_dir):
 )
 def snapshot_diff(spark, sf_dir):
     """Change-data capture between two table versions (v2 = v1 with
-    merge_upsert's update set applied): added / removed row images
-    via two anti-semantics EXCEPTs — the snapshot-comparison job that
-    audits what an incremental pipeline changed. Both EXCEPTs shuffle
-    on the full row hash once; at 100 TB partition both versions the
-    same way and the diff is partition-local."""
+    merge_upsert's update set applied): added / removed row images —
+    the snapshot-comparison job that audits what an incremental
+    pipeline changed.
+
+    Round 8: ONE presence-flag aggregate instead of two EXCEPTs.
+    Set-EXCEPT semantics decompose as: group the tagged union of
+    both versions by the full row image, keep rows present in
+    exactly one side — identical output to v2 EXCEPT v1 (added) and
+    v1 EXCEPT v2 (removed), but each version is scanned ONCE and
+    there is ONE shuffle on the row image (the plan audit showed the
+    two-subtract form scanning the snapshot 7x; at 100 TB each
+    EXCEPT's own shuffle also repartitioned the full corpus twice).
+    Partition both versions the same way and the aggregate is
+    partition-local."""
     c = load(spark, sf_dir, "customer").select(
         "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal")
     )
@@ -439,12 +448,27 @@ def snapshot_diff(spark, sf_dir):
             )
         )
     )
-    # subtract() is true EXCEPT (set) semantics, matching the oracle;
-    # exceptAll().distinct() diverges when a row image appears in BOTH
-    # versions with different multiplicities (it would keep it).
-    added = v2.subtract(c).select(F.lit("added").alias("change"), "c_custkey", "c_acctbal")
-    removed = c.subtract(v2).select(F.lit("removed").alias("change"), "c_custkey", "c_acctbal")
-    return added.unionByName(removed).orderBy("change", "c_custkey")
+    tagged = c.select(
+        "c_custkey", "c_acctbal", F.lit(1).alias("in_v1"), F.lit(0).alias("in_v2")
+    ).unionByName(
+        v2.select(
+            "c_custkey", "c_acctbal", F.lit(0).alias("in_v1"), F.lit(1).alias("in_v2")
+        )
+    )
+    flags = tagged.groupBy("c_custkey", "c_acctbal").agg(
+        F.max("in_v1").alias("f1"), F.max("in_v2").alias("f2")
+    )
+    return (
+        flags.filter(F.col("f1") != F.col("f2"))
+        .select(
+            F.when(F.col("f2") == 1, F.lit("added"))
+            .otherwise(F.lit("removed"))
+            .alias("change"),
+            "c_custkey",
+            "c_acctbal",
+        )
+        .orderBy("change", "c_custkey")
+    )
 
 
 @register(
