@@ -122,24 +122,33 @@ def set_symmetric_diff(spark, sf_dir):
     acquired) that a plain EXCEPT throws away. Completes the set-op
     family (union/intersect/except all have ops already).
 
-    Plan: both branches are LEFT ANTI joins on the distinct key sets
-    — each anti join broadcasts or shuffles on the SAME key, and the
-    year filters push to the scan, so the whole op is two
-    distinct-aggregates plus two anti joins over pruned scans.
-    100 TB: anti join beats NOT IN at scale (null-safe, no
-    materialized subquery); both sides shrink to |distinct keys|
-    before any join."""
+    Round 8: ONE presence-flag aggregate instead of two anti joins
+    (the snapshot_diff decomposition): filter to the two years in
+    one pruned scan, group by key with per-side presence maxes, keep
+    keys present on exactly one side. Identical output; the old
+    two-anti-join form scanned orders 4x and shuffled 4 times (two
+    distincts + two joins), this is 1 scan + 1 shuffle. 100 TB: the
+    combined year predicate still pushes to the scan; the aggregate
+    is map-side combined on the key."""
     o = load(spark, sf_dir, "orders")
-    a = (
-        o.filter(F.year("o_orderdate") == 1994)
-        .select(F.col("o_custkey").alias("k"))
-        .distinct()
+    y = F.year("o_orderdate")
+    flags = (
+        o.filter(y.isin(1994, 1995))
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.when(y == 1994, 1).otherwise(0).alias("a"),
+            F.when(y == 1995, 1).otherwise(0).alias("b"),
+        )
+        .groupBy("k")
+        .agg(F.max("a").alias("f_a"), F.max("b").alias("f_b"))
     )
-    b = (
-        o.filter(F.year("o_orderdate") == 1995)
-        .select(F.col("o_custkey").alias("k"))
-        .distinct()
+    return (
+        flags.filter(F.col("f_a") != F.col("f_b"))
+        .select(
+            "k",
+            F.when(F.col("f_a") == 1, F.lit("a_only"))
+            .otherwise(F.lit("b_only"))
+            .alias("side"),
+        )
+        .orderBy("k", "side")
     )
-    a_only = a.join(b, "k", "left_anti").select("k", F.lit("a_only").alias("side"))
-    b_only = b.join(a, "k", "left_anti").select("k", F.lit("b_only").alias("side"))
-    return a_only.unionByName(b_only).orderBy("k", "side")

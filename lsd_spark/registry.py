@@ -338,6 +338,9 @@ _R8_TOUCHED: list[str] = [
     # round-8 plan-audit follow-up: two EXCEPTs -> one presence-flag
     # aggregate (7 scans -> 3, one shuffle)
     "snapshot_diff",
+    # same decomposition: two anti joins -> one flag aggregate
+    # (4 scans, 4 shuffles -> 1 scan, 1 shuffle)
+    "set_symmetric_diff",
 ]
 
 
