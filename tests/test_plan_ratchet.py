@@ -59,7 +59,19 @@ def test_no_plan_regresses_past_its_ratchet(spark):
     """One pass over every ratcheted op: build the plan at sf0.001
     and compare exchange + parquet-scan counts to the recorded
     ceilings. Collected into one failure report so a multi-op
-    regression shows up whole."""
+    regression shows up whole.
+
+    Session state is normalized first: earlier tests persist()
+    tables, and cached-relation statistics flip join strategies
+    (SMJ <-> BHJ changes the Exchange count), so without the reset
+    this test's verdict would depend on suite ORDER, not on the
+    code (observed: green in isolation, red after the full-suite
+    prefix). clearCache drops cached-data stats back to file sizes
+    — the same state gen_plan_audit measures in."""
+    from lsd_spark.registry import clear_plan_cache
+
+    spark.catalog.clearCache()
+    clear_plan_cache()
     bad = []
     for name, rec in sorted(RATCHET.items()):
         if name not in QUERIES:  # retired op, stale file
