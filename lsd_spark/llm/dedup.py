@@ -439,16 +439,55 @@ def llm_dedup_containment(spark, sf_dir):
 
     Round 8: tok/tk/sz (consumed 2x/3x/2x) are ckpt_shared-
     materialized — the round-7 audit showed 16 corpus scans in the
-    final plan; now the corpus is scanned once (the tok build) and
-    everything downstream reads settled RDDs."""
+    final plan; now the corpus is scanned once (the groups build)
+    and everything downstream reads settled RDDs.
+
+    COLLAPSE-IDENTICAL-FIRST (the ngram/embcos discipline, applied
+    here after the round-8 stress sweep attributed 158 s of the
+    sf1 run to this op's Spark side): identical texts have
+    identical shingle sets, so df-capping, the posting self-join,
+    and both directed ratios run over ONE representative per
+    distinct text — document frequency counted at FULL multiplicity
+    (sum of group sizes; the skew cap must see the real corpus df)
+    — then surviving directed rep-pairs expand through the group
+    membership, and within-group ordered pairs carry containment
+    1.0 whenever the rep has any surviving shingle (i = c_a = c_b
+    for identical sets — exactly what the naive plan emits).
+    Duplicate-heavy corpora otherwise inflate in-bucket pair counts
+    quadratically in the duplicate multiplicity (100x at the 10x
+    stress dir). Output is bit-identical; the oracle is naive and
+    untouched."""
     docs = load(spark, sf_dir, "documents")
-    tok = ckpt_shared(
-        spark, sf_dir, "contain_tok",
-        lambda: _shingled(docs).select(
-            "doc_id", F.explode("shingles").alias("s")
+    fp = F.md5(F.col("text").cast("binary"))
+    tagged = docs.select("doc_id", "text", fp.alias("fp"))
+    groups = ckpt_shared(
+        spark, sf_dir, "contain_groups",
+        lambda: tagged.groupBy("fp").agg(
+            F.min("doc_id").alias("rid"),
+            F.first("text").alias("r_text"),
+            F.count("*").alias("sz"),
         ),
     )
-    hot = tok.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > NGRAM_DF_CAP)
+    mem = ckpt_shared(
+        spark, sf_dir, "contain_mem",
+        lambda: tagged.join(groups.select("fp", "rid"), "fp").select(
+            "doc_id", "rid"
+        ),
+    )
+    rdocs = groups.select(
+        F.col("rid").alias("doc_id"), F.col("r_text").alias("text")
+    )
+    tok = ckpt_shared(
+        spark, sf_dir, "contain_tok",
+        lambda: _shingled(rdocs)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .join(groups.select(F.col("rid").alias("doc_id"), "sz"), "doc_id"),
+    )
+    hot = (
+        tok.groupBy("s")
+        .agg(F.sum("sz").alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+    )
     tk = ckpt_shared(
         spark, sf_dir, "contain_tk",
         lambda: tok.join(
@@ -468,26 +507,48 @@ def llm_dedup_containment(spark, sf_dir):
     su = sz.select(F.col("doc_id").alias("u"), F.col("c").alias("cu"))
     sv = sz.select(F.col("doc_id").alias("v"), F.col("c").alias("cv"))
     both = inter.join(su, "u").join(sv, "v")
-    dirs = both.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("u").alias("doc_a"),
-                    F.col("v").alias("doc_b"),
-                    F.round(F.col("i") / F.col("cu"), 4).alias("containment"),
-                ),
-                F.struct(
-                    F.col("v").alias("doc_a"),
-                    F.col("u").alias("doc_b"),
-                    F.round(F.col("i") / F.col("cv"), 4).alias("containment"),
-                ),
-            )
-        ).alias("d")
-    ).select("d.*")
-    return (
-        dirs.filter(F.col("containment") >= CONTAIN_T)
-        .orderBy("doc_a", "doc_b")
+    # both directed rep-ratios from one explode (diagonal fold),
+    # thresholded BEFORE the membership expansion
+    rep_dirs = (
+        both.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("ga"),
+                        F.col("v").alias("gb"),
+                        F.round(F.col("i") / F.col("cu"), 4).alias("containment"),
+                    ),
+                    F.struct(
+                        F.col("v").alias("ga"),
+                        F.col("u").alias("gb"),
+                        F.round(F.col("i") / F.col("cv"), 4).alias("containment"),
+                    ),
+                )
+            ).alias("d")
+        )
+        .select("d.*")
+        .filter(F.col("containment") >= CONTAIN_T)
     )
+    ma = mem.select(F.col("doc_id").alias("doc_a"), F.col("rid").alias("ga"))
+    mb = mem.select(F.col("doc_id").alias("doc_b"), F.col("rid").alias("gb"))
+    cross = rep_dirs.join(ma, "ga").join(mb, "gb").select(
+        "doc_a", "doc_b", "containment"
+    )
+    # within-group ordered pairs: containment 1.0 iff the rep kept
+    # any shingle after the df cap (i = c for identical sets); the
+    # rep's presence in sz IS that condition
+    within = (
+        mem.select(F.col("doc_id").alias("doc_a"), F.col("rid").alias("g"))
+        .join(mem.select(F.col("doc_id").alias("doc_b"), F.col("rid").alias("g")), "g")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .join(sz.select(F.col("doc_id").alias("g")), "g")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.lit(1.0), 4).cast("double").alias("containment"),
+        )
+    )
+    return cross.unionByName(within).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------

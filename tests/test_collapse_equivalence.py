@@ -234,3 +234,58 @@ def test_semdedup_collapse_bit_identical(spark, inflated_dir, dir_kind):
         # replica groups guarantee within-group drops fired
         dropped = [r for r in got if not r[3]]
         assert len(dropped) >= len(got) // 2
+
+
+def _naive_containment(spark, sf_dir):
+    """The pre-collapse reference plan: postings over every document,
+    doc-level df cap, doc-level posting self-join, both directed
+    ratios, threshold — quadratic in duplicate multiplicity."""
+    from lsd_spark.catalog import load
+    from lsd_spark.llm.dedup import CONTAIN_T, NGRAM_DF_CAP, _shingled
+
+    docs = load(spark, sf_dir, "documents")
+    tok = _shingled(docs).select("doc_id", F.explode("shingles").alias("s"))
+    hot = (
+        tok.groupBy("s").agg(F.count("*").alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+    )
+    tk = tok.join(F.broadcast(hot.select("s")), "s", "left_anti").select(
+        "doc_id", "s"
+    )
+    sz = tk.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a, b = tk.alias("a"), tk.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .agg(F.count("*").alias("i"))
+    )
+    su = sz.select(F.col("doc_id").alias("u"), F.col("c").alias("cu"))
+    sv = sz.select(F.col("doc_id").alias("v"), F.col("c").alias("cv"))
+    both = inter.join(su, "u").join(sv, "v")
+    fwd = both.select(
+        F.col("u").alias("doc_a"), F.col("v").alias("doc_b"),
+        F.round(F.col("i") / F.col("cu"), 4).alias("containment"),
+    )
+    rev = both.select(
+        F.col("v").alias("doc_a"), F.col("u").alias("doc_b"),
+        F.round(F.col("i") / F.col("cv"), 4).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= CONTAIN_T)
+
+
+@pytest.mark.parametrize("dir_kind", ["plain", "inflated"])
+def test_containment_collapse_bit_identical(spark, inflated_dir, dir_kind):
+    """Round-8 collapse rewrite of llm_dedup_containment: identical
+    texts share shingle sets, so rep-level df caps / intersections /
+    ratios expand back to the exact naive directed pair set — the
+    inflated dir makes the within-group (containment 1.0 both ways)
+    and cross-group expansion paths actually fire."""
+    from lsd_spark.registry import QUERIES, clear_plan_cache, load_all
+
+    load_all()
+    d = SF_SMALL if dir_kind == "plain" else inflated_dir
+    clear_plan_cache()
+    got = _rows(QUERIES["llm_dedup_containment"](spark, d))
+    ref = _rows(_naive_containment(spark, d))
+    assert got == ref
+    clear_plan_cache()
