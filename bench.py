@@ -54,13 +54,19 @@ HEADLINE = {
     "q_dedup_simhash": "llm_dedup_simhash",
 }
 
-# q_dedup_minhash honesty guard (round-7 VERDICT #3): the MinHash
-# chain's ckpt_shared frames are memoized per session, so a naive
-# warm run would time a checkpoint READ while DuckDB recomputes the
-# whole chain. Each timed run first drops every cache entry whose
-# tag matches, forcing the full shingle->signature->band-join->
-# refine->fixpoint pipeline to re-execute inside the timed region.
-RESET_BEFORE_RUN = {"q_dedup_minhash": "minhash"}
+# Dedup-query honesty guard (round-7 VERDICT #3): the dedup chains'
+# ckpt_shared frames are memoized per session, so a naive warm run
+# would time a checkpoint READ while DuckDB recomputes the whole
+# chain. Each timed run first drops every cache entry whose tag
+# matches one of the listed substrings, forcing the full
+# shingle->signature->band-join->refine(->fixpoint) pipeline to
+# re-execute inside the timed region (q_dedup_simhash's collapse
+# rewrite shares text_groups/text_mem with the rest of the text
+# family — those drop too so the timed run includes the collapse).
+RESET_BEFORE_RUN = {
+    "q_dedup_minhash": ["minhash"],
+    "q_dedup_simhash": ["simhash", "text_"],
+}
 
 WARM_TABLES = [
     "lineitem", "orders", "customer", "nation", "region", "events",
@@ -191,11 +197,11 @@ def main() -> None:
     medians: dict[str, float] = {}
     mins: dict[str, float] = {}
     for name, qid in HEADLINE.items():
-        reset = RESET_BEFORE_RUN.get(name)
+        reset = RESET_BEFORE_RUN.get(name, [])
         samples = []
         for _ in range(RUNS):
-            if reset:
-                drop_plans_matching(reset)
+            for tag in reset:
+                drop_plans_matching(tag)
             t0 = time.perf_counter()
             QUERIES[qid](spark, SF_DIR).toPandas()
             samples.append(time.perf_counter() - t0)

@@ -88,6 +88,87 @@ def _shingled(docs):
     return docs.select("doc_id", F.array_distinct(sh).alias("shingles"))
 
 
+# Adaptive collapse routing (round 8): collapse-identical-first is
+# an optimization for DUPLICATE-HEAVY corpora — it cuts in-bucket
+# pair counts quadratically in the duplicate multiplicity, but costs
+# a fixed floor (the shared-frame checkpoint builds) that a
+# low-duplication corpus never earns back (measured: simhash 0.22 s
+# naive vs 4.3 s collapsed at sf0.1's 0.2% dup rate; 881 s naive vs
+# seconds collapsed at the 10x dir's 90%). The ops that can route
+# probe the corpus duplicate fraction ONCE per (session, sf_dir) —
+# a single map-side count + approx-distinct scan — and take the
+# naive lazy plan below the threshold (min_label_fixpoint's
+# subcritical/supercritical split, applied to dedup). Both paths
+# are bit-identical (tests/test_collapse_equivalence.py pins the
+# collapsed builders directly, on both plain and inflated dirs).
+DUP_COLLAPSE_T = 0.10
+
+_DUP_FRAC: dict[tuple[str, str], float] = {}
+
+
+def clear_dup_stats() -> None:
+    _DUP_FRAC.clear()
+
+
+def corpus_dup_fraction(spark, sf_dir) -> float:
+    """1 - distinct_texts/n_docs, via approx_count_distinct (2%
+    default error — an order of magnitude below the routing
+    threshold). Memoized per (session, sf_dir); invalidated with
+    the plan cache (clear_plan_cache)."""
+    from lsd_spark.catalog import session_key
+
+    key = (session_key(spark), sf_dir)
+    v = _DUP_FRAC.get(key)
+    if v is None:
+        docs = load(spark, sf_dir, "documents")
+        row = docs.agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct(
+                F.md5(F.col("text").cast("binary"))
+            ).alias("d"),
+        ).collect()[0]
+        v = 0.0 if row["n"] == 0 else max(0.0, 1.0 - row["d"] / row["n"])
+        _DUP_FRAC[key] = v
+    return v
+
+
+def text_groups(spark, sf_dir):
+    """(fp, rid, r_text, sz) — one row per DISTINCT document text:
+    md5 fingerprint, representative (min doc_id), the text, group
+    size. THE shared collapse-identical-first frame: ngram,
+    containment, edit, and simhash dedup all start here, so one
+    ckpt_shared materialization (one corpus scan) serves the whole
+    text-dedup family per session."""
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    tagged = docs.select("doc_id", "text", fp.alias("fp"))
+    return ckpt_shared(
+        spark, sf_dir, "text_groups",
+        lambda: tagged.groupBy("fp").agg(
+            F.min("doc_id").alias("rid"),
+            F.first("text").alias("r_text"),
+            F.count("*").alias("sz"),
+        ),
+    )
+
+
+def text_mem(spark, sf_dir):
+    """(doc_id, rid) — document -> representative membership map,
+    the expansion side of every collapse-first rewrite. Corpus-sized
+    (one row per document): always a shuffle equi-join, never a
+    broadcast."""
+    groups = text_groups(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    tagged = docs.select("doc_id", fp.alias("fp"))
+    return ckpt_shared(
+        spark, sf_dir, "text_mem",
+        lambda: tagged.join(groups.select("fp", "rid"), "fp").select(
+            "doc_id", "rid"
+        ),
+    )
+
+
 def minhash_signature(shingles_col):
     """H independent minhashes via xxhash64(shingle, seed) — fixed
     seeds 0..H-1, fully deterministic, JVM-side."""
@@ -207,27 +288,10 @@ _SIMHASH_ORACLE = (
 )
 
 
-@register("llm_dedup_simhash", oracle=_SIMHASH_ORACLE)
-def llm_dedup_simhash(spark, sf_dir):
-    """SimHash near-duplicate pairs at hamming distance <= 2 over
-    60-bit signatures of distinct tokens. With 4 bands of 15 bits,
-    any pair at hamming <= 3 shares a whole band (pigeonhole), so at
-    this threshold the banded candidate set is EXACT — which is why
-    this op can carry a full oracle.
-
-    Scale shape (100 TB): signature = map-only higher-order fold per
-    row (no Python, no shuffle); candidates = equi self-join on
-    (band, 15-bit band key) — the zones technique on hash space —
-    then hamming refinement on the 8-byte signature. The shuffle key
-    is 2 ints/doc regardless of document size."""
-    docs = load(spark, sf_dir, "documents")
-    sh = docs.selectExpr(
-        "doc_id",
-        "transform(array_distinct(split(text, ' ')), t -> "
-        + HASH60_SPARK.format(t="t")
-        + ") AS hs",
-    ).selectExpr("doc_id", f"({_simhash_terms('spark')}) AS simhash")
-    bands = sh.selectExpr(
+def _simhash_banded(frame):
+    """(doc_id, simhash) -> thresholded banded self-join pairs
+    (lo, hi, hamming) — the shared core of both simhash paths."""
+    bands = frame.selectExpr(
         "doc_id",
         "simhash",
         "explode(array(0, 1, 2, 3)) AS j",
@@ -241,14 +305,99 @@ def llm_dedup_simhash(spark, sf_dir):
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.doc_id").alias("lo"),
+            F.col("b.doc_id").alias("hi"),
             F.bit_count(F.expr("a.simhash ^ b.simhash")).cast("long").alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates(["lo", "hi"])
         .filter(F.col("hamming") <= HAM_T)
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def _simhash_signatures(docs):
+    return docs.selectExpr(
+        "doc_id",
+        "transform(array_distinct(split(text, ' ')), t -> "
+        + HASH60_SPARK.format(t="t")
+        + ") AS hs",
+    ).selectExpr("doc_id", f"({_simhash_terms('spark')}) AS simhash")
+
+
+def _simhash_naive(spark, sf_dir):
+    """One lazy tree over every document — the right plan when the
+    corpus has (almost) no exact duplicates: no checkpoint floor,
+    single scan, fully pipelined."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = _simhash_banded(_simhash_signatures(docs))
+    return pairs.select(
+        F.col("lo").alias("doc_a"), F.col("hi").alias("doc_b"), "hamming"
+    ).orderBy("doc_a", "doc_b")
+
+
+def _simhash_collapsed(spark, sf_dir):
+    """Collapse-identical-first: identical texts have identical
+    signatures, hence identical bands and hamming 0, so the
+    60-lambda signature fold and the band self-join run over ONE
+    representative per distinct text; surviving rep pairs expand
+    through the membership map, and within-group pairs emit
+    hamming 0 directly (a duplicate pair always shares every
+    band). Bit-identical to the naive plan
+    (tests/test_collapse_equivalence.py pins it on both dirs)."""
+    groups = text_groups(spark, sf_dir)
+    mem = text_mem(spark, sf_dir)
+    rdocs = groups.select(
+        F.col("rid").alias("doc_id"), F.col("r_text").alias("text")
+    )
+    rsh = ckpt_shared(
+        spark, sf_dir, "simhash_sig",
+        lambda: _simhash_signatures(rdocs),
+    )
+    rep_pairs = _simhash_banded(rsh)
+    ma = mem.select(F.col("doc_id").alias("va"), F.col("rid").alias("lo"))
+    mb = mem.select(F.col("doc_id").alias("vb"), F.col("rid").alias("hi"))
+    cross = rep_pairs.join(ma, "lo").join(mb, "hi").select(
+        F.least("va", "vb").alias("doc_a"),
+        F.greatest("va", "vb").alias("doc_b"),
+        "hamming",
+    )
+    within = (
+        mem.select(F.col("doc_id").alias("doc_a"), F.col("rid").alias("g"))
+        .join(
+            mem.select(F.col("doc_id").alias("doc_b"), F.col("rid").alias("g")),
+            "g",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("long").alias("hamming"))
+    )
+    return cross.unionByName(within).orderBy("doc_a", "doc_b")
+
+
+@register("llm_dedup_simhash", oracle=_SIMHASH_ORACLE)
+def llm_dedup_simhash(spark, sf_dir):
+    """SimHash near-duplicate pairs at hamming distance <= 2 over
+    60-bit signatures of distinct tokens. With 4 bands of 15 bits,
+    any pair at hamming <= 3 shares a whole band (pigeonhole), so at
+    this threshold the banded candidate set is EXACT — which is why
+    this op can carry a full oracle.
+
+    Scale shape (100 TB): signature = map-only higher-order fold per
+    row (no Python, no shuffle); candidates = equi self-join on
+    (band, 15-bit band key) — the zones technique on hash space —
+    then hamming refinement on the 8-byte signature. The shuffle key
+    is 2 ints/doc regardless of document size.
+
+    Round 8 — ADAPTIVE COLLAPSE ROUTING (the per-side stress split
+    attributed 881 of the 919 s sf1 seconds to this op's Spark
+    side; see DUP_COLLAPSE_T): duplicate-heavy corpora square the
+    in-band pair count and multiply the interpreted signature fold
+    by the duplicate multiplicity, so past the threshold the op
+    takes the collapse-identical-first path; below it, the naive
+    single-tree plan wins (no checkpoint floor). Both paths are
+    bit-identical; the oracle is the naive formulation either
+    way."""
+    if corpus_dup_fraction(spark, sf_dir) >= DUP_COLLAPSE_T:
+        return _simhash_collapsed(spark, sf_dir)
+    return _simhash_naive(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -304,28 +453,10 @@ def llm_dedup_ngram(spark, sf_dir):
     audit showed the final executed plan re-reading the documents
     parquet 28x because Catalyst duplicates each shared subtree per
     consumer; now the corpus is scanned twice (groups + mem builds)
-    and every downstream branch reads settled RDDs."""
-    docs = load(spark, sf_dir, "documents")
-    fp = F.md5(F.col("text").cast("binary"))
-    tagged = docs.select("doc_id", "text", fp.alias("fp"))
-    groups = ckpt_shared(
-        spark, sf_dir, "ngram_groups",
-        lambda: tagged.groupBy("fp").agg(
-            F.min("doc_id").alias("rid"),
-            F.first("text").alias("r_text"),
-            F.count("*").alias("sz"),
-        ),
-    )
-    # groups/mem are one row per distinct text / per document —
-    # corpus-sized on a low-duplication corpus, so every join against
-    # them is a plain shuffle equi-join, never a broadcast (the same
-    # OOM-at-scale argument that demoted the embcos broadcasts)
-    mem = ckpt_shared(
-        spark, sf_dir, "ngram_mem",
-        lambda: tagged.join(groups.select("fp", "rid"), "fp").select(
-            "doc_id", "rid"
-        ),
-    )
+    and every downstream branch reads settled RDDs (the groups/mem
+    frames are the family-shared text_groups/text_mem)."""
+    groups = text_groups(spark, sf_dir)
+    mem = text_mem(spark, sf_dir)
     rdocs = groups.select(F.col("rid").alias("doc_id"), F.col("r_text").alias("text"))
     tok = ckpt_shared(
         spark, sf_dir, "ngram_tok",
@@ -416,6 +547,62 @@ _CONTAIN_ORACLE = (
 )
 
 
+def _containment_core(tok, hot_df_expr):
+    """Shared posting core: (doc_id, s[, sz]) postings -> capped
+    postings tk, per-doc sizes sz, undirected intersections, and
+    the diagonal-folded thresholded directed ratios (u/v level)."""
+    hot = (
+        tok.groupBy("s").agg(hot_df_expr.alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+    )
+    tk = tok.join(F.broadcast(hot.select("s")), "s", "left_anti").select(
+        "doc_id", "s"
+    )
+    sz = tk.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a, b = tk.alias("a"), tk.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .agg(F.count("*").alias("i"))
+    )
+    su = sz.select(F.col("doc_id").alias("u"), F.col("c").alias("cu"))
+    sv = sz.select(F.col("doc_id").alias("v"), F.col("c").alias("cv"))
+    both = inter.join(su, "u").join(sv, "v")
+    dirs = (
+        both.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("ga"),
+                        F.col("v").alias("gb"),
+                        F.round(F.col("i") / F.col("cu"), 4).alias("containment"),
+                    ),
+                    F.struct(
+                        F.col("v").alias("ga"),
+                        F.col("u").alias("gb"),
+                        F.round(F.col("i") / F.col("cv"), 4).alias("containment"),
+                    ),
+                )
+            ).alias("d")
+        )
+        .select("d.*")
+        .filter(F.col("containment") >= CONTAIN_T)
+    )
+    return dirs, sz
+
+
+def _containment_naive(spark, sf_dir):
+    """One lazy tree over every document — the right plan for a
+    low-duplication corpus: no checkpoint floor. Doc-level df cap,
+    doc-level posting self-join, diagonal-folded directed ratios."""
+    docs = load(spark, sf_dir, "documents")
+    tok = _shingled(docs).select("doc_id", F.explode("shingles").alias("s"))
+    dirs, _ = _containment_core(tok, F.count("*"))
+    return dirs.select(
+        F.col("ga").alias("doc_a"), F.col("gb").alias("doc_b"), "containment"
+    ).orderBy("doc_a", "doc_b")
+
+
 @register("llm_dedup_containment", oracle=_CONTAIN_ORACLE)
 def llm_dedup_containment(spark, sf_dir):
     """DIRECTED shingle containment C(A -> B) = |S(A) ∩ S(B)| / |S(A)|
@@ -437,43 +624,27 @@ def llm_dedup_containment(spark, sf_dir):
     shingle or doc_id; nothing corpus-sized is broadcast; output is
     only the pairs that clear the threshold.
 
-    Round 8: tok/tk/sz (consumed 2x/3x/2x) are ckpt_shared-
-    materialized — the round-7 audit showed 16 corpus scans in the
-    final plan; now the corpus is scanned once (the groups build)
-    and everything downstream reads settled RDDs.
-
-    COLLAPSE-IDENTICAL-FIRST (the ngram/embcos discipline, applied
-    here after the round-8 stress sweep attributed 158 s of the
-    sf1 run to this op's Spark side): identical texts have
-    identical shingle sets, so df-capping, the posting self-join,
-    and both directed ratios run over ONE representative per
-    distinct text — document frequency counted at FULL multiplicity
-    (sum of group sizes; the skew cap must see the real corpus df)
-    — then surviving directed rep-pairs expand through the group
+    Round 8 — ADAPTIVE COLLAPSE ROUTING (see DUP_COLLAPSE_T; the
+    stress split attributed 158 s of the sf1 sweep to this op's
+    Spark side): past the duplicate threshold the op collapses
+    identical texts first — df-capping, the posting self-join and
+    both directed ratios run over ONE representative per distinct
+    text with document frequency at FULL multiplicity (sum of
+    group sizes: the skew cap must see the real corpus df), then
+    surviving directed rep-pairs expand through the group
     membership, and within-group ordered pairs carry containment
-    1.0 whenever the rep has any surviving shingle (i = c_a = c_b
-    for identical sets — exactly what the naive plan emits).
-    Duplicate-heavy corpora otherwise inflate in-bucket pair counts
-    quadratically in the duplicate multiplicity (100x at the 10x
-    stress dir). Output is bit-identical; the oracle is naive and
-    untouched."""
-    docs = load(spark, sf_dir, "documents")
-    fp = F.md5(F.col("text").cast("binary"))
-    tagged = docs.select("doc_id", "text", fp.alias("fp"))
-    groups = ckpt_shared(
-        spark, sf_dir, "contain_groups",
-        lambda: tagged.groupBy("fp").agg(
-            F.min("doc_id").alias("rid"),
-            F.first("text").alias("r_text"),
-            F.count("*").alias("sz"),
-        ),
-    )
-    mem = ckpt_shared(
-        spark, sf_dir, "contain_mem",
-        lambda: tagged.join(groups.select("fp", "rid"), "fp").select(
-            "doc_id", "rid"
-        ),
-    )
+    1.0 whenever the rep kept any surviving shingle (i = c_a = c_b
+    for identical sets — exactly what the naive plan emits). Below
+    the threshold the naive single-tree plan wins (no checkpoint
+    floor). Both paths bit-identical; the oracle is naive."""
+    if corpus_dup_fraction(spark, sf_dir) < DUP_COLLAPSE_T:
+        return _containment_naive(spark, sf_dir)
+    return _containment_collapsed(spark, sf_dir)
+
+
+def _containment_collapsed(spark, sf_dir):
+    groups = text_groups(spark, sf_dir)
+    mem = text_mem(spark, sf_dir)
     rdocs = groups.select(
         F.col("rid").alias("doc_id"), F.col("r_text").alias("text")
     )
@@ -922,24 +1093,10 @@ def llm_dedup_edit(spark, sf_dir):
     materialized — the plan audit showed 10 documents scans in the
     final plan from Catalyst's per-branch subtree duplication; now
     the corpus is scanned twice (the two builds) and every branch
-    reads settled RDDs."""
-    docs = load(spark, sf_dir, "documents")
-    fp = F.md5(F.col("text").cast("binary"))
-    tagged = docs.select("doc_id", "text", fp.alias("fp"))
-    groups = ckpt_shared(
-        spark, sf_dir, "edit_groups",
-        lambda: tagged.groupBy("fp").agg(
-            F.min("doc_id").alias("rid"), F.first("text").alias("r_text")
-        ),
-    )
-    # groups/mem are corpus-sized on a low-duplication corpus:
-    # shuffle equi-joins, never broadcasts
-    mem = ckpt_shared(
-        spark, sf_dir, "edit_mem",
-        lambda: tagged.join(groups.select("fp", "rid"), "fp").select(
-            "doc_id", "rid"
-        ),
-    )
+    reads settled RDDs (the family-shared text_groups/text_mem; the
+    sz column rides along unused here)."""
+    groups = text_groups(spark, sf_dir)
+    mem = text_mem(spark, sf_dir)
     blk = F.md5(F.substring("r_text", 1, EDIT_BLOCK_CHARS).cast("binary"))
     d = groups.select(F.col("rid").alias("doc_id"), F.col("r_text").alias("text"), blk.alias("blk"))
     a, b = d.alias("a"), d.alias("b")

@@ -60,6 +60,9 @@ def clear_plan_cache() -> None:
     from lsd_spark.plans.cluster import clear_node_counts
 
     clear_node_counts()
+    from lsd_spark.llm.dedup import clear_dup_stats
+
+    clear_dup_stats()
 
 
 def drop_plans_matching(substr: str) -> None:
@@ -341,6 +344,10 @@ _R8_TOUCHED: list[str] = [
     # same decomposition: two anti joins -> one flag aggregate
     # (4 scans, 4 shuffles -> 1 scan, 1 shuffle)
     "set_symmetric_diff",
+    # round-8 stress-split finding: collapse-identical-first applied
+    # to the remaining quadratic-in-duplicates text dedups (simhash
+    # was 881 s Spark-side at the 10x dir; containment 158 s)
+    "llm_dedup_simhash",
 ]
 
 

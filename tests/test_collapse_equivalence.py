@@ -279,13 +279,72 @@ def test_containment_collapse_bit_identical(spark, inflated_dir, dir_kind):
     texts share shingle sets, so rep-level df caps / intersections /
     ratios expand back to the exact naive directed pair set — the
     inflated dir makes the within-group (containment 1.0 both ways)
-    and cross-group expansion paths actually fire."""
-    from lsd_spark.registry import QUERIES, clear_plan_cache, load_all
+    and cross-group expansion paths actually fire. The COLLAPSED
+    builder is pinned directly: the registered op routes by
+    duplicate fraction and would take the naive path on the plain
+    dir (making the comparison vacuous there)."""
+    from lsd_spark.llm.dedup import _containment_collapsed
+    from lsd_spark.registry import clear_plan_cache
 
-    load_all()
     d = SF_SMALL if dir_kind == "plain" else inflated_dir
     clear_plan_cache()
-    got = _rows(QUERIES["llm_dedup_containment"](spark, d))
+    got = _rows(_containment_collapsed(spark, d))
     ref = _rows(_naive_containment(spark, d))
+    assert got == ref
+    clear_plan_cache()
+
+
+def _naive_simhash(spark, sf_dir):
+    """The pre-collapse reference plan: per-document signature fold,
+    doc-level band self-join, hamming refine."""
+    from lsd_spark.catalog import load
+    from lsd_spark.llm.dedup import HAM_T, HASH60_SPARK, _simhash_terms
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.selectExpr(
+        "doc_id",
+        "transform(array_distinct(split(text, ' ')), t -> "
+        + HASH60_SPARK.format(t="t")
+        + ") AS hs",
+    ).selectExpr("doc_id", f"({_simhash_terms('spark')}) AS simhash")
+    bands = sh.selectExpr(
+        "doc_id", "simhash", "explode(array(0, 1, 2, 3)) AS j"
+    ).selectExpr(
+        "doc_id", "simhash", "j", "(shiftright(simhash, 15 * j) & 32767) AS bk"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.expr("a.simhash ^ b.simhash")).cast("long").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= HAM_T)
+    )
+
+
+@pytest.mark.parametrize("dir_kind", ["plain", "inflated"])
+def test_simhash_collapse_bit_identical(spark, inflated_dir, dir_kind):
+    """Round-8 collapse rewrite of llm_dedup_simhash: identical
+    texts share the full signature (hence every band, hence
+    hamming 0), so rep-level banding + membership expansion is the
+    exact naive pair set — the inflated dir fires the within-group
+    (hamming 0) and cross-group expansion paths. Pins the COLLAPSED
+    builder directly (the registered op routes by duplicate
+    fraction and would take the naive path on the plain dir)."""
+    from lsd_spark.llm.dedup import _simhash_collapsed
+    from lsd_spark.registry import clear_plan_cache
+
+    d = SF_SMALL if dir_kind == "plain" else inflated_dir
+    clear_plan_cache()
+    got = _rows(_simhash_collapsed(spark, d))
+    ref = _rows(_naive_simhash(spark, d))
     assert got == ref
     clear_plan_cache()

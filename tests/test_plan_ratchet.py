@@ -113,9 +113,12 @@ def test_ckpt_build_cost_is_bounded(spark):
     """The scans didn't vanish — they moved into the ckpt_shared
     builds, memoized once per (session, sf_dir). Pin the TOTAL
     corpus scans a cold build performs: spy on every builder's lazy
-    plan before it is checkpointed. ngram needs 2 (groups + mem),
-    containment 1 (tok), the embcos chain 3 (groups + mem +
-    assign/centroids); anything above means a shared frame lost its
+    plan before it is checkpointed. The whole text-dedup family
+    (ngram / containment / edit / simhash) shares text_groups +
+    text_mem (2 scans total); their private frames (postings,
+    sizes, signatures) all derive from the settled shared frames at
+    ZERO further scans; the embcos chain needs 3 (groups + mem +
+    assign/centroids). Anything above means a shared frame lost its
     checkpoint and the build itself re-scans."""
     import lsd_spark.llm.dedup as dedup
     from lsd_spark.registry import clear_plan_cache
@@ -132,15 +135,24 @@ def test_ckpt_build_cost_is_bounded(spark):
     dedup.ckpt_shared = spy
     try:
         QUERIES["llm_dedup_ngram"](spark, SF)
-        QUERIES["llm_dedup_containment"](spark, SF)
+        # containment/simhash route to their naive paths on the
+        # zero-duplication fixture — spy their COLLAPSED builders
+        # directly so the dup-heavy path's build cost stays pinned
+        dedup._containment_collapsed(spark, SF)
+        dedup._simhash_collapsed(spark, SF)
+        QUERIES["llm_dedup_edit"](spark, SF)
         QUERIES["llm_dedup_embcos"](spark, SF)
     finally:
         dedup.ckpt_shared = real
         clear_plan_cache()  # drop spy-built entries
 
-    ngram = {t: n for t, n in seen.items() if t.startswith("ngram_")}
-    contain = {t: n for t, n in seen.items() if t.startswith("contain_")}
+    shared = {t: n for t, n in seen.items() if t.startswith("text_")}
+    family = {
+        t: n
+        for t, n in seen.items()
+        if t.startswith(("ngram_", "contain_", "simhash_"))
+    }
     embcos = {t: n for t, n in seen.items() if t.startswith("embcos_")}
-    assert sum(ngram.values()) <= 2, ngram
-    assert sum(contain.values()) <= 1, contain
+    assert sum(shared.values()) <= 2, shared
+    assert sum(family.values()) == 0, family
     assert sum(embcos.values()) <= 3, embcos
