@@ -64,7 +64,7 @@ HEADLINE = {
 # rewrite shares text_groups/text_mem with the rest of the text
 # family — those drop too so the timed run includes the collapse).
 RESET_BEFORE_RUN = {
-    "q_dedup_minhash": ["minhash"],
+    "q_dedup_minhash": ["minhash", "text_"],
     "q_dedup_simhash": ["simhash", "text_"],
 }
 

@@ -547,62 +547,6 @@ _CONTAIN_ORACLE = (
 )
 
 
-def _containment_core(tok, hot_df_expr):
-    """Shared posting core: (doc_id, s[, sz]) postings -> capped
-    postings tk, per-doc sizes sz, undirected intersections, and
-    the diagonal-folded thresholded directed ratios (u/v level)."""
-    hot = (
-        tok.groupBy("s").agg(hot_df_expr.alias("df"))
-        .filter(F.col("df") > NGRAM_DF_CAP)
-    )
-    tk = tok.join(F.broadcast(hot.select("s")), "s", "left_anti").select(
-        "doc_id", "s"
-    )
-    sz = tk.groupBy("doc_id").agg(F.count("*").alias("c"))
-    a, b = tk.alias("a"), tk.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
-        .agg(F.count("*").alias("i"))
-    )
-    su = sz.select(F.col("doc_id").alias("u"), F.col("c").alias("cu"))
-    sv = sz.select(F.col("doc_id").alias("v"), F.col("c").alias("cv"))
-    both = inter.join(su, "u").join(sv, "v")
-    dirs = (
-        both.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("u").alias("ga"),
-                        F.col("v").alias("gb"),
-                        F.round(F.col("i") / F.col("cu"), 4).alias("containment"),
-                    ),
-                    F.struct(
-                        F.col("v").alias("ga"),
-                        F.col("u").alias("gb"),
-                        F.round(F.col("i") / F.col("cv"), 4).alias("containment"),
-                    ),
-                )
-            ).alias("d")
-        )
-        .select("d.*")
-        .filter(F.col("containment") >= CONTAIN_T)
-    )
-    return dirs, sz
-
-
-def _containment_naive(spark, sf_dir):
-    """One lazy tree over every document — the right plan for a
-    low-duplication corpus: no checkpoint floor. Doc-level df cap,
-    doc-level posting self-join, diagonal-folded directed ratios."""
-    docs = load(spark, sf_dir, "documents")
-    tok = _shingled(docs).select("doc_id", F.explode("shingles").alias("s"))
-    dirs, _ = _containment_core(tok, F.count("*"))
-    return dirs.select(
-        F.col("ga").alias("doc_a"), F.col("gb").alias("doc_b"), "containment"
-    ).orderBy("doc_a", "doc_b")
-
-
 @register("llm_dedup_containment", oracle=_CONTAIN_ORACLE)
 def llm_dedup_containment(spark, sf_dir):
     """DIRECTED shingle containment C(A -> B) = |S(A) ∩ S(B)| / |S(A)|
@@ -624,21 +568,23 @@ def llm_dedup_containment(spark, sf_dir):
     shingle or doc_id; nothing corpus-sized is broadcast; output is
     only the pairs that clear the threshold.
 
-    Round 8 — ADAPTIVE COLLAPSE ROUTING (see DUP_COLLAPSE_T; the
-    stress split attributed 158 s of the sf1 sweep to this op's
-    Spark side): past the duplicate threshold the op collapses
-    identical texts first — df-capping, the posting self-join and
-    both directed ratios run over ONE representative per distinct
-    text with document frequency at FULL multiplicity (sum of
-    group sizes: the skew cap must see the real corpus df), then
-    surviving directed rep-pairs expand through the group
-    membership, and within-group ordered pairs carry containment
-    1.0 whenever the rep kept any surviving shingle (i = c_a = c_b
-    for identical sets — exactly what the naive plan emits). Below
-    the threshold the naive single-tree plan wins (no checkpoint
-    floor). Both paths bit-identical; the oracle is naive."""
-    if corpus_dup_fraction(spark, sf_dir) < DUP_COLLAPSE_T:
-        return _containment_naive(spark, sf_dir)
+    Round 8 — COLLAPSE-IDENTICAL-FIRST, unconditionally (the stress
+    split attributed 158 s of the sf1 sweep to this op's Spark
+    side): df-capping, the posting self-join and both directed
+    ratios run over ONE representative per distinct text with
+    document frequency at FULL multiplicity (sum of group sizes:
+    the skew cap must see the real corpus df), then surviving
+    directed rep-pairs expand through the group membership, and
+    within-group ordered pairs carry containment 1.0 whenever the
+    rep kept any surviving shingle (i = c_a = c_b for identical
+    sets — exactly what the naive plan emits). Unlike simhash this
+    op does NOT route adaptively: its naive tree multi-consumes the
+    posting frames (8 corpus scans — the exact round-7 defect), so
+    the checkpointed collapse plan wins on BOTH duplicate-heavy and
+    clean corpora (measured 13.8 s vs 158 s at the 10x dir, ~2 s
+    overhead at zero-dup fixture scale). Bit-identity vs the naive
+    plan pinned in tests/test_collapse_equivalence.py; the oracle
+    is naive and untouched."""
     return _containment_collapsed(spark, sf_dir)
 
 
@@ -1449,81 +1395,147 @@ def _minhash_hits(spark, sf_dir):
       settled frame.
     100 TB: the band join is the zones technique (linear in
     collision count); the slim shuffle is what makes it affordable
-    when shingle arrays average kilobytes."""
-    def build_hits():
-        docs = load(spark, sf_dir, "documents")
-        sig = ckpt_shared(
-            spark, sf_dir, "minhash_sig",
-            lambda: _shingled(docs).selectExpr(
-                "doc_id",
-                "shingles",
-                "array("
-                + ", ".join(_mh_spark(s) for s in range(MINHASH_H))
-                + ") AS mh",
+    when shingle arrays average kilobytes.
+
+    Round-8 addendum — ADAPTIVE COLLAPSE ROUTING (see
+    DUP_COLLAPSE_T): identical texts have identical shingle sets,
+    signatures and band keys, so past the duplicate threshold the
+    signature pass, band join, and refine run over one
+    representative per distinct text and the surviving rep hits
+    expand through the membership map (within-group pairs carry
+    jaccard = mh_est = 1.0, exactly what the naive plan computes
+    for identical docs — they collide in every band). Both paths
+    bit-identity-pinned in tests/test_collapse_equivalence.py."""
+    if corpus_dup_fraction(spark, sf_dir) < DUP_COLLAPSE_T:
+        return ckpt_shared(
+            spark, sf_dir, "minhash_hits",
+            lambda: _minhash_scored_over(
+                spark, sf_dir,
+                load(spark, sf_dir, "documents"), "minhash_sig",
             ),
         )
-        bands = sig.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.expr(
-                                "md5(concat_ws(',', "
-                                + ", ".join(
-                                    f"element_at(mh, {b * MINHASH_R + r + 1})"
-                                    for r in range(MINHASH_R)
-                                )
-                                + "))"
-                            ).alias("bk"),
-                        )
-                        for b in range(MINHASH_BANDS)
-                    ]
-                )
-            ).alias("x"),
-        ).select("doc_id", "x.band", "x.bk")
-        a, b = bands.alias("a"), bands.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bk") == F.col("b.bk"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .dropDuplicates(["doc_a", "doc_b"])
-        )
-        sa = sig.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("shingles").alias("sh_a"),
-            F.col("mh").alias("mh_a"),
-        )
-        sb = sig.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("shingles").alias("sh_b"),
-            F.col("mh").alias("mh_b"),
-        )
-        jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-            F.array_union("sh_a", "sh_b")
-        )
-        est = F.expr(
-            f"size(filter(sequence(1, {MINHASH_H}), "
-            f"i -> element_at(mh_a, i) = element_at(mh_b, i))) / {MINHASH_H}"
-        )
-        return (
-            cand.join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .withColumn("jaccard", F.round(jac.cast("double"), 4))
-            .withColumn("mh_est", F.round(est.cast("double"), 4))
-            .filter(F.col("jaccard") >= JACCARD_T)
-            .select("doc_a", "doc_b", "jaccard", "mh_est")
-        )
+    return ckpt_shared(
+        spark, sf_dir, "minhash_hits_collapsed",
+        lambda: _minhash_hits_collapsed(spark, sf_dir),
+    )
 
-    return ckpt_shared(spark, sf_dir, "minhash_hits", build_hits)
+
+def _minhash_scored_over(spark, sf_dir, docs, sig_tag):
+    """The MinHash chain over an arbitrary (doc_id, text) frame:
+    checkpointed signatures, slim id-only band self-join, arrays
+    joined back from the settled signature frame for the exact-
+    Jaccard refine; returns the thresholded
+    (doc_a, doc_b, jaccard, mh_est) hit set, lazy."""
+    sig = ckpt_shared(
+        spark, sf_dir, sig_tag,
+        lambda: _shingled(docs).selectExpr(
+            "doc_id",
+            "shingles",
+            "array("
+            + ", ".join(_mh_spark(s) for s in range(MINHASH_H))
+            + ") AS mh",
+        ),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            "md5(concat_ws(',', "
+                            + ", ".join(
+                                f"element_at(mh, {b * MINHASH_R + r + 1})"
+                                for r in range(MINHASH_R)
+                            )
+                            + "))"
+                        ).alias("bk"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.band", "x.bk")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("mh").alias("mh_a"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("mh").alias("mh_b"),
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    est = F.expr(
+        f"size(filter(sequence(1, {MINHASH_H}), "
+        f"i -> element_at(mh_a, i) = element_at(mh_b, i))) / {MINHASH_H}"
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac.cast("double"), 4))
+        .withColumn("mh_est", F.round(est.cast("double"), 4))
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard", "mh_est")
+    )
+
+
+def _minhash_hits_collapsed(spark, sf_dir):
+    """Collapse-identical-first MinHash hits: the chain runs over
+    one representative per distinct text; rep hits expand through
+    the membership map; within-group ordered pairs emit
+    jaccard = mh_est = 1.0 (identical shingle sets and signatures —
+    the naive plan's own values for duplicate docs)."""
+    groups = text_groups(spark, sf_dir)
+    mem = text_mem(spark, sf_dir)
+    rdocs = groups.select(
+        F.col("rid").alias("doc_id"), F.col("r_text").alias("text")
+    )
+    rep_hits = _minhash_scored_over(spark, sf_dir, rdocs, "minhash_rsig")
+    ma = mem.select(F.col("doc_id").alias("va"), F.col("rid").alias("doc_a"))
+    mb = mem.select(F.col("doc_id").alias("vb"), F.col("rid").alias("doc_b"))
+    cross = (
+        rep_hits.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("va", "vb").alias("doc_a"),
+            F.greatest("va", "vb").alias("doc_b"),
+            "jaccard",
+            "mh_est",
+        )
+    )
+    one = F.round(F.lit(1.0), 4).cast("double")
+    within = (
+        mem.select(F.col("doc_id").alias("doc_a"), F.col("rid").alias("g"))
+        .join(
+            mem.select(F.col("doc_id").alias("doc_b"), F.col("rid").alias("g")),
+            "g",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            one.alias("jaccard"), one.alias("mh_est"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 @register("llm_dedup_minhash_md5", oracle=_MINHASH_MD5_ORACLE)

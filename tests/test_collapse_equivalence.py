@@ -348,3 +348,24 @@ def test_simhash_collapse_bit_identical(spark, inflated_dir, dir_kind):
     ref = _rows(_naive_simhash(spark, d))
     assert got == ref
     clear_plan_cache()
+
+
+@pytest.mark.parametrize("dir_kind", ["plain", "inflated"])
+def test_minhash_hits_collapse_bit_identical(spark, inflated_dir, dir_kind):
+    """Round-8 collapse routing for the MinHash/LSH chain: rep-level
+    signatures + band join + refine, expanded through the membership
+    map, must equal the full-corpus chain — within-group pairs carry
+    jaccard = mh_est = 1.0 (identical shingle sets collide in every
+    band and score 1.0 in the naive plan)."""
+    from lsd_spark.catalog import load
+    from lsd_spark.llm.dedup import _minhash_hits_collapsed, _minhash_scored_over
+    from lsd_spark.registry import clear_plan_cache
+
+    d = SF_SMALL if dir_kind == "plain" else inflated_dir
+    clear_plan_cache()
+    got = _rows(_minhash_hits_collapsed(spark, d))
+    ref = _rows(
+        _minhash_scored_over(spark, d, load(spark, d, "documents"), "minhash_sig")
+    )
+    assert got == ref
+    clear_plan_cache()
