@@ -57,15 +57,19 @@ HEADLINE = {
 # Dedup-query honesty guard (round-7 VERDICT #3): the dedup chains'
 # ckpt_shared frames are memoized per session, so a naive warm run
 # would time a checkpoint READ while DuckDB recomputes the whole
-# chain. Each timed run first drops every cache entry whose tag
-# matches one of the listed substrings, forcing the full
-# shingle->signature->band-join->refine(->fixpoint) pipeline to
-# re-execute inside the timed region (q_dedup_simhash's collapse
-# rewrite shares text_groups/text_mem with the rest of the text
-# family — those drop too so the timed run includes the collapse).
+# chain. Each timed run first drops every MATERIALIZED frame whose
+# cache tag matches (the "ckpt:" prefix — checkpointed DATA),
+# forcing the full shingle->signature->band-join->refine(->fixpoint)
+# pipeline to re-execute inside the timed region. Deliberately NOT
+# dropped: the op-level LAZY plan entries — the plan cache is the
+# engine's prepared-statement feature (BASELINE.md methodology:
+# plans prepared, every run re-executes the physical plan), and a
+# bare "simhash" substring also matched the llm_dedup_simhash plan
+# key, silently re-billing ~5 s of Catalyst analysis of the 60-term
+# signature expression to every timed run.
 RESET_BEFORE_RUN = {
-    "q_dedup_minhash": ["minhash", "text_"],
-    "q_dedup_simhash": ["simhash", "text_"],
+    "q_dedup_minhash": ["ckpt:minhash", "ckpt:text_"],
+    "q_dedup_simhash": ["ckpt:simhash", "ckpt:text_"],
 }
 
 WARM_TABLES = [
