@@ -1862,20 +1862,37 @@ def agg_count_min_sketch(spark, sf_dir):
     counts, so the driver pins the overestimate bias achieved, not
     just the sketch.
 
-    Plan: the build is d map-side-combined 256-cell aggregates over
-    one scan (the mergeable-sketch shape: partials add); the query
-    side is a |hot|x d probe against the 1024-row sketch. 100 TB:
-    sketch size is constant; this is how you count frequencies when
-    the key space doesn't fit anywhere."""
+    Plan: the d hash rows build from ONE scan — each input row
+    explodes into its d (row, cell) coordinates and a single
+    map-side-combined aggregate on (i, col) adds them (the
+    mergeable-sketch shape: partials add; the explode's 4x row
+    multiplication collapses to <= d*w cells per partition before
+    the shuffle). The round-7 draft instead unioned d per-row
+    groupBys, which Catalyst expanded into d FULL corpus scans —
+    the same per-consumer subtree duplication the round-8 audit
+    hunted everywhere else. The query side is a |hot| x d probe
+    against the 1024-row sketch. 100 TB: sketch size is constant;
+    this is how you count frequencies when the key space doesn't
+    fit anywhere."""
     o = load(spark, sf_dir, "orders")
-    cells = None
-    for i in range(_CM_D):
-        ci = o.groupBy(
-            F.expr(_cm_hash("spark", "o_custkey", i)).alias("col")
-        ).agg(F.count("*").alias("c")).select(
-            F.lit(i).alias("i"), "col", "c"
-        )
-        cells = ci if cells is None else cells.unionByName(ci)
+    coords = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.expr(
+                            _cm_hash("spark", "o_custkey", i)
+                        ).alias("col"),
+                    )
+                    for i in range(_CM_D)
+                ]
+            )
+        ).alias("x")
+    )
+    cells = coords.groupBy(
+        F.col("x.i").alias("i"), F.col("x.col").alias("col")
+    ).agg(F.count("*").alias("c"))
     hot = (
         o.groupBy(F.col("o_custkey").alias("k"))
         .agg(F.count("*").alias("true_cnt"))

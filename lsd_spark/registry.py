@@ -348,6 +348,9 @@ _R8_TOUCHED: list[str] = [
     # to the remaining quadratic-in-duplicates text dedups (simhash
     # was 881 s Spark-side at the 10x dir; containment 158 s)
     "llm_dedup_simhash",
+    # union-of-d-groupBys -> one explode + (i, col) aggregate
+    # (5 corpus scans -> 2)
+    "agg_count_min_sketch",
 ]
 
 
