@@ -307,10 +307,33 @@ _R7_LEDGER = [
 ]
 
 
-# Ops whose PHYSICAL PLAN (or oracle) changed in round 8. A changed
-# plan whose newest driver row predates the change is effectively
-# unverified by the ledger, so these jump the refresh queue
-# (round-5 ADVICE #4 pattern). Extend as round-8 edits land.
+# The 50 ops recorded by the round-8 driver run (all green — the
+# exact key list of CORRECTNESS_r08.json): 1 round-8 addition
+# (mm_decode_jpeg), the 21 touched plans, and the head of the
+# refresh rotation.
+_R8_LEDGER = [
+    "mm_decode_jpeg", "agg_gini", "agg_autocorr", "llm_embed_stats",
+    "merge_cdc_apply", "source_csv_malformed", "llm_dedup_ngram",
+    "llm_dedup_containment", "llm_pipeline_mm", "graph_degree_hist",
+    "llm_dedup_embcos", "graph_pagerank", "graph_triangle_count",
+    "llm_dedup_keep_best", "cluster_fof", "llm_dedup_minhash_md5",
+    "llm_dedup_cluster", "llm_dedup_edit", "snapshot_diff",
+    "set_symmetric_diff", "llm_dedup_simhash",
+    "agg_count_min_sketch", "agg_distinct", "agg_count_distinct",
+    "agg_having", "agg_grouping_sets", "agg_multi_column",
+    "agg_histogram", "agg_density_map_2d", "agg_percentiles",
+    "agg_pivot", "agg_stats_corr", "join_inner_hash",
+    "join_left_outer", "join_multiway", "join_semi", "join_anti",
+    "join_broadcast", "join_theta_range", "join_asof_nearest",
+    "join_xmatch_radius_knn", "join_cross", "win_row_number",
+    "win_rank_dense", "win_lag_lead", "win_running_frame",
+    "win_range_frame", "win_ntile_percent", "win_first_last",
+    "sort_multi",
+]
+
+
+# Ops whose PHYSICAL PLAN (or oracle) changed in round 8 — kept for
+# the ledger history comment trail; superseded by _R9_TOUCHED below.
 _R8_TOUCHED: list[str] = [
     # round-7 ADVICE fixes: exact-integer Gini closing division,
     # quantize-first ACF/embed-stats moments, CSV-writer-quoted
@@ -354,11 +377,19 @@ _R8_TOUCHED: list[str] = [
 ]
 
 
+# Ops whose PHYSICAL PLAN (or oracle) changed in round 9. A changed
+# plan whose newest driver row predates the change is effectively
+# unverified by the ledger, so these jump the refresh queue
+# (round-5 ADVICE #4 pattern). Extend as round-9 edits land.
+_R9_TOUCHED: list[str] = []
+
+
 # (round, exact recorded key list) — r05 re-recorded the r04 window
 # verbatim, so _R4_LEDGER carries freshness 5, not 4.
 _LEDGER_HISTORY = [
     (1, _R1_LEDGER), (2, _R2_LEDGER), (3, _R3_LEDGER),
     (5, _R4_LEDGER), (6, _R6_LEDGER), (7, _R7_LEDGER),
+    (8, _R8_LEDGER),
 ]
 
 
@@ -393,7 +424,7 @@ def _refresh_rotation() -> list[str]:
 def _reorder_for_ledger() -> None:
     """Three tiers: (1) ops with no driver-recorded row in any prior
     round's CORRECTNESS ledger (i.e., new this round), (2) ops whose
-    plan changed this round (_R8_TOUCHED — their old green rows no
+    plan changed this round (_R9_TOUCHED — their old green rows no
     longer witness the current code), (3) the refresh rotation —
     every already-recorded op ordered oldest-confirmation-first (its
     tail is by construction the freshest-recorded ids) — so a capped
@@ -401,7 +432,7 @@ def _reorder_for_ledger() -> None:
     re-confirms stale ones, in that order."""
     all_recorded = set(_latest_confirmed())
     tier1 = [k for k in QUERIES if k not in all_recorded]
-    tier2 = [k for k in _R8_TOUCHED if k in QUERIES]
+    tier2 = [k for k in _R9_TOUCHED if k in QUERIES]
     seen = set(tier1) | set(tier2)
     tier3 = [k for k in _refresh_rotation()
              if k in QUERIES and k not in seen]
@@ -431,7 +462,7 @@ def freshness_report() -> dict[str, Any]:
         "n_ops": len(QUERIES),
         "never_recorded": sorted(k for k in QUERIES if k not in latest),
         "latest_round_histogram": dict(sorted(by_round.items())),
-        "touched_this_round": [k for k in _R8_TOUCHED if k in QUERIES],
+        "touched_this_round": [k for k in _R9_TOUCHED if k in QUERIES],
         "rotation_head": rotation[:50],
         "rotation_len": len(rotation),
         "latest_by_op": {k: latest.get(k, 0) for k in QUERIES},
