@@ -45,7 +45,18 @@ def ckpt_shared(spark, sf_dir, tag, builder):
     posting / edge lists (corpus-sized or smaller), and one
     materialized pass replaces 15-28 corpus re-scans. Staleness
     contract is the plan cache's: a parquet mutation needs
-    clear_plan_cache, as for every memoized plan."""
+    clear_plan_cache, as for every memoized plan.
+
+    Fault-tolerance contract (round-8 ADVICE #3): localCheckpoint
+    truncates lineage into NON-REPLICATED executor-local storage —
+    lose an executor and every downstream consumer of the shared
+    frame fails for the session (no lineage left to recompute from).
+    That's the right trade locally and on stable clusters (reliable
+    checkpoint would add a DFS round-trip per frame); a deployment
+    with routine executor churn should either swap this to
+    spark.sparkContext.setCheckpointDir + .checkpoint() (replicated,
+    one DFS write) or wrap consumers with a clear_plan_cache +
+    rebuild retry — the builder lambda is the rebuild path."""
     return cached_plan(
         spark, sf_dir, f"ckpt:{tag}",
         lambda: builder().localCheckpoint(
@@ -111,10 +122,17 @@ def clear_dup_stats() -> None:
 
 
 def corpus_dup_fraction(spark, sf_dir) -> float:
-    """1 - distinct_texts/n_docs, via approx_count_distinct (2%
-    default error — an order of magnitude below the routing
-    threshold). Memoized per (session, sf_dir); invalidated with
-    the plan cache (clear_plan_cache)."""
+    """1 - distinct_texts/n_docs, via EXACT countDistinct on the
+    16-byte md5 fingerprint. Exact, not approx_count_distinct: the
+    HLL's ~2% rsd is a standard deviation, not a bound, so a corpus
+    whose true fraction sits near DUP_COLLAPSE_T could flip plans
+    nondeterministically across sessions (round-8 ADVICE #2 — both
+    plans are bit-identical, but bench timings and ratcheted plan
+    shapes must be reproducible). Cost is the same single corpus
+    scan; the distinct's state is the fingerprint set — bounded,
+    partial-aggregated, and exactly what the collapse path's
+    text_groups groupBy pays anyway. Memoized per (session, sf_dir);
+    invalidated with the plan cache (clear_plan_cache)."""
     from lsd_spark.catalog import session_key
 
     key = (session_key(spark), sf_dir)
@@ -123,7 +141,7 @@ def corpus_dup_fraction(spark, sf_dir) -> float:
         docs = load(spark, sf_dir, "documents")
         row = docs.agg(
             F.count("*").alias("n"),
-            F.approx_count_distinct(
+            F.count_distinct(
                 F.md5(F.col("text").cast("binary"))
             ).alias("d"),
         ).collect()[0]
@@ -274,15 +292,21 @@ def _simhash_terms(dialect: str) -> str:
     return " + ".join(terms)
 
 
-_SIMHASH_ORACLE = (
-    "WITH hs AS (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')), "
+# shared by llm_dedup_simhash (pair report) and
+# llm_dedup_simhash_clusters (transitive-closure summary)
+_SIMHASH_CTES = (
+    "hs AS (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')), "
     "t -> " + HASH60_DUCK.format(t="t") + ") AS hs FROM documents), "
     "sh AS (SELECT doc_id, (" + _simhash_terms("duck") + ")::BIGINT AS simhash FROM hs), "
     "bands AS (SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767 AS bk "
     "FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)), "
     "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
     "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
-    "FROM bands a JOIN bands b ON a.j = b.j AND a.bk = b.bk AND a.doc_id < b.doc_id) "
+    "FROM bands a JOIN bands b ON a.j = b.j AND a.bk = b.bk AND a.doc_id < b.doc_id)"
+)
+
+_SIMHASH_ORACLE = (
+    "WITH " + _SIMHASH_CTES + " "
     f"SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {HAM_T} "
     "ORDER BY doc_a, doc_b"
 )
@@ -910,19 +934,38 @@ def llm_dedup_embcos(spark, sf_dir):
 def llm_dedup_embcos_exact(spark, sf_dir):
     """The exact all-pairs baseline (O(n^2) compare count — fixture
     scale only): what llm_dedup_embcos's recall is measured against
-    (tests/test_invariants.py). Never the production path."""
+    (tests/test_invariants.py). Never the production path.
+
+    The streamed side of the BroadcastNestedLoopJoin is explicitly
+    repartitioned: the fixture parquet is one input split, so without
+    it every pairwise cosine folds on ONE task (182.9 s at sf0.1,
+    round-8 VERDICT #3); spreading the stream across the cluster's
+    cores is embarrassingly parallel (per-row results bit-identical).
+    Norms are also precomputed once per row and joined through — one
+    interpreted HOF fold (the dot) per pair instead of three, the
+    same bit-identical dot/(na*nb) association the bucketed refine
+    uses (~3x on top of the ~cores x)."""
+    from lsd_spark.operators.joins import DOT_SPARK, NORM_SPARK
+
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    sim = F.round(F.expr(COS_SPARK.format(a="a.embedding", b="b.embedding")), 6)
+    norm = F.expr(NORM_SPARK.format(a="embedding"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"),
+        norm.alias("n_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"),
+        norm.alias("n_b"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    sim = F.round(
+        F.expr(DOT_SPARK.format(a="e_a", b="e_b"))
+        / (F.col("n_a") * F.col("n_b")),
+        6,
+    )
     return (
         F.broadcast(a)
-        .join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            sim.alias("sim"),
-        )
+        .join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
         .filter(F.col("sim") >= EMBCOS_T)
         .orderBy("vec_a", "vec_b")
     )

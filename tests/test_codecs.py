@@ -193,3 +193,57 @@ def test_jpeg_decoder_is_table_driven():
     broken = bytes(j[:pos]) + bytes(j[pos + 2 :])  # drop one DHT marker
     with _pytest.raises(Exception):
         decode(broken)
+
+
+from lsd_spark.llm.multimodal import _make_avi_codec  # noqa: E402
+
+
+def test_avi_roundtrip_payloads():
+    """Mux N opaque frame payloads into the AVI and demux them back
+    byte-identically (odd sizes exercise RIFF word alignment)."""
+    venc, vdec = _make_avi_codec()
+    frames = [bytes([i]) * (31 + i) for i in range(6)]  # odd+even sizes
+    n, w, h, back = vdec(venc(frames, 32, 8))
+    assert (n, w, h) == (6, 32, 8)
+    assert back == frames
+
+
+def test_avi_carries_real_jpeg_frames():
+    """End-to-end: JPEG-encode flat frames, mux, demux, JPEG-decode —
+    the exact pipeline mm_decode_video runs."""
+    jenc, jdec = _make_jpeg_codec()
+    venc, vdec = _make_avi_codec()
+    frames = []
+    for f in range(4):
+        img = np.full((8, 32), 40 + 2 * f, np.uint8)
+        frames.append(jenc(img))
+    n, w, h, back = vdec(venc(frames, 32, 8))
+    assert n == 4
+    for f, data in enumerate(back):
+        fh, fw, out = jdec(data)
+        assert (fh, fw) == (8, 32)
+        assert out.min() == out.max() == 40 + 2 * f
+
+
+def test_avi_malformed_raises():
+    """The walker validates, it doesn't guess: non-RIFF data, a
+    frame-count mismatch against avih, and an idx1/movi disagreement
+    must all raise."""
+    import pytest as _pytest
+
+    venc, vdec = _make_avi_codec()
+    with _pytest.raises(ValueError, match="RIFF"):
+        vdec(b"not an avi at all" * 4)
+    good = bytearray(venc([b"\x11" * 20, b"\x22" * 20], 32, 8))
+    # corrupt avih.dwTotalFrames (offset: find 'avih' chunk body + 16)
+    p = bytes(good).find(b"avih") + 8 + 16
+    bad = bytearray(good)
+    bad[p:p + 4] = struct.pack("<I", 5)
+    with _pytest.raises(ValueError, match="frame count mismatch"):
+        vdec(bytes(bad))
+    # corrupt the first idx1 entry's recorded size
+    q = bytes(good).find(b"idx1") + 8 + 12
+    bad2 = bytearray(good)
+    bad2[q:q + 4] = struct.pack("<I", 999)
+    with _pytest.raises(ValueError, match="idx1 disagrees"):
+        vdec(bytes(bad2))
