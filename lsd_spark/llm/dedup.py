@@ -424,6 +424,149 @@ def llm_dedup_simhash(spark, sf_dir):
     return _simhash_naive(spark, sf_dir)
 
 
+_SIMHASH_CLUSTER_ORACLE = (
+    "WITH RECURSIVE " + _SIMHASH_CTES + ", "
+    f"pairs AS (SELECT doc_a, doc_b FROM cand WHERE hamming <= {HAM_T}), "
+    "e AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+    "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+    "reach(src, node) AS ("
+    "SELECT u, u FROM e UNION SELECT r.src, e.v FROM reach r JOIN e ON r.node = e.u), "
+    "lab AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src) "
+    "SELECT CAST(cluster_id AS BIGINT) AS cluster_id, count(*) AS n_docs, "
+    "md5(array_to_string(list(doc_id ORDER BY doc_id), ',')) AS member_fp "
+    "FROM lab GROUP BY cluster_id ORDER BY cluster_id"
+)
+
+
+def _simhash_cluster_summary(labels):
+    """(vec_id, object_id) component labels -> the cluster report:
+    cluster_id (min member doc_id), size, exact-membership md5
+    fingerprint — the same structure-verifying shape as
+    llm_dedup_cluster."""
+    return (
+        labels.groupBy(F.col("object_id").cast("long").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("vec_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                ).cast("binary")
+            ).alias("member_fp"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _simhash_clusters_naive(spark, sf_dir):
+    """Unlike the PAIR op (one consumer — lazy single tree wins at
+    low duplication), the closure consumes the edge set >= 3 times
+    (node explode, contraction seed, fixpoint loop), and every lazy
+    re-execution re-runs the 60-lambda signature fold — measured
+    41 s at sf0.1 unckpted vs sub-second for the pair op. So the
+    thresholded edge set is ckpt_shared-settled even on the naive
+    route — as is the signature frame beneath it, because the band
+    SELF-join folds its lazy input twice (both aliases)."""
+    from lsd_spark.plans.cluster import min_label_fixpoint
+
+    docs = load(spark, sf_dir, "documents")
+    sig = ckpt_shared(
+        spark, sf_dir, "simhash_sig_full",
+        lambda: _simhash_signatures(docs),
+    )
+    pairs = ckpt_shared(
+        spark, sf_dir, "simhash_pairs",
+        lambda: _simhash_banded(sig).select(
+            F.col("lo").alias("u"), F.col("hi").alias("v")
+        ),
+    )
+    nodes = pairs.select(F.explode(F.array("u", "v")).alias("vec_id")).distinct()
+    return _simhash_cluster_summary(min_label_fixpoint(nodes, pairs))
+
+
+def _simhash_clusters_collapsed(spark, sf_dir):
+    """Components over the REPRESENTATIVE graph, expanded through the
+    membership map — the quadratic within-group pair set is never
+    materialized AT ALL (this is the variant's whole point: at the
+    90%-duplicate stress dir the pair report is 12.9 M rows, the
+    cluster summary is thousands).
+
+    Soundness: identical docs always pairwise-collide (same simhash,
+    same bands, hamming 0), so every text group is internally
+    connected; cross-group doc pairs exist iff the REP pair survives
+    the band join + hamming filter. Doc-level components are
+    therefore exactly rep-level components expanded by group
+    membership, plus each multi-doc group whose rep is isolated as
+    its own cluster. cluster_id = min member doc_id = min rep id in
+    the component, because each rep IS its group's min doc_id."""
+    from lsd_spark.plans.cluster import min_label_fixpoint
+
+    groups = text_groups(spark, sf_dir)
+    mem = text_mem(spark, sf_dir)
+    rdocs = groups.select(
+        F.col("rid").alias("doc_id"), F.col("r_text").alias("text")
+    )
+    rsh = ckpt_shared(
+        spark, sf_dir, "simhash_sig",
+        lambda: _simhash_signatures(rdocs),
+    )
+    # settled like the naive path's edge set: the closure has >= 3
+    # consumers and the band self-join should run once, not per branch
+    rep_pairs = ckpt_shared(
+        spark, sf_dir, "simhash_rep_pairs",
+        lambda: _simhash_banded(rsh).select(
+            F.col("lo").alias("u"), F.col("hi").alias("v")
+        ),
+    )
+    nodes = rep_pairs.select(
+        F.explode(F.array("u", "v")).alias("vec_id")
+    ).distinct()
+    rep_lab = min_label_fixpoint(nodes, rep_pairs).select(
+        F.col("vec_id").alias("rid"), F.col("object_id").alias("label")
+    )
+    # multi-doc groups whose rep touched no rep pair still cluster
+    # (their members pairwise-collide at hamming 0)
+    iso = (
+        groups.filter(F.col("sz") > 1)
+        .join(rep_lab, groups["rid"] == rep_lab["rid"], "left_anti")
+        .select(F.col("rid"), F.col("rid").alias("label"))
+    )
+    members = mem.join(rep_lab.unionByName(iso), "rid").select(
+        F.col("doc_id").alias("vec_id"), F.col("label").alias("object_id")
+    )
+    return _simhash_cluster_summary(members)
+
+
+@register(
+    "llm_dedup_simhash_clusters",
+    oracle=_SIMHASH_CLUSTER_ORACLE,
+    cacheable=False,
+)
+def llm_dedup_simhash_clusters(spark, sf_dir):
+    """SimHash near-duplicate CLUSTERS (round-8 VERDICT #7): the
+    consumable for duplicate-heavy corpora, where the pair report
+    goes quadratic in group size (12.9 M rows at the 10x stress dir)
+    but the cluster summary stays corpus-bounded. Same transitive-
+    closure semantics as llm_dedup_cluster (a doc chained A~B~C
+    dedups as ONE group), edges from the banded simhash at hamming
+    <= 2; emits (cluster_id = min member doc_id, n_docs, exact
+    member fingerprint).
+
+    Routes like llm_dedup_simhash (DUP_COLLAPSE_T): below the
+    threshold, components run over the naive doc-level pair plan; at
+    or above it, over the REP graph with membership expansion — the
+    within-group quadratic blowup is skipped entirely rather than
+    materialized-then-summarized. Both paths produce identical rows
+    (tests/test_collapse_equivalence.py pins the collapsed builder
+    directly)."""
+    if corpus_dup_fraction(spark, sf_dir) >= DUP_COLLAPSE_T:
+        return _simhash_clusters_collapsed(spark, sf_dir)
+    return _simhash_clusters_naive(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard near-dedup via an inverted index — the
 # candidate join is on the shingle itself (posting lists), with a

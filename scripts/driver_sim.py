@@ -140,6 +140,9 @@ def main():
         "llm_dedup_embcos_exact",
         # recursive-CTE transitive closure over the MinHash pair CTEs
         "llm_dedup_cluster",
+        # same closure shape over the simhash pair CTEs — at 90%
+        # duplicates the reach CTE is quadratic in group size
+        "llm_dedup_simhash_clusters",
         # quadratic-per-cluster with the FIXED fixture k=8: at the
         # inflated dir each cluster is corpus/8-sized, so the
         # within-cluster pairwise (engine AND oracle) is O(n^2)/8 by
@@ -184,6 +187,28 @@ def main():
         print(f"  note: fixture-scale-only baselines skipped at inflated "
               f"scale: {', '.join(skipped)}")
 
+    # Stress-dir time budget (round-8 VERDICT #6): at any inflated
+    # dir, per-op Spark-side seconds are checked against the recorded
+    # envelope in STRESS_BUDGET.json — a plan change that regresses
+    # the stress profile fails the sweep (exit 2) instead of hiding
+    # until someone reads the per-side times by hand.
+    stress_budget: dict[str, float] = {}
+    budget_over: list[tuple[str, float, float]] = []
+    if not SF01.startswith("/root/testdata/"):
+        import json as _json
+
+        bpath = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "STRESS_BUDGET.json")
+        if os.path.exists(bpath):
+            with open(bpath) as fh:
+                b = _json.load(fh)
+            env = b["_meta"]["envelope"]
+            stress_budget = {
+                k: env * v for k, v in b["recorded_spark_sec"].items()
+            }
+            print(f"  note: stress budget active for "
+                  f"{len(stress_budget)} ops (envelope {env}x)")
+
     only = None
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
@@ -203,6 +228,10 @@ def main():
             # sweep's worst numbers were unattributable when one
             # combined figure covered Spark AND the DuckDB mirror
             t_spark = time.perf_counter() - t_op
+            if name in stress_budget and t_spark > stress_budget[name]:
+                budget_over.append((name, t_spark, stress_budget[name]))
+                print(f"  OVER {name}: spark {t_spark:.1f}s exceeds "
+                      f"stress budget {stress_budget[name]:.1f}s")
             if name in sample_filter:
                 import hashlib
 
@@ -254,7 +283,14 @@ def main():
     print(f"\n{len(qs) - len(failed)}/{len(qs)} ok")
     for n, msg in failed:
         print(f"  FAIL {n}: {msg}")
-    sys.exit(1 if failed else 0)
+    if stress_budget:
+        checked = [n for n in names if n in stress_budget
+                   and (only is None or n in only)]
+        print(f"stress budget: {len(checked) - len(budget_over)}/"
+              f"{len(checked)} within envelope")
+        for n, t, lim in budget_over:
+            print(f"  OVER {n}: {t:.1f}s > {lim:.1f}s")
+    sys.exit(1 if failed else (2 if budget_over else 0))
 
 
 if __name__ == "__main__":

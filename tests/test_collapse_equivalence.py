@@ -369,3 +369,25 @@ def test_minhash_hits_collapse_bit_identical(spark, inflated_dir, dir_kind):
     )
     assert got == ref
     clear_plan_cache()
+
+
+@pytest.mark.parametrize("dir_kind", ["plain", "inflated"])
+def test_simhash_clusters_collapse_bit_identical(spark, inflated_dir, dir_kind):
+    """Round-9 llm_dedup_simhash_clusters: components over the REP
+    graph expanded by membership (plus isolated multi-doc groups as
+    their own clusters) must equal components over the naive doc-
+    level pair set — cluster ids, sizes, AND exact membership
+    fingerprints. The inflated dir fires both special paths: the
+    within-group expansion and the isolated-rep multi-doc groups."""
+    from lsd_spark.llm.dedup import (
+        _simhash_clusters_collapsed,
+        _simhash_clusters_naive,
+    )
+    from lsd_spark.registry import clear_plan_cache
+
+    d = SF_SMALL if dir_kind == "plain" else inflated_dir
+    clear_plan_cache()
+    got = _rows(_simhash_clusters_collapsed(spark, d))
+    ref = _rows(_simhash_clusters_naive(spark, d))
+    assert got == ref
+    clear_plan_cache()

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from lsd_spark.registry import (
     _LEDGER_HISTORY,
-    _R8_TOUCHED,
+    _R9_TOUCHED,
     _ROWS_ONLY_BY_DESIGN,
     _latest_confirmed,
     _refresh_rotation,
@@ -32,12 +32,12 @@ def test_tier1_new_ops_lead_registration_order():
 
 
 def test_tier2_is_touched_then_rotation():
-    """After the new ops come the round-8-touched ops (changed plans
+    """After the new ops come the round-9-touched ops (changed plans
     need fresh driver rows), then the staleness rotation (stalest
     newest-confirmation first) minus the touched set."""
     names = list(QUERIES)
     n_new = sum(1 for k in names if k not in _ALL_RECORDED)
-    touched = [k for k in _R8_TOUCHED if k in QUERIES]
+    touched = [k for k in _R9_TOUCHED if k in QUERIES]
     assert names[n_new:n_new + len(touched)] == touched
     rotation = [k for k in _refresh_rotation()
                 if k in QUERIES and k not in set(touched)]
@@ -53,7 +53,7 @@ def test_rotation_is_stalest_first():
     assert rounds == sorted(rounds)
 
 
-def test_r08_window_covers_new_touched_and_stale():
+def test_r09_window_covers_new_touched_and_stale():
     """The 50-row driver window must contain every never-recorded op
     first (they have NO driver row at all — strictly the scarcest
     evidence), then as many touched ops as fit, then the stalest
@@ -63,7 +63,7 @@ def test_r08_window_covers_new_touched_and_stale():
     window = set(names)
     n_new = sum(1 for k in QUERIES if k not in _ALL_RECORDED)
     assert all(k in window for k in QUERIES if k not in _ALL_RECORDED)
-    touched = [k for k in _R8_TOUCHED if k in QUERIES]
+    touched = [k for k in _R9_TOUCHED if k in QUERIES]
     n_touched_fit = min(len(touched), max(0, 50 - n_new))
     assert all(k in window for k in touched[:n_touched_fit])
     rotation = [k for k in _refresh_rotation()
