@@ -247,3 +247,27 @@ def test_avi_malformed_raises():
     bad2[q:q + 4] = struct.pack("<I", 999)
     with _pytest.raises(ValueError, match="idx1 disagrees"):
         vdec(bytes(bad2))
+
+
+def test_avi_roundtrip_property():
+    """Generative: any frame list (1..12 frames, sizes 0..200 bytes
+    including empty and odd — odd sizes exercise the RIFF pad-byte
+    rule that desyncs naive demuxers) must mux and demux back
+    byte-identically with consistent header metadata."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    venc, vdec = _make_avi_codec()
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=12),
+        st.integers(min_value=1, max_value=4096),
+        st.integers(min_value=1, max_value=4096),
+    )
+    def check(frames, w, h):
+        n, gw, gh, back = vdec(venc(frames, w, h))
+        assert (n, gw, gh) == (len(frames), w, h)
+        assert back == frames
+
+    check()
