@@ -60,7 +60,12 @@ COMMENTARY = {
         "bucketed semantic dedup",
         "Candidate pairs meet in an equi-join on centroid_id (IVF zones); the only "
         "nested-loop is corpus x 8 broadcast centroids (linear). Refine + rank on "
-        "the bucket-bounded candidate set.",
+        "the bucket-bounded candidate set. The dumped tree below is tiny because "
+        "the heavy chain (assignment join, norm-precomputed refine, membership "
+        "expansion) runs ONCE into a ckpt_shared DISK_ONLY checkpoint at plan "
+        "build — Scan ExistingRDD is that settled pair set; the chain's own shape "
+        "is ratcheted per stage in PLAN_RATCHET.json and described in "
+        "lsd_spark/llm/dedup.py::embcos_near_pairs.",
     ),
     "join_xmatch_2d": (
         "2-D spatial cross-match",
@@ -97,6 +102,71 @@ COMMENTARY = {
 }
 
 
+# Hand-maintained sections for the two bench dedup queries: their
+# meaningful "plan" is a barrier sequence / routed pair of trees, not
+# one explain dump, so the text lives here (appended verbatim) rather
+# than in the auto-generated loop — a regen must never drop them
+# (round-9 find: they were manual edits to PLANS.md and one regen
+# silently lost them).
+MANUAL_SECTIONS = """\
+## q_dedup_simhash — `llm_dedup_simhash`
+
+SimHash band dedup as ONE lazy tree: per-doc 60-bit simhash
+(map-side, codegen), explode into 4x15-bit band keys, band-key
+equi-join (doc_a < doc_b) — the zones technique, linear in band
+collisions, never all-pairs — then a two-phase (partial+final)
+first-agg dedups multi-band hits before the hamming<=2 refine.
+Plan skeleton (sf-independent):
+
+```
+Sort <- Exchange(range)
+  <- Filter (hamming <= 2)
+    <- HashAggregate(final, first(hamming))
+      <- Exchange(hash doc_a, doc_b)
+        <- HashAggregate(partial)
+          <- Project [xor + bit_count]          <- the refine
+            <- BroadcastHashJoin [j, bk]        <- band equi-join
+               (both sides: Generate explode(4 bands)
+                  <- Project [simhash map-side]
+                    <- Scan parquet documents)
+```
+
+At 100 TB the band join becomes a ShuffledHashJoin on (j, bk) —
+the broadcast here is fixture-scale AQE; the shape (explode →
+equi-join → dedup-agg → refine) is partition-parallel throughout.
+5 sequential jobs measured (BASELINE.json min_sequential_jobs).
+
+## q_dedup_minhash — `llm_dedup_cluster`
+
+ITERATIVE + materialized op; the meaningful plan is the barrier
+sequence. (1) ckpt build `minhash_sig`: one documents scan →
+3-token shingles → 12 portable md5 minhashes (map-only codegen
+HOFs) → DISK_ONLY checkpoint; (2) ckpt build `minhash_hits`: slim
+band explode (doc_id, band, bk ONLY — shingle/signature arrays do
+NOT shuffle through the band join), band equi-join, pair dedup,
+arrays joined back from the settled sig frame, exact-Jaccard
+refine >= 0.6 → checkpoint; (3) min-label connected components
+over the settled edge set (the FoF fixpoint: contraction seed,
+cross-edge probe, propagation only if supercritical); (4) final
+per-cluster count + md5 membership fingerprint. 19 sequential
+jobs measured; bench.py drops the minhash cache entries before
+every timed run so each sample re-executes (1)-(4) end-to-end —
+5.7 s at sf0.1 vs the 10.7 s DuckDB recursive-CTE baseline.
+
+Round-8 routing note for q_dedup_simhash: the op picks the plan by
+measured corpus duplicate fraction (DUP_COLLAPSE_T = 0.10; exact
+countDistinct probe since round 9). The tree above is the naive
+path the bench fixture takes (0.2% dups); past the threshold the
+signature fold and band join run over one representative per
+distinct text and the surviving rep pairs expand through the
+membership map — same output, pair count no longer quadratic in
+duplicate multiplicity. llm_dedup_simhash_clusters (round 9) reuses
+the same routed edge sets but closes them into a cluster summary:
+on the collapsed route the quadratic within-group pair set is never
+materialized at all.
+"""
+
+
 def main() -> None:
     os.environ.setdefault("LSD_SHUFFLE_PARTITIONS", "8")
     from lsd_spark.registry import QUERIES, load_all
@@ -121,6 +191,7 @@ def main() -> None:
             df.explain(mode="formatted")
         head = buf.getvalue().split("\n\n")[0]
         out += [f"## {title} — `{qid}`", "", note, "", "```", head, "```", ""]
+    out.append(MANUAL_SECTIONS)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
