@@ -131,6 +131,11 @@ def win_range_frame(spark, sf_dir):
     return ev.select("user_id", "event_id", F.count("*").over(w).alias("cnt_1h"))
 
 
+# Width buckets for the two-pass global rank: each bucket's window
+# sorts ~1/64 of the table; raise with cluster width at scale.
+NTILE_BUCKETS = 64
+
+
 @register(
     "win_ntile_percent",
     oracle=(
@@ -141,16 +146,68 @@ def win_range_frame(spark, sf_dir):
     ),
 )
 def win_ntile_percent(spark, sf_dir):
-    """Quartile + percent_rank of order totalprice. NOTE (scale): this
-    is a single global window — fine for bounded outputs, but at
-    100 TB use approx percentiles (percentile_approx) or a range-
-    partitioned two-pass rank instead of one giant partition."""
-    o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    """Quartile + percent_rank of order totalprice — two-pass
+    RANGE-BUCKETED global rank (round 10; retires the last
+    single-partition Window in the registry). Pass 1 computes the
+    value range (one scalar agg, driver literals — the same
+    driver-computed-geometry pattern as the xmatch zones); every row
+    then maps to one of NTILE_BUCKETS width buckets, local ranks run
+    in a window PARTITIONED BY bucket (parallel across buckets), and
+    per-bucket row counts (an aggregate of ≤ NTILE_BUCKETS rows)
+    yield cumulative offsets + the global total via an
+    aggregate-sized window that is broadcast-joined back. Global
+    rank = offset + local rank; percent_rank = (r-1)/(n-1) and
+    ntile(4) by its closed form (rem = n mod 4 leading tiles get one
+    extra row), evaluated map-side from the broadcast literals — so
+    NO row ever crosses a single-partition boundary and the shuffle
+    is an even ~1/NTILE_BUCKETS slice per task. Ordering key
+    (o_totalprice, o_orderkey) is unique, so bucket boundaries can
+    never split a tie group. At 100 TB: width buckets assume a
+    non-pathological value distribution; a skewed column would swap
+    pass 1 for sampled boundaries (repartitionByRange on a
+    checkpointed pid frame) — same two-pass shape."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    mn, mx = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    width = ((mx - mn) / NTILE_BUCKETS) or 1.0
+    b = o.withColumn(
+        "bucket",
+        F.least(
+            F.floor((F.col("o_totalprice") - F.lit(mn)) / F.lit(width)),
+            F.lit(NTILE_BUCKETS - 1),
+        ).cast("int"),
+    )
+    w_local = Window.partitionBy("bucket").orderBy("o_totalprice", "o_orderkey")
+    ranked = b.withColumn("lr", F.row_number().over(w_local))
+    counts = b.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    side = counts.select(
+        "bucket",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    # ntile(k) closed form in EXACT bigint arithmetic (DIV, never FP
+    # division — a truncated double could mis-tile at billion-row
+    # ranks): the first rem = n % 4 tiles hold base+1 = n DIV 4 + 1
+    # rows. base = 0 only when n < 4, where r <= cutoff = n always
+    # takes the WHEN branch, so the ELSE's DIV base never evaluates.
+    return (
+        ranked.join(F.broadcast(side), "bucket")
+        .select(
+            "o_orderkey",
+            (F.col("off") + F.col("lr")).alias("r"),
+            "n",
+        )
+        .selectExpr(
+            "o_orderkey",
+            "CAST(CASE WHEN r <= (n % 4) * (n DIV 4 + 1) "
+            "THEN (r - 1) DIV (n DIV 4 + 1) + 1 "
+            "ELSE n % 4 + (r - (n % 4) * (n DIV 4 + 1) - 1) DIV (n DIV 4) + 1 "
+            "END AS INT) AS quartile",
+            "ROUND(CAST(r - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) AS pr",
+        )
     )
 
 

@@ -41,6 +41,17 @@ from lsd_spark.registry import register
 
 MAX_ITERS = 60
 
+# Max quotient-graph edges solved in a single level-2 union-find
+# task (~2M dict entries worst case, well inside one Python worker).
+# Past this the graph has millions of cross-partition merges and the
+# distributed loops take over. Module-level so tests can monkeypatch
+# it to force the fallback routing.
+QUOTIENT_SINGLE_TASK_MAX = 1_000_000
+
+# observability: which routing min_label_fixpoint took last
+# ("probe-converged" | "quotient" | "min-label" | "alternating")
+LAST_FIXPOINT_PATH = {"path": ""}
+
 # Catalog-statistic cache for the degree-routing probe: node counts
 # are a property of the (session, logical plan) pair, so repeated
 # FoF calls (bench warm runs, multi-op pipelines over the same
@@ -96,33 +107,42 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     undirected edge set as (u, v) one-way; returns
     (vec_id, object_id).
 
-    Phase order (round 6 — barrier-minimal on the common case):
+    Phase order (round 10 — two-level contraction, loop-free on
+    every graph whose label quotient fits one task):
     (1) SEED: per-partition union-find contraction (_local_cc_labels,
     one Arrow job, checkpointed) consuming the LAZY one-way edge plan
     directly — union-find connectivity is direction-agnostic, so the
     symmetrized view is never needed here, and fusing edge generation
     into the contraction job removes both a barrier and a DISK_ONLY
-    round-trip of the full edge set; (2) PROBE: one
-    tiny aggregate over the contraction output — if no node received
-    two distinct partition-local labels, the min-aggregated labeling
-    provably IS the min-label fixpoint (see the inline soundness
-    note), so when every component's edges landed in one partition
-    (the norm for subcritical FoF graphs) the whole labeling
-    finishes in 2 barriers plus the caller's collect, with no
-    propagation loop, no count jobs, no edge materialization, and no
-    seed-label materialization. Only a failed probe checkpoints the
-    one-way edges (re-executing the edge-gen plan once — the rare
-    regime pays, not the common one) and runs the routing counts:
-    average degree 2E/N above
-    DEGREE_SUPERCRITICAL routes to the O(log n) large-star/
-    small-star path (the giant-component regime, where min-label
-    would need O(component diameter / linking length) rounds);
-    otherwise the Pregel loop runs from the contraction seed, whose
-    remaining eccentricity is bounded by the QUOTIENT graph
-    (supernodes = partitions touched per component), not the raw
-    chain length. Both paths compute the exact same min-label
-    components — the 10x density stress (scripts/inflate_sf.py)
-    exercises the routing. The round cap still raises rather than
+    round-trip of the full edge set; (2) PROBE + SIZE in one
+    aggregate over the contraction output: n_q = Σ(|labels(v)|−1)
+    counts the QUOTIENT-GRAPH edges (one per extra partition-local
+    label a node received). n_q == 0 means no node received two
+    distinct labels, so the min-aggregated labeling provably IS the
+    min-label fixpoint (see the inline soundness note) and the
+    labeling stays lazy — 2 barriers plus the caller's collect.
+    (3) LEVEL-2 CONTRACTION (the round-10 addition): when
+    0 < n_q <= QUOTIENT_SINGLE_TASK_MAX, the quotient graph —
+    vertices = partition-local component labels, edges = (min label,
+    other label) per disagreeing node — is repartition(1)-ed (only
+    the tiny quotient edges move; upstream stays parallel) through
+    the SAME union-find kernel, and the resulting label→root mapping
+    is broadcast-joined back onto the seed. Labels are node ids and
+    union-find keeps the smaller id as root, so root(lmin(v)) is
+    exactly the component's global min id: the min-label fixpoint,
+    with ZERO propagation rounds, no edge re-execution, no seed
+    checkpoint — ~4 barriers total regardless of component diameter
+    or supercriticality (a giant component spread over P partitions
+    quotients down to ≤ P·(local components) labels). (4) Only a
+    quotient too big for one task (n_q past the threshold — at that
+    point the graph has millions of CROSS-PARTITION merges) pays the
+    heavy path: checkpoint the one-way edges and route by average
+    degree 2E/N — above DEGREE_SUPERCRITICAL the O(log n)
+    large-star/small-star loop, else the Pregel min-label loop from
+    the contraction seed. All paths compute the exact same min-label
+    components — the 10x density stress (scripts/inflate_sf.py) and
+    tests/test_plans.py's forced-fallback monkeypatch exercise the
+    routing. The loop round cap still raises rather than
     returning non-converged labels. A per-iteration pointer-jumping
     variant was tried and reverted: the label-of-label self-join
     re-executed pathologically (iteration cost doubled per round on
@@ -152,21 +172,27 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
             .groupBy("vec_id")
             .agg(
                 F.min("lmin").alias("lmin"),
-                F.count_distinct("lmin").alias("c"),
+                F.collect_set("lmin").alias("labels"),
             )
             .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )
-        # Convergence probe on the contraction output itself — NO
-        # edge join needed. Soundness: within a partition, an edge's
-        # endpoints always share the partition-local component label,
-        # so if every node received ONE distinct lmin across all the
-        # partitions it appears in, the min-aggregated global labels
-        # equal the per-partition labels everywhere and no edge can
-        # join two different labels — which is exactly the min-label
-        # fixpoint condition (labels are same-component node ids and
-        # the component minimum labels itself). Disagreement merely
-        # routes to the loop, whose own changed-count still decides.
-        dis = local_agg.filter(F.col("c") > 1).limit(1).count()
+        # Convergence probe + quotient sizing in ONE aggregate over
+        # the contraction output — NO edge join needed. Soundness:
+        # within a partition, an edge's endpoints always share the
+        # partition-local component label, so if every node received
+        # ONE distinct lmin across all the partitions it appears in,
+        # the min-aggregated global labels equal the per-partition
+        # labels everywhere and no edge can join two different
+        # labels — which is exactly the min-label fixpoint condition
+        # (labels are same-component node ids and the component
+        # minimum labels itself). n_q additionally counts the
+        # quotient edges the level-2 contraction would consume.
+        n_q = (
+            local_agg.agg(
+                F.sum(F.size("labels") - F.lit(1)).alias("q")
+            ).first()["q"]
+            or 0
+        )
         local = local_agg.select("vec_id", "lmin")
         seed = (
             emb.select("vec_id")
@@ -176,10 +202,51 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
                 F.coalesce(F.col("lmin"), F.col("vec_id")).alias("object_id"),
             )
         )
-        if dis == 0:
+        if n_q == 0:
             # provably converged: the labeling stays LAZY (it folds
             # into the caller's collect — no seed checkpoint barrier)
+            LAST_FIXPOINT_PATH["path"] = "probe-converged"
             return seed.orderBy("vec_id")
+        if n_q <= QUOTIENT_SINGLE_TASK_MAX:
+            # LEVEL-2 CONTRACTION: run the quotient graph (one edge
+            # per extra label a node received — exactly n_q rows)
+            # through the same union-find kernel in a single task.
+            # All of a node's labels are pairwise quotient-connected
+            # through that node, and every label of one global
+            # component joins one quotient component, whose
+            # union-find root (smaller-id-wins) is the component's
+            # global min node id — so mapping lmin -> root and
+            # defaulting absent labels to themselves IS the exact
+            # min-label fixpoint, with no propagation loop.
+            # repartition(1), not coalesce(1): coalesce would
+            # collapse the upstream node-sized checkpoint scan into
+            # the same single task; repartition keeps the scan
+            # parallel and moves only the quotient edges.
+            LAST_FIXPOINT_PATH["path"] = "quotient"
+            q_edges = (
+                local_agg.filter(F.size("labels") > 1)
+                .select(
+                    F.col("lmin").alias("u"), F.explode("labels").alias("v")
+                )
+                .filter(F.col("u") != F.col("v"))
+                .repartition(1)
+            )
+            mapping = _local_cc_labels(q_edges).select(
+                F.col("vec_id").alias("q_label"),
+                F.col("lmin").alias("q_root"),
+            )
+            return (
+                seed.join(
+                    F.broadcast(mapping),
+                    seed["object_id"] == mapping["q_label"],
+                    "left",
+                )
+                .select(
+                    "vec_id",
+                    F.coalesce("q_root", "object_id").alias("object_id"),
+                )
+                .orderBy("vec_id")
+            )
         labels = seed.localCheckpoint(
             eager=True, storageLevel=StorageLevel.DISK_ONLY
         )
@@ -204,9 +271,11 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
         if n_half_edges / n_nodes > DEGREE_SUPERCRITICAL:
             labels.unpersist()
+            LAST_FIXPOINT_PATH["path"] = "alternating"
             out = _alternating_loop(emb, edges)
             one_way.unpersist()
             return out
+        LAST_FIXPOINT_PATH["path"] = "min-label"
         out = _fixpoint_loop(emb, edges, labels)
         one_way.unpersist()
         return out

@@ -1,0 +1,202 @@
+"""Mini transactional table format: manifest-listed atomic commits
+with time travel — the composition of `sink_snapshot`'s atomic
+publish and `sink_file_manifest`'s per-file metadata into one log
+(round-9 VERDICT missing #1). Mirrors LSD's snapshot/commit
+machinery [lsd:src/lsd/table.py snapshot logic — UNVERIFIED,
+SURVEY.md §2 tables]: LSD publishes complete snapshot directories
+and readers resolve a current pointer once; Delta/Iceberg generalize
+that to an append-only commit LOG where version n is the union of
+the file manifests of commits 1..n. This module implements the log:
+
+- a table is `{path}/data/...parquet` files plus `{path}/_log/
+  {version:020d}.json` commit entries, each listing exactly the data
+  files that commit ADDS (an append-only format, like LSD's
+  append-mostly snapshots);
+- a commit writes its data files FIRST (invisible — no reader lists
+  the data dir), then claims the next version number by O_CREAT|
+  O_EXCL on the log entry: the filesystem's atomic create is the
+  whole concurrency story. A loser gets FileExistsError, re-reads
+  the log, and retries at the next version — optimistic concurrency,
+  no locks, no torn reads. A writer that CRASHES between the data
+  write and the log link leaves orphan files that no reader ever
+  sees (test_table_log covers both races).
+- `read_version(spark, path, n)` unions the manifests of commits
+  1..n and hands Spark exactly that file list — time travel is just
+  "stop reading the log at n". Reading the log is driver-side
+  metadata work, |commits|-sized, like every table format's.
+
+100 TB: data files never move or rewrite on commit (append = link
+one JSON); manifests are per-commit so the read path lists
+O(commits) small JSON files — at real scale you add manifest
+checkpoints every K commits (Delta's _last_checkpoint), which
+changes the log walk, not the commit protocol. The parquet file
+list Spark receives is the same partition-pruned scan any static
+dir read gets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+LOG_DIR = "_log"
+
+
+def init_table(path: str) -> None:
+    os.makedirs(os.path.join(path, LOG_DIR), exist_ok=True)
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+
+
+def _entry_path(path: str, version: int) -> str:
+    return os.path.join(path, LOG_DIR, f"{version:020d}.json")
+
+
+def latest_version(path: str) -> int:
+    log = os.path.join(path, LOG_DIR)
+    versions = [
+        int(f[:-5]) for f in os.listdir(log) if f.endswith(".json")
+    ]
+    return max(versions, default=0)
+
+
+def write_data_files(df: DataFrame, path: str, tag: str) -> list[str]:
+    """Stage a commit's data files (parquet) under a commit-unique
+    subdir. Staged files are INVISIBLE: readers only see files
+    listed by a published log entry, so a crash after this step
+    leaks space, never rows."""
+    out = os.path.join(path, "data", tag)
+    df.write.mode("errorifexists").parquet(out)
+    return sorted(
+        os.path.join(out, f)
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+
+
+def try_commit(path: str, version: int, files: list[str], writer: str) -> bool:
+    """Publish `files` as commit `version`. Returns False if another
+    writer already owns that version (the caller re-reads the log
+    and retries at latest_version()+1). Atomicity: the content is
+    written to a writer-private temp file and the version slot is
+    claimed with os.link — an atomic create-if-absent on POSIX, so
+    exactly one writer wins and no reader ever observes a partially
+    written entry."""
+    tmp = _entry_path(path, version) + f".{writer}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "writer": writer, "files": files}, fh)
+    try:
+        os.link(tmp, _entry_path(path, version))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+def commit(path: str, files: list[str], writer: str) -> int:
+    """Optimistic-concurrency append: retry version claims until one
+    sticks; returns the committed version."""
+    while True:
+        v = latest_version(path) + 1
+        if try_commit(path, v, files, writer):
+            return v
+
+
+def manifest(path: str, version: int) -> list[str]:
+    """All data files visible at `version` (commits 1..version)."""
+    files: list[str] = []
+    for v in range(1, version + 1):
+        with open(_entry_path(path, v)) as fh:
+            files.extend(json.load(fh)["files"])
+    return files
+
+
+def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
+    """Time-travel read: exactly the files committed by versions
+    1..version, as one parquet scan."""
+    files = manifest(path, version)
+    if not files:
+        raise ValueError(f"table at {path} has no commit <= {version}")
+    return spark.read.parquet(*files)
+
+
+def _version_agg_sql(pred: str, v: int) -> str:
+    return (
+        f"SELECT CAST({v} AS INT) AS version, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS cents "
+        f"FROM orders WHERE {pred}"
+    )
+
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lsd_spark.catalog import load  # noqa: E402
+from lsd_spark.registry import register  # noqa: E402
+
+
+@register(
+    "sink_table_log",
+    oracle=(
+        _version_agg_sql("o_orderkey % 3 = 0", 1)
+        + " UNION ALL "
+        + _version_agg_sql("o_orderkey % 3 IN (0, 1)", 2)
+        + " UNION ALL "
+        + _version_agg_sql("TRUE", 3)
+        + " ORDER BY version"
+    ),
+    cacheable=False,
+)
+def sink_table_log(spark, sf_dir):
+    """End-to-end drive of the commit log: three commits (writer A
+    twice, writer B once), one LOST RACE (A and B both target
+    version 2; exactly one atomic create wins and B retries at 3),
+    one CRASHED writer (files staged, log entry never published),
+    then a TIME-TRAVEL read of every version. Returns per-version
+    (row count, exact cents sum); the oracle recomputes each
+    version's cumulative slice from the source table, so a row
+    leaked by the orphan, dropped by the race, or double-counted by
+    the retry breaks the hash."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    sl = [o.filter(F.col("o_orderkey") % 3 == i) for i in (0, 1, 2)]
+    base = tempfile.mkdtemp(prefix="lsd_tlog_")
+    try:
+        init_table(base)
+        v1 = commit(base, write_data_files(sl[0], base, "a1"), "A")
+        assert v1 == 1
+        # the race: both writers stage, both observe latest=1 and
+        # target version 2; A's atomic create wins, B must retry
+        fa = write_data_files(sl[1], base, "a2")
+        fb = write_data_files(sl[2], base, "b1")
+        target = latest_version(base) + 1
+        assert try_commit(base, target, fa, "A")
+        assert not try_commit(base, target, fb, "B")  # lost the race
+        vb = commit(base, fb, "B")  # re-reads the log, lands at 3
+        assert vb == 3
+        # crash simulation: staged data files with NO log entry —
+        # must stay invisible to every read below
+        write_data_files(sl[0], base, "crashed-writer")
+        rows = []
+        for v in (1, 2, 3):
+            got = (
+                read_version(spark, base, v)
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum(
+                        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                    ).alias("cents"),
+                )
+                .first()
+            )
+            rows.append((v, got["n"], got["cents"]))
+        return spark.createDataFrame(
+            rows, "version int, n_rows bigint, cents bigint"
+        ).orderBy("version")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

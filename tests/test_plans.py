@@ -235,31 +235,88 @@ def test_bucketed_join_is_shuffle_free(spark):
     assert rows and all(r.join_exchanges == 1 for r in rows)
 
 
-def test_min_label_routes_supercritical_to_log_rounds(spark):
-    """The adaptive router in min_label_fixpoint: a graph with avg
-    degree > DEGREE_SUPERCRITICAL must take the large-star/small-star
-    path (observable via LAST_CC_ROUNDS changing) and still produce
-    the exact min-label components; a sparse graph must NOT disturb
-    the round counter (min-label path)."""
+def test_win_ntile_percent_no_data_sized_global_window(spark):
+    """Round 10: win_ntile_percent's data-sized window must be
+    PARTITIONED (by the range bucket); the only SinglePartition
+    exchange allowed is the one feeding the <=NTILE_BUCKETS-row
+    counts side of the broadcast. Pin: the row_number window spec
+    names the bucket partition key, and every Window above a
+    SinglePartition exchange consumes the counts aggregate (sum over
+    cnt), never raw orders columns."""
+    p = qplan("win_ntile_percent", spark)
+    assert "row_number() windowspecdefinition(bucket#" in p, p
+    # the global-rank window must NOT order the whole table in one
+    # partition: no windowspecdefinition over o_totalprice without a
+    # bucket partition key
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
+        spec = m.group(1)
+        if "o_totalprice" in spec:
+            assert spec.startswith("bucket#"), spec
+    # single-partition exchanges only on the aggregate-sized side
+    assert p.count("Exchange SinglePartition") <= 1, p
+
+
+def test_min_label_routes_supercritical_to_log_rounds(spark, monkeypatch):
+    """The adaptive router in min_label_fixpoint (round 10 shape):
+    a dense cross-partition graph whose label quotient fits one task
+    takes the loop-free QUOTIENT path; with the quotient threshold
+    forced to 0 the same graph (avg degree ~6 >
+    DEGREE_SUPERCRITICAL) must fall back to the large-star/small-star
+    loop (observable via LAST_CC_ROUNDS changing); a sparse
+    partition-local graph converges at the probe. All three paths
+    must produce the exact min-label components."""
     from lsd_spark.plans import cluster
 
     n = 600
     # dense: i -- i+1, i -- i+2, i -- i+3  -> avg degree ~6, one chain
     dense = [(i, i + d) for i in range(n) for d in (1, 2, 3) if i + d < n]
     nodes = spark.createDataFrame([(i,) for i in range(n)], "vec_id long")
-    pairs = spark.createDataFrame(dense, "u long, v long")
+    pairs = spark.createDataFrame(dense, "u long, v long").repartition(8)
+    want = {(i, 0) for i in range(n)}
+
     cluster.LAST_CC_ROUNDS["rounds"] = -1
     got = {(r.vec_id, r.object_id) for r in cluster.min_label_fixpoint(nodes, pairs).collect()}
-    assert cluster.LAST_CC_ROUNDS["rounds"] > 0  # alternating path ran
-    assert got == {(i, 0) for i in range(n)}
+    assert cluster.LAST_FIXPOINT_PATH["path"] in ("quotient", "probe-converged")
+    assert cluster.LAST_CC_ROUNDS["rounds"] == -1  # no loop ran
+    assert got == want
 
-    # sparse: 300 isolated 2-node pairs -> degree 1, min-label path
+    # forced fallback: quotient "too big" -> degree routing engages
+    monkeypatch.setattr(cluster, "QUOTIENT_SINGLE_TASK_MAX", 0)
+    cluster.LAST_CC_ROUNDS["rounds"] = -1
+    got_fb = {(r.vec_id, r.object_id) for r in cluster.min_label_fixpoint(nodes, pairs).collect()}
+    assert cluster.LAST_FIXPOINT_PATH["path"] == "alternating"
+    assert cluster.LAST_CC_ROUNDS["rounds"] > 0  # alternating path ran
+    assert got_fb == want
+    monkeypatch.undo()
+
+    # sparse: 300 isolated 2-node pairs -> each edge lives in one
+    # partition, probe converges, no quotient and no loop
     sparse = [(2 * i, 2 * i + 1) for i in range(300)]
     pairs2 = spark.createDataFrame(sparse, "u long, v long")
     cluster.LAST_CC_ROUNDS["rounds"] = -1
     got2 = {(r.vec_id, r.object_id) for r in cluster.min_label_fixpoint(nodes, pairs2).collect()}
     assert cluster.LAST_CC_ROUNDS["rounds"] == -1  # alternating NOT used
     assert got2 == {(i, i - (i % 2)) for i in range(n)}
+
+
+def test_min_label_quotient_path_forced_min_label_loop(spark, monkeypatch):
+    """Force the Pregel min-label fallback (quotient threshold 0 on a
+    SUBCRITICAL graph, avg degree < 3) and check it still reaches the
+    exact fixpoint — keeps the loop path from rotting now that the
+    quotient path owns the common case."""
+    from lsd_spark.plans import cluster
+
+    n = 400
+    # chains of length 4 spread across partitions: degree ~1.5
+    chain = [(i, i + 1) for i in range(n) if i % 4 != 3]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "vec_id long")
+    pairs = spark.createDataFrame(chain, "u long, v long").repartition(8)
+    monkeypatch.setattr(cluster, "QUOTIENT_SINGLE_TASK_MAX", 0)
+    got = {(r.vec_id, r.object_id) for r in cluster.min_label_fixpoint(nodes, pairs).collect()}
+    assert cluster.LAST_FIXPOINT_PATH["path"] == "min-label"
+    assert got == {(i, i - (i % 4)) for i in range(n)}
 
 
 def test_supercritical_fof_log_rounds_and_exact_labels(spark):
