@@ -1180,8 +1180,8 @@ _VIDEO_FRAME_SUM = (
 @register(
     "mm_decode_video",
     oracle=(
-        "SELECT doc_id, CAST(6 AS INT) AS n_frames, 32 AS width, "
-        "8 AS height, "
+        f"SELECT doc_id, CAST({VIDEO_N_FRAMES} AS INT) AS n_frames, "
+        "32 AS width, 8 AS height, "
         + ", ".join(
             _VIDEO_FRAME_SUM.format(f=f) + f" AS s{f}"
             for f in range(0, VIDEO_N_FRAMES, VIDEO_STRIDE)

@@ -1379,6 +1379,21 @@ def agg_weighted_median(spark, sf_dir):
 
 # --- Gini concentration ----------------------------------------------------
 
+# The guarded closing expression (round-9 ADVICE #3: single source of
+# truth — tests/test_aggregates_guard exercises THIS string, so moving
+# a coalesce out of the divisor can't slip past the trip-side test).
+# The sx guard sits in the DIVISOR: div's codegen evaluates the
+# divisor first and short-circuits to NULL on a null divisor, so a
+# numerator-side coalesce would never run for a null sx.
+GINI_CLOSING_EXPR = (
+    "CAST((40000 * coalesce(six, raise_error("
+    "'agg_gini: decimal(38,0) overflow in sum(i*cents)')) "
+    "+ sx * (n - 20000 * (n + 1))) "
+    "div (2 * n * coalesce(sx, raise_error("
+    "'agg_gini: decimal(38,0) overflow in sum(cents)'))) "
+    "AS BIGINT)"
+)
+
 
 @register(
     "agg_gini",
@@ -1451,18 +1466,7 @@ def agg_gini(spark, sf_dir):
         .select(
             "pri",
             F.col("n").cast("long").alias("n"),
-            # the sx guard sits in the DIVISOR: div's codegen
-            # evaluates the divisor first and short-circuits to NULL
-            # on a null divisor, so a numerator-side coalesce would
-            # never run for a null sx
-            F.expr(
-                "CAST((40000 * coalesce(six, raise_error("
-                "'agg_gini: decimal(38,0) overflow in sum(i*cents)')) "
-                "+ sx * (n - 20000 * (n + 1))) "
-                "div (2 * n * coalesce(sx, raise_error("
-                "'agg_gini: decimal(38,0) overflow in sum(cents)'))) "
-                "AS BIGINT)"
-            ).alias("gini_x1e4"),
+            F.expr(GINI_CLOSING_EXPR).alias("gini_x1e4"),
         )
         .orderBy("pri")
     )

@@ -89,7 +89,13 @@ def udaf_grouped_agg(spark, sf_dir):
     customer, 30.8 s); this runs it once per shuffle partition
     (round-8 VERDICT fix). `repartition(key)` guarantees all rows of
     a group co-locate, so the per-partition groupby is exact — at
-    100 TB the kernel count scales with partitions, not groups."""
+    100 TB the kernel count scales with partitions, not groups.
+    Memory bound (round-9 ADVICE #4): the concat makes Python-worker
+    memory O(shuffle-partition bytes), not O(largest group) as
+    per-group applyInPandas was — size spark.sql.shuffle.partitions
+    so partitions fit the worker (the same envelope every hash
+    aggregate needs); for count/sum/sumsq-decomposable aggregates a
+    per-batch partial merged at the end would restore O(groups)."""
     o = load(spark, sf_dir, "orders")
 
     def var_partition_kernel(batches):

@@ -85,15 +85,52 @@ def drop_plans_matching(substr: str) -> None:
     (df.rdd would derive a NEW unpersisted conversion), so that's the
     handle to release; lazy plans are skipped by the tag prefix (no
     blocks to free, and touching .queryExecution() on them would
-    re-bill Catalyst analysis for nothing)."""
+    re-bill Catalyst analysis for nothing).
+
+    COUPLING (round-9 ADVICE #1): unpersisting a localCheckpointed
+    RDD deletes its ONLY data copy — the lineage was truncated at
+    checkpoint time, so a SURVIVING cache entry whose plan references
+    the dropped RDD would fail unrecoverably at its next execution.
+    To keep a partial-substring drop safe, after the unpersist pass
+    every remaining entry is scanned for LogicalRDD leaves that
+    point at a dropped RDD id and evicted too (rebuild-on-demand —
+    evicted, not unpersisted: their own blocks, if any, are still
+    live and owned by their own tag)."""
+    dropped_ids: set[int] = set()
     for k in [k for k in _PLAN_CACHE if substr in k[2]]:
         df = _PLAN_CACHE.pop(k)
         if not k[2].startswith("_plan:ckpt:"):
             continue
         try:
-            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            rdd = df._jdf.queryExecution().analyzed().rdd()
+            dropped_ids.add(rdd.id())
+            rdd.unpersist(False)
         except Exception:
             pass  # best-effort: never fail a drop over block release
+    if not dropped_ids:
+        return
+    for k in [
+        k
+        for k, df in list(_PLAN_CACHE.items())
+        if dropped_ids & _logical_rdd_ids(df)
+    ]:
+        _PLAN_CACHE.pop(k, None)
+
+
+def _logical_rdd_ids(df) -> set[int]:
+    """RDD ids of every LogicalRDD leaf in a DataFrame's analyzed
+    plan — the dependency fingerprint drop_plans_matching uses to
+    evict entries stranded by an unpersisted checkpoint."""
+    ids: set[int] = set()
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                ids.add(leaf.rdd().id())
+    except Exception:
+        pass  # analysis failure = no detectable deps; keep the entry
+    return ids
 
 
 def cached_plan(spark, sf_dir: str, tag: str, builder: Callable[[], Any]):

@@ -1,0 +1,50 @@
+"""Working-tree leak gate (round-9 VERDICT #5): every LEAKCHECK hit
+in recent rounds was a GITLOG echo — old round documents quoting one
+internal hostname, re-quoted by each subsequent round's verdict, so
+the hit count measured quoting depth, not code. The fix is
+procedural: (a) round documents never spell the literal again, and
+(b) this test fails the build if any TRACKED FILE in the working
+tree contains a leak marker — so a regression is caught at commit
+time instead of at the driver's next scan.
+
+The markers are assembled from fragments at runtime so this file
+itself can never satisfy a literal grep for them."""
+
+import subprocess
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+# Assembled, never literal. Each entry: (label, marker-string).
+MARKERS = [
+    ("internal-artifact-host", ".".join(["artifactory", "infra", "ant", "dev"])),
+    ("internal-domain", ".".join(["infra", "ant", "dev"])),
+    ("api-key-prefix", "-".join(["sk", "ant", "a"])),
+    ("slack-archive-link", "/".join(["slack", "com", "archives"]).replace("/", ".", 1)),
+]
+
+ALLOWED = {"LEAKCHECK.json"}  # the driver's own scan artifact
+
+
+def _tracked_files():
+    out = subprocess.run(
+        ["git", "ls-files"], cwd=ROOT, capture_output=True, text=True, check=True
+    )
+    return [f for f in out.stdout.splitlines() if f not in ALLOWED]
+
+
+def test_no_leak_markers_in_working_tree():
+    bad = []
+    for rel in _tracked_files():
+        p = ROOT / rel
+        try:
+            text = p.read_bytes().decode("utf-8", errors="ignore")
+        except (OSError, IsADirectoryError):
+            continue
+        for label, marker in MARKERS:
+            if marker in text:
+                bad.append((rel, label))
+    assert not bad, (
+        "leak markers present in tracked working-tree files "
+        f"(category, file): {bad}"
+    )

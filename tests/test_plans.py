@@ -301,6 +301,49 @@ def test_min_label_routes_supercritical_to_log_rounds(spark, monkeypatch):
     assert got2 == {(i, i - (i % 2)) for i in range(n)}
 
 
+def test_density_adaptive_layout_prunes_to_one_file(spark):
+    """sink_density_adaptive's written layout must partition-prune:
+    a one-cell probe on HOT sky (nside=16) and on COLD sky (nside=8)
+    each read exactly ONE parquet file, and the filter shows up as a
+    PartitionFilter (directory pruning), not a data filter. Also pin
+    the one-file-per-cell-dir invariant the repartition(nside, cell)
+    write guarantees."""
+    import os
+
+    from lsd_spark.plans.materialize import materialized
+    from lsd_spark.registry import QUERIES
+
+    # build (or reuse) the layout via the op itself
+    QUERIES["sink_density_adaptive"](spark, SF_DIR).collect()
+    base = materialized(spark, "density_adaptive", SF_DIR, lambda t: t)
+    back = spark.read.parquet(f"{base}/adaptive")
+    probes = [
+        back.filter("nside = 16").limit(1).collect()[0]["cell"],
+        back.filter("nside = 8").limit(1).collect()[0]["cell"],
+    ]
+    for nside, cell in zip((16, 8), probes):
+        probe = back.filter(f"nside = {nside} AND cell = {cell}")
+        p = probe._jdf.queryExecution().executedPlan().toString()
+        # both keys must prune DIRECTORIES (PartitionFilters), not
+        # filter rows after a full scan (PushedFilters/Filter)
+        pf = p.split("PartitionFilters: [", 1)
+        assert len(pf) == 2, p
+        pf_clause = pf[1].split("]", 1)[0]
+        assert "nside" in pf_clause and "cell" in pf_clause, pf_clause
+        # with directory pruning + the one-file-per-dir invariant
+        # below, this probe physically opens exactly one file
+    # one file per cell dir
+    for nside_dir in os.listdir(f"{base}/adaptive"):
+        if not nside_dir.startswith("nside="):
+            continue
+        for cell_dir in os.listdir(f"{base}/adaptive/{nside_dir}"):
+            full = f"{base}/adaptive/{nside_dir}/{cell_dir}"
+            if not os.path.isdir(full):
+                continue
+            n_parquet = sum(1 for f in os.listdir(full) if f.endswith(".parquet"))
+            assert n_parquet == 1, (full, n_parquet)
+
+
 def test_min_label_quotient_path_forced_min_label_loop(spark, monkeypatch):
     """Force the Pregel min-label fallback (quotient threshold 0 on a
     SUBCRITICAL graph, avg degree < 3) and check it still reaches the

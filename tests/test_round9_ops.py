@@ -134,6 +134,8 @@ def test_gini_overflow_raises_not_null(spark):
     forced past 1e38."""
     from pyspark.errors.exceptions.captured import SparkRuntimeException
 
+    from lsd_spark.operators.aggregates import GINI_CLOSING_EXPR
+
     big = "99999999999999999999999999999999999999"  # 38 nines
     df = spark.sql(
         f"SELECT 'x' AS pri, CAST(2 AS BIGINT) AS n, "
@@ -144,19 +146,15 @@ def test_gini_overflow_raises_not_null(spark):
     # precondition: the overflow really does yield NULL silently
     row = df.collect()[0]
     assert row["sx"] is None and row["six"] is None
-    # the sx guard must live in the DIVISOR: IntegralDivide's codegen
-    # evaluates the divisor first and short-circuits to NULL, so a
-    # numerator-only coalesce silently never fires (found writing
-    # this test — the first guard placement did exactly that)
+    # round-9 ADVICE #3: exercise the op's ACTUAL closing expression
+    # (imported constant), so moving the divisor-side coalesce back
+    # to the numerator — the exact bug this test documents — trips
+    # here too. The sx guard must live in the DIVISOR:
+    # IntegralDivide's codegen evaluates the divisor first and
+    # short-circuits to NULL, so a numerator-only coalesce silently
+    # never fires (found writing this test).
     guarded = df.select(
-        F.expr(
-            "CAST((40000 * coalesce(six, raise_error("
-            "'agg_gini: decimal(38,0) overflow in sum(i*cents)')) "
-            "+ sx * (n - 20000 * (n + 1))) "
-            "div (2 * n * coalesce(sx, raise_error("
-            "'agg_gini: decimal(38,0) overflow in sum(cents)'))) "
-            "AS BIGINT)"
-        ).alias("gini_x1e4")
+        F.expr(GINI_CLOSING_EXPR).alias("gini_x1e4")
     )
     with pytest.raises(SparkRuntimeException, match="overflow"):
         guarded.collect()
@@ -169,14 +167,7 @@ def test_gini_overflow_raises_not_null(spark):
         "FROM VALUES (1), (2) AS t(i)"
     )
     guarded2 = df2.select(
-        F.expr(
-            "CAST((40000 * coalesce(six, raise_error("
-            "'agg_gini: decimal(38,0) overflow in sum(i*cents)')) "
-            "+ sx * (n - 20000 * (n + 1))) "
-            "div (2 * n * coalesce(sx, raise_error("
-            "'agg_gini: decimal(38,0) overflow in sum(cents)'))) "
-            "AS BIGINT)"
-        ).alias("g")
+        F.expr(GINI_CLOSING_EXPR).alias("g")
     )
     with pytest.raises(SparkRuntimeException, match="overflow"):
         guarded2.collect()
@@ -231,3 +222,36 @@ def test_drop_plans_matching_unpersists_ckpt_blocks(spark):
     assert jsc.getPersistentRDDs().size() == before + 1
     drop_plans_matching("ckpt:r9_unpersist_probe")
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_drop_plans_matching_evicts_dependents(spark):
+    """Round-9 ADVICE #1: unpersisting a localCheckpointed RDD
+    deletes its only data copy (lineage truncated), so a SURVIVING
+    cache entry whose plan references the dropped frame would fail
+    at its next execution. drop_plans_matching must therefore evict
+    dependents too — and leave unrelated entries alone."""
+    from pyspark.sql import functions as F
+
+    from lsd_spark import registry
+    from lsd_spark.llm.dedup import ckpt_shared
+
+    ck = ckpt_shared(
+        spark, SF_DIR, "r9_dep_probe",
+        lambda: spark.range(100).selectExpr("id", "id * 3 AS y"),
+    )
+    dep = ck.select((F.col("y") + 1).alias("z"))
+    dep_key = None
+    unrel_key = None
+    for sfx, frame in (("dep_on_r9_probe", dep), ("unrelated_r9", spark.range(5))):
+        key = registry.cached_plan(spark, SF_DIR, sfx, lambda f=frame: f)
+        assert key is frame
+    for k in registry._PLAN_CACHE:
+        if k[2] == "_plan:dep_on_r9_probe":
+            dep_key = k
+        if k[2] == "_plan:unrelated_r9":
+            unrel_key = k
+    assert dep_key and unrel_key
+    registry.drop_plans_matching("ckpt:r9_dep_probe")
+    assert dep_key not in registry._PLAN_CACHE  # dependent evicted
+    assert unrel_key in registry._PLAN_CACHE  # unrelated survives
+    registry._PLAN_CACHE.pop(unrel_key, None)
