@@ -3,13 +3,15 @@ payloads with typed metadata (LSD's BLOB columns
 [lsd:src/lsd/table.py blobs — UNVERIFIED], stored via Parquet's
 native var-length binary instead of PyTables VLArray).
 
-Decode status by format: PNG, WAV, baseline JPEG, and MJPEG-in-AVI
-video decode are REAL — stdlib+numpy codecs implemented in this
-module (zlib chunk/filter layer, wave RIFF, ITU-T.81 baseline
-sequential with table-driven Huffman + DCT, RIFF AVI mux/demux),
+Decode status by format: PNG, WAV, baseline JPEG, GIF89a, and
+MJPEG-in-AVI video decode are REAL — stdlib+numpy codecs implemented
+in this module (zlib chunk/filter layer, wave RIFF, ITU-T.81
+baseline sequential with table-driven Huffman + DCT, variable-width
+LZW with clear/EOI and palette mapping, RIFF AVI mux/demux),
 exercised end-to-end by mm_decode_png / mm_decode_wav /
-mm_decode_jpeg / mm_decode_video with full hash-match oracles and
-unit-tested against handcrafted files (tests/test_codecs.py).
+mm_decode_jpeg / mm_decode_gif / mm_decode_video with full
+hash-match oracles and unit-tested against handcrafted files
+(tests/test_codecs.py).
 Non-MJPEG video codecs (H.264/VP9/AV1 entropy+prediction stacks)
 remain out of scope for a pure-python kernel — mm_decode /
 mm_frame_sample keep their documented digest-derived stand-ins for
@@ -867,6 +869,92 @@ def mm_decode_png(spark, sf_dir):
     return encoded.mapInPandas(decode_kernel, schema=_PNG_STATS_SCHEMA).orderBy("doc_id")
 
 
+_MD5_BYTE_LIST = (
+    "list_transform(generate_series(0,15), "
+    "k -> ('0x' || substring(md5(text), 2*k+1, 2))::INT)"
+)
+
+
+@register(
+    "mm_decode_gif",
+    oracle=(
+        "SELECT doc_id, 16 AS width, 16 AS height, "
+        f"ROUND({_MD5_BYTE_AVG}, 4) AS mean_gray, "
+        f"CAST(list_min({_MD5_BYTE_LIST}) AS INT) AS min_gray, "
+        f"CAST(list_max({_MD5_BYTE_LIST}) AS INT) AS max_gray "
+        "FROM documents ORDER BY doc_id"
+    ),
+)
+def mm_decode_gif(spark, sf_dir):
+    """REAL GIF decode, no codec libraries (round-9 VERDICT #7): per
+    document a 16x16 grayscale image (each row = the md5(text)
+    digest) is LZW-compressed into an actual GIF89a container in one
+    Arrow kernel and decoded back by the hand-rolled GIF decoder —
+    container walk, palette mapping, full variable-width LZW — in a
+    second kernel, which emits mean/min/max gray. The oracle
+    recomputes all three directly from the md5 hex (row tiling makes
+    image stats == digest-byte stats), so the whole
+    encode -> container -> LZW -> decode path is hash-checked. GIF's
+    LZW is LOSSLESS, so min/max are exact — a sharper pin than the
+    mean-only PNG check. Same 100 TB shape as every mm_ kernel:
+    opaque binary column between two Arrow-batched map-only stages,
+    decode parallelism == data parallelism."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    encode, decode = _make_gif_codec()  # driver-side; ships by value
+
+    def encode_kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                d = hashlib.md5(t.encode("utf-8")).digest()
+                arr = np.frombuffer(d * 16, np.uint8).reshape(16, 16)
+                payloads.append(encode(arr))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "gif": payloads}
+            )
+
+    def decode_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, gif in zip(pdf["doc_id"], pdf["gif"]):
+                h, w, rgb = decode(bytes(gif))
+                g = rgb[:, :, 0]
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        round(float(g.astype(np.float64).mean()), 4),
+                        int(g.min()),
+                        int(g.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "mean_gray", "min_gray", "max_gray",
+                ],
+            )
+
+    encoded = docs.mapInPandas(encode_kernel, schema="doc_id bigint, gif binary")
+    return encoded.mapInPandas(
+        decode_kernel,
+        schema=(
+            "doc_id bigint, width int, height int, "
+            "mean_gray double, min_gray int, max_gray int"
+        ),
+    ).orderBy("doc_id")
+
+
 # digest byte k with its low bit cleared — the even gray level of
 # the k-th JPEG block (see _make_jpeg_codec: even flat blocks round-
 # trip losslessly; odd ones sit on the quantizer's .5 boundary)
@@ -1058,6 +1146,182 @@ def mm_phash_dedup(spark, sf_dir):
         .filter(F.col("n_images") > 1)
         .orderBy("phash")
     )
+
+
+def _make_gif_codec():
+    """(encode, decode) for GIF89a with REAL LZW (round-9 VERDICT #7
+    — one more genuine on-disk format, stdlib struct only). encode
+    takes an HxW uint8 grayscale array and emits a conforming GIF:
+    header, logical screen descriptor, 256-entry grayscale global
+    color table, image descriptor, and LZW-compressed pixel data —
+    variable-width codes (9->12 bits), clear/EOI codes, giflib's
+    width-growth rule (width++ when the next free slot reaches
+    2^width), LSB-first bit packing, 255-byte sub-blocks. decode
+    walks the container generically (skips extension blocks, honors
+    local color tables), runs the full LZW decoder including the
+    KwKwK self-reference case and mid-stream clear codes, and maps
+    indices through the active palette. Malformed streams raise."""
+    import struct as _st
+
+    MCS = 8  # 256-color images: min LZW code size
+    CLEAR, EOI = 1 << MCS, (1 << MCS) + 1
+
+    def encode(arr) -> bytes:
+        import numpy as np
+
+        arr = np.asarray(arr, dtype=np.uint8)
+        h, w = arr.shape
+        out = bytearray(b"GIF89a")
+        # packed 0xF7: GCT present, 8-bit color resolution, 256 entries
+        out += _st.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        for i in range(256):  # identity grayscale palette
+            out += bytes((i, i, i))
+        out += b"\x2c" + _st.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(MCS)
+        bits = bytearray()
+        acc = [0, 0]  # bit accumulator, bit count
+
+        def put(code: int, width: int) -> None:
+            acc[0] |= code << acc[1]
+            acc[1] += width
+            while acc[1] >= 8:
+                bits.append(acc[0] & 0xFF)
+                acc[0] >>= 8
+                acc[1] -= 8
+
+        width = MCS + 1
+        table = {bytes([i]): i for i in range(256)}
+        nxt = EOI + 1
+        put(CLEAR, width)
+        buf = b""
+        for byte in arr.tobytes():
+            cand = buf + bytes([byte])
+            if cand in table:
+                buf = cand
+                continue
+            put(table[buf], width)
+            if nxt < 4096:
+                table[cand] = nxt
+                nxt += 1
+                if nxt == (1 << width) and width < 12:
+                    width += 1
+            else:  # table full: clear and restart (spec-conformant)
+                put(CLEAR, width)
+                table = {bytes([i]): i for i in range(256)}
+                nxt, width = EOI + 1, MCS + 1
+            buf = bytes([byte])
+        if buf:
+            put(table[buf], width)
+        put(EOI, width)
+        if acc[1]:
+            bits.append(acc[0] & 0xFF)
+        for i in range(0, len(bits), 255):
+            blk = bits[i : i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00\x3b"
+        return bytes(out)
+
+    def _lzw_decode(data: bytes, mcs: int, n_px: int):
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        width = mcs + 1
+        table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+        out = bytearray()
+        acc = cnt = pos = 0
+        prev: bytes | None = None
+        while True:
+            while cnt < width:
+                if pos >= len(data):
+                    raise ValueError("gif: LZW stream truncated before EOI")
+                acc |= data[pos] << cnt
+                cnt += 8
+                pos += 1
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            cnt -= width
+            if code == clear:
+                table = table[: (1 << mcs) + 2]
+                width = mcs + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"gif: LZW code {code} out of range")
+            # width growth, decoder side: the decoder's table lags
+            # the encoder's by exactly one entry (it learns encoder
+            # entry t while processing code t+1), so it must grow at
+            # 2^width - 1 where the encoder grows at 2^width
+            if prev is not None and len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+            out += entry
+            prev = entry
+            if len(out) > n_px:
+                raise ValueError("gif: LZW output exceeds image size")
+        if len(out) != n_px:
+            raise ValueError(f"gif: decoded {len(out)} px, expected {n_px}")
+        return bytes(out)
+
+    def decode(data: bytes):
+        import numpy as np
+
+        if data[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("gif: bad signature")
+        sw, sh, packed, _bg, _ar = _st.unpack_from("<HHBBB", data, 6)
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 7)
+            gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        while True:
+            if pos >= len(data):
+                raise ValueError("gif: missing trailer")
+            b0 = data[pos]
+            pos += 1
+            if b0 == 0x3B:
+                raise ValueError("gif: trailer before image data")
+            if b0 == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while data[pos]:
+                    pos += 1 + data[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:
+                raise ValueError(f"gif: unexpected block 0x{b0:02x}")
+            _l, _t, w, h, ipacked = _st.unpack_from("<HHHHB", data, pos)
+            pos += 9
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                pal = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("gif: no color table")
+            if ipacked & 0x40:
+                raise ValueError("gif: interlaced images unsupported")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = np.frombuffer(
+                _lzw_decode(bytes(lzw), mcs, w * h), np.uint8
+            ).reshape(h, w)
+            if idx.max() >= len(pal):
+                raise ValueError("gif: pixel index outside color table")
+            return sh, sw, pal[idx]  # (screen h, w, HxWx3 RGB)
+
+    return encode, decode
 
 
 def _make_avi_codec():

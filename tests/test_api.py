@@ -259,3 +259,144 @@ def test_fetch_bounds_scopes_to_footprint(db, duck):
 
     with pytest.raises(ValueError, match="ra/dec"):
         db.query("SELECT r_name FROM region").fetch(bounds=region)
+
+
+# --- hypothesis fuzz of the FROM-list rewriter (round-9 VERDICT #6) ---
+#
+# The generator assembles a random query AND its known-good expansion
+# from the same random pieces (pair position, extra items, quoting,
+# keyword casing, whitespace, trailing modifiers, subquery wrap,
+# decoy literals), so the test never reimplements the rewriter — it
+# only has to know the documented contract: the comma-list span is
+# replaced by the pair expansion at the first pair member's position
+# with the remaining items in order, everything outside the span is
+# byte-identical, strings/comments are never touched, and a second
+# rewrite is a no-op.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_FUZZ_JOINS = {("obj", "det"): ("l_id", "r_id", "oid", "did")}
+_FUZZ_EXP = (
+    "obj JOIN _join_obj_det ON obj.oid = _join_obj_det.l_id "
+    "JOIN det ON _join_obj_det.r_id = det.did"
+)
+
+_ws = st.sampled_from([" ", "  ", "\n", "\t", " \n "])
+_extra_names = st.sampled_from(["extra", "t1", "zz", "nation", "foo_bar"])
+_casing = st.sampled_from([str.lower, str.upper, str.title])
+_quote = st.sampled_from(["%s", "`%s`", '"%s"'])
+_select = st.sampled_from(
+    [
+        "SELECT *",
+        "SELECT a, b",
+        "SELECT 'from obj, det' AS lit, x",  # decoy inside a literal
+        "SELECT 1 -- from obj, det\n, y",  # decoy inside a comment
+    ]
+)
+_trailing = st.sampled_from(
+    ["", "WHERE x > 1", "GROUP BY y", "ORDER BY z LIMIT 3", "LIMIT 5"]
+)
+
+
+@st.composite
+def _fuzz_case(draw):
+    pair = ["obj", "det"]
+    if draw(st.booleans()):
+        pair.reverse()
+    n_extra = draw(st.integers(0, 2))
+    extras = draw(
+        st.lists(_extra_names, min_size=n_extra, max_size=n_extra, unique=True)
+    )
+    # extras may carry an alias (pair members must not — that raises)
+    extra_items = []
+    for name in extras:
+        alias = draw(st.sampled_from([None, "e1", "e2"]))
+        with_as = draw(st.booleans())
+        extra_items.append((name, alias, with_as))
+    # interleave: positions of the two pair members among all items
+    total = 2 + n_extra
+    pos = sorted(draw(st.permutations(range(total)))[:2])
+    items = []  # (written_text, kind, stripped_name, alias)
+    ei = iter(extra_items)
+    for idx in range(total):
+        if idx in pos:
+            name = pair[0] if idx == pos[0] else pair[1]
+            cased = draw(_casing)(name)
+            written = draw(_quote) % cased
+            items.append((written, "pair", name, None))
+        else:
+            name, alias, with_as = next(ei)
+            written = name + (
+                (" AS " if with_as else " ") + alias if alias else ""
+            )
+            items.append((written, "extra", name, alias))
+    kw_from = draw(_casing)("from")
+    w1, w2 = draw(_ws), draw(_ws)
+    sel = draw(_select)
+    trail = draw(_trailing)
+    sep = draw(_ws)
+    item_src = ("," + sep).join(t for t, *_ in items)
+    tail = ""
+    if trail:
+        tail = draw(_ws) + draw(_casing)(trail)
+    prefix = f"{sel}{w1}{kw_from}{w2}"
+    sql = prefix + item_src + tail
+    # known-good expansion, from the same pieces (built positionally
+    # — a str.replace could collide with the decoy literal)
+    parts = []
+    for idx, (_, kind, name, alias) in enumerate(items):
+        if idx == pos[0]:
+            parts.append(_FUZZ_EXP)
+        elif kind == "extra":
+            parts.append(f"{name} {alias}" if alias else name)
+    expected = prefix + ", ".join(parts) + tail
+    if draw(st.booleans()):
+        sql = f"SELECT * FROM ({sql}) s"
+        expected = f"SELECT * FROM ({expected}) s"
+    return sql, expected
+
+
+@settings(max_examples=300, deadline=None)
+@given(_fuzz_case())
+def test_rewriter_fuzz_known_good_expansion(case):
+    from lsd_spark.api import _rewrite_from_lists
+
+    sql, expected = case
+    got = _rewrite_from_lists(sql, _FUZZ_JOINS)
+    assert got == expected, (sql, got, expected)
+    # idempotence: the expansion contains no comma-joined pair
+    assert _rewrite_from_lists(got, _FUZZ_JOINS) == got
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(_extra_names, min_size=1, max_size=3, unique=True),
+    _casing,
+    _ws,
+    _trailing,
+)
+def test_rewriter_fuzz_identity_without_pair(names, case_fn, w, trail):
+    """A FROM list that never comma-joins the declared pair must pass
+    through BYTE-IDENTICAL (no normalization of untouched queries)."""
+    from lsd_spark.api import _rewrite_from_lists
+
+    sql = f"SELECT *{w}{case_fn('from')}{w}" + ("," + w).join(names)
+    if trail:
+        sql += w + trail
+    assert _rewrite_from_lists(sql, _FUZZ_JOINS) == sql
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.sampled_from(["o", "d"]), st.booleans(), _casing)
+def test_rewriter_fuzz_aliased_pair_always_raises(alias, with_as, case_fn):
+    """An aliased declared-pair member can never silently cross-join:
+    the rewriter must raise whatever the casing or AS form."""
+    import pytest
+
+    from lsd_spark.api import _rewrite_from_lists
+
+    a = (" AS " if with_as else " ") + alias
+    sql = f"SELECT * FROM {case_fn('obj')}{a}, det"
+    with pytest.raises(ValueError, match="comma-joined"):
+        _rewrite_from_lists(sql, _FUZZ_JOINS)

@@ -271,3 +271,142 @@ def test_avi_roundtrip_property():
         assert back == frames
 
     check()
+
+
+# --- GIF89a + LZW (round-9 VERDICT #7) --------------------------------------
+
+
+def test_gif_roundtrip_basic():
+    from lsd_spark.llm.multimodal import _make_gif_codec
+
+    enc, dec = _make_gif_codec()
+    a = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    h, w, rgb = dec(enc(a))
+    assert (h, w) == (16, 16)
+    # identity grayscale palette: all three channels equal the input
+    for c in range(3):
+        assert (rgb[:, :, c] == a).all()
+
+
+def test_gif_container_is_conformant_bytes():
+    """Pin the on-disk layout against the public GIF89a spec:
+    signature, logical screen descriptor fields, 256-entry global
+    color table, image descriptor, LZW min code size, sub-block
+    framing, terminator+trailer."""
+    from lsd_spark.llm.multimodal import _make_gif_codec
+
+    enc, _ = _make_gif_codec()
+    a = np.full((3, 5), 7, np.uint8)
+    g = enc(a)
+    assert g[:6] == b"GIF89a"
+    w, h, packed, bg, ar = struct.unpack_from("<HHBBB", g, 6)
+    assert (w, h) == (5, 3)
+    assert packed & 0x80  # global color table present
+    assert 2 << (packed & 7) == 256
+    pal = g[13 : 13 + 768]
+    assert pal[3 * 7 : 3 * 7 + 3] == bytes((7, 7, 7))  # identity gray
+    pos = 13 + 768
+    assert g[pos] == 0x2C  # image descriptor
+    il, it, iw, ih, ip = struct.unpack_from("<HHHHB", g, pos + 1)
+    assert (il, it, iw, ih, ip) == (0, 0, 5, 3, 0)
+    assert g[pos + 10] == 8  # LZW min code size (after the 10-byte descriptor)
+    # sub-blocks terminate with 0x00, file with 0x3B
+    assert g[-2:] == b"\x00\x3b"
+
+
+def test_gif_decoder_skips_extensions_and_reads_local_palette():
+    """Decoder generality beyond our encoder's output: a handcrafted
+    GIF with a Graphics Control Extension, a comment extension, NO
+    global color table, and a LOCAL color table must decode — the
+    container walk is real, not the encoder's inverse."""
+    from lsd_spark.llm.multimodal import _make_gif_codec
+
+    enc, dec = _make_gif_codec()
+    a = np.array([[0, 255], [128, 64]], dtype=np.uint8)
+    ours = enc(a)
+    # strip our GCT (packed 0xF7 -> 0x07), move the palette local
+    lsd_pos = 6
+    pal = ours[13 : 13 + 768]
+    body = ours[13 + 768 :]  # image descriptor onward
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphics control ext
+    com = b"\x21\xfe\x05hello\x00"  # comment ext
+    desc = body[:1] + body[1:9] + bytes([0x87])  # local table, 256
+    rest = body[10:]
+    crafted = (
+        ours[:10]
+        + bytes([0x07])  # no GCT
+        + ours[11:13]
+        + gce
+        + com
+        + desc
+        + pal
+        + rest
+    )
+    h, w, rgb = dec(crafted)
+    assert (h, w) == (2, 2)
+    assert (rgb[:, :, 0] == a).all()
+
+
+def test_gif_malformed_raises():
+    import pytest
+
+    from lsd_spark.llm.multimodal import _make_gif_codec
+
+    enc, dec = _make_gif_codec()
+    g = enc(np.zeros((4, 4), np.uint8))
+    with pytest.raises(ValueError, match="signature"):
+        dec(b"NOTAGIF" + g[7:])
+    with pytest.raises(ValueError, match="truncated|trailer|unexpected|buffer|expected"):
+        dec(g[: len(g) // 2] + b"\x00\x3b")
+    # trailer with no image data
+    with pytest.raises(ValueError, match="trailer before image"):
+        dec(g[: 13 + 768] + b"\x3b")
+
+
+def test_gif_roundtrip_property():
+    """Generative: any uint8 image (1..40 x 1..40, arbitrary
+    values — includes low-entropy runs that push the LZW table
+    through the 9->10->11 bit width growth) must round-trip
+    losslessly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lsd_spark.llm.multimodal import _make_gif_codec
+
+    enc, dec = _make_gif_codec()
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.sampled_from(["random", "runs", "constant"]),
+    )
+    def check(h, w, seed, kind):
+        rng = np.random.RandomState(seed % 2**31)
+        if kind == "random":
+            a = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        elif kind == "runs":
+            a = np.repeat(
+                rng.randint(0, 4, (h, (w + 3) // 4)), 4, axis=1
+            )[:, :w].astype(np.uint8)
+        else:
+            a = np.full((h, w), rng.randint(0, 256), np.uint8)
+        gh, gw, rgb = dec(enc(a))
+        assert (gh, gw) == (h, w)
+        assert (rgb[:, :, 0] == a).all()
+
+    check()
+
+
+def test_gif_deep_table_clear_reset():
+    """36k random pixels force the LZW table past 4095 entries: the
+    encoder must emit a mid-stream CLEAR and both sides must resync
+    losslessly (the width-cap + reset path)."""
+    from lsd_spark.llm.multimodal import _make_gif_codec
+
+    enc, dec = _make_gif_codec()
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 256, (120, 300)).astype(np.uint8)
+    h, w, rgb = dec(enc(a))
+    assert (rgb[:, :, 0] == a).all()
