@@ -203,9 +203,22 @@ def main():
             with open(bpath) as fh:
                 b = _json.load(fh)
             env = b["_meta"]["envelope"]
+            # tiered budgets (round-10): recordings are only
+            # comparable at the scale they were taken — the base
+            # tier was recorded at the 10x-of-sf0.1 dir, extra tiers
+            # (e.g. the 100x spatial tier) name their dir basename
+            # in _meta.tiers and override per-op where present.
             stress_budget = {
                 k: env * v for k, v in b["recorded_spark_sec"].items()
             }
+            tier = b.get("_meta", {}).get("tiers", {}).get(
+                os.path.basename(SF01.rstrip("/"))
+            )
+            if tier:
+                stress_budget.update(
+                    {k: env * v for k, v in b[tier].items()}
+                )
+                print(f"  note: stress tier '{tier}' overrides active")
             print(f"  note: stress budget active for "
                   f"{len(stress_budget)} ops (envelope {env}x)")
 

@@ -1,19 +1,15 @@
-"""Round-9 fixes: the udaf_grouped_agg partition-kernel rewrite, the
-parallelized exact recall baselines, the loud gini overflow pin, the
-exact dup-fraction routing probe, and ckpt block release on
-drop_plans_matching (round-8 VERDICT #2/#3, ADVICE #1/#2/#4)."""
+"""Engine-internal invariants (formerly test_round9_ops.py):
+Arrow kernel parity, plan-cache block release and dependent
+eviction, overflow guards, routing probes."""
+
 
 import pytest
 from pyspark.sql import functions as F
-
 from tests.conftest import SF_DIR
 
 
 def _rows(df):
     return [tuple(r) for r in df.collect()]
-
-
-# --- udaf_grouped_agg: partition kernel, group-straddling batches ---
 
 
 def test_udaf_grouped_agg_matches_declarative(spark):
@@ -59,9 +55,6 @@ def test_udaf_grouped_agg_group_straddles_arrow_batches(spark):
         spark.conf.set(key, old)
         clear_plan_cache()
     assert tiny == baseline
-
-
-# --- exact recall baselines: parallel + norm-precompute, same rows ---
 
 
 def test_embcos_exact_parallelized_plan_and_rows(spark):
@@ -123,9 +116,6 @@ def test_fof_exact_rows_unchanged_by_rewrite(spark):
     assert got == want
 
 
-# --- gini: overflow raises loudly (round-8 ADVICE #4) ---
-
-
 def test_gini_overflow_raises_not_null(spark):
     """Spark's non-ANSI decimal(38,0) sum NULLs on overflow while the
     DuckDB HUGEINT oracle raises; the closing expression converts
@@ -184,9 +174,6 @@ def test_gini_no_trip_on_fixture(spark, duck):
     assert got == sorted(want)
 
 
-# --- routing probe: exact, reproducible (round-8 ADVICE #2) ---
-
-
 def test_dup_fraction_probe_is_exact(spark, duck):
     """corpus_dup_fraction must equal the exact 1 - d/n, not an HLL
     estimate — plan routing near DUP_COLLAPSE_T has to be
@@ -200,9 +187,6 @@ def test_dup_fraction_probe_is_exact(spark, duck):
     ).fetchone()
     assert got == max(0.0, 1.0 - d / n)
     clear_dup_stats()
-
-
-# --- drop_plans_matching releases checkpoint blocks (ADVICE #1) ---
 
 
 def test_drop_plans_matching_unpersists_ckpt_blocks(spark):
