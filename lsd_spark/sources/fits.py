@@ -773,3 +773,268 @@ def sink_fits(spark, sf_dir):
     res = out.localCheckpoint(eager=True)
     assert n_written == c.count(), (n_written, "rows written != source rows")
     return res
+
+
+# --- IMAGE HDUs (round-9 VERDICT residual #3): pixel data ------------------
+
+
+def write_fits_image(
+    path: str,
+    physical: "np.ndarray",
+    f32: "np.ndarray | None" = None,
+    extra_cards: dict | None = None,
+) -> None:
+    """Write a FITS file whose PRIMARY HDU is a 2-D 16-bit image in
+    the unsigned convention (BITPIX=16, BSCALE=1, BZERO=32768 —
+    stored = physical - 32768, the layout every survey camera file
+    uses for raw counts), optionally followed by ONE IMAGE extension
+    holding a float32 plane (BITPIX=-32 — calibrated/weight maps).
+    `extra_cards` adds scalar header cards to the primary (exposure
+    metadata a real pipeline filters on)."""
+    physical = np.asarray(physical)
+    h, w = physical.shape
+    cards = [
+        _card("SIMPLE", True, "conforms to FITS standard"),
+        _card("BITPIX", 16),
+        _card("NAXIS", 2),
+        _card("NAXIS1", w),
+        _card("NAXIS2", h),
+        _card_float("BSCALE", 1.0),
+        _card_float("BZERO", 32768.0),
+    ]
+    for k, v in (extra_cards or {}).items():
+        cards.append(_card(k, v))
+    buf = _header(cards)
+    stored = (physical.astype("int64") - 32768).astype(">i2")
+    buf += _pad(stored.tobytes())
+    if f32 is not None:
+        f32 = np.asarray(f32, dtype=">f4")
+        eh, ew = f32.shape
+        buf += _header(
+            [
+                _card("XTENSION", "IMAGE", "image extension"),
+                _card("BITPIX", -32),
+                _card("NAXIS", 2),
+                _card("NAXIS1", ew),
+                _card("NAXIS2", eh),
+                _card("PCOUNT", 0),
+                _card("GCOUNT", 1),
+            ]
+        )
+        buf += _pad(f32.tobytes())
+    with open(path, "wb") as fh:
+        fh.write(buf)
+
+
+def _make_image_parser():
+    """Self-contained closures for IMAGE-HDU parsing (ship by value,
+    like _make_fits_parser). parse_images(buf) walks EVERY HDU and
+    returns [(cards, 2-D float64 pixel array)] for each HDU with
+    image data (primary included), applying BSCALE/BZERO — integer
+    arithmetic for the unsigned convention (bscale==1, integral
+    bzero) so 16-bit counts stay exact."""
+    BLOCK_ = 2880
+    np_px = {8: "u1", 16: ">i2", 32: ">i4", 64: ">i8", -32: ">f4", -64: ">f8"}
+
+    def read_cards(buf, off):
+        cards = {}
+        while off + BLOCK_ <= len(buf):
+            block = buf[off : off + BLOCK_]
+            for i in range(0, BLOCK_, 80):
+                card = block[i : i + 80].decode("ascii", "replace")
+                key = card[:8].strip()
+                if key == "END":
+                    return cards, off + BLOCK_
+                if card[8:10] == "= ":
+                    v = card[10:].split("/")[0].strip()
+                    cards[key] = v.strip("' ").strip() if v.startswith("'") else v
+            off += BLOCK_
+        raise ValueError("truncated FITS header: no END card within file bounds")
+
+    def data_size(hdr):
+        naxis = int(hdr.get("NAXIS", 0))
+        if naxis == 0:
+            return 0
+        n = 1
+        for i in range(1, naxis + 1):
+            n *= int(hdr[f"NAXIS{i}"])
+        raw = (
+            abs(int(hdr.get("BITPIX", 8))) // 8
+            * int(hdr.get("GCOUNT", 1))
+            * (int(hdr.get("PCOUNT", 0)) + n)
+        )
+        return (raw + BLOCK_ - 1) // BLOCK_ * BLOCK_
+
+    def parse_images(buf):
+        import numpy as np
+
+        out = []
+        off = 0
+        first = True
+        while off < len(buf):
+            hdr, doff = read_cards(buf, off)
+            off = doff + data_size(hdr)
+            xt = hdr.get("XTENSION", "")
+            if not first and not xt.startswith("IMAGE"):
+                continue  # BINTABLE etc.: skip by computed size
+            first = False
+            if int(hdr.get("NAXIS", 0)) != 2:
+                continue  # NAXIS=0 primary or non-2D data
+            bitpix = int(hdr["BITPIX"])
+            if bitpix not in np_px:
+                raise ValueError(f"unsupported BITPIX {bitpix}")
+            h, w = int(hdr["NAXIS2"]), int(hdr["NAXIS1"])
+            px = np.frombuffer(buf, np_px[bitpix], h * w, doff).reshape(h, w)
+            bscale = float(hdr.get("BSCALE", 1.0))
+            bzero = float(hdr.get("BZERO", 0.0))
+            if bitpix > 0 and bscale == 1.0 and bzero.is_integer():
+                arr = px.astype("int64") + int(bzero)  # exact counts
+                arr = arr.astype("float64")
+            else:
+                arr = bzero + bscale * px.astype("float64")
+            out.append((hdr, arr))
+        if not out:
+            raise ValueError("no 2-D image HDU found")
+        return out
+
+    return read_cards, data_size, parse_images
+
+
+def read_fits_images(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed IMAGE-HDU read: one parse task per file, one
+    output row per image HDU — (file name, hdu_index, bitpix,
+    naxis1, naxis2, header map, row-major float64 pixels). Pixels
+    come back as an array column so downstream statistics stay in
+    Catalyst (aggregate/transform HOFs), mirroring the BINTABLE
+    reader's shape. 100 TB: one exposure per file is the survey
+    layout; decode parallelism == file parallelism, and column
+    pruning drops the pixel array for header-only queries."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.fits")
+        .load(path)
+    )
+    _, _, parse_images = _make_image_parser()
+
+    def kernel(batches):
+        import os as _os
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for i, (hdr, arr) in enumerate(parse_images(bytes(content))):
+                    rows.append(
+                        (
+                            _os.path.basename(str(p)),
+                            i,
+                            int(hdr["BITPIX"]),
+                            arr.shape[1],
+                            arr.shape[0],
+                            {str(k): str(v) for k, v in sorted(hdr.items())},
+                            arr.reshape(-1).tolist(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file", "hdu_index", "bitpix",
+                    "naxis1", "naxis2", "_hdr", "px",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(
+        kernel,
+        schema=(
+            "file string, hdu_index int, bitpix int, naxis1 int, "
+            "naxis2 int, _hdr map<string,string>, px array<double>"
+        ),
+    )
+
+
+def _image_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    """25 two-HDU image files (one per nation): primary = 8x8
+    unsigned 16-bit counts physical[i,j] = 257*natkey + 13*(8i+j);
+    extension = the same plane / 4 as float32 (exact quarter
+    integers). Closed forms keep the oracle pure SQL."""
+    from lsd_spark.plans.materialize import materialized
+
+    def build(base: str) -> str:
+        keys = [
+            r["n_nationkey"]
+            for r in load(spark, sf_dir, "nation")
+            .select("n_nationkey")
+            .collect()
+        ]
+        d = os.path.join(base, "images")
+        os.makedirs(d)
+        idx = np.arange(64, dtype=np.int64).reshape(8, 8)
+        for k in keys:
+            phys = 257 * int(k) + 13 * idx
+            write_fits_image(
+                os.path.join(d, f"img_{int(k):02d}.fits"),
+                phys,
+                f32=(phys / 4.0),
+                extra_cards={"NATKEY": int(k)},
+            )
+        return d
+
+    return materialized(spark, "fits_images", sf_dir, build, prefix="lsd_fitsimg_")
+
+
+@register(
+    "source_fits_image",
+    oracle=(
+        "SELECT CAST(n_nationkey AS INT) AS natkey, "
+        "16 AS bitpix_primary, -32 AS bitpix_ext, "
+        "CAST(16448 * n_nationkey + 26208 AS BIGINT) AS px_sum, "
+        "CAST(257 * n_nationkey AS BIGINT) AS px_min, "
+        "CAST(257 * n_nationkey + 819 AS BIGINT) AS px_max, "
+        "(257 * n_nationkey + 409.5) / 4.0 AS f_mean "
+        "FROM nation ORDER BY natkey"
+    ),
+    cacheable=False,
+)
+def source_fits_image(spark, sf_dir):
+    """FITS IMAGE-HDU pixel read (round-9 residual #3): 25 two-HDU
+    exposure files (16-bit unsigned-convention primary + float32
+    extension) are written once per session, read back through the
+    distributed image parser, and reduced ENTIRELY with Catalyst
+    array HOFs — sum/min/max of the exact integer counts from the
+    primary, mean of the float32 plane from the extension, joined on
+    the NATKEY header card. The oracle recomputes every statistic
+    from nation in closed form, so a wrong BZERO application, a
+    swapped axis, or a missed extension HDU breaks the hash. The
+    f32 plane holds exact quarter-integers, so the float mean is
+    bit-deterministic across engines."""
+    d = _image_fixture_path(spark, sf_dir)
+    img = read_fits_images(spark, d)
+    # NATKEY lives on the PRIMARY header only (extension headers
+    # carry their own cards) — HDUs of one exposure join on file
+    primary = img.filter(F.col("hdu_index") == 0).select(
+        "file",
+        F.element_at("_hdr", "NATKEY").cast("int").alias("natkey"),
+        F.col("bitpix").alias("bitpix_primary"),
+        F.aggregate("px", F.lit(0.0), lambda a, x: a + x)
+        .cast("bigint")
+        .alias("px_sum"),
+        F.array_min("px").cast("bigint").alias("px_min"),
+        F.array_max("px").cast("bigint").alias("px_max"),
+    )
+    ext = img.filter(F.col("hdu_index") == 1).select(
+        "file",
+        F.col("bitpix").alias("bitpix_ext"),
+        (
+            F.aggregate("px", F.lit(0.0), lambda a, x: a + x)
+            / F.size("px")
+        ).alias("f_mean"),
+    )
+    return (
+        primary.join(ext, "file")
+        .select(
+            "natkey", "bitpix_primary", "bitpix_ext",
+            "px_sum", "px_min", "px_max", "f_mean",
+        )
+        .orderBy("natkey")
+    )

@@ -134,3 +134,90 @@ def test_header_map_rides_along_and_answers_keywords(spark):
     # header column is pruned when untouched (payload-size guard)
     df = read_fits(spark, d, with_header=True).select("k")
     assert "_hdr" not in df.columns
+
+
+# --- IMAGE HDU pixel data (round-10) ----------------------------------------
+
+
+def test_image_roundtrip_unsigned_and_float_ext(tmp_path):
+    import numpy as np
+
+    from lsd_spark.sources.fits import _make_image_parser, write_fits_image
+
+    _, _, parse_images = _make_image_parser()
+    phys = (np.arange(24, dtype=np.int64) * 2731 % 65536).reshape(4, 6)
+    f32 = (phys / 4.0).astype(np.float64)
+    p = str(tmp_path / "x.fits")
+    write_fits_image(p, phys, f32=f32, extra_cards={"NATKEY": 7})
+    hdus = parse_images(open(p, "rb").read())
+    assert len(hdus) == 2
+    (h0, a0), (h1, a1) = hdus
+    assert h0["NATKEY"] == "7"
+    assert int(h0["BITPIX"]) == 16 and int(h1["BITPIX"]) == -32
+    assert a0.shape == (4, 6) and a1.shape == (4, 6)
+    assert (a0 == phys).all()  # BZERO applied exactly (full u16 range)
+    assert (a1 == f32).all()  # quarter-integers are float32-exact
+
+
+def test_image_parser_handles_bscale_and_f64(tmp_path):
+    """Decoder generality beyond our writer: a handcrafted BITPIX=-64
+    image and a BSCALE!=1 integer image must decode per the public
+    scaling rule physical = BZERO + BSCALE*stored."""
+    import numpy as np
+
+    from lsd_spark.sources.fits import (
+        _card,
+        _card_float,
+        _header,
+        _make_image_parser,
+        _pad,
+    )
+
+    _, _, parse_images = _make_image_parser()
+    vals = np.linspace(-3.5, 9.25, 12).reshape(3, 4)
+    buf = _header(
+        [
+            _card("SIMPLE", True),
+            _card("BITPIX", -64),
+            _card("NAXIS", 2),
+            _card("NAXIS1", 4),
+            _card("NAXIS2", 3),
+        ]
+    ) + _pad(vals.astype(">f8").tobytes())
+    stored = np.arange(6, dtype=np.int64).reshape(2, 3)
+    buf += _header(
+        [
+            _card("XTENSION", "IMAGE"),
+            _card("BITPIX", 32),
+            _card("NAXIS", 2),
+            _card("NAXIS1", 3),
+            _card("NAXIS2", 2),
+            _card("PCOUNT", 0),
+            _card("GCOUNT", 1),
+            _card_float("BSCALE", 2.5),
+            _card_float("BZERO", -10.0),
+        ]
+    ) + _pad(stored.astype(">i4").tobytes())
+    hdus = parse_images(bytes(buf))
+    assert (hdus[0][1] == vals).all()
+    assert (hdus[1][1] == -10.0 + 2.5 * stored).all()
+
+
+def test_image_parser_rejects_malformed(tmp_path):
+    import numpy as np
+
+    from lsd_spark.sources.fits import _make_image_parser, write_fits_image
+
+    _, _, parse_images = _make_image_parser()
+    p = str(tmp_path / "x.fits")
+    write_fits_image(p, np.zeros((4, 4), np.int64))
+    good = open(p, "rb").read()
+    with pytest.raises(ValueError, match="no END card"):
+        parse_images(good[:100])
+    with pytest.raises(ValueError, match="no 2-D image"):
+        # header-only file: primary with NAXIS=0
+        from lsd_spark.sources.fits import _card, _header
+
+        parse_images(
+            bytes(_header([_card("SIMPLE", True), _card("BITPIX", 8), _card("NAXIS", 0)]))
+        )
