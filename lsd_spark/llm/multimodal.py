@@ -1192,27 +1192,41 @@ def _make_gif_codec():
         width = MCS + 1
         table = {bytes([i]): i for i in range(256)}
         nxt = EOI + 1
-        put(CLEAR, width)
+
+        def emit(code: int) -> None:
+            # giflib convention ("late change"): emit at the current
+            # width, THEN grow if the next-free index has reached
+            # 2^width — so the first code after the table fills a
+            # width level is still emitted at the old width. The
+            # check runs after EVERY emission (including the final
+            # data code and EOI), which is what keeps the decoder's
+            # per-code-read counter in lockstep even when the stream
+            # ends exactly at a width boundary (the round-10
+            # hypothesis counterexample: 254 data codes, nxt==511).
+            nonlocal width
+            put(code, width)
+            if nxt >= (1 << width) and width < 12:
+                width += 1
+
+        emit(CLEAR)
         buf = b""
         for byte in arr.tobytes():
             cand = buf + bytes([byte])
             if cand in table:
                 buf = cand
                 continue
-            put(table[buf], width)
+            emit(table[buf])
             if nxt < 4096:
                 table[cand] = nxt
                 nxt += 1
-                if nxt == (1 << width) and width < 12:
-                    width += 1
             else:  # table full: clear and restart (spec-conformant)
-                put(CLEAR, width)
+                emit(CLEAR)
                 table = {bytes([i]): i for i in range(256)}
                 nxt, width = EOI + 1, MCS + 1
             buf = bytes([byte])
         if buf:
-            put(table[buf], width)
-        put(EOI, width)
+            emit(table[buf])
+        emit(EOI)
         if acc[1]:
             bits.append(acc[0] & 0xFF)
         for i in range(0, len(bits), 255):
@@ -1228,6 +1242,13 @@ def _make_gif_codec():
         out = bytearray()
         acc = cnt = pos = 0
         prev: bytes | None = None
+        # giflib-style width tracking: `running` counts codes READ
+        # since the last clear (seeded at next-free = 2^mcs + 2) and
+        # the width grows when it EXCEEDS 2^width — strict >, which
+        # is what makes the end-exactly-at-boundary stream (encoder
+        # never grew because the final flush adds no table entry)
+        # decode at the width the encoder actually used.
+        running = (1 << mcs) + 2
         while True:
             while cnt < width:
                 if pos >= len(data):
@@ -1238,9 +1259,13 @@ def _make_gif_codec():
             code = acc & ((1 << width) - 1)
             acc >>= width
             cnt -= width
+            running += 1
+            if running > (1 << width) and width < 12:
+                width += 1
             if code == clear:
                 table = table[: (1 << mcs) + 2]
                 width = mcs + 1
+                running = (1 << mcs) + 2
                 prev = None
                 continue
             if code == eoi:
@@ -1255,12 +1280,6 @@ def _make_gif_codec():
                 table.append(entry)
             else:
                 raise ValueError(f"gif: LZW code {code} out of range")
-            # width growth, decoder side: the decoder's table lags
-            # the encoder's by exactly one entry (it learns encoder
-            # entry t while processing code t+1), so it must grow at
-            # 2^width - 1 where the encoder grows at 2^width
-            if prev is not None and len(table) == (1 << width) - 1 and width < 12:
-                width += 1
             out += entry
             prev = entry
             if len(out) > n_px:

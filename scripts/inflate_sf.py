@@ -24,6 +24,14 @@ behaves exactly like driver data to both Spark and DuckDB.
 
 Usage: python scripts/inflate_sf.py [--src /root/testdata/sf0.1]
                                     [--k 10] [--out .cache/sf1]
+                                    [--tables events,orders]
+
+--tables (round-10, spatial stress tier): replicate ONLY the named
+fact tables at k; every other fact table is copied through at 1x.
+The 100x spatial tier inflates just `events` this way — the sphere /
+plane coordinates are md5-derived from event_id, so a 100x events
+dir is a genuinely 100x-denser synthetic sky without paying for
+100x documents/lineitem that the spatial family never reads.
 """
 
 from __future__ import annotations
@@ -72,9 +80,18 @@ def main() -> None:
         out = sys.argv[sys.argv.index("--out") + 1]
     if "--k" in sys.argv:
         k = int(sys.argv[sys.argv.index("--k") + 1])
+    replicated = list(REPLICATED)
+    passthrough: list[str] = []
+    if "--tables" in sys.argv:
+        keep = set(sys.argv[sys.argv.index("--tables") + 1].split(","))
+        unknown = keep - set(REPLICATED)
+        if unknown:
+            raise SystemExit(f"--tables: not fact tables: {sorted(unknown)}")
+        passthrough = [t for t in replicated if t not in keep]
+        replicated = [t for t in replicated if t in keep]
     os.makedirs(out, exist_ok=True)
 
-    tables = {t: pq.read_table(f"{src}/{t}.parquet") for t in REPLICATED}
+    tables = {t: pq.read_table(f"{src}/{t}.parquet") for t in replicated}
 
     # one stride per key DOMAIN: max over every column in the domain,
     # rounded up to the next power of 10 (keys stay human-readable)
@@ -88,10 +105,10 @@ def main() -> None:
     stride = {d: 10 ** len(str(m)) for d, m in dom_max.items()}
     print("strides:", stride)
 
-    for t in DIMS:
+    for t in DIMS + passthrough:
         tab = pq.read_table(f"{src}/{t}.parquet")
         pq.write_table(tab, f"{out}/{t}.parquet")
-        print(f"{t}: {tab.num_rows} rows (dim, 1x)")
+        print(f"{t}: {tab.num_rows} rows (1x passthrough)")
 
     for t, tab in tables.items():
         parts = []
