@@ -105,6 +105,25 @@ def _sphere_points_sql(etype: str | None, cols: tuple[str, ...] = ()) -> str:
     )
 
 
+# Spark-dialect twins of _RA_SQL/_DEC_SQL (conv() instead of DuckDB's
+# '0x'||…::BIGINT): the SAME derivation as_sphere_points builds with
+# F.expr, as text, for callers that need to let-bind the coordinates
+# inside a single SQL expression (see healpix_ring_zt_sql's note on
+# pushdown duplication). The divisor/offset literals carry the D
+# suffix: in Spark SQL TEXT `1000.0` is a DECIMAL literal, so
+# `bigint / 1000.0` would run exact decimal division and land one
+# ulp away from the Column form's double division (caught by the
+# round-10 oracle hash on dec = -29.215…3 vs -29.215).
+RA_SPARK_SQL = (
+    "((CAST(conv(substr(md5(CAST(event_id AS STRING) || 'r'), 1, 15), 16, 10) "
+    "AS BIGINT) % 360000) / 1000.0D)"
+)
+DEC_SPARK_SQL = (
+    "((CAST(conv(substr(md5(CAST(event_id AS STRING) || 'd'), 1, 15), 16, 10) "
+    "AS BIGINT) % 180000) / 1000.0D - 90.0D)"
+)
+
+
 def as_sphere_points(
     ev: DataFrame, etype: str | None, cols: tuple[str, ...] = ()
 ) -> DataFrame:
@@ -241,6 +260,22 @@ def healpix_ring_sql(ra: str, dec: str, nside: int) -> str:
     every branch formula (round-3 ADVICE)."""
     z = f"sin(radians({dec}))"
     tt = f"(((({ra}) % 360.0 + 360.0) % 360.0) / 90.0 % 4.0)"
+    return healpix_ring_zt_sql(z, tt, nside)
+
+
+def healpix_ring_zt_sql(z: str, tt: str, nside: int) -> str:
+    """healpix_ring_sql's core over PRE-BOUND z = sin(radians(dec))
+    and tt = normalized-RA/90 mod 4. The string-composition builder
+    repeats {z}/{tt} combinatorially (the full text carries ~15
+    copies of each), which is fine when they are column references —
+    but when ra/dec are themselves derived expressions (the fixture's
+    md5 synthetic sky), Catalyst's predicate pushdown substitutes the
+    derivation into EVERY copy: the round-10 100x-sky profile showed
+    filter_region_healpix's executed plan holding 67 md5 calls and
+    running 5x slower than the same formula as a projection. Callers
+    that FILTER on the pixel should bind z/tt once (lambda variable,
+    struct field, or materialized column) and pass the references
+    here; healpix_ring_sql remains the projection-side text."""
     # equatorial belt |z| <= 2/3
     jp_e = f"floor({nside} * (0.5 + {tt}) - {nside} * ({z} * 0.75))"
     jm_e = f"floor({nside} * (0.5 + {tt}) + {nside} * ({z} * 0.75))"

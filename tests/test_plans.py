@@ -523,6 +523,24 @@ def test_region_time_pushes_epoch_range_to_scan(spark):
     ), p
 
 
+def test_region_healpix_binds_derived_coords_once(spark):
+    """filter_region_healpix's membership must let-bind the derived
+    ra/dec (HOF lambda) instead of filtering on derived columns:
+    predicate pushdown substitutes a derived column into EVERY
+    reference inside the pushed predicate, and the ang2pix text
+    references its inputs ~15 times each — the naive shape executed
+    67 md5 derivations per row and ran 5x slower at the 100x sky dir
+    (round 10). Budget: the executed plan may hold the md5 derivation
+    at most 8 times (4 binding slots in the lambda struct + the 2
+    output columns, with headroom for EXPLAIN listing a node twice);
+    67 means the pushdown-duplication regressed."""
+    p = qplan("filter_region_healpix", spark)
+    assert p.count("md5") <= 8, f"md5 x{p.count('md5')} in plan"
+    assert "aggregate(" in p or "Join" not in p, p
+    # still map-only: no join, at most the presentation sort exchange
+    assert "Join" not in p, p
+
+
 def test_min_label_loop_runs_when_contraction_is_partial(spark):
     """Round-6 seed/probe restructure: when a component's edges span
     partitions, the contraction seed is NOT the fixpoint, the probe
