@@ -574,5 +574,6 @@ def load_all() -> None:
     import lsd_spark.plans.region  # noqa: F401
     import lsd_spark.functions.astro  # noqa: F401
     import lsd_spark.sources.table_log  # noqa: F401
+    import lsd_spark.sources.fits_tile  # noqa: F401
     _reorder_for_ledger()
     _LOADED = True

@@ -35,6 +35,7 @@ of spinning on a truncated/corrupt file.
 
 from __future__ import annotations
 
+import math
 import os
 import tempfile
 
@@ -803,7 +804,9 @@ def write_fits_image(
         _card_float("BZERO", 32768.0),
     ]
     for k, v in (extra_cards or {}).items():
-        cards.append(_card(k, v))
+        cards.append(
+            _card_float(k, v) if isinstance(v, float) else _card(k, v)
+        )
     buf = _header(cards)
     stored = (physical.astype("int64") - 32768).astype(">i2")
     buf += _pad(stored.tobytes())
@@ -953,11 +956,37 @@ def read_fits_images(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def wcs_cards(natkey: int) -> dict:
+    """Closed-form TAN WCS for exposure `natkey` (all derivable from
+    nation in pure SQL, which is what keeps source_fits_wcs's oracle
+    a full hash): pointing center ra0 = 10*natkey + 5,
+    dec0 = 3*natkey - 36, reference pixel at the 8x8 image center
+    (4.5, 4.5), and a CD matrix that is a 7*natkey-degree rotation
+    scaled to 0.001 deg/px — every exposure gets a different roll
+    angle, so a transposed or sign-flipped CD term moves every
+    off-axis pixel and breaks the hash."""
+    th = math.radians(7.0 * natkey)
+    s = 0.001
+    return {
+        "CTYPE1": "RA---TAN",
+        "CTYPE2": "DEC--TAN",
+        "CRVAL1": 10.0 * natkey + 5.0,
+        "CRVAL2": 3.0 * natkey - 36.0,
+        "CRPIX1": 4.5,
+        "CRPIX2": 4.5,
+        "CD1_1": s * math.cos(th),
+        "CD1_2": -s * math.sin(th),
+        "CD2_1": s * math.sin(th),
+        "CD2_2": s * math.cos(th),
+    }
+
+
 def _image_fixture_path(spark: SparkSession, sf_dir: str) -> str:
     """25 two-HDU image files (one per nation): primary = 8x8
-    unsigned 16-bit counts physical[i,j] = 257*natkey + 13*(8i+j);
-    extension = the same plane / 4 as float32 (exact quarter
-    integers). Closed forms keep the oracle pure SQL."""
+    unsigned 16-bit counts physical[i,j] = 257*natkey + 13*(8i+j)
+    with a closed-form TAN WCS header (wcs_cards); extension = the
+    same plane / 4 as float32 (exact quarter integers). Closed forms
+    keep the oracles pure SQL."""
     from lsd_spark.plans.materialize import materialized
 
     def build(base: str) -> str:
@@ -972,11 +1001,13 @@ def _image_fixture_path(spark: SparkSession, sf_dir: str) -> str:
         idx = np.arange(64, dtype=np.int64).reshape(8, 8)
         for k in keys:
             phys = 257 * int(k) + 13 * idx
+            cards = {"NATKEY": int(k)}
+            cards.update(wcs_cards(int(k)))
             write_fits_image(
                 os.path.join(d, f"img_{int(k):02d}.fits"),
                 phys,
                 f32=(phys / 4.0),
-                extra_cards={"NATKEY": int(k)},
+                extra_cards=cards,
             )
         return d
 
@@ -1037,4 +1068,145 @@ def source_fits_image(spark, sf_dir):
             "px_sum", "px_min", "px_max", "f_mean",
         )
         .orderBy("natkey")
+    )
+
+
+# --- WCS: per-exposure pixel <-> sky transforms (round-10 residual #3) -----
+
+_WCS_PROBE_PIXELS = [(1, 1), (1, 8), (8, 1), (8, 8), (4, 5)]
+
+_WCS_ORACLE = (
+    "WITH probe AS (SELECT * FROM (VALUES "
+    + ", ".join(f"({px}, {py})" for px, py in _WCS_PROBE_PIXELS)
+    + ") AS t(px, py)), "
+    "w AS (SELECT CAST(n_nationkey AS INT) AS natkey, "
+    "  radians(10.0*n_nationkey + 5.0) AS r0, "
+    "  radians(3.0*n_nationkey - 36.0) AS d0, "
+    "  0.001*cos(radians(7.0*n_nationkey)) AS cd11, "
+    "  -0.001*sin(radians(7.0*n_nationkey)) AS cd12, "
+    "  0.001*sin(radians(7.0*n_nationkey)) AS cd21, "
+    "  0.001*cos(radians(7.0*n_nationkey)) AS cd22 "
+    "FROM nation), "
+    "c AS (SELECT natkey, px, py, r0, d0, "
+    "  radians(cd11*(px - 4.5) + cd12*(py - 4.5)) AS xi, "
+    "  radians(cd21*(px - 4.5) + cd22*(py - 4.5)) AS eta "
+    "FROM w CROSS JOIN probe) "
+    "SELECT natkey, px, py, "
+    "  FLOOR(((degrees(r0 + atan2(xi, cos(d0) - eta*sin(d0))) % 360.0 "
+    "    + 360.0) % 360.0) * 1000000 + 0.5) / 1000000 AS ra, "
+    "  FLOOR(degrees(atan((sin(d0) + eta*cos(d0)) / "
+    "    sqrt(xi*xi + (cos(d0) - eta*sin(d0)) * (cos(d0) - eta*sin(d0))))) "
+    "    * 1000000 + 0.5) / 1000000 AS dec, "
+    "  0.0 AS roundtrip_err "
+    "FROM c ORDER BY natkey, px, py"
+)
+
+
+@register("source_fits_wcs", oracle=_WCS_ORACLE, cacheable=False)
+def source_fits_wcs(spark, sf_dir):
+    """WCS header ingest: each exposure's TAN (gnomonic) solution —
+    CRVAL/CRPIX/CD cards, the survey-pipeline astrometric calibration
+    LSD consumes when importing detections [lsd:src/lsd/smf.py survey
+    ingest — UNVERIFIED] — is parsed from the FITS primary header and
+    applied as the standard pix->sky de-projection (Greisen & 
+    Calabretta 2002, public formulas):
+
+        (xi, eta) = CD . (p - CRPIX)            [intermediate, deg]
+        dec = atan((sin d0 + eta cos d0) / sqrt(xi^2 + (cos d0 - eta sin d0)^2))
+        ra  = ra0 + atan2(xi, cos d0 - eta sin d0)
+
+    entirely in Catalyst (trig built-ins over header-derived DOUBLE
+    columns; the 5 probe pixels explode from a literal array). The
+    inverse (sky->pix: forward-project the computed ra/dec, invert
+    the CD matrix) runs in the same projection and its residual is
+    returned after the same 1e-6 grid quantization — a wrong CD sign
+    or a swapped axis makes it blow past the grid instead of rounding
+    to 0.0. Oracle: DuckDB recomputes the de-projection from nation's
+    closed-form WCS (wcs_cards) — the Spark side must parse the
+    header text back to the identical doubles (repr roundtrip) and
+    apply the identical formula sequence for the hash to match.
+
+    100 TB: one WCS row per exposure is aggregate-sized; detections
+    join their exposure's WCS on file/exposure id (broadcast) and the
+    transform is map-only codegen — coordinates materialize at ingest
+    into the zone/HEALPix layout every later query prunes by."""
+    d = _image_fixture_path(spark, sf_dir)
+    img = read_fits_images(spark, d)
+    hdr = img.filter(F.col("hdu_index") == 0).select(
+        F.element_at("_hdr", "NATKEY").cast("int").alias("natkey"),
+        F.element_at("_hdr", "CRVAL1").cast("double").alias("crval1"),
+        F.element_at("_hdr", "CRVAL2").cast("double").alias("crval2"),
+        F.element_at("_hdr", "CRPIX1").cast("double").alias("crpix1"),
+        F.element_at("_hdr", "CRPIX2").cast("double").alias("crpix2"),
+        F.element_at("_hdr", "CD1_1").cast("double").alias("cd11"),
+        F.element_at("_hdr", "CD1_2").cast("double").alias("cd12"),
+        F.element_at("_hdr", "CD2_1").cast("double").alias("cd21"),
+        F.element_at("_hdr", "CD2_2").cast("double").alias("cd22"),
+        F.element_at("_hdr", "CTYPE1").alias("ctype1"),
+    )
+    probes = F.array(
+        *[
+            F.struct(F.lit(px).alias("px"), F.lit(py).alias("py"))
+            for px, py in _WCS_PROBE_PIXELS
+        ]
+    )
+    g = (
+        hdr.filter(F.col("ctype1") == "RA---TAN")
+        .select("*", F.explode(probes).alias("p"))
+        .select(
+            "natkey",
+            F.col("p.px").alias("px"),
+            F.col("p.py").alias("py"),
+            F.radians("crval1").alias("r0"),
+            F.radians("crval2").alias("d0"),
+            F.radians(
+                F.col("cd11") * (F.col("p.px") - F.col("crpix1"))
+                + F.col("cd12") * (F.col("p.py") - F.col("crpix2"))
+            ).alias("xi"),
+            F.radians(
+                F.col("cd21") * (F.col("p.px") - F.col("crpix1"))
+                + F.col("cd22") * (F.col("p.py") - F.col("crpix2"))
+            ).alias("eta"),
+            "crpix1", "crpix2", "cd11", "cd12", "cd21", "cd22",
+        )
+    )
+    den = F.cos("d0") - F.col("eta") * F.sin("d0")
+    ra_rad = F.col("r0") + F.atan2(F.col("xi"), den)
+    dec_rad = F.atan(
+        (F.sin("d0") + F.col("eta") * F.cos("d0"))
+        / F.sqrt(F.col("xi") * F.col("xi") + den * den)
+    )
+    g = g.select(
+        "natkey", "px", "py",
+        ((F.degrees(ra_rad) % 360.0 + 360.0) % 360.0).alias("ra_f"),
+        F.degrees(dec_rad).alias("dec_f"),
+        "r0", "d0", "crpix1", "crpix2", "cd11", "cd12", "cd21", "cd22",
+    )
+    # inverse: forward-project (ra_f, dec_f) and invert CD -> pixel
+    rr = F.radians("ra_f")
+    dd = F.radians("dec_f")
+    den2 = F.sin(dd) * F.sin("d0") + F.cos(dd) * F.cos("d0") * F.cos(
+        rr - F.col("r0")
+    )
+    xi_b = F.degrees(F.cos(dd) * F.sin(rr - F.col("r0")) / den2)
+    eta_b = F.degrees(
+        (F.sin(dd) * F.cos("d0") - F.cos(dd) * F.sin("d0") * F.cos(rr - F.col("r0")))
+        / den2
+    )
+    det = F.col("cd11") * F.col("cd22") - F.col("cd12") * F.col("cd21")
+    px_b = F.col("crpix1") + (F.col("cd22") * xi_b - F.col("cd12") * eta_b) / det
+    py_b = F.col("crpix2") + (F.col("cd11") * eta_b - F.col("cd21") * xi_b) / det
+    grid = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        g.select(
+            "natkey", "px", "py",
+            grid(F.col("ra_f")).alias("ra"),
+            grid(F.col("dec_f")).alias("dec"),
+            grid(
+                F.greatest(
+                    F.abs(px_b - F.col("px")), F.abs(py_b - F.col("py"))
+                )
+            ).alias("roundtrip_err"),
+        )
+        .orderBy("natkey", "px", "py")
     )

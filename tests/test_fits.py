@@ -221,3 +221,74 @@ def test_image_parser_rejects_malformed(tmp_path):
         parse_images(
             bytes(_header([_card("SIMPLE", True), _card("BITPIX", 8), _card("NAXIS", 0)]))
         )
+
+
+def test_wcs_pix2sky_matches_independent_numpy(spark):
+    """source_fits_wcs's Catalyst TAN de-projection must agree with
+    an independent numpy implementation of the same public formulas
+    (Greisen & Calabretta 2002) for every (exposure, probe pixel),
+    and the sky->pix roundtrip residual must quantize to exactly 0
+    (a wrong CD sign / swapped axis blows it past the 1e-6 grid)."""
+    import math
+
+    import numpy as np
+
+    from lsd_spark.registry import QUERIES, load_all
+    from lsd_spark.sources.fits import wcs_cards
+    from tests.conftest import SF_DIR
+
+    load_all()
+    rows = QUERIES["source_fits_wcs"](spark, SF_DIR).collect()
+    assert len(rows) == 125  # 25 exposures x 5 probe pixels
+    for r in rows:
+        w = wcs_cards(r["natkey"])
+        xi = math.radians(
+            w["CD1_1"] * (r["px"] - w["CRPIX1"])
+            + w["CD1_2"] * (r["py"] - w["CRPIX2"])
+        )
+        eta = math.radians(
+            w["CD2_1"] * (r["px"] - w["CRPIX1"])
+            + w["CD2_2"] * (r["py"] - w["CRPIX2"])
+        )
+        d0 = math.radians(w["CRVAL2"])
+        r0 = math.radians(w["CRVAL1"])
+        den = math.cos(d0) - eta * math.sin(d0)
+        ra = math.degrees(r0 + math.atan2(xi, den)) % 360.0
+        dec = math.degrees(
+            math.atan((math.sin(d0) + eta * math.cos(d0)) / math.hypot(xi, den))
+        )
+        assert abs(r["ra"] - ra) < 2e-6, (r, ra)
+        assert abs(r["dec"] - dec) < 2e-6, (r, dec)
+        assert r["roundtrip_err"] == 0.0, r
+    # off-axis pixels genuinely move (the CD rotation matters): the
+    # four corners of exposure 7 land at four distinct positions
+    corners = {
+        (r["ra"], r["dec"])
+        for r in rows
+        if r["natkey"] == 7 and (r["px"], r["py"]) != (4, 5)
+    }
+    assert len(corners) == 4
+
+
+def test_wcs_header_cards_survive_repr_roundtrip(tmp_path):
+    """The WCS floats written via _card_float(repr) must parse back
+    bit-identically — the oracle depends on it."""
+    import numpy as np
+
+    from lsd_spark.sources.fits import (
+        _make_image_parser,
+        wcs_cards,
+        write_fits_image,
+    )
+
+    p = str(tmp_path / "w.fits")
+    cards = {"NATKEY": 13}
+    cards.update(wcs_cards(13))
+    write_fits_image(p, np.zeros((8, 8), dtype=np.int64), extra_cards=cards)
+    _, _, parse_images = _make_image_parser()
+    hdr, _arr = parse_images(open(p, "rb").read())[0]
+    for k, v in wcs_cards(13).items():
+        if isinstance(v, float):
+            assert float(hdr[k]) == v, (k, hdr[k], v)
+        else:
+            assert hdr[k].startswith(v.split("-")[0]), (k, hdr[k])
