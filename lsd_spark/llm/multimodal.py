@@ -12,12 +12,14 @@ exercised end-to-end by mm_decode_png / mm_decode_wav /
 mm_decode_jpeg / mm_decode_gif / mm_decode_video with full
 hash-match oracles and unit-tested against handcrafted files
 (tests/test_codecs.py).
-Non-MJPEG video codecs (H.264/VP9/AV1 entropy+prediction stacks)
-remain out of scope for a pure-python kernel — mm_decode /
-mm_frame_sample keep their documented digest-derived stand-ins for
-that surface, with the real Spark-side plumbing (schema, Arrow
-batch shape, mapInPandas signature, partition behavior) shared with
-the real codecs.
+Video carries two REAL pixel paths — MJPEG-in-AVI ('00dc' chunks,
+mm_decode_video) and uncompressed DIB-in-AVI ('00db' BI_RGB
+bottom-up BGR frames with 4-byte row stride, mm_decode_video_raw).
+Inter-coded codecs (H.264/VP9/AV1 entropy+prediction stacks) remain
+out of scope for a pure-python kernel — mm_decode keeps its
+documented digest-derived stand-in for that surface, with the real
+Spark-side plumbing (schema, Arrow batch shape, mapInPandas
+signature, partition behavior) shared with the real codecs.
 """
 
 from __future__ import annotations
@@ -1444,6 +1446,134 @@ def _make_avi_codec():
     return encode, decode
 
 
+def _make_avi_dib_codec():
+    """(encode, decode) for UNCOMPRESSED video — DIB-in-AVI ('00db'
+    chunks, the BI_RGB layout every capture tool can emit), the
+    second real pixel path next to MJPEG (round-9 VERDICT residual
+    #4). encode(frames, fps) takes HxWx3 uint8 RGB arrays and emits
+    a conforming video-only AVI whose strf BITMAPINFOHEADER says
+    biCompression=0/biBitCount=24 and whose frame payloads follow
+    the DIB rules — rows stored BOTTOM-UP, pixels as BGR triples,
+    each row padded to a 4-byte stride. decode walks the RIFF tree,
+    validates avih/strf/idx1 against the '00db' chunks, and undoes
+    stride/flip/channel-order — a decoder that forgets any of the
+    three returns provably wrong pixels (the fixture puts different
+    colors in the top and bottom halves and checks R and B channels
+    separately). Malformed containers raise."""
+    import struct as _st
+
+    def _ck(ckid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return ckid + _st.pack("<I", len(data)) + data + pad
+
+    def _li(listtype: bytes, body: bytes) -> bytes:
+        return _ck(b"LIST", listtype + body)
+
+    def encode(frames, fps: int = 5) -> bytes:
+        import numpy as np
+
+        h, w, _c = np.asarray(frames[0]).shape
+        stride = (w * 3 + 3) & ~3
+        payloads = []
+        for fr in frames:
+            fr = np.asarray(fr, dtype=np.uint8)
+            row = np.zeros((h, stride), np.uint8)
+            row[:, : w * 3] = fr[::-1, :, ::-1].reshape(h, w * 3)  # flip+BGR
+            payloads.append(row.tobytes())
+        maxb = stride * h
+        avih = _st.pack(
+            "<14I",
+            1000000 // fps, maxb * fps, 0, 0x10,
+            len(frames), 0, 1, maxb, w, h, 0, 0, 0, 0,
+        )
+        strh = (
+            b"vids" + b"DIB "
+            + _st.pack(
+                "<IHHIIIIIIiI",
+                0, 0, 0, 0, 1, fps, 0, len(frames), maxb, -1, 0,
+            )
+            + _st.pack("<4H", 0, 0, w, h)
+        )
+        strf = _st.pack(
+            "<IiiHH4sIiiII",
+            40, w, h, 1, 24, b"\x00\x00\x00\x00",  # BI_RGB
+            maxb, 0, 0, 0, 0,
+        )
+        hdrl = _li(
+            b"hdrl",
+            _ck(b"avih", avih)
+            + _li(b"strl", _ck(b"strh", strh) + _ck(b"strf", strf)),
+        )
+        chunks = [_ck(b"00db", p) for p in payloads]
+        movi = _li(b"movi", b"".join(chunks))
+        idx, off = [], 4
+        for p, ck in zip(payloads, chunks):
+            idx.append(_st.pack("<4sIII", b"00db", 0x10, off, len(p)))
+            off += len(ck)
+        return _ck(b"RIFF", b"AVI " + hdrl + movi + _ck(b"idx1", b"".join(idx)))
+
+    def decode(data: bytes):
+        import numpy as np
+
+        data = bytes(data)
+        if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+            raise ValueError("not a RIFF/AVI file")
+        (riff_sz,) = _st.unpack_from("<I", data, 4)
+        if 8 + riff_sz > len(data):
+            raise ValueError("truncated RIFF payload")
+        state = {"n": None, "w": None, "h": None, "comp": None, "bits": None}
+        raw, idx = [], []
+
+        def walk(pos, end):
+            while pos + 8 <= end:
+                ckid = data[pos : pos + 4]
+                (sz,) = _st.unpack_from("<I", data, pos + 4)
+                body = pos + 8
+                if ckid == b"LIST":
+                    if data[body : body + 4] in (b"hdrl", b"strl", b"movi"):
+                        walk(body + 4, body + sz)
+                elif ckid == b"avih":
+                    v = _st.unpack_from("<14I", data, body)
+                    state["n"], state["w"], state["h"] = v[4], v[8], v[9]
+                elif ckid == b"strf":
+                    v = _st.unpack_from("<IiiHH4s", data, body)
+                    state["bits"], state["comp"] = v[4], v[5]
+                elif ckid == b"00db":
+                    raw.append(data[body : body + sz])
+                elif ckid == b"idx1":
+                    for e in range(sz // 16):
+                        idx.append(_st.unpack_from("<4sIII", data, body + 16 * e))
+                pos = body + sz + (sz % 2)
+
+        walk(12, 8 + riff_sz)
+        if state["n"] is None:
+            raise ValueError("no avih header")
+        if state["comp"] != b"\x00\x00\x00\x00" or state["bits"] != 24:
+            raise ValueError("not an uncompressed 24-bit DIB stream")
+        if len(raw) != state["n"]:
+            raise ValueError(
+                f"frame count mismatch: avih {state['n']} vs movi {len(raw)}"
+            )
+        if idx and len(idx) != state["n"]:
+            raise ValueError("idx1 entry count mismatch")
+        for (ckid, _fl, _off, isz), p in zip(idx, raw):
+            if ckid != b"00db" or isz != len(p):
+                raise ValueError("idx1 disagrees with movi chunk")
+        w, h = state["w"], state["h"]
+        stride = (w * 3 + 3) & ~3
+        frames = []
+        for p in raw:
+            if len(p) != stride * h:
+                raise ValueError("DIB payload size != stride * height")
+            rows = np.frombuffer(p, np.uint8).reshape(h, stride)
+            frames.append(
+                rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy()
+            )
+        return state["n"], w, h, frames
+
+    return encode, decode
+
+
 VIDEO_N_FRAMES = 6
 VIDEO_STRIDE = 2  # decode frames 0, 2, 4 — the frame-sample policy
 
@@ -1536,5 +1666,75 @@ def mm_decode_video(spark, sf_dir):
         schema=(
             "doc_id bigint, n_frames int, width int, height int, "
             + ", ".join(f"s{f} int" for f in sampled)
+        ),
+    ).orderBy("doc_id")
+
+
+RAW_VIDEO_N_FRAMES = 4
+_RAW_BYTE = "(('0x' || substring(md5(text), 2*{i}+1, 2))::INT)"
+
+
+@register(
+    "mm_decode_video_raw",
+    oracle=(
+        f"SELECT doc_id, CAST({RAW_VIDEO_N_FRAMES} AS INT) AS n_frames, "
+        "10 AS width, 8 AS height, "
+        f"{_RAW_BYTE.format(i=0)} AS rt0, {_RAW_BYTE.format(i=7)} AS bb0, "
+        f"{_RAW_BYTE.format(i=6)} AS rt2, {_RAW_BYTE.format(i=13)} AS bb2 "
+        "FROM documents ORDER BY doc_id"
+    ),
+)
+def mm_decode_video_raw(spark, sf_dir):
+    """UNCOMPRESSED video decode — the DIB-in-AVI path
+    (_make_avi_dib_codec): per document, 4 RGB 10x8 frames whose top
+    half (rows 0-3) and bottom half carry different md5-derived
+    colors are muxed into a real '00db' BI_RGB AVI and decoded back.
+    The fixture geometry makes every DIB rule load-bearing: width 10
+    forces the 4-byte row stride (30 -> 32 bytes), the top/bottom
+    split catches a forgotten bottom-up flip, and emitting the RED
+    channel of the top half but the BLUE channel of the bottom half
+    catches a skipped BGR->RGB swap. Frames 0 and 2 are sampled
+    (stride 2, same policy as mm_decode_video — demux is a byte
+    walk, only sampled frames convert).
+
+    100 TB: raw video is the bandwidth-heavy ingest case — decode
+    cost is memcpy-bound, so the map-only Arrow kernel is IO-limited
+    and scales with file parallelism; column pruning drops payloads
+    for metadata-only queries."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    venc, vdec = _make_avi_dib_codec()  # ship by value
+
+    def kernel(batches):
+        import hashlib as _hl
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = _hl.md5(t.encode("utf-8")).digest()
+                frames = []
+                for f in range(RAW_VIDEO_N_FRAMES):
+                    img = np.zeros((8, 10, 3), np.uint8)
+                    img[:4] = [d[(3 * f) % 16], d[(3 * f + 1) % 16], d[(3 * f + 2) % 16]]
+                    img[4:] = [d[(3 * f + 5) % 16], d[(3 * f + 6) % 16], d[(3 * f + 7) % 16]]
+                    frames.append(img)
+                n, w, h, back = vdec(venc(frames))
+                vals = []
+                for f in (0, 2):
+                    vals.append(int(back[f][0, 0, 0]))   # top-left red
+                    vals.append(int(back[f][7, 9, 2]))   # bottom-right blue
+                rows.append((int(doc_id), int(n), int(w), int(h), vals[0], vals[1], vals[2], vals[3]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "width", "height", "rt0", "bb0", "rt2", "bb2"],
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, n_frames int, width int, height int, "
+            "rt0 int, bb0 int, rt2 int, bb2 int"
         ),
     ).orderBy("doc_id")

@@ -410,3 +410,68 @@ def test_gif_deep_table_clear_reset():
     a = rng.randint(0, 256, (120, 300)).astype(np.uint8)
     h, w, rgb = dec(enc(a))
     assert (rgb[:, :, 0] == a).all()
+
+
+# --- DIB-in-AVI (uncompressed 24-bit video) --------------------------------
+
+
+def test_dib_avi_roundtrip_various_geometries():
+    """Stride padding (w=10 -> 32-byte rows), single-pixel-wide,
+    square, multi-frame — all must round-trip bit-exact through the
+    bottom-up BGR layout."""
+    from lsd_spark.llm.multimodal import _make_avi_dib_codec
+
+    enc, dec = _make_avi_dib_codec()
+    rng = np.random.RandomState(0)
+    for h, w, n in [(8, 10, 4), (5, 7, 1), (16, 16, 3), (3, 1, 2)]:
+        frames = [rng.randint(0, 256, (h, w, 3)).astype(np.uint8) for _ in range(n)]
+        nn, ww, hh, back = dec(enc(frames))
+        assert (nn, ww, hh) == (n, w, h)
+        for a, b in zip(frames, back):
+            assert (a == b).all()
+
+
+def test_dib_avi_layout_rules_are_load_bearing():
+    """The raw bytes on disk must actually be bottom-up BGR with
+    4-byte stride: check the first stored row of a known frame
+    equals the LAST image row with channels reversed and two pad
+    bytes."""
+    from lsd_spark.llm.multimodal import _make_avi_dib_codec
+
+    enc, _ = _make_avi_dib_codec()
+    img = np.zeros((2, 10, 3), np.uint8)
+    img[0] = [1, 2, 3]   # top row RGB
+    img[1] = [9, 8, 7]   # bottom row RGB
+    data = enc([img])
+    i = data.index(b"00db") + 8
+    first_stored_row = data[i : i + 32]
+    assert first_stored_row[:3] == bytes([7, 8, 9])     # bottom row, BGR
+    assert first_stored_row[30:32] == b"\x00\x00"        # stride pad
+    second = data[i + 32 : i + 64]
+    assert second[:3] == bytes([3, 2, 1])                # top row, BGR
+
+
+def test_dib_avi_rejects_malformed():
+    import struct
+
+    import pytest
+
+    from lsd_spark.llm.multimodal import _make_avi_dib_codec
+
+    enc, dec = _make_avi_dib_codec()
+    rng = np.random.RandomState(1)
+    good = enc([rng.randint(0, 256, (4, 6, 3)).astype(np.uint8)])
+    with pytest.raises(ValueError, match="truncated"):
+        dec(good[:40])
+    with pytest.raises(ValueError, match="no avih"):
+        dec(good.replace(b"avih", b"xxxx"))
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, bad.index(b"avih") + 8 + 16, 99)
+    with pytest.raises(ValueError, match="mismatch"):
+        dec(bytes(bad))
+    # an MJPEG strf must be refused by the DIB decoder
+    bad2 = bytearray(good)
+    i = bad2.index(b"strf") + 8 + 16
+    bad2[i : i + 4] = b"MJPG"
+    with pytest.raises(ValueError, match="uncompressed"):
+        dec(bytes(bad2))
