@@ -179,11 +179,19 @@ def _make_fits_parser():
     BLOCK_ = 2880
     np_map = {"B": "u1", "I": ">i2", "J": ">i4", "K": ">i8", "E": ">f4", "D": ">f8", "L": "S1"}
 
+    class _Cards(dict):
+        # direct lookups of mandatory cards must surface as the
+        # parser's documented contract (ValueError on malformed
+        # files), not a KeyError leaking the dict internals -- the
+        # round-10 corruption fuzz hit this on flipped card names
+        def __missing__(self, key):
+            raise ValueError(f"fits: missing or corrupt card {key!r}")
+
     def read_cards(buf, off):
         """One header unit -> (cards dict, offset past header).
         Bounds-checked: raises on truncated/END-less headers instead
         of looping forever on empty slices."""
-        cards = {}
+        cards = _Cards()
         while off + BLOCK_ <= len(buf):
             block = buf[off : off + BLOCK_]
             for i in range(0, BLOCK_, 80):
@@ -240,6 +248,8 @@ def _make_fits_parser():
                 dt, styp = f"S{int(form[:-1] or 1)}", "string"
             else:
                 code = form.lstrip("0123456789")
+                if code not in np_map:
+                    raise ValueError(f"fits: unsupported TFORM {form!r}")
                 dt = np_map[code]
                 if code == "L":
                     styp = "boolean"
@@ -839,8 +849,14 @@ def _make_image_parser():
     BLOCK_ = 2880
     np_px = {8: "u1", 16: ">i2", 32: ">i4", 64: ">i8", -32: ">f4", -64: ">f8"}
 
+    class _Cards(dict):
+        # ValueError, not KeyError, on corrupt mandatory cards (see
+        # _make_fits_parser; same round-10 fuzz finding)
+        def __missing__(self, key):
+            raise ValueError(f"fits: missing or corrupt card {key!r}")
+
     def read_cards(buf, off):
-        cards = {}
+        cards = _Cards()
         while off + BLOCK_ <= len(buf):
             block = buf[off : off + BLOCK_]
             for i in range(0, BLOCK_, 80):

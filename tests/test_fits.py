@@ -292,3 +292,66 @@ def test_wcs_header_cards_survive_repr_roundtrip(tmp_path):
             assert float(hdr[k]) == v, (k, hdr[k], v)
         else:
             assert hdr[k].startswith(v.split("-")[0]), (k, hdr[k])
+
+
+def test_fuzz_corrupted_files_raise_valueerror_only(tmp_path):
+    """Corruption fuzz over all three parser families (plain image,
+    RICE/ZIMAGE, BINTABLE): byte flips, truncations, random splices
+    and header-area flips must either parse or raise ValueError —
+    never KeyError/struct.error/IndexError leaking parser internals,
+    and never hang (the round-10 fuzz found KeyError on flipped
+    mandatory-card names)."""
+    import numpy as np
+
+    from lsd_spark.sources.fits import (
+        _make_fits_parser,
+        _make_image_parser,
+        write_fits_bintable,
+        write_fits_image,
+    )
+    from lsd_spark.sources.fits_tile import (
+        _make_rice_image_parser,
+        write_fits_rice,
+    )
+
+    img = np.arange(64).reshape(8, 8) * 13 + 1000
+    p1 = str(tmp_path / "a.fits")
+    write_fits_image(p1, img, f32=img / 4.0, extra_cards={"NATKEY": 3})
+    p2 = str(tmp_path / "b.fits")
+    write_fits_rice(p2, img - 32768, extra_cards={"NATKEY": 3})
+    p3 = str(tmp_path / "c.fits")
+    write_fits_bintable(
+        p3, ["k", "v"], ["J", "D"], [np.arange(10), np.arange(10) * 1.5]
+    )
+    _, _, parse_images = _make_image_parser()
+    parse_rice = _make_rice_image_parser()
+    _, _, _, parse_table = _make_fits_parser()
+    parsers = [
+        (open(p1, "rb").read(), parse_images),
+        (open(p2, "rb").read(), parse_rice),
+        (open(p3, "rb").read(), parse_table),
+    ]
+    rng = np.random.RandomState(0)
+    raised = 0
+    for trial in range(900):
+        base, parse = parsers[trial % 3]
+        buf = bytearray(base)
+        k = trial % 4
+        if k == 0:
+            i = rng.randint(len(buf))
+            buf[i] ^= 1 << rng.randint(8)
+        elif k == 1:
+            buf = buf[: rng.randint(1, len(buf))]
+        elif k == 2:
+            i = rng.randint(len(buf))
+            j = rng.randint(1, 64)
+            buf[i : i + j] = bytes(rng.randint(0, 256, j, dtype=np.uint8))
+        else:
+            i = rng.randint(min(5760, len(buf)))
+            buf[i] ^= 0xFF
+        try:
+            parse(bytes(buf))
+        except ValueError:
+            raised += 1
+        # any other exception type propagates and fails the test
+    assert raised > 100  # the fuzz actually exercised failure paths
