@@ -1173,30 +1173,17 @@ def source_fits_wcs(spark, sf_dir):
             "natkey",
             F.col("p.px").alias("px"),
             F.col("p.py").alias("py"),
-            F.radians("crval1").alias("r0"),
-            F.radians("crval2").alias("d0"),
-            F.radians(
-                F.col("cd11") * (F.col("p.px") - F.col("crpix1"))
-                + F.col("cd12") * (F.col("p.py") - F.col("crpix2"))
-            ).alias("xi"),
-            F.radians(
-                F.col("cd21") * (F.col("p.px") - F.col("crpix1"))
-                + F.col("cd22") * (F.col("p.py") - F.col("crpix2"))
-            ).alias("eta"),
-            "crpix1", "crpix2", "cd11", "cd12", "cd21", "cd22",
+            "crval1", "crval2", "crpix1", "crpix2",
+            "cd11", "cd12", "cd21", "cd22",
         )
     )
-    den = F.cos("d0") - F.col("eta") * F.sin("d0")
-    ra_rad = F.col("r0") + F.atan2(F.col("xi"), den)
-    dec_rad = F.atan(
-        (F.sin("d0") + F.col("eta") * F.cos("d0"))
-        / F.sqrt(F.col("xi") * F.col("xi") + den * den)
-    )
-    g = g.select(
+    g = tan_pix2sky(g).select(
         "natkey", "px", "py",
-        ((F.degrees(ra_rad) % 360.0 + 360.0) % 360.0).alias("ra_f"),
-        F.degrees(dec_rad).alias("dec_f"),
-        "r0", "d0", "crpix1", "crpix2", "cd11", "cd12", "cd21", "cd22",
+        F.col("ra").alias("ra_f"),
+        F.col("dec").alias("dec_f"),
+        F.radians("crval1").alias("r0"),
+        F.radians("crval2").alias("d0"),
+        "crpix1", "crpix2", "cd11", "cd12", "cd21", "cd22",
     )
     # inverse: forward-project (ra_f, dec_f) and invert CD -> pixel
     rr = F.radians("ra_f")
@@ -1225,4 +1212,157 @@ def source_fits_wcs(spark, sf_dir):
             ).alias("roundtrip_err"),
         )
         .orderBy("natkey", "px", "py")
+    )
+
+
+def wcs_header_frame(spark: SparkSession, img_dir: str) -> DataFrame:
+    """(natkey, crval1, crval2, crpix1, crpix2, cd11..cd22) — one row
+    per exposure, parsed from the primary headers. Aggregate-sized
+    (exposure count, not detection count): the broadcast side of
+    every detection-level transform."""
+    img = read_fits_images(spark, img_dir)
+    return img.filter(F.col("hdu_index") == 0).select(
+        F.element_at("_hdr", "NATKEY").cast("int").alias("natkey"),
+        F.element_at("_hdr", "CRVAL1").cast("double").alias("crval1"),
+        F.element_at("_hdr", "CRVAL2").cast("double").alias("crval2"),
+        F.element_at("_hdr", "CRPIX1").cast("double").alias("crpix1"),
+        F.element_at("_hdr", "CRPIX2").cast("double").alias("crpix2"),
+        F.element_at("_hdr", "CD1_1").cast("double").alias("cd11"),
+        F.element_at("_hdr", "CD1_2").cast("double").alias("cd12"),
+        F.element_at("_hdr", "CD2_1").cast("double").alias("cd21"),
+        F.element_at("_hdr", "CD2_2").cast("double").alias("cd22"),
+    )
+
+
+def tan_pix2sky(df: DataFrame, px: str = "px", py: str = "py") -> DataFrame:
+    """Append (ra, dec) from the TAN de-projection of pixel columns
+    against WCS header columns (crval/crpix/cd*) already on the row
+    — the map-only transform a survey pipeline runs per detection
+    after a broadcast join with its exposure's astrometric solution.
+    Same formula sequence as source_fits_wcs / the DuckDB oracles."""
+    dx = F.col(px) - F.col("crpix1")
+    dy = F.col(py) - F.col("crpix2")
+    xi = F.radians(F.col("cd11") * dx + F.col("cd12") * dy)
+    eta = F.radians(F.col("cd21") * dx + F.col("cd22") * dy)
+    d0 = F.radians("crval2")
+    r0 = F.radians("crval1")
+    den = F.cos(d0) - eta * F.sin(d0)
+    ra = (F.degrees(r0 + F.atan2(xi, den)) % 360.0 + 360.0) % 360.0
+    dec = F.degrees(
+        F.atan((F.sin(d0) + eta * F.cos(d0)) / F.sqrt(xi * xi + den * den))
+    )
+    return df.withColumn("ra", ra).withColumn("dec", dec)
+
+
+def _det_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    """25 detection BINTABLEs (one per exposure): 8 detections each
+    with closed-form pixel positions px = 1+(3d+k)%8,
+    py = 1+(5d+k)%8 and flux = 100+(7d+k)%50 — pure-SQL reproducible,
+    spread over the full pixel grid so the WCS rotation genuinely
+    moves them."""
+    from lsd_spark.plans.materialize import materialized
+
+    def build(base: str) -> str:
+        keys = [
+            r["n_nationkey"]
+            for r in load(spark, sf_dir, "nation")
+            .select("n_nationkey")
+            .collect()
+        ]
+        d = os.path.join(base, "dets")
+        os.makedirs(d)
+        dd = np.arange(8, dtype=np.int64)
+        for k in keys:
+            k = int(k)
+            write_fits_bintable(
+                os.path.join(d, f"dets_{k:02d}.fits"),
+                ["exp_k", "det_id", "px", "py", "flux"],
+                ["J", "J", "J", "J", "J"],
+                [
+                    np.full(8, k, np.int64),
+                    dd,
+                    1 + (3 * dd + k) % 8,
+                    1 + (5 * dd + k) % 8,
+                    100 + (7 * dd + k) % 50,
+                ],
+            )
+        return d
+
+    return materialized(spark, "fits_dets", sf_dir, build, prefix="lsd_fitsdet_")
+
+
+def _survey_ingest_oracle() -> str:
+    from lsd_spark.plans.sphere import healpix_ring_sql
+
+    hpx = healpix_ring_sql("ra", "dec", 16)
+    return (
+        "WITH det AS (SELECT n_nationkey AS k, d FROM nation CROSS JOIN "
+        "  (SELECT unnest(generate_series(0, 7)) AS d) ds), "
+        "c AS (SELECT k, 1 + (3*d + k) % 8 AS px, 1 + (5*d + k) % 8 AS py, "
+        "  100 + (7*d + k) % 50 AS flux FROM det), "
+        "w AS (SELECT n_nationkey AS k, "
+        "  radians(10.0*n_nationkey + 5.0) AS r0, "
+        "  radians(3.0*n_nationkey - 36.0) AS d0, "
+        "  0.001*cos(radians(7.0*n_nationkey)) AS cd11, "
+        "  -0.001*sin(radians(7.0*n_nationkey)) AS cd12, "
+        "  0.001*sin(radians(7.0*n_nationkey)) AS cd21, "
+        "  0.001*cos(radians(7.0*n_nationkey)) AS cd22 FROM nation), "
+        "t AS (SELECT c.flux, w.r0, w.d0, "
+        "  radians(cd11*(px - 4.5) + cd12*(py - 4.5)) AS xi, "
+        "  radians(cd21*(px - 4.5) + cd22*(py - 4.5)) AS eta "
+        "FROM c JOIN w ON c.k = w.k), "
+        "s AS (SELECT flux, "
+        "  ((degrees(r0 + atan2(xi, cos(d0) - eta*sin(d0))) % 360.0 "
+        "    + 360.0) % 360.0) AS ra, "
+        "  degrees(atan((sin(d0) + eta*cos(d0)) / "
+        "    sqrt(xi*xi + (cos(d0) - eta*sin(d0)) * (cos(d0) - eta*sin(d0))))) "
+        "    AS dec FROM t) "
+        f"SELECT {hpx} AS hpx, COUNT(*) AS n_det, "
+        "CAST(SUM(flux) AS BIGINT) AS flux_sum "
+        "FROM s GROUP BY hpx ORDER BY hpx"
+    )
+
+
+@register("pipeline_survey_ingest", oracle=_survey_ingest_oracle(), cacheable=False)
+def pipeline_survey_ingest(spark, sf_dir):
+    """END-TO-END survey ingest — LSD's lsd-import flow composed
+    from this repo's real FITS surface [lsd:bin/lsd-import,
+    src/lsd/smf.py — UNVERIFIED]: per-exposure detection BINTABLEs
+    (pixel coordinates, as a camera pipeline emits) broadcast-join
+    their exposure's TAN WCS solution parsed from the image headers,
+    de-project to (ra, dec) map-side, key to the HEALPix ingest
+    layout (fn_healpix_nest's partition scheme), and aggregate per
+    pixel — the coverage/depth map a real import job writes next to
+    the catalog.
+
+    The whole chain is differential-tested: DuckDB recomputes
+    detections, WCS, TAN de-projection and the ang2pix text from
+    nation's closed forms, so a wrong CD term, a 0/1-based pixel
+    offset, a broken BINTABLE parse or a mis-keyed pixel all break
+    the hash. (The grouping key derives from cross-engine trig; a
+    key flip needs ra/dec within ~1 ulp of a pixel boundary —
+    measure-zero, same acceptance as fn_healpix_key.)
+
+    100 TB: detections scale with the survey (billions of rows, one
+    BINTABLE parse task per exposure file), WCS is exposure-count
+    rows (broadcast), the transform+key is one map stage with zero
+    shuffles, and the final agg is partial+final on the layout key —
+    the same key the catalog is partitioned by, so the import's
+    write is shuffle-free against its own layout."""
+    from lsd_spark.plans.sphere import healpix_ring_sql
+
+    img_dir = _image_fixture_path(spark, sf_dir)
+    det_dir = _det_fixture_path(spark, sf_dir)
+    wcs = wcs_header_frame(spark, img_dir)
+    dets = read_fits(spark, det_dir)
+    j = dets.join(F.broadcast(wcs), dets["exp_k"] == wcs["natkey"])
+    s = tan_pix2sky(j)
+    return (
+        s.withColumn("hpx", F.expr(healpix_ring_sql("ra", "dec", 16)))
+        .groupBy("hpx")
+        .agg(
+            F.count("*").alias("n_det"),
+            F.sum("flux").alias("flux_sum"),
+        )
+        .orderBy("hpx")
     )

@@ -355,3 +355,23 @@ def test_fuzz_corrupted_files_raise_valueerror_only(tmp_path):
             raised += 1
         # any other exception type propagates and fails the test
     assert raised > 100  # the fuzz actually exercised failure paths
+
+
+def test_survey_ingest_conserves_detections(spark):
+    """Every detection lands in exactly one HEALPix pixel: the
+    coverage map's counts and flux must sum to the input totals
+    (25 exposures x 8 detections; flux closed form)."""
+    from lsd_spark.registry import QUERIES, load_all
+    from tests.conftest import SF_DIR
+
+    load_all()
+    rows = QUERIES["pipeline_survey_ingest"](spark, SF_DIR).collect()
+    assert sum(r["n_det"] for r in rows) == 200
+    expected_flux = sum(
+        100 + (7 * d + k) % 50 for k in range(25) for d in range(8)
+    )
+    assert sum(r["flux_sum"] for r in rows) == expected_flux
+    # coverage is genuinely spread (many exposures -> many pixels),
+    # and every pixel id is a valid nside=16 RING index
+    assert len(rows) >= 20
+    assert all(0 <= r["hpx"] < 12 * 16 * 16 for r in rows)

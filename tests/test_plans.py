@@ -670,3 +670,23 @@ def test_dynamic_partition_pruning_fires_on_zone_layout(spark):
     assert "dynamicpruning" in p.lower(), p
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_survey_ingest_is_broadcast_then_one_agg_exchange(spark):
+    """The import pipeline's 100 TB contract: detections never
+    shuffle for the WCS join (exposure solutions broadcast), the
+    TAN transform + pixel key is map-side, and the only exchanges
+    are the layout-key aggregation (partial+final) and the
+    presentation sort."""
+    p = qplan("pipeline_survey_ingest", spark)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "partial_count" in p or "HashAggregate" in p, p
+    # exchanges: broadcast (listed), agg hash partitioning, order-by
+    # range partitioning -- no detection-side pre-join shuffle
+    shuffles = [
+        ln for ln in p.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln
+    ]
+    assert len(shuffles) <= 4, p  # formatted mode lists nodes twice
