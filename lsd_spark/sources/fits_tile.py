@@ -61,24 +61,34 @@ _BBITS = 16
 _BLOCKSIZE = 32
 
 
-def _make_rice_codec():
-    """(rice_encode, rice_decode) closures for RICE_1 over int16
-    arrays, self-contained so kernels ship them by value.
+def _make_rice_codec(bytepix: int = 2):
+    """(rice_encode, rice_decode) closures for RICE_1 over
+    int16-valued (bytepix=2, the default: FSBITS=4/FSMAX=14/BBITS=16)
+    or int32-valued (bytepix=4: FSBITS=5/FSMAX=25/BBITS=32 — fpack's
+    layout for 32-bit and quantized-float images) arrays,
+    self-contained so kernels ship them by value.
 
-    rice_encode(arr) -> bytes: arr is any 1-D int16-valued sequence.
-    rice_decode(data, n) -> list[int]: inverse, validating that the
-    stream covers exactly n pixels (truncated or trailing-garbage
-    streams raise instead of returning a short/padded tile)."""
-
-    FSBITS, FSMAX, BBITS, NBLOCK = 4, 14, 16, 32
+    rice_encode(arr) -> bytes. rice_decode(data, n) -> list[int]:
+    inverse, validating that the stream covers exactly n pixels
+    (truncated or trailing-garbage streams raise instead of
+    returning a short/padded tile)."""
+    if bytepix == 2:
+        FSBITS, FSMAX, BBITS = 4, 14, 16
+    elif bytepix == 4:
+        FSBITS, FSMAX, BBITS = 5, 25, 32
+    else:
+        raise ValueError(f"rice: BYTEPIX {bytepix} unsupported (2 or 4)")
+    NBLOCK = 32
+    MASK = (1 << BBITS) - 1
+    HALF = 1 << (BBITS - 1)
 
     def rice_encode(arr) -> bytes:
         vals = [int(v) for v in arr]
         if not vals:
             return b""
         out = bytearray()
-        seed = vals[0] & 0xFFFF
-        out += bytes(((seed >> 8) & 0xFF, seed & 0xFF))
+        seed = vals[0] & MASK
+        out += seed.to_bytes(BBITS // 8, "big")
         acc, nbits = 0, 0  # MSB-first bit buffer
 
         def put(code: int, width: int) -> None:
@@ -97,11 +107,11 @@ def _make_rice_codec():
             i += len(block)
             diffs = []
             for v in block:
-                # 16-bit wraparound (C short arithmetic in the
+                # BBITS wraparound (C integer arithmetic in the
                 # reference implementation): the wrapped difference
                 # still determines the pixel uniquely, and keeps the
                 # zigzag code within BBITS for the unencoded escape
-                d = ((v - lastpix + 0x8000) & 0xFFFF) - 0x8000
+                d = ((v - lastpix + HALF) & MASK) - HALF
                 lastpix = v
                 diffs.append((d << 1) if d >= 0 else ~(d << 1))
             psum = sum(diffs)
@@ -133,12 +143,13 @@ def _make_rice_codec():
     def rice_decode(data: bytes, n: int):
         if n == 0:
             return []
-        if len(data) < 2:
+        nseed = BBITS // 8
+        if len(data) < nseed:
             raise ValueError("rice: stream shorter than the seed pixel")
-        seed = (data[0] << 8) | data[1]
-        if seed >= 1 << 15:
-            seed -= 1 << 16
-        pos, acc, nbits = 2, 0, 0
+        seed = int.from_bytes(data[:nseed], "big")
+        if seed >= HALF:
+            seed -= 1 << BBITS
+        pos, acc, nbits = nseed, 0, 0
 
         def get(width: int) -> int:
             nonlocal pos, acc, nbits
@@ -178,7 +189,7 @@ def _make_rice_codec():
                     diffs.append(u)
             for u in diffs:
                 d = (u >> 1) if (u & 1) == 0 else ~(u >> 1)
-                lastpix = ((lastpix + d + 0x8000) & 0xFFFF) - 0x8000
+                lastpix = ((lastpix + d + HALF) & MASK) - HALF
                 out.append(lastpix)
         # remaining bits must be pure padding of the final byte
         if pos != len(data) or nbits >= 8:
@@ -192,15 +203,19 @@ def _make_rice_codec():
 
 
 def write_fits_rice(
-    path: str, physical: "np.ndarray", extra_cards: dict | None = None
+    path: str,
+    physical: "np.ndarray",
+    extra_cards: dict | None = None,
+    bytepix: int = 2,
 ) -> None:
     """Write a tile-compressed FITS file in the fpack layout: empty
     primary HDU, then a ZIMAGE BINTABLE whose rows are the RICE_1
     streams of each image row (ZTILE1=NAXIS1, ZTILE2=1 — fpack's
     default tiling), stored in a '1PB' variable-length column with
     the heap immediately after the fixed table (default THEAP).
-    `physical` is 2-D int16-representable counts."""
-    rice_encode, _ = _make_rice_codec()
+    `physical` is 2-D counts representable in int16 (bytepix=2) or
+    int32 (bytepix=4)."""
+    rice_encode, _ = _make_rice_codec(bytepix)
     physical = np.asarray(physical)
     h, w = physical.shape
     tiles = [rice_encode(physical[r, :]) for r in range(h)]
@@ -232,7 +247,7 @@ def write_fits_rice(
         _card("TFORM1", f"1PB({maxlen})"),
         _card("ZIMAGE", True, "this table holds a compressed image"),
         _card("ZCMPTYPE", "RICE_1"),
-        _card("ZBITPIX", 16),
+        _card("ZBITPIX", 8 * bytepix),
         _card("ZNAXIS", 2),
         _card("ZNAXIS1", w),
         _card("ZNAXIS2", h),
@@ -241,7 +256,7 @@ def write_fits_rice(
         _card("ZNAME1", "BLOCKSIZE"),
         _card("ZVAL1", _BLOCKSIZE),
         _card("ZNAME2", "BYTEPIX"),
-        _card("ZVAL2", 2),
+        _card("ZVAL2", bytepix),
     ]
     for k, v in (extra_cards or {}).items():
         cards.append(_card_float(k, v) if isinstance(v, float) else _card(k, v))
@@ -259,7 +274,7 @@ def _make_rice_image_parser():
     from lsd_spark.sources.fits import _make_image_parser
 
     read_cards, data_size, _ = _make_image_parser()
-    _, rice_decode = _make_rice_codec()
+    decoders = {bp: _make_rice_codec(bp)[1] for bp in (2, 4)}
 
     def parse_rice(buf):
         import numpy as np
@@ -274,8 +289,10 @@ def _make_rice_image_parser():
             raise ValueError("no ZIMAGE HDU found")
         if hdr.get("ZCMPTYPE") != "RICE_1":
             raise ValueError(f"unsupported ZCMPTYPE {hdr.get('ZCMPTYPE')!r}")
-        if int(hdr.get("ZVAL2", 2)) != 2 or int(hdr.get("ZVAL1", 32)) != 32:
-            raise ValueError("only BYTEPIX=2 / BLOCKSIZE=32 supported")
+        bytepix = int(hdr.get("ZVAL2", 2))
+        if bytepix not in (2, 4) or int(hdr.get("ZVAL1", 32)) != 32:
+            raise ValueError("only BYTEPIX 2/4, BLOCKSIZE=32 supported")
+        rice_decode = decoders[bytepix]
         w, h = int(hdr["ZNAXIS1"]), int(hdr["ZNAXIS2"])
         if int(hdr.get("ZTILE1", w)) != w or int(hdr.get("ZTILE2", 1)) != 1:
             raise ValueError("only row tiling (ZTILE1=NAXIS1) supported")

@@ -141,3 +141,38 @@ def test_source_fits_rice_matches_uncompressed_stats(spark):
         assert r["px_min"] == 257 * k
         assert r["px_max"] == 257 * k + 819
         assert r["compressed_smaller"] is True
+
+
+def test_rice_bytepix4_roundtrip_and_container(tmp_path):
+    """BYTEPIX=4 (FSBITS=5/FSMAX=25/BBITS=32 — fpack's 32-bit and
+    quantized-float layout): full-range int32 data must round-trip
+    through both the bare codec and the ZIMAGE container, and the
+    container must advertise ZBITPIX=32/ZVAL2=4."""
+    from lsd_spark.sources.fits_tile import (
+        _make_rice_codec,
+        _make_rice_image_parser,
+        write_fits_rice,
+    )
+
+    enc, dec = _make_rice_codec(4)
+    rng = np.random.RandomState(2)
+    a = rng.randint(-(2**31), 2**31, 500).astype(np.int64)
+    assert list(dec(enc(a), 500)) == [int(v) for v in a]
+    # wraparound at the int32 extremes
+    b = np.array([-(2**31), 2**31 - 1] * 40, np.int64)
+    assert list(dec(enc(b), 80)) == [int(v) for v in b]
+
+    img = rng.randint(-(2**28), 2**28, (6, 20)).astype(np.int64)
+    p = str(tmp_path / "z4.fits")
+    write_fits_rice(p, img, bytepix=4)
+    parse = _make_rice_image_parser()
+    hdr, back, _heap = parse(open(p, "rb").read())
+    assert int(hdr["ZBITPIX"]) == 32 and int(hdr["ZVAL2"]) == 4
+    assert (back == img).all()
+
+
+def test_rice_rejects_unknown_bytepix():
+    from lsd_spark.sources.fits_tile import _make_rice_codec
+
+    with pytest.raises(ValueError, match="BYTEPIX"):
+        _make_rice_codec(8)
