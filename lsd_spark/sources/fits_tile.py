@@ -276,7 +276,13 @@ def _make_rice_image_parser():
     read_cards, data_size, _ = _make_image_parser()
     decoders = {bp: _make_rice_codec(bp)[1] for bp in (2, 4)}
 
-    def parse_rice(buf):
+    def parse_rice(buf, y_range=None):
+        """y_range=(y0, y1) decodes ONLY the tiles intersecting the
+        row window [y0, y1) — the cutout path: tile granularity is
+        the unit of IO and decode, so a 10-row cutout of a 10k-row
+        exposure touches 10 heap spans and runs 0.1% of the codec
+        work (and with ranged reads, 0.1% of the bytes). Returns the
+        cutout rows only; heap_used counts just the decoded spans."""
         import numpy as np
 
         off = 0
@@ -303,14 +309,17 @@ def _make_rice_image_parser():
         theap = int(hdr.get("THEAP", rowlen * nrows))
         heap_end = rowlen * nrows + int(hdr["PCOUNT"])
         desc = np.frombuffer(buf, ">i4", nrows * 2, doff).reshape(nrows, 2)
-        img = np.empty((h, w), dtype=np.int64)
+        y0, y1 = (0, h) if y_range is None else y_range
+        if not (0 <= y0 < y1 <= h):
+            raise ValueError(f"rice: cutout [{y0}, {y1}) outside image")
+        img = np.empty((y1 - y0, w), dtype=np.int64)
         heap_used = 0
-        for r in range(nrows):
+        for r in range(y0, y1):
             nelem, hoff = int(desc[r, 0]), int(desc[r, 1])
             lo = doff + theap + hoff
             if hoff + nelem > heap_end - theap:
                 raise ValueError("rice: descriptor outside heap bounds")
-            img[r, :] = rice_decode(buf[lo : lo + nelem], w)
+            img[r - y0, :] = rice_decode(buf[lo : lo + nelem], w)
             heap_used += nelem
         return hdr, img, heap_used
 
@@ -431,6 +440,92 @@ def source_fits_rice(spark, sf_dir):
             (F.array_min("px") + 32768).cast("bigint").alias("px_min"),
             (F.array_max("px") + 32768).cast("bigint").alias("px_max"),
             (F.col("z_bytes") < F.size("px") * 2).alias("compressed_smaller"),
+        )
+        .orderBy("natkey")
+    )
+
+
+def read_fits_rice_cutout(
+    spark: SparkSession, path: str, y0: int, y1: int
+) -> DataFrame:
+    """Distributed cutout read: like read_fits_rice_images but each
+    file decodes ONLY the tiles intersecting rows [y0, y1) — the
+    partial-IO path a postage-stamp service runs at scale."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.fits")
+        .load(path)
+    )
+    parse_rice = _make_rice_image_parser()
+    lo, hi = int(y0), int(y1)
+
+    def kernel(batches):
+        import os as _os
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                hdr, img, heap_used = parse_rice(
+                    bytes(content), y_range=(lo, hi)
+                )
+                rows.append(
+                    (
+                        _os.path.basename(str(p)),
+                        img.shape[1],
+                        img.shape[0],
+                        {str(k): str(v) for k, v in sorted(hdr.items())},
+                        heap_used,
+                        img.reshape(-1).tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["file", "naxis1", "n_rows", "_hdr", "z_bytes", "px"],
+            )
+
+    return files.select("path", "content").mapInPandas(
+        kernel,
+        schema=(
+            "file string, naxis1 int, n_rows int, "
+            "_hdr map<string,string>, z_bytes bigint, px array<bigint>"
+        ),
+    )
+
+
+@register(
+    "source_fits_rice_cutout",
+    oracle=(
+        # rows 2..5 of the 8x8 ramp: indices 16..47 => sum over j of
+        # 257k - 32768 + 13j for j in [16,48): 32*(257k-32768) + 13*1008
+        "SELECT CAST(n_nationkey AS INT) AS natkey, 4 AS n_rows, "
+        "CAST(32 * (257 * n_nationkey - 32768) + 13104 AS BIGINT) AS px_sum, "
+        "CAST(257 * n_nationkey - 32768 + 208 AS BIGINT) AS px_min, "
+        "CAST(257 * n_nationkey - 32768 + 611 AS BIGINT) AS px_max "
+        "FROM nation ORDER BY natkey"
+    ),
+    cacheable=False,
+)
+def source_fits_rice_cutout(spark, sf_dir):
+    """Tile-granular cutout over the compressed exposures: rows
+    [2, 6) of each 8x8 image decode exactly 4 of the 8 row tiles —
+    the partial-decode contract pinned by a z_bytes check in the
+    kernel's consumer tests and by closed-form stats here. At 100 TB
+    a postage-stamp query over row-tiled fpack files reads and
+    decodes only the stamp's tile spans (with ranged object reads,
+    only those BYTES); the plan is the same one-parse-task-per-file
+    map as the full reader."""
+    d = _rice_fixture_path(spark, sf_dir)
+    img = read_fits_rice_cutout(spark, d, 2, 6)
+    return (
+        img.select(
+            F.element_at("_hdr", "NATKEY").cast("int").alias("natkey"),
+            "n_rows",
+            F.aggregate("px", F.lit(0).cast("bigint"), lambda a, x: a + x)
+            .alias("px_sum"),
+            F.array_min("px").cast("bigint").alias("px_min"),
+            F.array_max("px").cast("bigint").alias("px_max"),
         )
         .orderBy("natkey")
     )

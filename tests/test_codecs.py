@@ -475,3 +475,24 @@ def test_dib_avi_rejects_malformed():
     bad2[i : i + 4] = b"MJPG"
     with pytest.raises(ValueError, match="uncompressed"):
         dec(bytes(bad2))
+
+
+def test_gif_end_of_stream_at_width_boundary_regression():
+    """Round-10 falsifying example pinned deterministically: 256
+    random pixels produce exactly 254 data codes, so the encoder's
+    table stops ONE entry short of the 9->10 bit growth (the final
+    flush adds no entry). Under the pre-fix convention the decoder
+    grew anyway and misread EOI at 10 bits ('LZW stream truncated').
+    Also pin the one-more-pixel neighborhood around the boundary."""
+    from lsd_spark.llm.multimodal import _make_gif_codec
+
+    enc, dec = _make_gif_codec()
+    rng = np.random.RandomState(106)
+    a = rng.randint(0, 256, (8, 32)).astype(np.uint8)
+    gh, gw, rgb = dec(enc(a))
+    assert (gh, gw) == (8, 32) and (rgb[:, :, 0] == a).all()
+    for n in (253, 254, 255, 256, 257, 511, 512, 513):
+        rng = np.random.RandomState(n)
+        row = rng.randint(0, 256, (1, n)).astype(np.uint8)
+        _, _, out = dec(enc(row))
+        assert (out[0, :, 0] == row[0]).all(), n

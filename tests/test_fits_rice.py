@@ -176,3 +176,21 @@ def test_rice_rejects_unknown_bytepix():
 
     with pytest.raises(ValueError, match="BYTEPIX"):
         _make_rice_codec(8)
+
+
+def test_zimage_cutout_decodes_only_intersecting_tiles(tmp_path):
+    """The cutout path: a row window decodes exactly its tiles'
+    heap spans (heap_used == the window's compressed bytes, strictly
+    less than PCOUNT) and returns the right pixels."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(-999, 999, (32, 24)).astype(np.int64)
+    p = str(tmp_path / "cut.fits")
+    write_fits_rice(p, img)
+    parse = _make_rice_image_parser()
+    buf = open(p, "rb").read()
+    hdr_full, full, heap_full = parse(buf)
+    hdr, cut, heap_cut = parse(buf, y_range=(10, 14))
+    assert (cut == img[10:14]).all()
+    assert heap_cut < heap_full == int(hdr_full["PCOUNT"])
+    with pytest.raises(ValueError, match="outside image"):
+        parse(buf, y_range=(30, 40))
