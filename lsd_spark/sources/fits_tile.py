@@ -317,7 +317,7 @@ def _make_rice_image_parser():
         for r in range(y0, y1):
             nelem, hoff = int(desc[r, 0]), int(desc[r, 1])
             lo = doff + theap + hoff
-            if hoff + nelem > heap_end - theap:
+            if nelem < 0 or hoff < 0 or hoff + nelem > heap_end - theap:
                 raise ValueError("rice: descriptor outside heap bounds")
             img[r - y0, :] = rice_decode(buf[lo : lo + nelem], w)
             heap_used += nelem
