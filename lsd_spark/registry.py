@@ -388,6 +388,55 @@ _R8_LEDGER = [
 ]
 
 
+# The 50 ops recorded by the round-9 driver run (all green — the
+# exact key list of CORRECTNESS_r09.json). NOTE: rounds 9 and 10
+# were appended to _LEDGER_HISTORY late (round 11) — the round-10
+# VERDICT flagged that the rotation head had gone stale because the
+# recorded rows never fed back into the ordering.
+_R9_LEDGER = [
+    "llm_dedup_simhash_clusters", "mm_decode_video",
+    "udaf_grouped_agg", "llm_dedup_embcos_exact",
+    "cluster_fof_exact", "agg_gini", "llm_dedup_simhash",
+    "llm_dedup_minhash_md5", "llm_dedup_cluster", "topk_agg",
+    "limit_offset", "set_union_all", "set_union_distinct",
+    "set_intersect", "set_except", "set_except_all", "fn_string",
+    "fn_string_split", "fn_date", "fn_math", "fn_conditional",
+    "fn_cast", "fn_array", "fn_array_explode", "fn_json", "fn_map",
+    "fn_bitwise", "udf_scalar_vectorized", "udtf_flatmap",
+    "llm_dedup_exact", "llm_dedup_keep_first", "llm_fingerprint",
+    "llm_sample_hash", "llm_simsearch_knn", "llm_text_stats",
+    "llm_quality_score", "llm_token_count", "llm_tfidf_topterms",
+    "llm_multimodal_join", "mm_binary_features", "stream_tumbling",
+    "stream_sliding", "stream_session", "stream_custom_state",
+    "join_asof_zoned", "xmatch_consume", "join_skew_salted",
+    "join_asof_margin", "mm_decode", "mm_resize",
+]
+
+
+# The 50 ops recorded by the round-10 driver run (all green — the
+# exact key list of CORRECTNESS_r10.json): the 11 round-10 new ops
+# plus the (then-stale, see _R9_LEDGER note) rotation head.
+_R10_LEDGER = [
+    "llm_dedup_simhash_clusters", "mm_decode_gif",
+    "mm_decode_video", "mm_decode_video_raw",
+    "sink_density_adaptive", "source_fits_image", "source_fits_wcs",
+    "pipeline_survey_ingest", "sink_table_log", "source_fits_rice",
+    "source_fits_rice_cutout", "udaf_grouped_agg",
+    "llm_dedup_embcos_exact", "cluster_fof_exact", "agg_gini",
+    "llm_dedup_simhash", "llm_dedup_minhash_md5",
+    "llm_dedup_cluster", "topk_agg", "limit_offset",
+    "set_union_all", "set_union_distinct", "set_intersect",
+    "set_except", "set_except_all", "fn_string", "fn_string_split",
+    "fn_date", "fn_math", "fn_conditional", "fn_cast", "fn_array",
+    "fn_array_explode", "fn_json", "fn_map", "fn_bitwise",
+    "udf_scalar_vectorized", "udtf_flatmap", "llm_dedup_exact",
+    "llm_dedup_keep_first", "llm_fingerprint", "llm_sample_hash",
+    "llm_simsearch_knn", "llm_text_stats", "llm_quality_score",
+    "llm_token_count", "llm_tfidf_topterms", "llm_multimodal_join",
+    "mm_binary_features", "stream_tumbling",
+]
+
+
 # Ops whose PHYSICAL PLAN (or oracle) changed in round 8 — kept for
 # the ledger history comment trail; superseded by _R9_TOUCHED below.
 _R8_TOUCHED: list[str] = [
@@ -433,10 +482,8 @@ _R8_TOUCHED: list[str] = [
 ]
 
 
-# Ops whose PHYSICAL PLAN (or oracle) changed in round 9. A changed
-# plan whose newest driver row predates the change is effectively
-# unverified by the ledger, so these jump the refresh queue
-# (round-5 ADVICE #4 pattern). Extend as round-9 edits land.
+# Ops whose PHYSICAL PLAN (or oracle) changed in round 9 — kept for
+# the ledger history comment trail; superseded by _R11_TOUCHED below.
 _R9_TOUCHED: list[str] = [
     # round-8 VERDICT #2: per-group applyInPandas (15k kernel calls)
     # -> repartition(key) + one vectorized mapInPandas groupby per
@@ -458,12 +505,32 @@ _R9_TOUCHED: list[str] = [
 ]
 
 
+# Ops whose PHYSICAL PLAN (or kernel code) changed in rounds 10-11
+# and whose newest driver row therefore predates the current code
+# (round-10 VERDICT "What's wrong" #2: the round-10 rewrites of
+# win_ntile_percent and cluster_fof were omitted from the touched
+# ledger, so the r10 driver sample never re-hashed the new plans).
+_R11_TOUCHED: list[str] = [
+    # round-10 rewrites, driver-unverified (their latest pass is the
+    # r8 OLD plans): two-pass range-bucketed ntile; fused union-find
+    # contraction FoF
+    "win_ntile_percent",
+    "cluster_fof",
+    # round-11 ADVICE: RICE decoder fixes (runaway-unary bound,
+    # ZNAMEn resolution, exact-end pad-bit check) change the decode
+    # kernel shipped inside these ops
+    "source_fits_rice",
+    "source_fits_rice_cutout",
+    "pipeline_survey_ingest",
+]
+
+
 # (round, exact recorded key list) — r05 re-recorded the r04 window
 # verbatim, so _R4_LEDGER carries freshness 5, not 4.
 _LEDGER_HISTORY = [
     (1, _R1_LEDGER), (2, _R2_LEDGER), (3, _R3_LEDGER),
     (5, _R4_LEDGER), (6, _R6_LEDGER), (7, _R7_LEDGER),
-    (8, _R8_LEDGER),
+    (8, _R8_LEDGER), (9, _R9_LEDGER), (10, _R10_LEDGER),
 ]
 
 
@@ -498,7 +565,7 @@ def _refresh_rotation() -> list[str]:
 def _reorder_for_ledger() -> None:
     """Three tiers: (1) ops with no driver-recorded row in any prior
     round's CORRECTNESS ledger (i.e., new this round), (2) ops whose
-    plan changed this round (_R9_TOUCHED — their old green rows no
+    plan changed this round (_R11_TOUCHED — their old green rows no
     longer witness the current code), (3) the refresh rotation —
     every already-recorded op ordered oldest-confirmation-first (its
     tail is by construction the freshest-recorded ids) — so a capped
@@ -506,7 +573,7 @@ def _reorder_for_ledger() -> None:
     re-confirms stale ones, in that order."""
     all_recorded = set(_latest_confirmed())
     tier1 = [k for k in QUERIES if k not in all_recorded]
-    tier2 = [k for k in _R9_TOUCHED if k in QUERIES]
+    tier2 = [k for k in _R11_TOUCHED if k in QUERIES]
     seen = set(tier1) | set(tier2)
     tier3 = [k for k in _refresh_rotation()
              if k in QUERIES and k not in seen]
@@ -536,7 +603,7 @@ def freshness_report() -> dict[str, Any]:
         "n_ops": len(QUERIES),
         "never_recorded": sorted(k for k in QUERIES if k not in latest),
         "latest_round_histogram": dict(sorted(by_round.items())),
-        "touched_this_round": [k for k in _R9_TOUCHED if k in QUERIES],
+        "touched_this_round": [k for k in _R11_TOUCHED if k in QUERIES],
         "rotation_head": rotation[:50],
         "rotation_len": len(rotation),
         "latest_by_op": {k: latest.get(k, 0) for k in QUERIES},

@@ -178,12 +178,19 @@ def _make_rice_codec(bytepix: int = 2):
             elif fs > FSMAX:
                 raise ValueError(f"rice: split level {fs} out of range")
             else:
+                # Encoder worst case for the unary high part: fs is
+                # picked so the block's zigzag sum psum <= n*2^fs +
+                # n//2 (n <= NBLOCK), hence any single u <= psum and
+                # top = u >> fs <= NBLOCK + (NBLOCK//2 >> fs) — e.g. a
+                # flat block with one isolated spike legitimately
+                # yields runs well past BBITS (star on flat sky).
+                top_max = NBLOCK + (NBLOCK >> 1 >> fs)
                 diffs = []
                 for _ in range(nb):
                     top = 0
                     while get(1) == 0:
                         top += 1
-                        if top > BBITS:
+                        if top > top_max:
                             raise ValueError("rice: runaway unary run")
                     u = (top << fs) | (get(fs) if fs else 0)
                     diffs.append(u)
@@ -191,12 +198,13 @@ def _make_rice_codec(bytepix: int = 2):
                 d = (u >> 1) if (u & 1) == 0 else ~(u >> 1)
                 lastpix = ((lastpix + d + HALF) & MASK) - HALF
                 out.append(lastpix)
-        # remaining bits must be pure padding of the final byte
-        if pos != len(data) or nbits >= 8:
-            if any(
-                b != 0 for b in data[pos:]
-            ) or (nbits and (acc & ((1 << nbits) - 1)) != 0):
-                raise ValueError("rice: trailing garbage after last block")
+        # remaining bits must be pure padding of the final byte —
+        # checked unconditionally so 1-7 leftover bits at the exact
+        # end of the stream (pos == len(data)) are validated too
+        if any(
+            b != 0 for b in data[pos:]
+        ) or (nbits and (acc & ((1 << nbits) - 1)) != 0):
+            raise ValueError("rice: trailing garbage after last block")
         return out
 
     return rice_encode, rice_decode
@@ -295,8 +303,17 @@ def _make_rice_image_parser():
             raise ValueError("no ZIMAGE HDU found")
         if hdr.get("ZCMPTYPE") != "RICE_1":
             raise ValueError(f"unsupported ZCMPTYPE {hdr.get('ZCMPTYPE')!r}")
-        bytepix = int(hdr.get("ZVAL2", 2))
-        if bytepix not in (2, 4) or int(hdr.get("ZVAL1", 32)) != 32:
+        # resolve ZVALn by its ZNAMEn label (fpack may emit the
+        # BYTEPIX/BLOCKSIZE pairs in either order), positional
+        # ZVAL1=BLOCKSIZE / ZVAL2=BYTEPIX only as a fallback
+        def zval(name, pos_key, default):
+            for k, v in hdr.items():
+                if k.startswith("ZNAME") and str(v).strip().upper() == name:
+                    return hdr.get("ZVAL" + k[5:], default)
+            return hdr.get(pos_key, default)
+
+        bytepix = int(zval("BYTEPIX", "ZVAL2", 2))
+        if bytepix not in (2, 4) or int(zval("BLOCKSIZE", "ZVAL1", 32)) != 32:
             raise ValueError("only BYTEPIX 2/4, BLOCKSIZE=32 supported")
         rice_decode = decoders[bytepix]
         w, h = int(hdr["ZNAXIS1"]), int(hdr["ZNAXIS2"])

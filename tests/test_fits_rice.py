@@ -55,7 +55,7 @@ def test_rice_property_roundtrip():
     @given(
         st.integers(min_value=0, max_value=2**31 - 1),
         st.integers(min_value=1, max_value=300),
-        st.sampled_from(["random", "walk", "constant", "ramp"]),
+        st.sampled_from(["random", "walk", "constant", "ramp", "spike"]),
     )
     def check(seed, n, kind):
         rng = np.random.RandomState(seed)
@@ -65,12 +65,77 @@ def test_rice_property_roundtrip():
             a = np.cumsum(rng.randint(-9, 10, n)).clip(-32768, 32767)
         elif kind == "constant":
             a = np.full(n, rng.randint(-32768, 32768))
+        elif kind == "spike":
+            # flat background + isolated stars: long unary runs
+            a = np.full(n, rng.randint(-100, 100))
+            for i in rng.choice(n, size=max(1, n // 20), replace=False):
+                a[i] += rng.randint(1, 400)
         else:
             a = (np.arange(n) * rng.randint(-200, 201)).clip(-32768, 32767)
         a = a.astype(np.int16)
         assert list(dec(enc(a), n)) == [int(v) for v in a]
 
     check()
+
+
+def test_rice_flat_plus_spike_roundtrip():
+    """Star-on-flat-background shape: one isolated spike in an
+    otherwise constant block drives the split level low (fs=1) and
+    the unary run high (top ~u>>fs, legitimately past BBITS for
+    bytepix=4) — the runaway-unary guard must admit the encoder's
+    true worst case NBLOCK + (NBLOCK//2 >> fs)."""
+    for bp, spikes in ((2, (17, 23, 40, 300)), (4, (17, 48, 10**6))):
+        enc, dec = _make_rice_codec(bp)
+        for s in spikes:
+            a = np.zeros(33, np.int64)
+            a[16] = s
+            assert list(dec(enc(a), 33)) == [int(v) for v in a]
+            # spike in the tail block too
+            b = np.zeros(40, np.int64)
+            b[39] = s
+            assert list(dec(enc(b), 40)) == [int(v) for v in b]
+
+
+def test_rice_rejects_pad_bits_at_exact_stream_end():
+    """A constant 32-pixel block encodes to seed + one FSBITS code,
+    leaving 4 pad bits in the final byte; decode consumes the whole
+    stream (pos == len) with those bits left over — non-zero pad
+    there must still raise (the trailing-garbage contract)."""
+    enc, dec = _make_rice_codec()
+    a = np.full(32, 5, np.int16)
+    s = bytearray(enc(a))
+    assert len(s) == 3  # 2-byte seed + 4-bit code 0 + 4 pad bits
+    assert list(dec(bytes(s), 32)) == [5] * 32
+    s[-1] |= 0b0000_1000  # poison the first pad bit
+    with pytest.raises(ValueError, match="trailing garbage"):
+        dec(bytes(s), 32)
+
+
+def test_zimage_zname_pairs_in_either_order(tmp_path):
+    """A conforming fpack file may emit the BYTEPIX/BLOCKSIZE
+    ZNAME/ZVAL pairs in the opposite order; the parser must resolve
+    ZVALn by its ZNAMEn label, not by position."""
+    from lsd_spark.sources.fits import _card
+
+    rng = np.random.RandomState(6)
+    img = rng.randint(-500, 500, (5, 12)).astype(np.int64)
+    p = str(tmp_path / "sw.fits")
+    write_fits_rice(p, img)
+    buf = bytearray(open(p, "rb").read())
+
+    def swap(old: bytes, new: bytes) -> None:
+        i = bytes(buf).index(old)
+        assert len(old) == len(new) == 80
+        buf[i : i + 80] = new
+
+    swap(_card("ZNAME1", "BLOCKSIZE"), _card("ZNAME1", "BYTEPIX"))
+    swap(_card("ZVAL1", 32), _card("ZVAL1", 2))
+    swap(_card("ZNAME2", "BYTEPIX"), _card("ZNAME2", "BLOCKSIZE"))
+    swap(_card("ZVAL2", 2), _card("ZVAL2", 32))
+    parse = _make_rice_image_parser()
+    hdr, back, _ = parse(bytes(buf))
+    assert hdr["ZNAME1"] == "BYTEPIX" and int(hdr["ZVAL1"]) == 2
+    assert (back == img).all()
 
 
 def test_rice_rejects_malformed():

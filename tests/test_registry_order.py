@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from lsd_spark.registry import (
     _LEDGER_HISTORY,
-    _R9_TOUCHED,
+    _R11_TOUCHED,
     _ROWS_ONLY_BY_DESIGN,
     _latest_confirmed,
     _refresh_rotation,
@@ -32,12 +32,12 @@ def test_tier1_new_ops_lead_registration_order():
 
 
 def test_tier2_is_touched_then_rotation():
-    """After the new ops come the round-9-touched ops (changed plans
+    """After the new ops come the touched-this-round ops (changed plans
     need fresh driver rows), then the staleness rotation (stalest
     newest-confirmation first) minus the touched set."""
     names = list(QUERIES)
     n_new = sum(1 for k in names if k not in _ALL_RECORDED)
-    touched = [k for k in _R9_TOUCHED if k in QUERIES]
+    touched = [k for k in _R11_TOUCHED if k in QUERIES]
     assert names[n_new:n_new + len(touched)] == touched
     rotation = [k for k in _refresh_rotation()
                 if k in QUERIES and k not in set(touched)]
@@ -63,7 +63,7 @@ def test_r09_window_covers_new_touched_and_stale():
     window = set(names)
     n_new = sum(1 for k in QUERIES if k not in _ALL_RECORDED)
     assert all(k in window for k in QUERIES if k not in _ALL_RECORDED)
-    touched = [k for k in _R9_TOUCHED if k in QUERIES]
+    touched = [k for k in _R11_TOUCHED if k in QUERIES]
     n_touched_fit = min(len(touched), max(0, 50 - n_new))
     assert all(k in window for k in touched[:n_touched_fit])
     rotation = [k for k in _refresh_rotation()
@@ -96,6 +96,25 @@ def test_rotation_excludes_rows_only_ops():
     """agg_approx_distinct / llm_dedup_near can never upgrade past a
     `no_oracle` row — queueing them wastes capped slots."""
     assert not (_ROWS_ONLY_BY_DESIGN & set(_refresh_rotation()))
+
+
+def test_committed_freshness_matches_live_registry():
+    """Round-10 VERDICT #8: the committed FRESHNESS.json must track
+    the live registry — a count drift means bench.py hasn't re-emitted
+    the ledger since ops were added (the doc-staleness failure mode
+    that hit SURVEY.md's inventory line in rounds 9-10)."""
+    import json
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parent.parent / "FRESHNESS.json"
+    committed = json.loads(p.read_text())
+    assert committed["n_ops"] == len(QUERIES), (
+        f"FRESHNESS.json n_ops={committed['n_ops']} but registry has "
+        f"{len(QUERIES)} — re-run bench.py (or freshness_report()) "
+        "before committing"
+    )
+    live_touched = [k for k in _R11_TOUCHED if k in QUERIES]
+    assert committed["touched_this_round"] == live_touched
 
 
 def test_every_query_has_oracle_or_documented_reason():
