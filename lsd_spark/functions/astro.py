@@ -30,6 +30,7 @@ from lsd_spark.catalog import load
 from lsd_spark.plans.sphere import (
     N_SIDE,
     _sphere_points_sql,
+    healpix_bound,
     healpix_ring_sql,
     sphere_points,
 )
@@ -263,11 +264,14 @@ def agg_sky_coverage(spark, sf_dir):
     UNVERIFIED]. Plan: map-side partial distinct on the 12*nside^2
     pixel key (bounded domain — the shuffle moves at most npix_total
     rows regardless of catalog size), then a 1-row global agg; the
-    pixel expression is the shared engine-neutral ang2pix text."""
+    pixel values are the shared engine-neutral ang2pix formula,
+    computed via healpix_bound's column binding (round-11 VERDICT #4:
+    the single-expression text re-evaluates its z/tt copies per row;
+    binding them as columns cut the ring family ~4x at the 100x sky
+    dir with identical pixel values)."""
     pts = sphere_points(spark, sf_dir, None)
-    pix = F.expr(healpix_ring_sql("ra", "dec", N_SIDE))
-    hit = F.countDistinct(pix)
-    return pts.agg(
+    hit = F.countDistinct("hpx")
+    return healpix_bound(pts, N_SIDE, "ring", "hpx").agg(
         hit.alias("npix_hit"),
         F.lit(_NPIX).cast("int").alias("npix_total"),
         F.floor(hit * 1000000.0 / float(_NPIX) + 0.5)

@@ -311,6 +311,14 @@ def healpix_nest_sql(ra: str, dec: str, nside: int) -> str:
     normalized to [0,360) in the expression (see healpix_ring_sql)."""
     z = f"sin(radians({dec}))"
     tt = f"(((({ra}) % 360.0 + 360.0) % 360.0) / 90.0 % 4.0)"
+    return healpix_nest_zt_sql(z, tt, nside)
+
+
+def healpix_nest_zt_sql(z: str, tt: str, nside: int) -> str:
+    """healpix_nest_sql's core over PRE-BOUND z/tt references — the
+    NESTED twin of healpix_ring_zt_sql, for callers that let-bind or
+    column-bind the trig once (the text repeats {z}/{tt} ~15x each;
+    see healpix_ring_zt_sql's pushdown/duplication note)."""
     # equatorial belt
     jp_e = f"floor({nside} * (0.5 + {tt}) - {nside} * ({z} * 0.75))"
     jm_e = f"floor({nside} * (0.5 + {tt}) + {nside} * ({z} * 0.75))"
@@ -350,6 +358,97 @@ def healpix_nest_sql(ra: str, dec: str, nside: int) -> str:
     )
 
 
+def healpix_bound(
+    df: DataFrame,
+    nside: int,
+    scheme: str = "ring",
+    out: str = "hpx",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """PROJECTION-side pixel keying with the trig/arithmetic bound
+    once per row as intermediate COLUMNS (round-10 perf audit /
+    round-11 VERDICT #4): the ang2pix text repeats z/tt ~15x each
+    (nest's bit-interleave repeats the jp/jm terms another ~8x), and
+    although CollapseProject's cost guard keeps a multiply-referenced
+    non-cheap producer in its own project, the single-expression form
+    still evaluates every textual copy per row — codegen CSE skips
+    copies inside CASE WHEN branches. Factoring each repeated term
+    into a column level makes every reference a cheap attribute:
+    measured at the 100x sky dir (10M rows, local[32]), ring 9.7 ->
+    2.25 s and nest 14.7 -> 2.2 s (the aggregate-HOF let-binding
+    manages only 6.1/7.4 s — interpreted lambda), value-identical
+    pixels in all shapes.
+
+    ONLY for projections/groupBy keys: a FILTER over the bound column
+    would be pushed through these projects with full substitution
+    (PushPredicateThroughNonJoin has no cost guard) — filters must
+    use the aggregate(named_struct) lambda instead, which pushdown
+    cannot substitute through (see filter_region_healpix and
+    SCALING.md "Derived-expression filters")."""
+    z = F.expr("sin(radians(dec))")
+    tt = F.expr("(((ra % 360.0 + 360.0) % 360.0) / 90.0 % 4.0)")
+    zt = df.select(*keep, z.alias("__z"), tt.alias("__tt"))
+    if scheme == "ring":
+        pix = F.expr(healpix_ring_zt_sql("__z", "__tt", nside))
+        return zt.select(*keep, pix.cast("long").alias(out))
+    if scheme != "nest":
+        raise ValueError(f"unknown healpix scheme {scheme!r}")
+    n = nside
+    # second binding level: the terms the nest formula re-references
+    # (equatorial diagonals, polar ring geometry)
+    lvl2 = zt.select(
+        *keep,
+        "__z",
+        "__tt",
+        F.expr(f"floor({n} * (0.5 + __tt) - {n} * (__z * 0.75))").alias(
+            "__jp_e"
+        ),
+        F.expr(f"floor({n} * (0.5 + __tt) + {n} * (__z * 0.75))").alias(
+            "__jm_e"
+        ),
+        F.expr("floor(__tt)").alias("__ntt"),
+        F.expr(f"({n} * sqrt(3.0 * (1.0 - abs(__z))))").alias("__tmp"),
+    )
+    lvl3 = lvl2.select(
+        *keep,
+        "__z",
+        "__jp_e",
+        "__jm_e",
+        "__ntt",
+        F.expr(f"LEAST(floor((__tt - __ntt) * __tmp), {n - 1})").alias(
+            "__jp_p"
+        ),
+        F.expr(
+            f"LEAST(floor((1.0 - (__tt - __ntt)) * __tmp), {n - 1})"
+        ).alias("__jm_p"),
+    )
+    ifp, ifm = f"floor(__jp_e / {n})", f"floor(__jm_e / {n})"
+    face_e = (
+        f"(CASE WHEN {ifp} = {ifm} THEN ({ifp} % 4) + 4 "
+        f"WHEN {ifp} < {ifm} THEN {ifp} % 4 ELSE ({ifm} % 4) + 8 END)"
+    )
+    ix_e, iy_e = f"(__jm_e % {n})", f"({n} - (__jp_e % {n}) - 1)"
+    ix_n, iy_n = f"({n} - __jm_p - 1)", f"({n} - __jp_p - 1)"
+    ix_s, iy_s = "__jp_p", "__jm_p"
+
+    def interleave(ix: str, iy: str) -> str:
+        order = n.bit_length() - 1
+        terms = []
+        for b in range(order):
+            terms.append(f"(floor({ix} / {1 << b}) % 2) * {1 << (2 * b)}")
+            terms.append(f"(floor({iy} / {1 << b}) % 2) * {1 << (2 * b + 1)}")
+        return "(" + " + ".join(terms) + ")"
+
+    pix_eq = f"({face_e} * {n * n} + {interleave(ix_e, iy_e)})"
+    pix_n = f"(__ntt * {n * n} + {interleave(ix_n, iy_n)})"
+    pix_s = f"((__ntt + 8) * {n * n} + {interleave(ix_s, iy_s)})"
+    pix = F.expr(
+        f"CAST(CASE WHEN abs(__z) <= 2.0/3.0 THEN {pix_eq} "
+        f"WHEN __z > 0 THEN {pix_n} ELSE {pix_s} END AS BIGINT)"
+    )
+    return lvl3.select(*keep, pix.alias(out))
+
+
 N_SIDE = 16
 
 _HPX_DUCK = healpix_ring_sql("ra", "dec", N_SIDE)
@@ -372,11 +471,15 @@ def fn_healpix_nest(spark, sf_dir):
     two-level density rollup. At 100 TB the catalog is
     partitionBy(parent)/bucketBy(pix): a footprint query prunes
     coarse partitions first, then bucket-prunes — LSD's BHpix cell
-    walk as plain Parquet layout."""
+    walk as plain Parquet layout.
+
+    Plan: healpix_bound's two-level column binding (round-11
+    VERDICT #4) — 14.7 s -> 2.2 s at the 100x sky dir vs the
+    single-expression form, identical pixel values (the oracle text
+    is unchanged)."""
     pts = sphere_points(spark, sf_dir, None)
-    pix = F.expr(healpix_nest_sql("ra", "dec", N_SIDE))
     return (
-        pts.withColumn("pix", pix)
+        healpix_bound(pts, N_SIDE, "nest", "pix")
         .withColumn("parent_pix", F.floor(F.col("pix") / 4).cast("long"))
         .groupBy("parent_pix", "pix")
         .agg(F.count("*").alias("cnt"))
@@ -407,7 +510,7 @@ def fn_healpix_key(spark, sf_dir):
     runs in DuckDB over the identical synthetic sky."""
     pts = sphere_points(spark, sf_dir, None)
     return (
-        pts.withColumn("hpx", F.expr(healpix_ring_sql("ra", "dec", N_SIDE)))
+        healpix_bound(pts, N_SIDE, "ring", "hpx")
         .groupBy("hpx")
         .agg(F.count("*").alias("cnt"))
         .orderBy("hpx")
@@ -790,6 +893,34 @@ _HPX8 = healpix_nest_sql("ra", "dec", 8)
 _HPX16 = healpix_nest_sql("ra", "dec", 16)
 
 
+def _adaptive_cells(spark, sf_dir) -> DataFrame:
+    """(event_id, c8, c16) for every event: ONE bound nest-16
+    evaluation per row (healpix_bound's two-level column binding),
+    with the coarse cell derived as c16 // 4 — exact by the NEST
+    hierarchy (children Morton-nest inside the parent; verified
+    mismatch-free against the independent nside=8 formula over the
+    10M-row 100x sky dir). The oracle still computes c8 via the
+    full nside=8 text, so the hash also re-proves the identity.
+
+    The coalesce(-1) wrapper never fires (the divide-by-literal-4
+    can't null, the pixel CASE is total over non-null coords) — it
+    exists to make the JOIN KEY column NON-NULLABLE (Divide is
+    statically nullable in non-ANSI mode): the downstream hot-cell
+    join otherwise infers an isnotnull(c8) constraint filter that
+    predicate pushdown substitutes through the binding projects with
+    the FULL pixel expression — 86 md5 copies in the plan, the
+    round-10 duplication monster sneaking back in through a
+    constraint filter (pinned in test_plans)."""
+    pts = sphere_points(spark, sf_dir, None)
+    return healpix_bound(pts, 16, "nest", "c16", keep=("event_id",)).select(
+        "event_id",
+        F.coalesce(
+            F.floor(F.col("c16") / 4).cast("long"), F.lit(-1)
+        ).alias("c8"),
+        "c16",
+    )
+
+
 @register(
     "agg_density_adaptive",
     oracle=(
@@ -812,12 +943,10 @@ def agg_density_adaptive(spark, sf_dir):
     hash agg -> the hot-cell set (tiny, broadcast) -> one map-side
     CASE picks each row's adaptive cell -> final hash agg. Two
     aggregations, one broadcast, no row ever shuffled twice; the
-    identical expression text runs in the DuckDB oracle."""
-    pts = sphere_points(spark, sf_dir, None).select(
-        "event_id",
-        F.expr(_HPX8).alias("c8"),
-        F.expr(_HPX16).alias("c16"),
-    )
+    DuckDB oracle runs the full two-resolution expression text while
+    the Spark side evaluates one bound nest-16 per row and derives
+    the coarse cell as c16 // 4 (_adaptive_cells)."""
+    pts = _adaptive_cells(spark, sf_dir)
     hot = (
         pts.groupBy("c8")
         .agg(F.count("*").alias("nc"))
@@ -879,11 +1008,7 @@ def sink_density_adaptive(spark, sf_dir):
     from lsd_spark.plans.materialize import materialized
 
     def build(tmp: str) -> str:
-        pts = sphere_points(spark, sf_dir, None).select(
-            "event_id",
-            F.expr(_HPX8).alias("c8"),
-            F.expr(_HPX16).alias("c16"),
-        )
+        pts = _adaptive_cells(spark, sf_dir)
         hot = (
             pts.groupBy("c8")
             .agg(F.count("*").alias("nc"))

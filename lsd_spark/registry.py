@@ -522,6 +522,15 @@ _R11_TOUCHED: list[str] = [
     "source_fits_rice",
     "source_fits_rice_cutout",
     "pipeline_survey_ingest",
+    # round-11 VERDICT #4: healpix projection family rekeyed through
+    # healpix_bound's column binding (ring 9.7->2.25 s, nest
+    # 14.7->2.2 s at the 100x sky dir); adaptive ops additionally
+    # derive c8 = c16 // 4 instead of a second nest expression
+    "fn_healpix_key",
+    "fn_healpix_nest",
+    "agg_sky_coverage",
+    "agg_density_adaptive",
+    "sink_density_adaptive",
 ]
 
 

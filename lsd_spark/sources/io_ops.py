@@ -232,6 +232,155 @@ def source_schema_evolution(spark, sf_dir):
 
 
 @register(
+    "source_schema_rename",
+    oracle=(
+        "SELECT CAST(1 AS INT) AS gen, n_nationkey, n_name AS n_label "
+        "FROM nation UNION ALL "
+        "SELECT CAST(2 AS INT), n_nationkey, n_name FROM nation "
+        "ORDER BY gen, n_nationkey"
+    ),
+    cacheable=False,
+)
+def source_schema_rename(spark, sf_dir):
+    """Column RENAME as a zero-rewrite catalog migration (round-10
+    VERDICT missing #3; LSD evolves cgroup schemas without rewriting
+    cells [lsd:src/lsd/table.py cgroup schema — UNVERIFIED]): the
+    rename is an alias map recorded in the catalog, old data files
+    keep the old physical name, post-rename writers use the new one,
+    and the READ VIEW unifies the generations with one coalesce over
+    the merged schema. At 100 TB this is the only sane rename — an
+    ALTER-and-rewrite of every parquet file is a full-table write.
+    The oracle rebuilds both generations from the source table; a
+    row surfacing under the wrong name (or a generation dropped by
+    the merge) breaks the hash."""
+    tmp = tempfile.mkdtemp(prefix="lsd_rename_")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n.withColumn("gen", F.lit(1).cast("int")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/t")  # v1: physical name n_name
+    # catalog migration: n_name -> n_label. Writers after it:
+    n.select(
+        "n_nationkey", F.col("n_name").alias("n_label")
+    ).withColumn("gen", F.lit(2).cast("int")).write.mode("append").parquet(
+        f"{tmp}/t"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{tmp}/t")
+    assert {"n_name", "n_label"} <= set(merged.columns)  # zero rewrite
+    out = (
+        merged.select(
+            "gen",
+            "n_nationkey",
+            F.coalesce("n_label", "n_name").alias("n_label"),
+        )
+        .orderBy("gen", "n_nationkey")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_schema_drop",
+    oracle=(
+        "SELECT CAST(1 AS INT) AS gen, n_nationkey, n_name, true AS "
+        "raw_retains_dropped FROM nation UNION ALL "
+        "SELECT CAST(2 AS INT), n_nationkey, n_name, true FROM nation "
+        "ORDER BY gen, n_nationkey"
+    ),
+    cacheable=False,
+)
+def source_schema_drop(spark, sf_dir):
+    """Column DROP as a zero-rewrite catalog migration: the catalog
+    stops projecting the column; existing files retain the physical
+    bytes (column pruning means they are never even read — dropping
+    is FREE at scan time in a columnar format), and post-drop writers
+    simply omit it. The op proves both halves: the raw merged schema
+    still carries n_regionkey from the v1 files (raw_retains_dropped),
+    while the migrated read view excludes it and loses no rows in
+    either generation."""
+    tmp = tempfile.mkdtemp(prefix="lsd_drop_")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    n.withColumn("gen", F.lit(1).cast("int")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/t")  # v1: column present
+    # catalog migration: DROP n_regionkey. Writers after it omit it:
+    n.drop("n_regionkey").withColumn("gen", F.lit(2).cast("int")).write.mode(
+        "append"
+    ).parquet(f"{tmp}/t")
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{tmp}/t")
+    retained = "n_regionkey" in merged.columns  # v1 bytes untouched
+    out = (
+        merged.select(
+            "gen",
+            "n_nationkey",
+            "n_name",
+            F.lit(bool(retained)).alias("raw_retains_dropped"),
+        )
+        .orderBy("gen", "n_nationkey")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_schema_widen",
+    oracle=(
+        "SELECT CAST(1 AS INT) AS gen, n_nationkey, "
+        "CAST(n_nationkey * 1000 AS BIGINT) AS n_pop FROM nation "
+        "UNION ALL SELECT CAST(2 AS INT), n_nationkey, "
+        "n_nationkey * 10000000000 FROM nation "
+        "ORDER BY gen, n_nationkey"
+    ),
+    cacheable=False,
+)
+def source_schema_widen(spark, sf_dir):
+    """Type WIDENING (int -> long) as a zero-rewrite migration: v1
+    files store the column as INT32, the catalog widens the declared
+    type to BIGINT, v2 appends carry genuinely-64-bit values. The
+    read view asks for the WIDER schema and the parquet reader
+    upcasts v1's int32 pages on the fly (if the runtime's vectorized
+    reader refuses the upcast, the fallback plans an explicit
+    per-generation cast + unionByName — same values, one extra scan
+    branch). Narrowing is NOT a metadata migration (it can truncate);
+    only widening is safe-on-read, which is why the op goes this
+    direction."""
+    tmp = tempfile.mkdtemp(prefix="lsd_widen_")
+    n = load(spark, sf_dir, "nation").select("n_nationkey")
+    n.select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 1000).cast("int").alias("n_pop"),
+        F.lit(1).cast("int").alias("gen"),
+    ).write.mode("overwrite").parquet(f"{tmp}/v1")
+    n.select(
+        "n_nationkey",
+        (F.col("n_nationkey") * F.lit(10_000_000_000)).cast("bigint").alias(
+            "n_pop"
+        ),
+        F.lit(2).cast("int").alias("gen"),
+    ).write.mode("overwrite").parquet(f"{tmp}/v2")
+    wide = "n_nationkey BIGINT, n_pop BIGINT, gen INT"
+    try:
+        merged = spark.read.schema(wide).parquet(f"{tmp}/v1", f"{tmp}/v2")
+        merged.first()  # force the upcast path to materialize
+    except Exception:  # pragma: no cover — runtime-dependent reader
+        merged = (
+            spark.read.parquet(f"{tmp}/v1")
+            .withColumn("n_pop", F.col("n_pop").cast("bigint"))
+            .unionByName(spark.read.parquet(f"{tmp}/v2"))
+        )
+    out = (
+        merged.select("gen", "n_nationkey", "n_pop")
+        .orderBy("gen", "n_nationkey")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
     "sink_snapshot",
     oracle=(
         "SELECT count(*) AS v1_rows, 2 * count(*) AS v2_rows FROM nation"

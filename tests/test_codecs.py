@@ -9,6 +9,7 @@ import struct
 import zlib
 
 import numpy as np
+import pytest
 
 from lsd_spark.llm.multimodal import _make_png_codec, _make_wav_codec
 
@@ -496,3 +497,156 @@ def test_gif_end_of_stream_at_width_boundary_regression():
         row = rng.randint(0, 256, (1, n)).astype(np.uint8)
         _, _, out = dec(enc(row))
         assert (out[0, :, 0] == row[0]).all(), n
+
+
+# --- inter-coded video (MPEG-1-style I/P) ---------------------------------
+
+from lsd_spark.llm.multimodal import (  # noqa: E402
+    IPV_MB,
+    _make_ipvideo_codec,
+)
+
+
+def _flat_mb_frames(levels_per_frame):
+    """Frames of flat 16x16 macroblocks from a level grid list:
+    each entry is a 2D list (rows of macroblock levels)."""
+    out = []
+    for grid in levels_per_frame:
+        h, w = len(grid) * IPV_MB, len(grid[0]) * IPV_MB
+        img = np.empty((h, w), np.uint8)
+        for gy, row in enumerate(grid):
+            for gx, lvl in enumerate(row):
+                img[
+                    gy * IPV_MB : (gy + 1) * IPV_MB,
+                    gx * IPV_MB : (gx + 1) * IPV_MB,
+                ] = lvl
+        out.append(img)
+    return out
+
+
+def test_ipv_exact_roundtrip_motion_and_residual():
+    """Macroblock-aligned motion (cyclic grid shift) + one replaced
+    block per frame, all levels multiples of 4: the exact-path
+    contract — every frame reconstructs bit-identically through the
+    I->P->P prediction chain."""
+    enc, dec, _ = _make_ipvideo_codec()
+    frames = _flat_mb_frames(
+        [
+            [[16, 60, 104], [148, 192, 80]],
+            [[60, 104, 148], [192, 80, 16]],   # shift by one block
+            [[104, 148, 192], [80, 16, 212]],  # shift + replace last
+        ]
+    )
+    chunks = enc(frames, gop=3)
+    assert [bytes(c[:1]) for c in chunks] == [b"I", b"P", b"P"]
+    back, stats = dec(chunks)
+    for f, b in zip(frames, back):
+        assert (b == f).all()
+    assert stats[1]["res"] == 0          # pure motion
+    assert stats[2]["res"] == 1          # the replacement block
+    assert stats[1]["mv"] + stats[1]["skip"] == 6
+
+
+def test_ipv_static_scene_is_all_skip():
+    """Identical consecutive frames: every macroblock takes skip
+    mode — a P-frame is 7 bytes (type + 6 mode bytes)."""
+    enc, dec, _ = _make_ipvideo_codec()
+    frames = _flat_mb_frames([[[40, 80, 120], [160, 200, 24]]] * 3)
+    chunks = enc(frames, gop=3)
+    assert len(chunks[1]) == 1 + 6 and len(chunks[2]) == 1 + 6
+    back, stats = dec(chunks)
+    assert (back[2] == frames[0]).all()
+    assert stats[1] == {"type": "P", "skip": 6, "mv": 0, "res": 0,
+                        "res_bytes": 0}
+
+
+def test_ipv_decoder_accepts_arbitrary_pixel_motion():
+    """The DECODER is more general than this encoder's MB-aligned
+    search: a handcrafted P chunk with a sub-macroblock vector
+    (dx=3, dy=-2) must reconstruct the exact shifted window of a
+    ramp reference frame."""
+    import struct
+
+    enc, dec, _ = _make_ipvideo_codec()
+    ramp = (
+        np.add.outer(np.arange(32) * 2, np.arange(48))
+        .astype(np.uint8)
+    )
+    [i_chunk] = enc([ramp], gop=1)
+    # the P frame predicts from the DECODED intra frame (JPEG is
+    # lossy on a ramp), so the expectation is built from that
+    [ramp], _ = dec([i_chunk])
+    # one P frame: every MB mode 1 with (dx, dy) = (3, -2) except MBs
+    # whose reference window would leave the frame -> (0, 0) skip
+    body = bytearray(b"P")
+    want = np.empty_like(ramp)
+    for my in range(0, 32, IPV_MB):
+        for mx in range(0, 48, IPV_MB):
+            ry, rx = my - 2, mx + 3
+            if 0 <= ry <= 32 - IPV_MB and 0 <= rx <= 48 - IPV_MB:
+                body += b"\x01" + struct.pack(">bb", 3, -2)
+                want[my : my + IPV_MB, mx : mx + IPV_MB] = ramp[
+                    ry : ry + IPV_MB, rx : rx + IPV_MB
+                ]
+            else:
+                body += b"\x00"
+                want[my : my + IPV_MB, mx : mx + IPV_MB] = ramp[
+                    my : my + IPV_MB, mx : mx + IPV_MB
+                ]
+    back, _ = dec([i_chunk, bytes(body)])
+    assert (back[1] == want).all()
+
+
+def test_ipv_gop_sampling_decodes_only_gop_prefix():
+    enc, dec, decf = _make_ipvideo_codec()
+    grids = [[[16 + 8 * t, 60, 104], [148, 192, 80]] for t in range(6)]
+    frames = _flat_mb_frames(grids)
+    chunks = enc(frames, gop=3)
+    frame5, cost5 = decf(chunks, 5)
+    assert cost5 == 3 and (frame5 == frames[5]).all()
+    frame1, cost1 = decf(chunks, 1)
+    assert cost1 == 2
+    frame3, cost3 = decf(chunks, 3)
+    assert cost3 == 1  # lands on an I-frame
+
+
+def test_ipv_malformed_raises():
+    import struct
+
+    enc, dec, _ = _make_ipvideo_codec()
+    frames = _flat_mb_frames([[[16, 60, 104], [148, 192, 80]]] * 2)
+    i_chunk, p_chunk = enc(frames, gop=2)
+    with pytest.raises(ValueError, match="P-frame before any I"):
+        dec([p_chunk])
+    with pytest.raises(ValueError, match="unknown frame type"):
+        dec([b"X" + i_chunk[1:]])
+    with pytest.raises(ValueError, match="unknown macroblock mode"):
+        dec([i_chunk, b"P" + b"\x07" + p_chunk[2:]])
+    with pytest.raises(ValueError, match="outside frame"):
+        dec([i_chunk, b"P" + b"\x01" + struct.pack(">bb", 100, 0) * 3])
+    with pytest.raises(ValueError, match="truncated"):
+        dec([i_chunk, p_chunk[:4]])
+    with pytest.raises(ValueError, match="trailing bytes"):
+        dec([i_chunk, p_chunk + b"\x00\x00"])
+    with pytest.raises(ValueError, match="length mismatch"):
+        dec([i_chunk[:-3]])
+    with pytest.raises(ValueError, match="macroblock multiples"):
+        enc([np.zeros((30, 48), np.uint8)])
+
+
+def test_ipv_smooth_content_bounded_error():
+    """General (non-contract) content: the residual path halves then
+    re-doubles, so quantization error is amplified 2x — on SMOOTH
+    moving content it must stay small; the exact contract covers the
+    flat/multiple-of-4 fixture."""
+    enc, dec, _ = _make_ipvideo_codec()
+    base = np.add.outer(np.arange(32) * 3, np.arange(48) * 2) % 200
+    frames = [
+        np.clip(base + 10 * t, 0, 255).astype(np.uint8) for t in range(3)
+    ]
+    chunks = enc(frames, gop=3)
+    back, _ = dec(chunks)
+    for f, b in zip(frames[1:], back[1:]):
+        err = np.abs(b.astype(int) - f.astype(int))
+        assert err.mean() < 8 and err.max() <= 64, (
+            err.mean(), err.max())

@@ -541,6 +541,30 @@ def test_region_healpix_binds_derived_coords_once(spark):
     assert "Join" not in p, p
 
 
+def test_healpix_projection_family_binds_trig_once(spark):
+    """Round-11 VERDICT #4: the projection-side healpix ops must key
+    through healpix_bound's column binding, so the executed plan
+    holds the trig ONCE per scheme level, not the ~15 textual copies
+    the single-expression form evaluates (codegen CSE skips CASE
+    branches; 14.7 -> 2.2 s nest, 9.7 -> 2.25 s ring at the 100x sky
+    dir). Budget: <= 3 'sin(' (1 binding + EXPLAIN re-listing
+    headroom) and <= 6 md5 (ra is referenced twice inside tt, dec
+    once inside z, x2 re-listing); the adaptive ops additionally may
+    not carry a second nest expression (c8 is derived as c16 // 4,
+    so 'sqrt(' — the polar term — appears once-per-binding, not
+    once-per-resolution)."""
+    for op in (
+        "fn_healpix_key",
+        "fn_healpix_nest",
+        "agg_sky_coverage",
+        "agg_density_adaptive",
+    ):
+        p = qplan(op, spark)
+        assert p.count("sin(") <= 3, f"{op}: sin x{p.count('sin(')}"
+        assert p.count("md5") <= 6, f"{op}: md5 x{p.count('md5')}"
+        assert p.count("sqrt(") <= 3, f"{op}: sqrt x{p.count('sqrt(')}"
+
+
 def test_min_label_loop_runs_when_contraction_is_partial(spark):
     """Round-6 seed/probe restructure: when a component's edges span
     partitions, the contraction seed is NOT the fixpoint, the probe

@@ -84,3 +84,130 @@ def test_read_before_first_commit_raises(spark, tmp_path):
     tl.init_table(base)
     with pytest.raises(ValueError):
         tl.read_version(spark, base, 0)
+
+
+# ---- manifest checkpointing (round-10 VERDICT missing #2) ----
+
+
+def _fake_commits(base, n, writer="A", interval=5):
+    """n commits of synthetic file lists (the commit protocol never
+    inspects file contents, so checkpoint tests skip Spark writes)."""
+    for i in range(1, n + 1):
+        tl.commit(
+            base, [f"data/{writer}/f{i:03d}.parquet"], writer,
+            checkpoint_interval=interval,
+        )
+
+
+def test_checkpointed_manifest_equals_full_walk(tmp_path):
+    """>=50 commits: every version's checkpointed manifest must be
+    byte-identical to the full log walk, checkpoints must exist at
+    each interval, and the pointer must track the newest one."""
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    _fake_commits(base, 50, interval=5)
+    assert tl.checkpoint_versions(base) == list(range(5, 51, 5))
+    assert tl._pointer_version(base) == 50
+    for v in range(1, 51):
+        assert tl.manifest(base, v) == tl.manifest_full_walk(base, v)
+    # time travel to a version below a checkpoint picks the right one
+    assert tl._best_checkpoint(base, 37) == 35
+    assert tl._best_checkpoint(base, 4) == 0  # pre-first-checkpoint
+
+
+def test_checkpoint_read_skips_walked_over_entries(tmp_path):
+    """Planning a checkpointed read must not open the entries the
+    checkpoint consolidated: with entries 1..45 deleted, version-50
+    planning still succeeds (checkpoint 45 + suffix) while the full
+    walk — which needs every entry — fails."""
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    _fake_commits(base, 50, interval=5)
+    want = tl.manifest_full_walk(base, 50)
+    import os as _os
+
+    for v in range(1, 46):
+        _os.unlink(tl._entry_path(base, v))
+    assert tl.manifest(base, 50) == want
+    with pytest.raises(FileNotFoundError):
+        tl.manifest_full_walk(base, 50)
+
+
+def test_missing_or_stale_pointer_falls_back(tmp_path):
+    """_last_checkpoint is a hint: deleting it (crash between
+    checkpoint and pointer) or rolling it back (lagging writer) must
+    leave every read correct — the dir-scan fallback or a longer
+    suffix walk, never a wrong list."""
+    import json as _json
+    import os as _os
+
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    _fake_commits(base, 20, interval=5)
+    want = tl.manifest_full_walk(base, 20)
+    ptr = _os.path.join(base, tl.LOG_DIR, tl.LAST_CHECKPOINT)
+    _os.unlink(ptr)
+    assert tl.manifest(base, 20) == want  # scan fallback
+    with open(ptr, "w") as fh:
+        _json.dump({"version": 5}, fh)  # stale pointer
+    assert tl.manifest(base, 20) == want  # longer walk, same answer
+    # pointer only moves forward: an old checkpointer can't roll back
+    tl.write_checkpoint(base, 10, "late")
+    assert tl._pointer_version(base) == 10  # (was stale-5, 10 > 5)
+    tl.write_checkpoint(base, 20, "fresh")
+    assert tl._pointer_version(base) == 20
+    tl.write_checkpoint(base, 15, "laggard")
+    assert tl._pointer_version(base) == 20  # not rolled back
+
+
+def test_multi_writer_checkpoint_stress(tmp_path):
+    """N threads x M commits racing the optimistic protocol with
+    checkpointing on: every version claimed exactly once, no writer
+    loses a commit, the final manifest carries every staged file
+    exactly once, and interval checkpoints all published."""
+    import json as _json
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    N, M = 4, 15
+
+    def run(w):
+        return [
+            tl.commit(base, [f"data/w{w}/f{i:02d}.parquet"], f"w{w}",
+                      checkpoint_interval=10)
+            for i in range(M)
+        ]
+
+    with ThreadPoolExecutor(N) as ex:
+        claimed = list(ex.map(run, range(N)))
+    flat = [v for per in claimed for v in per]
+    assert sorted(flat) == list(range(1, N * M + 1))  # unique claims
+    assert all(len(per) == M for per in claimed)
+    assert tl.latest_version(base) == N * M
+    files = tl.manifest(base, N * M)
+    assert sorted(files) == sorted(
+        f"data/w{w}/f{i:02d}.parquet" for w in range(N) for i in range(M)
+    )
+    assert files == tl.manifest_full_walk(base, N * M)
+    assert tl.checkpoint_versions(base) == list(range(10, N * M + 1, 10))
+    # each checkpoint's content is exactly its version's full walk
+    for c in tl.checkpoint_versions(base):
+        with open(tl._ckpt_path(base, c)) as fh:
+            assert _json.load(fh)["files"] == tl.manifest_full_walk(base, c)
+
+
+def test_spark_read_on_checkpointed_table(spark, tmp_path):
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    for i in range(1, 13):
+        tl.commit(
+            base,
+            tl.write_data_files(_mk(spark, [(i, float(i))]), base, f"c{i}"),
+            "A",
+            checkpoint_interval=4,
+        )
+    assert tl.checkpoint_versions(base) == [4, 8, 12]
+    for v in (4, 7, 12):
+        got = sorted(r.k for r in tl.read_version(spark, base, v).collect())
+        assert got == list(range(1, v + 1))
