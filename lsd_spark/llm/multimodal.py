@@ -47,6 +47,18 @@ MM_SCHEMA = T.StructType(
 )
 
 
+def _cpu_spread(df):
+    """Round-robin repartition to the session's core count before a
+    CPU-bound decode kernel: pure-python codecs cost 1-40 ms/doc, so
+    decode parallelism must equal COMPUTE parallelism even when the
+    fixture table arrives as one small parquet split (the round-11
+    10x sweep measured mm_decode_video at 309 s on one input
+    partition). At real scale the input partition count already
+    provides the parallelism and this collapses to a cheap shuffle
+    of (id, payload) rows."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def with_binary_payload(docs):
     """Attach an opaque binary column + typed metadata (the ingest
     shape for any multimodal table: payload stays a black box until a
@@ -162,7 +174,9 @@ def mm_decode(spark, sf_dir):
     (width, height, channels, px_sum). The oracle recomputes px_sum
     arithmetically from the md5 hex: (N//16)*sum(digest) + sum of the
     first N%16 digest bytes. Exact integers end to end."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _cpu_spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     encode, decode = _make_png_codec()  # driver-side; ships by value
 
     def roundtrip_kernel(batches):
@@ -256,7 +270,9 @@ def mm_resize(spark, sf_dir):
     the output-pixel sum; the oracle re-enumerates every pixel in SQL
     (unnest/generate_series), groups 2x2 blocks and recomputes the
     identical integer arithmetic. Exact end to end."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _cpu_spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     encode, decode = _make_png_codec()  # driver-side; ships by value
 
     def resize_kernel(batches):
@@ -826,7 +842,9 @@ def mm_decode_png(spark, sf_dir):
     (channel mean == mean of the 16 digest bytes, exactly — the tile
     width is coprime with the channel stride). A fully hash-checked
     encode->decode round trip through a real on-disk format."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _cpu_spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     # factory called DRIVER-side: the kernels capture the returned
     # closures, which cloudpickle ships by value (a direct reference
     # to the module-level factory would pickle by module path and
@@ -904,7 +922,9 @@ def mm_decode_gif(spark, sf_dir):
     mean-only PNG check. Same 100 TB shape as every mm_ kernel:
     opaque binary column between two Arrow-batched map-only stages,
     decode parallelism == data parallelism."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _cpu_spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     encode, decode = _make_gif_codec()  # driver-side; ships by value
 
     def encode_kernel(batches):
@@ -999,7 +1019,9 @@ def mm_decode_jpeg(spark, sf_dir):
     payloads — the same partition/batch shape a libjpeg-turbo UDF
     would have; swap the pure-python codec for the C library and
     the plan is unchanged."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _cpu_spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     encode, decode = _make_jpeg_codec()  # driver-side; ships by value
 
     def kernel(batches):
@@ -1118,7 +1140,9 @@ def mm_phash_dedup(spark, sf_dir):
     At 100 TB: decode+hash is a map-only Arrow kernel; the dedup is
     one 8-byte-key groupBy (near-dup banding would reuse the simhash
     band join; exact pHash grouping is the common first pass)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _cpu_spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     encode, decode = _make_png_codec()  # driver-side; ships by value
 
     def kernel(batches):
@@ -1639,7 +1663,9 @@ def mm_decode_video(spark, sf_dir):
     100 TB: map-only Arrow kernel over opaque payloads, same plan as
     every mm_decode_*; swap the pure-python codecs for libavformat/
     libjpeg bindings and the plan is unchanged."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _cpu_spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     jenc, jdec = _make_jpeg_codec()
     venc, vdec = _make_avi_codec()  # driver-side; closures ship by value
     sampled = list(range(0, VIDEO_N_FRAMES, VIDEO_STRIDE))
@@ -1880,48 +1906,59 @@ def _make_ipvideo_codec():
             rec = np.empty_like(cur)
             curi = cur.astype(np.int32)
             refi = ref.astype(np.int32)
-            for my in range(0, h, IPV_MB):
-                for mx in range(0, w, IPV_MB):
-                    tgt = curi[my : my + IPV_MB, mx : mx + IPV_MB]
-                    best = None
-                    for ry in range(0, h - IPV_MB + 1, IPV_MB):
-                        for rx in range(0, w - IPV_MB + 1, IPV_MB):
-                            dy, dx = ry - my, rx - mx
-                            if not (-128 <= dx < 128 and -128 <= dy < 128):
-                                continue
-                            sad = int(
-                                np.abs(
-                                    tgt
-                                    - refi[
-                                        ry : ry + IPV_MB, rx : rx + IPV_MB
-                                    ]
-                                ).sum()
-                            )
-                            key = (sad, abs(dx) + abs(dy), dy, dx)
-                            if best is None or key < best[0]:
-                                best = (key, dy, dx)
-                    _, dy, dx = best
-                    pred = refi[
-                        my + dy : my + dy + IPV_MB, mx + dx : mx + dx + IPV_MB
-                    ]
-                    res = tgt - pred
-                    if not res.any():
-                        if dx == 0 and dy == 0:
-                            body += b"\x00"
-                        else:
-                            body += b"\x01" + _st.pack(">bb", dx, dy)
-                        blk = pred
+            # vectorized exhaustive MB-aligned SAD: one (n_mb x n_mb)
+            # matrix per frame instead of n_mb^2 tiny numpy calls
+            # (the python-loop form dominated the 10x sweep profile);
+            # the deterministic tie-break (SAD, |mv|, dy, dx) is a
+            # per-row lexsort, identical to the scalar form's order
+            n_by, n_bx = h // IPV_MB, w // IPV_MB
+            n_mb = n_by * n_bx
+
+            def blockify(a):
+                return (
+                    a.reshape(n_by, IPV_MB, n_bx, IPV_MB)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(n_mb, -1)
+                )
+
+            sadm = np.abs(
+                blockify(curi)[:, None, :] - blockify(refi)[None, :, :]
+            ).sum(-1)
+            pos_y = (np.arange(n_mb) // n_bx) * IPV_MB
+            pos_x = (np.arange(n_mb) % n_bx) * IPV_MB
+            dym = pos_y[None, :] - pos_y[:, None]
+            dxm = pos_x[None, :] - pos_x[:, None]
+            legal = (np.abs(dym) <= 127) & (np.abs(dxm) <= 127)
+            sadm = np.where(legal, sadm, np.iinfo(np.int64).max)
+            for j in range(n_mb):
+                my, mx = int(pos_y[j]), int(pos_x[j])
+                order = np.lexsort(
+                    (dxm[j], dym[j], np.abs(dxm[j]) + np.abs(dym[j]), sadm[j])
+                )
+                k = int(order[0])
+                dy, dx = int(dym[j, k]), int(dxm[j, k])
+                tgt = curi[my : my + IPV_MB, mx : mx + IPV_MB]
+                pred = refi[
+                    my + dy : my + dy + IPV_MB, mx + dx : mx + dx + IPV_MB
+                ]
+                res = tgt - pred
+                if not res.any():
+                    if dx == 0 and dy == 0:
+                        body += b"\x00"
                     else:
-                        tile = (res // 2 + 128).astype(np.uint8)
-                        jt = jenc(tile)
-                        body += b"\x02" + _st.pack(">bbI", dx, dy, len(jt)) + jt
-                        _th, _tw, rt = jdec(jt)
-                        blk = np.clip(
-                            pred + (rt.astype(np.int32) - 128) * 2, 0, 255
-                        )
-                    rec[my : my + IPV_MB, mx : mx + IPV_MB] = blk.astype(
-                        np.uint8
+                        body += b"\x01" + _st.pack(">bb", dx, dy)
+                    blk = pred
+                else:
+                    tile = (res // 2 + 128).astype(np.uint8)
+                    jt = jenc(tile)
+                    body += b"\x02" + _st.pack(">bbI", dx, dy, len(jt)) + jt
+                    _th, _tw, rt = jdec(jt)
+                    blk = np.clip(
+                        pred + (rt.astype(np.int32) - 128) * 2, 0, 255
                     )
+                rec[my : my + IPV_MB, mx : mx + IPV_MB] = blk.astype(
+                    np.uint8
+                )
             out.append(bytes(body))
             ref = rec
         return out

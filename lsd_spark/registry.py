@@ -531,6 +531,16 @@ _R11_TOUCHED: list[str] = [
     "agg_sky_coverage",
     "agg_density_adaptive",
     "sink_density_adaptive",
+    # round-11 10x-sweep finding: CPU-bound decode kernels ran on ONE
+    # input partition (mm_decode_video 309 s serial) — _cpu_spread
+    # repartitions to core count ahead of the kernel (plan change)
+    "mm_decode",
+    "mm_resize",
+    "mm_decode_png",
+    "mm_decode_gif",
+    "mm_decode_jpeg",
+    "mm_phash_dedup",
+    "mm_decode_video",
 ]
 
 

@@ -1215,6 +1215,361 @@ def source_fits_wcs(spark, sf_dir):
     )
 
 
+_WCS_SIN_ORACLE = (
+    "WITH probe AS (SELECT * FROM (VALUES "
+    + ", ".join(f"({px}, {py})" for px, py in _WCS_PROBE_PIXELS)
+    + ") AS t(px, py)), "
+    "w AS (SELECT CAST(n_nationkey AS INT) AS natkey, "
+    "  radians(10.0*n_nationkey + 5.0) AS r0, "
+    "  radians(3.0*n_nationkey - 36.0) AS d0, "
+    # 0.5 deg/px (a wide orthographic field): at this scale the
+    # projection CHOICE is load-bearing — running TAN math on these
+    # headers moves the corner probes by ~2.4e-3 deg, 2400x the
+    # oracle grid (at the TAN fixture's 0.001 deg/px the two
+    # projections agree to 1e-13 and no oracle could tell them apart)
+    "  0.5*cos(radians(7.0*n_nationkey)) AS cd11, "
+    "  -0.5*sin(radians(7.0*n_nationkey)) AS cd12, "
+    "  0.5*sin(radians(7.0*n_nationkey)) AS cd21, "
+    "  0.5*cos(radians(7.0*n_nationkey)) AS cd22 "
+    "FROM nation), "
+    "c AS (SELECT natkey, px, py, r0, d0, "
+    "  radians(cd11*(px - 4.5) + cd12*(py - 4.5)) AS x, "
+    "  radians(cd21*(px - 4.5) + cd22*(py - 4.5)) AS y "
+    "FROM w CROSS JOIN probe) "
+    "SELECT natkey, px, py, "
+    "  FLOOR(((degrees(r0 + atan2(x, sqrt(1.0 - x*x - y*y)*cos(d0) "
+    "    - y*sin(d0))) % 360.0 + 360.0) % 360.0) * 1000000 + 0.5) "
+    "    / 1000000 AS ra, "
+    "  FLOOR(degrees(asin(sqrt(1.0 - x*x - y*y)*sin(d0) + y*cos(d0))) "
+    "    * 1000000 + 0.5) / 1000000 AS dec, "
+    "  0.0 AS roundtrip_err "
+    "FROM c ORDER BY natkey, px, py"
+)
+
+
+def _wcs_sin_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    """25 single-HDU exposures whose primary header carries the SAME
+    closed-form pointing/CD as wcs_cards but CTYPE 'RA---SIN' — the
+    orthographic solution interferometers and some survey pipelines
+    deliver instead of TAN."""
+    from lsd_spark.plans.materialize import materialized
+
+    def build(base: str) -> str:
+        keys = [
+            r["n_nationkey"]
+            for r in load(spark, sf_dir, "nation")
+            .select("n_nationkey")
+            .collect()
+        ]
+        d = os.path.join(base, "images_sin")
+        os.makedirs(d)
+        idx = np.arange(64, dtype=np.int64).reshape(8, 8)
+        for k in keys:
+            cards = {"NATKEY": int(k)}
+            cards.update(wcs_cards(int(k)))
+            cards["CTYPE1"] = "RA---SIN"
+            cards["CTYPE2"] = "DEC--SIN"
+            # wide field (0.5 deg/px) so SIN-vs-TAN is oracle-visible
+            for c in ("CD1_1", "CD1_2", "CD2_1", "CD2_2"):
+                cards[c] = cards[c] * 500.0
+            write_fits_image(
+                os.path.join(d, f"sin_{int(k):02d}.fits"),
+                257 * int(k) + 13 * idx,
+                extra_cards=cards,
+            )
+        return d
+
+    return materialized(
+        spark, "fits_wcs_sin", sf_dir, build, prefix="lsd_fitssin_"
+    )
+
+
+@register(
+    "source_fits_wcs_sin", oracle=_WCS_SIN_ORACLE, cacheable=False
+)
+def source_fits_wcs_sin(spark, sf_dir):
+    """SIN (orthographic) WCS de-projection (round-10 VERDICT missing
+    #4 — projection breadth beyond TAN): the slant-free orthographic
+    solution radio interferometers natively produce (Greisen &
+    Calabretta 2002 §5.1.5, public formulas). With (x, y) the
+    CD-transformed intermediate coords in radians:
+
+        dec = asin(sqrt(1 - x^2 - y^2) sin d0 + y cos d0)
+        ra  = ra0 + atan2(x, sqrt(1 - x^2 - y^2) cos d0 - y sin d0)
+
+    The op dispatches on CTYPE ('RA---SIN' files only), runs the
+    de-projection in Catalyst, forward-projects back through the
+    inverse CD (x = cos d sin(ra-ra0); y = sin d cos d0 -
+    cos d sin d0 cos(ra-ra0)) and returns the pixel residual after
+    the shared 1e-6 grid quantization. The fixture field is WIDE
+    (0.5 deg/px, ~2.5-degree corner radius) precisely so the
+    projection choice is oracle-visible: TAN math on these SIN
+    headers moves the corner probes by ~rho^3/2 = 2.4e-3 deg, 2400x
+    the grid (tested); a CD sign slip is larger still. Same
+    aggregate-sized broadcast shape as source_fits_wcs at 100 TB."""
+    d = _wcs_sin_fixture_path(spark, sf_dir)
+    img = read_fits_images(spark, d)
+    hdr = img.filter(F.col("hdu_index") == 0).select(
+        F.element_at("_hdr", "NATKEY").cast("int").alias("natkey"),
+        F.element_at("_hdr", "CRVAL1").cast("double").alias("crval1"),
+        F.element_at("_hdr", "CRVAL2").cast("double").alias("crval2"),
+        F.element_at("_hdr", "CRPIX1").cast("double").alias("crpix1"),
+        F.element_at("_hdr", "CRPIX2").cast("double").alias("crpix2"),
+        F.element_at("_hdr", "CD1_1").cast("double").alias("cd11"),
+        F.element_at("_hdr", "CD1_2").cast("double").alias("cd12"),
+        F.element_at("_hdr", "CD2_1").cast("double").alias("cd21"),
+        F.element_at("_hdr", "CD2_2").cast("double").alias("cd22"),
+        F.element_at("_hdr", "CTYPE1").alias("ctype1"),
+    )
+    probes = F.array(
+        *[
+            F.struct(F.lit(px).alias("px"), F.lit(py).alias("py"))
+            for px, py in _WCS_PROBE_PIXELS
+        ]
+    )
+    g = (
+        hdr.filter(F.col("ctype1") == "RA---SIN")
+        .select("*", F.explode(probes).alias("p"))
+        .select(
+            "natkey",
+            F.col("p.px").alias("px"),
+            F.col("p.py").alias("py"),
+            F.radians("crval1").alias("r0"),
+            F.radians("crval2").alias("d0"),
+            "crpix1", "crpix2", "cd11", "cd12", "cd21", "cd22",
+            F.radians(
+                F.col("cd11") * (F.col("p.px") - F.col("crpix1"))
+                + F.col("cd12") * (F.col("p.py") - F.col("crpix2"))
+            ).alias("x"),
+            F.radians(
+                F.col("cd21") * (F.col("p.px") - F.col("crpix1"))
+                + F.col("cd22") * (F.col("p.py") - F.col("crpix2"))
+            ).alias("y"),
+        )
+    )
+    z = F.sqrt(1.0 - F.col("x") * F.col("x") - F.col("y") * F.col("y"))
+    ra_f = F.degrees(
+        F.col("r0")
+        + F.atan2(
+            F.col("x"), z * F.cos("d0") - F.col("y") * F.sin("d0")
+        )
+    )
+    dec_f = F.degrees(
+        F.asin(z * F.sin("d0") + F.col("y") * F.cos("d0"))
+    )
+    g = g.withColumn("ra_f", ra_f).withColumn("dec_f", dec_f)
+    # inverse: forward orthographic projection + CD^-1 -> pixel
+    rr, dd = F.radians("ra_f"), F.radians("dec_f")
+    x_b = F.degrees(F.cos(dd) * F.sin(rr - F.col("r0")))
+    y_b = F.degrees(
+        F.sin(dd) * F.cos("d0")
+        - F.cos(dd) * F.sin("d0") * F.cos(rr - F.col("r0"))
+    )
+    det = F.col("cd11") * F.col("cd22") - F.col("cd12") * F.col("cd21")
+    px_b = F.col("crpix1") + (F.col("cd22") * x_b - F.col("cd12") * y_b) / det
+    py_b = F.col("crpix2") + (F.col("cd11") * y_b - F.col("cd21") * x_b) / det
+    grid = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        g.select(
+            "natkey", "px", "py",
+            grid(((F.col("ra_f") % 360.0) + 360.0) % 360.0).alias("ra"),
+            grid(F.col("dec_f")).alias("dec"),
+            grid(
+                F.greatest(
+                    F.abs(px_b - F.col("px")), F.abs(py_b - F.col("py"))
+                )
+            ).alias("roundtrip_err"),
+        )
+        .orderBy("natkey", "px", "py")
+    )
+
+
+def _sip_coeffs_sql(k: str = "n_nationkey") -> dict[str, str]:
+    """Closed-form SIP quadratic coefficients for exposure k — the
+    same expressions build the fixture headers (Python) and the
+    DuckDB oracle (SQL text), so the Spark side must parse the header
+    floats back bit-identically for the hash to match."""
+    return {
+        "a20": f"0.001*(1 + {k} % 3)",
+        "a11": f"0.0005*({k} % 4)",
+        "a02": f"0.001*(1 + {k} % 2)",
+        "b20": f"0.0005*(1 + {k} % 4)",
+        "b11": f"0.001*({k} % 3)",
+        "b02": f"0.0005*(1 + {k} % 5)",
+    }
+
+
+_SIP_C = _sip_coeffs_sql()
+
+_WCS_SIP_ORACLE = (
+    "WITH probe AS (SELECT * FROM (VALUES "
+    + ", ".join(f"({px}, {py})" for px, py in _WCS_PROBE_PIXELS)
+    + ") AS t(px, py)), "
+    "w AS (SELECT CAST(n_nationkey AS INT) AS natkey, "
+    "  radians(10.0*n_nationkey + 5.0) AS r0, "
+    "  radians(3.0*n_nationkey - 36.0) AS d0, "
+    "  0.001*cos(radians(7.0*n_nationkey)) AS cd11, "
+    "  -0.001*sin(radians(7.0*n_nationkey)) AS cd12, "
+    "  0.001*sin(radians(7.0*n_nationkey)) AS cd21, "
+    "  0.001*cos(radians(7.0*n_nationkey)) AS cd22, "
+    + ", ".join(f"{v} AS {n}" for n, v in _SIP_C.items())
+    + " FROM nation), "
+    "u AS (SELECT *, CAST(px AS DOUBLE) - 4.5 AS uu, "
+    "  CAST(py AS DOUBLE) - 4.5 AS vv FROM w CROSS JOIN probe), "
+    "s AS (SELECT *, a20*uu*uu + a11*uu*vv + a02*vv*vv AS du, "
+    "  b20*uu*uu + b11*uu*vv + b02*vv*vv AS dv FROM u), "
+    "c AS (SELECT natkey, px, py, r0, d0, du, dv, "
+    "  radians(cd11*(uu + du) + cd12*(vv + dv)) AS xi, "
+    "  radians(cd21*(uu + du) + cd22*(vv + dv)) AS eta "
+    "FROM s) "
+    "SELECT natkey, px, py, "
+    "  FLOOR(((degrees(r0 + atan2(xi, cos(d0) - eta*sin(d0))) % 360.0 "
+    "    + 360.0) % 360.0) * 1000000 + 0.5) / 1000000 AS ra, "
+    "  FLOOR(degrees(atan((sin(d0) + eta*cos(d0)) / "
+    "    sqrt(xi*xi + (cos(d0) - eta*sin(d0)) * (cos(d0) - eta*sin(d0))))) "
+    "    * 1000000 + 0.5) / 1000000 AS dec, "
+    "  FLOOR(GREATEST(ABS(du), ABS(dv)) * 1000000 + 0.5) / 1000000 "
+    "    AS dist_px "
+    "FROM c ORDER BY natkey, px, py"
+)
+
+
+def _wcs_sip_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    """25 exposures whose TAN solution carries SIP quadratic
+    distortion cards (A_ORDER/A_p_q, B_ORDER/B_p_q — the convention
+    survey astrometry pipelines attach for optical distortion)."""
+    from lsd_spark.plans.materialize import materialized
+
+    def build(base: str) -> str:
+        keys = [
+            r["n_nationkey"]
+            for r in load(spark, sf_dir, "nation")
+            .select("n_nationkey")
+            .collect()
+        ]
+        d = os.path.join(base, "images_sip")
+        os.makedirs(d)
+        idx = np.arange(64, dtype=np.int64).reshape(8, 8)
+        for key in keys:
+            k = int(key)
+            cards = {"NATKEY": k}
+            cards.update(wcs_cards(k))
+            cards["CTYPE1"] = "RA---TAN-SIP"
+            cards["CTYPE2"] = "DEC--TAN-SIP"
+            cards["A_ORDER"] = 2
+            cards["B_ORDER"] = 2
+            cards["A_2_0"] = 0.001 * (1 + k % 3)
+            cards["A_1_1"] = 0.0005 * (k % 4)
+            cards["A_0_2"] = 0.001 * (1 + k % 2)
+            cards["B_2_0"] = 0.0005 * (1 + k % 4)
+            cards["B_1_1"] = 0.001 * (k % 3)
+            cards["B_0_2"] = 0.0005 * (1 + k % 5)
+            write_fits_image(
+                os.path.join(d, f"sip_{k:02d}.fits"),
+                257 * k + 13 * idx,
+                extra_cards=cards,
+            )
+        return d
+
+    return materialized(
+        spark, "fits_wcs_sip", sf_dir, build, prefix="lsd_fitssip_"
+    )
+
+
+@register(
+    "source_fits_wcs_sip", oracle=_WCS_SIP_ORACLE, cacheable=False
+)
+def source_fits_wcs_sip(spark, sf_dir):
+    """TAN-SIP: the Simple Imaging Polynomial distortion convention
+    (Shupe et al. 2005, public) layered on the TAN solution — the
+    header every modern optical survey ships to describe focal-plane
+    distortion. Pixel offsets (u, v) from CRPIX get the quadratic
+    correction u' = u + A(u, v), v' = v + B(u, v) BEFORE the CD
+    matrix, then standard TAN de-projection; the A/B coefficients
+    are parsed from the header's A_p_q/B_p_q float cards (repr
+    round-trip, like every WCS double here). Corner probes move by
+    up to ~0.08 px (8e-5 deg, 80x the oracle grid), pinned by the
+    dist_px column — dropping the distortion or transposing A/B
+    breaks the hash. Same broadcast-sized, map-only shape as the
+    other WCS ops."""
+    d = _wcs_sip_fixture_path(spark, sf_dir)
+    img = read_fits_images(spark, d)
+    hdr = img.filter(F.col("hdu_index") == 0).select(
+        F.element_at("_hdr", "NATKEY").cast("int").alias("natkey"),
+        F.element_at("_hdr", "CRVAL1").cast("double").alias("crval1"),
+        F.element_at("_hdr", "CRVAL2").cast("double").alias("crval2"),
+        F.element_at("_hdr", "CRPIX1").cast("double").alias("crpix1"),
+        F.element_at("_hdr", "CRPIX2").cast("double").alias("crpix2"),
+        F.element_at("_hdr", "CD1_1").cast("double").alias("cd11"),
+        F.element_at("_hdr", "CD1_2").cast("double").alias("cd12"),
+        F.element_at("_hdr", "CD2_1").cast("double").alias("cd21"),
+        F.element_at("_hdr", "CD2_2").cast("double").alias("cd22"),
+        *[
+            F.element_at("_hdr", card).cast("double").alias(alias)
+            for card, alias in (
+                ("A_2_0", "a20"), ("A_1_1", "a11"), ("A_0_2", "a02"),
+                ("B_2_0", "b20"), ("B_1_1", "b11"), ("B_0_2", "b02"),
+            )
+        ],
+        F.element_at("_hdr", "CTYPE1").alias("ctype1"),
+    )
+    probes = F.array(
+        *[
+            F.struct(F.lit(px).alias("px"), F.lit(py).alias("py"))
+            for px, py in _WCS_PROBE_PIXELS
+        ]
+    )
+    g = (
+        hdr.filter(F.col("ctype1") == "RA---TAN-SIP")
+        .select("*", F.explode(probes).alias("p"))
+        .select(
+            "*",
+            F.col("p.px").alias("px"),
+            F.col("p.py").alias("py"),
+        )
+        .withColumn("uu", F.col("px").cast("double") - F.col("crpix1"))
+        .withColumn("vv", F.col("py").cast("double") - F.col("crpix2"))
+    )
+    uu, vv = F.col("uu"), F.col("vv")
+    du = (
+        F.col("a20") * uu * uu
+        + F.col("a11") * uu * vv
+        + F.col("a02") * vv * vv
+    )
+    dv = (
+        F.col("b20") * uu * uu
+        + F.col("b11") * uu * vv
+        + F.col("b02") * vv * vv
+    )
+    g = g.withColumn("du", du).withColumn("dv", dv)
+    xi = F.radians(
+        F.col("cd11") * (uu + F.col("du"))
+        + F.col("cd12") * (vv + F.col("dv"))
+    )
+    eta = F.radians(
+        F.col("cd21") * (uu + F.col("du"))
+        + F.col("cd22") * (vv + F.col("dv"))
+    )
+    d0, r0 = F.radians("crval2"), F.radians("crval1")
+    den = F.cos(d0) - eta * F.sin(d0)
+    ra = (F.degrees(r0 + F.atan2(xi, den)) % 360.0 + 360.0) % 360.0
+    dec = F.degrees(
+        F.atan((F.sin(d0) + eta * F.cos(d0)) / F.sqrt(xi * xi + den * den))
+    )
+    grid = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        g.select(
+            "natkey", "px", "py",
+            grid(ra).alias("ra"),
+            grid(dec).alias("dec"),
+            grid(
+                F.greatest(F.abs(F.col("du")), F.abs(F.col("dv")))
+            ).alias("dist_px"),
+        )
+        .orderBy("natkey", "px", "py")
+    )
+
+
 def wcs_header_frame(spark: SparkSession, img_dir: str) -> DataFrame:
     """(natkey, crval1, crval2, crpix1, crpix2, cd11..cd22) — one row
     per exposure, parsed from the primary headers. Aggregate-sized

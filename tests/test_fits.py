@@ -375,3 +375,122 @@ def test_survey_ingest_conserves_detections(spark):
     # and every pixel id is a valid nside=16 RING index
     assert len(rows) >= 20
     assert all(0 <= r["hpx"] < 12 * 16 * 16 for r in rows)
+
+
+def test_wcs_sin_pix2sky_matches_independent_numpy(spark):
+    """source_fits_wcs_sin's orthographic de-projection must agree
+    with an independent numpy implementation AND must genuinely
+    differ from TAN math on the same headers (the wide 0.5 deg/px
+    field puts the corner probes ~2.4e-3 deg apart between the two
+    projections — 2400x the 1e-6 oracle grid), proving the CTYPE
+    dispatch is load-bearing."""
+    import math
+
+    from lsd_spark.registry import QUERIES, load_all
+    from lsd_spark.sources.fits import wcs_cards
+    from tests.conftest import SF_DIR
+
+    load_all()
+    rows = QUERIES["source_fits_wcs_sin"](spark, SF_DIR).collect()
+    assert len(rows) == 125
+    max_tan_gap = 0.0
+    for r in rows:
+        w = wcs_cards(r["natkey"])
+        x = math.radians(
+            500.0 * w["CD1_1"] * (r["px"] - w["CRPIX1"])
+            + 500.0 * w["CD1_2"] * (r["py"] - w["CRPIX2"])
+        )
+        y = math.radians(
+            500.0 * w["CD2_1"] * (r["px"] - w["CRPIX1"])
+            + 500.0 * w["CD2_2"] * (r["py"] - w["CRPIX2"])
+        )
+        d0 = math.radians(w["CRVAL2"])
+        r0 = math.radians(w["CRVAL1"])
+        z = math.sqrt(1.0 - x * x - y * y)
+        ra = math.degrees(
+            r0 + math.atan2(x, z * math.cos(d0) - y * math.sin(d0))
+        ) % 360.0
+        dec = math.degrees(math.asin(z * math.sin(d0) + y * math.cos(d0)))
+        assert abs(r["ra"] - ra) < 2e-6, (r, ra)
+        assert abs(r["dec"] - dec) < 2e-6, (r, dec)
+        assert r["roundtrip_err"] == 0.0, r
+        # TAN math on the same intermediate coords
+        den = math.cos(d0) - y * math.sin(d0)
+        dec_tan = math.degrees(
+            math.atan((math.sin(d0) + y * math.cos(d0)) / math.hypot(x, den))
+        )
+        max_tan_gap = max(max_tan_gap, abs(dec_tan - dec))
+    assert max_tan_gap > 1e-4, max_tan_gap  # projections distinguishable
+
+
+def test_source_fits_gzip_matches_closed_form(spark):
+    from lsd_spark.registry import QUERIES, load_all
+    from tests.conftest import SF_DIR
+
+    load_all()
+    rows = QUERIES["source_fits_gzip"](spark, SF_DIR).collect()
+    assert len(rows) == 25
+    for r in rows:
+        k = r["natkey"]
+        assert r["n_tiles"] == 2  # ZTILE2=4 over 8 rows
+        assert r["px_sum"] == 16448 * k + 2912
+        assert r["px_min"] == 257 * k
+        assert r["px_max"] == 257 * k + 91
+        assert r["compressed_smaller"] is True
+
+
+def test_wcs_sip_distortion_is_load_bearing(spark):
+    """source_fits_wcs_sip: the de-projection must match an
+    independent numpy evaluation of the SIP polynomial + TAN
+    formulas, corners must carry non-zero distortion (dist_px), and
+    the distorted solution must differ from plain TAN by much more
+    than the 1e-6 grid — dropping the polynomial breaks the hash."""
+    import math
+
+    from lsd_spark.registry import QUERIES, load_all
+    from lsd_spark.sources.fits import wcs_cards
+    from tests.conftest import SF_DIR
+
+    load_all()
+    rows = QUERIES["source_fits_wcs_sip"](spark, SF_DIR).collect()
+    assert len(rows) == 125
+    gap = 0.0
+    for r in rows:
+        k = r["natkey"]
+        w = wcs_cards(k)
+        u, v = r["px"] - w["CRPIX1"], r["py"] - w["CRPIX2"]
+        du = (
+            0.001 * (1 + k % 3) * u * u
+            + 0.0005 * (k % 4) * u * v
+            + 0.001 * (1 + k % 2) * v * v
+        )
+        dv = (
+            0.0005 * (1 + k % 4) * u * u
+            + 0.001 * (k % 3) * u * v
+            + 0.0005 * (1 + k % 5) * v * v
+        )
+        assert abs(r["dist_px"] - max(abs(du), abs(dv))) < 2e-6
+        xi = math.radians(w["CD1_1"] * (u + du) + w["CD1_2"] * (v + dv))
+        eta = math.radians(w["CD2_1"] * (u + du) + w["CD2_2"] * (v + dv))
+        d0, r0 = math.radians(w["CRVAL2"]), math.radians(w["CRVAL1"])
+        den = math.cos(d0) - eta * math.sin(d0)
+        ra = math.degrees(r0 + math.atan2(xi, den)) % 360.0
+        dec = math.degrees(
+            math.atan(
+                (math.sin(d0) + eta * math.cos(d0)) / math.hypot(xi, den)
+            )
+        )
+        assert abs(r["ra"] - ra) < 2e-6 and abs(r["dec"] - dec) < 2e-6
+        # undistorted TAN on the same header
+        xi0 = math.radians(w["CD1_1"] * u + w["CD1_2"] * v)
+        eta0 = math.radians(w["CD2_1"] * u + w["CD2_2"] * v)
+        den0 = math.cos(d0) - eta0 * math.sin(d0)
+        dec0 = math.degrees(
+            math.atan(
+                (math.sin(d0) + eta0 * math.cos(d0)) / math.hypot(xi0, den0)
+            )
+        )
+        gap = max(gap, abs(dec0 - dec))
+        if (r["px"], r["py"]) != (4, 5):
+            assert r["dist_px"] > 0.0, r
+    assert gap > 1e-5, gap

@@ -259,3 +259,67 @@ def test_zimage_cutout_decodes_only_intersecting_tiles(tmp_path):
     assert heap_cut < heap_full == int(hdr_full["PCOUNT"])
     with pytest.raises(ValueError, match="outside image"):
         parse(buf, y_range=(30, 40))
+
+
+def test_gzip_tile_codec_roundtrip_and_malformed():
+    from lsd_spark.sources.fits_tile import _gzip_tile_codec
+
+    for bp, lo, hi in ((2, -32768, 32768), (4, -(2**31), 2**31)):
+        enc, dec = _gzip_tile_codec(bp)
+        rng = np.random.RandomState(bp)
+        a = rng.randint(lo, hi, 96).astype(np.int64)
+        assert list(dec(enc(a), 96)) == [int(v) for v in a]
+        assert enc(a) == enc(a)  # mtime pinned: byte-deterministic
+    enc, dec = _gzip_tile_codec(2)
+    good = enc(np.arange(32))
+    with pytest.raises(ValueError, match="bad tile stream"):
+        dec(good[:-4], 32)
+    with pytest.raises(ValueError, match="expected 40"):
+        dec(good, 40)
+    with pytest.raises(ValueError, match="BYTEPIX"):
+        _gzip_tile_codec(3)
+
+
+def test_zimage_gzip_container_and_multirow_cutout(tmp_path):
+    """GZIP_1 with ZTILE2=2: full read reassembles, a cutout whose
+    row window crosses a tile boundary decodes exactly the two
+    intersecting tiles (heap_used < PCOUNT) and slices to the exact
+    rows."""
+    rng = np.random.RandomState(9)
+    img = rng.randint(-5000, 5000, (8, 12)).astype(np.int64)
+    p = str(tmp_path / "gz.fits")
+    write_fits_rice(p, img, cmptype="GZIP_1", tile_rows=2)
+    parse = _make_rice_image_parser()
+    buf = open(p, "rb").read()
+    hdr, back, heap_full = parse(buf)
+    assert hdr["ZCMPTYPE"] == "GZIP_1" and int(hdr["ZTILE2"]) == 2
+    assert int(hdr["NAXIS2"]) == 4  # 4 tiles of 2 rows
+    assert (back == img).all()
+    assert heap_full == int(hdr["PCOUNT"])
+    # rows [3, 6) intersect tiles 1 and 2 (rows 2..5) -> slice 3..5
+    hdr, cut, heap_cut = parse(buf, y_range=(3, 6))
+    assert (cut == img[3:6]).all()
+    assert 0 < heap_cut < heap_full
+
+
+def test_rice_multirow_tiles_roundtrip(tmp_path):
+    """RICE_1 also accepts ZTILE2>1 (each tile's predictor chain runs
+    across its rows) — round-trips and cutouts agree with row tiling."""
+    rng = np.random.RandomState(10)
+    img = rng.randint(-300, 300, (12, 10)).astype(np.int64)
+    p = str(tmp_path / "r3.fits")
+    write_fits_rice(p, img, tile_rows=3)
+    parse = _make_rice_image_parser()
+    buf = open(p, "rb").read()
+    hdr, back, _ = parse(buf)
+    assert (back == img).all() and int(hdr["NAXIS2"]) == 4
+    _, cut, _ = parse(buf, y_range=(4, 8))
+    assert (cut == img[4:8]).all()
+
+
+def test_tiled_writer_rejects_bad_args(tmp_path):
+    img = np.zeros((8, 8), np.int64)
+    with pytest.raises(ValueError, match="ZCMPTYPE"):
+        write_fits_rice(str(tmp_path / "x.fits"), img, cmptype="HCOMPRESS_1")
+    with pytest.raises(ValueError, match="divide"):
+        write_fits_rice(str(tmp_path / "y.fits"), img, tile_rows=3)
