@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -201,6 +202,42 @@ def manifest(path: str, version: int) -> list[str]:
         with open(_entry_path(path, v)) as fh:
             files.extend(json.load(fh)["files"])
     return files
+
+
+def vacuum(path: str, min_age_sec: float = 24 * 3600.0) -> tuple[list[str], int]:
+    """Garbage-collect data files no reader can reach — files staged
+    by crashed (or racing-then-retried) writers that no commit ever
+    referenced. In this APPEND-ONLY format the latest manifest is a
+    superset of every older one, so committed files stay reachable
+    forever and the orphans are the only garbage (a compaction /
+    replace commit type would change that, not the vacuum). Returns
+    (deleted paths, bytes freed).
+
+    Safety mirrors Delta's VACUUM: the reachable set is computed
+    FROM THE LOG (checkpoint + suffix walk), never by trusting a
+    directory listing, and `min_age_sec` (Delta's retention window)
+    protects IN-FLIGHT commits — a writer stages files BEFORE
+    linking its log entry, so a freshly staged, not-yet-committed
+    file looks orphaned; only files older than the window may be
+    deleted (production default: well past any plausible commit
+    duration; tests pass 0 for determinism)."""
+    latest = latest_version(path)
+    reachable = set(manifest(path, latest)) if latest else set()
+    data_root = os.path.join(path, "data")
+    now = time.time()
+    deleted, freed = [], 0
+    for dirpath, _dirs, files in os.walk(data_root):
+        for f in files:
+            fp = os.path.join(dirpath, f)
+            if (
+                f.endswith(".parquet")
+                and fp not in reachable
+                and now - os.path.getmtime(fp) >= min_age_sec
+            ):
+                freed += os.path.getsize(fp)
+                os.unlink(fp)
+                deleted.append(fp)
+    return sorted(deleted), freed
 
 
 def manifest_full_walk(path: str, version: int) -> list[str]:
@@ -363,6 +400,87 @@ def sink_table_log_checkpoint(spark, sf_dir):
         rows += [agg(10), agg(12)]
         return spark.createDataFrame(
             rows, "version int, n_rows bigint, cents bigint"
+        ).orderBy("version")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _vacuum_version_sql(pred: str, v: int) -> str:
+    return (
+        f"SELECT CAST({v} AS INT) AS version, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS cents, "
+        "CAST(0 AS INT) AS age_guarded_deletes, "
+        "CAST(2 AS INT) AS orphans_deleted "
+        f"FROM orders WHERE {pred}"
+    )
+
+
+@register(
+    "sink_table_log_vacuum",
+    oracle=(
+        _vacuum_version_sql("o_orderkey % 3 = 0", 1)
+        + " UNION ALL "
+        + _vacuum_version_sql("o_orderkey % 3 IN (0, 1)", 2)
+        + " UNION ALL "
+        + _vacuum_version_sql("TRUE", 3)
+        + " ORDER BY version"
+    ),
+    cacheable=False,
+)
+def sink_table_log_vacuum(spark, sf_dir):
+    """VACUUM for the commit-log table (Delta's GC analog over LSD's
+    snapshot dirs): crashed writers leave staged-but-never-committed
+    parquet files that no manifest references — invisible to readers
+    but real storage. The op commits three slices, stages TWO orphan
+    writers, then (a) vacuums with the production retention window —
+    the just-staged orphans are younger than the window, so ZERO
+    deletions (the in-flight-commit guard, age_guarded_deletes), and
+    (b) vacuums with min_age_sec=0 — exactly the two orphan file
+    sets go, committed files stay, and every version's time-travel
+    read still matches the oracle's cumulative slices afterwards. A
+    vacuum that trusted a directory listing, ignored the checkpoint
+    walk, or deleted a reachable file breaks the hash."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = tempfile.mkdtemp(prefix="lsd_tlvac_")
+    try:
+        init_table(base)
+        for i in range(3):
+            commit(
+                base,
+                write_data_files(
+                    o.filter(F.col("o_orderkey") % 3 == i), base, f"c{i}"
+                ),
+                "A",
+            )
+        # two crashed writers: staged, never published
+        write_data_files(o.limit(7), base, "crash-1")
+        write_data_files(o.limit(3), base, "crash-2")
+        guarded, _ = vacuum(base)  # production window: orphans too young
+        deleted, freed = vacuum(base, min_age_sec=0.0)
+        dirs = {p.split("/data/")[1].split("/")[0] for p in deleted}
+        assert dirs == {"crash-1", "crash-2"} and freed > 0, (dirs, freed)
+        rows = []
+        for v in (1, 2, 3):
+            got = (
+                read_version(spark, base, v)
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum(
+                        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                    ).alias("cents"),
+                )
+                .first()
+            )
+            rows.append((v, got["n"], got["cents"], len(guarded), len(dirs)))
+        return spark.createDataFrame(
+            rows,
+            "version int, n_rows bigint, cents bigint, "
+            "age_guarded_deletes int, orphans_deleted int",
         ).orderBy("version")
     finally:
         shutil.rmtree(base, ignore_errors=True)

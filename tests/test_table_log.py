@@ -211,3 +211,34 @@ def test_spark_read_on_checkpointed_table(spark, tmp_path):
     for v in (4, 7, 12):
         got = sorted(r.k for r in tl.read_version(spark, base, v).collect())
         assert got == list(range(1, v + 1))
+
+
+def test_vacuum_deletes_only_unreachable_orphans(spark, tmp_path):
+    """vacuum(min_age_sec=0) must delete exactly the staged-but-never-
+    committed files (computed from the LOG's reachable set, not a dir
+    listing) and leave every committed version readable; with the
+    production retention window the young orphans survive (the
+    in-flight-commit guard)."""
+    import os as _os
+
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    for i in (1, 2):
+        tl.commit(
+            base,
+            tl.write_data_files(_mk(spark, [(i, float(i))]), base, f"c{i}"),
+            "A",
+        )
+    orphan = tl.write_data_files(_mk(spark, [(99, 9.9)]), base, "crashed")
+    assert all(_os.path.exists(p) for p in orphan)
+    guarded, freed0 = tl.vacuum(base)  # default 24h window
+    assert guarded == [] and freed0 == 0
+    assert all(_os.path.exists(p) for p in orphan)  # age-guarded
+    deleted, freed = tl.vacuum(base, min_age_sec=0.0)
+    assert sorted(deleted) == sorted(orphan) and freed > 0
+    assert not any(_os.path.exists(p) for p in orphan)
+    for v in (1, 2):
+        got = sorted(r.k for r in tl.read_version(spark, base, v).collect())
+        assert got == list(range(1, v + 1))
+    # idempotent: nothing left to collect
+    assert tl.vacuum(base, min_age_sec=0.0) == ([], 0)
