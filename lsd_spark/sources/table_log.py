@@ -10,8 +10,9 @@ the file manifests of commits 1..n. This module implements the log:
 
 - a table is `{path}/data/...parquet` files plus `{path}/_log/
   {version:020d}.json` commit entries, each listing exactly the data
-  files that commit ADDS (an append-only format, like LSD's
-  append-mostly snapshots);
+  files that commit ADDS — plus, for COMPACTION commits (round-11,
+  Delta OPTIMIZE analog), the files it removes from the visible set
+  (`compacts`); plain appends mirror LSD's append-mostly snapshots;
 - a commit writes its data files FIRST (invisible — no reader lists
   the data dir), then claims the next version number by O_CREAT|
   O_EXCL on the log entry: the filesystem's atomic create is the
@@ -103,17 +104,28 @@ def write_data_files(df: DataFrame, path: str, tag: str) -> list[str]:
     )
 
 
-def try_commit(path: str, version: int, files: list[str], writer: str) -> bool:
+def try_commit(
+    path: str,
+    version: int,
+    files: list[str],
+    writer: str,
+    compacts: list[str] | None = None,
+) -> bool:
     """Publish `files` as commit `version`. Returns False if another
     writer already owns that version (the caller re-reads the log
     and retries at latest_version()+1). Atomicity: the content is
     written to a writer-private temp file and the version slot is
     claimed with os.link — an atomic create-if-absent on POSIX, so
     exactly one writer wins and no reader ever observes a partially
-    written entry."""
+    written entry. `compacts` marks a COMPACTION commit: the listed
+    files leave the visible set from this version on (they remain
+    reachable via time travel to older versions until vacuumed)."""
+    entry = {"version": version, "writer": writer, "files": files}
+    if compacts:
+        entry["compacts"] = compacts
     tmp = _entry_path(path, version) + f".{writer}.tmp"
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "writer": writer, "files": files}, fh)
+        json.dump(entry, fh)
     try:
         os.link(tmp, _entry_path(path, version))
         return True
@@ -128,6 +140,7 @@ def commit(
     files: list[str],
     writer: str,
     checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
+    compacts: list[str] | None = None,
 ) -> int:
     """Optimistic-concurrency append: retry version claims until one
     sticks; returns the committed version. The winner of a version
@@ -135,10 +148,42 @@ def commit(
     a checkpoint manifest (pass None/0 to disable)."""
     while True:
         v = latest_version(path) + 1
-        if try_commit(path, v, files, writer):
+        if try_commit(path, v, files, writer, compacts=compacts):
             if checkpoint_interval and v % checkpoint_interval == 0:
                 write_checkpoint(path, v, writer)
             return v
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    writer: str = "compactor",
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """OPTIMIZE (Delta's compaction analog — the small-files answer):
+    rewrite the CURRENT manifest's file set as one consolidated
+    parquet set, then publish a compaction commit that adds the new
+    files and marks the old ones compacted-away. Safe against
+    concurrent appenders by construction: the manifest walk applies
+    each entry's `compacts` removals entry-by-entry, so an append
+    that lands between our snapshot read and our version claim keeps
+    its files (we only remove the exact set we consolidated). Time
+    travel to pre-compaction versions still resolves the original
+    files until vacuum's retention window lets them go.
+
+    Output sizing is Delta-style bin packing: ceil(total input bytes
+    / target_file_bytes) files via coalesce (no shuffle — compaction
+    is an IO rewrite, not a repartition)."""
+    v = latest_version(path)
+    old = manifest(path, v)
+    total = sum(os.path.getsize(f) for f in old)
+    n_out = max(1, -(-total // target_file_bytes))
+    new = write_data_files(
+        spark.read.parquet(*old).coalesce(n_out),
+        path,
+        f"compact-v{v}-{writer}",
+    )
+    return commit(path, new, writer, compacts=old)
 
 
 def write_checkpoint(path: str, version: int, writer: str = "ckpt") -> None:
@@ -186,11 +231,20 @@ def _best_checkpoint(path: str, version: int) -> int:
     return max(older, default=0)
 
 
+def _apply_entry(files: list[str], entry: dict) -> list[str]:
+    """One log entry against a running file list: compaction removals
+    first (an entry never compacts its own additions), then adds."""
+    drop = set(entry.get("compacts", ()))
+    if drop:
+        files = [f for f in files if f not in drop]
+    return files + list(entry["files"])
+
+
 def manifest(path: str, version: int) -> list[str]:
-    """All data files visible at `version` (commits 1..version):
-    the best checkpoint <= version plus the suffix of per-commit
-    entries after it — O(CHECKPOINT_INTERVAL) opens on a
-    checkpointed table regardless of total commit count."""
+    """All data files visible at `version` (commits 1..version, net
+    of compaction removals): the best checkpoint <= version plus the
+    suffix of per-commit entries after it — O(CHECKPOINT_INTERVAL)
+    opens on a checkpointed table regardless of total commit count."""
     files: list[str] = []
     start = 1
     ck = _best_checkpoint(path, version)
@@ -200,29 +254,38 @@ def manifest(path: str, version: int) -> list[str]:
         start = ck + 1
     for v in range(start, version + 1):
         with open(_entry_path(path, v)) as fh:
-            files.extend(json.load(fh)["files"])
+            files = _apply_entry(files, json.load(fh))
     return files
 
 
-def vacuum(path: str, min_age_sec: float = 24 * 3600.0) -> tuple[list[str], int]:
-    """Garbage-collect data files no reader can reach — files staged
+def vacuum(
+    path: str,
+    min_age_sec: float = 24 * 3600.0,
+    keep_versions: int | None = None,
+) -> tuple[list[str], int]:
+    """Garbage-collect data files no reader can reach: files staged
     by crashed (or racing-then-retried) writers that no commit ever
-    referenced. In this APPEND-ONLY format the latest manifest is a
-    superset of every older one, so committed files stay reachable
-    forever and the orphans are the only garbage (a compaction /
-    replace commit type would change that, not the vacuum). Returns
-    (deleted paths, bytes freed).
+    referenced, and — when `keep_versions` bounds time travel —
+    files that only pre-retention versions resolve (compacted-away
+    originals). With full history retention (the default) every
+    committed file stays reachable via some version; compaction is
+    what makes the retention knob meaningful. Returns (deleted
+    paths, bytes freed).
 
     Safety mirrors Delta's VACUUM: the reachable set is computed
-    FROM THE LOG (checkpoint + suffix walk), never by trusting a
-    directory listing, and `min_age_sec` (Delta's retention window)
-    protects IN-FLIGHT commits — a writer stages files BEFORE
-    linking its log entry, so a freshly staged, not-yet-committed
-    file looks orphaned; only files older than the window may be
-    deleted (production default: well past any plausible commit
-    duration; tests pass 0 for determinism)."""
+    FROM THE LOG (checkpoint + suffix walk over every retained
+    version), never by trusting a directory listing, and
+    `min_age_sec` (Delta's retention window) protects IN-FLIGHT
+    commits — a writer stages files BEFORE linking its log entry, so
+    a freshly staged, not-yet-committed file looks orphaned; only
+    files older than the window may be deleted (production default:
+    well past any plausible commit duration; tests pass 0 for
+    determinism)."""
     latest = latest_version(path)
-    reachable = set(manifest(path, latest)) if latest else set()
+    lo = 1 if keep_versions is None else max(1, latest - keep_versions + 1)
+    reachable: set[str] = set()
+    for v in range(lo, latest + 1):
+        reachable.update(manifest(path, v))
     data_root = os.path.join(path, "data")
     now = time.time()
     deleted, freed = [], 0
@@ -246,7 +309,7 @@ def manifest_full_walk(path: str, version: int) -> list[str]:
     files: list[str] = []
     for v in range(1, version + 1):
         with open(_entry_path(path, v)) as fh:
-            files.extend(json.load(fh)["files"])
+            files = _apply_entry(files, json.load(fh))
     return files
 
 
@@ -481,6 +544,112 @@ def sink_table_log_vacuum(spark, sf_dir):
             rows,
             "version int, n_rows bigint, cents bigint, "
             "age_guarded_deletes int, orphans_deleted int",
+        ).orderBy("version")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _compact_version_sql(pred: str, v: int) -> str:
+    return (
+        f"SELECT CAST({v} AS INT) AS version, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS cents, "
+        "TRUE AS files_shrunk, TRUE AS gc_pruned_history "
+        f"FROM orders WHERE {pred}"
+    )
+
+
+@register(
+    "sink_table_log_compact",
+    oracle=(
+        _compact_version_sql("o_orderkey % 4 IN (0, 1)", 2)
+        + " UNION ALL "
+        + _compact_version_sql("o_orderkey % 4 IN (0, 1, 2)", 3)
+        + " UNION ALL "
+        + _compact_version_sql("o_orderkey % 4 IN (0, 1, 2)", 4)
+        + " UNION ALL "
+        + _compact_version_sql("TRUE", 5)
+        + " ORDER BY version"
+    ),
+    cacheable=False,
+)
+def sink_table_log_compact(spark, sf_dir):
+    """COMPACTION commits (Delta OPTIMIZE over the commit log — the
+    small-files answer at 100 TB, where a month of small appends
+    otherwise turns every scan into a million-file listing): three
+    appends, then `compact` rewrites the live set as one consolidated
+    commit (v4, same rows by construction), then a post-compaction
+    append (v5). Verified: v2/v3 time travel still resolves the
+    ORIGINAL files, v4 reproduces v3's rows through the consolidated
+    set, v5 = consolidated + the new append, the live manifest
+    genuinely shrank, and vacuum(keep_versions=2) then deletes
+    exactly the compacted-away originals — after which pre-compaction
+    history is pruned (v3 unreadable, documented retention semantics)
+    while v4/v5 re-verify byte-identical. A compaction that lost or
+    duplicated a row, dropped a concurrent append's files, or a
+    vacuum that trusted a listing breaks the hash."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = tempfile.mkdtemp(prefix="lsd_tlcomp_")
+
+    def agg(v):
+        got = (
+            read_version(spark, base, v)
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                ).alias("cents"),
+            )
+            .first()
+        )
+        return (got["n"], got["cents"])
+
+    try:
+        init_table(base)
+        for i in range(3):
+            commit(
+                base,
+                write_data_files(
+                    o.filter(F.col("o_orderkey") % 4 == i), base, f"c{i}"
+                ),
+                "A",
+            )
+        pre_files = manifest(base, 3)
+        assert compact(spark, base) == 4
+        commit(
+            base,
+            write_data_files(
+                o.filter(F.col("o_orderkey") % 4 == 3), base, "c3"
+            ),
+            "A",
+        )
+        files_shrunk = len(manifest(base, 4)) < len(pre_files)
+        r2, r3, r4 = agg(2), agg(3), agg(4)
+        assert r4 == r3  # compaction preserves the live rows
+        # retention-bounded GC: originals only v1..v3 can see go away
+        deleted, freed = vacuum(base, min_age_sec=0.0, keep_versions=2)
+        assert set(deleted) == set(pre_files) and freed > 0
+        pruned = False
+        try:
+            agg(3)  # pre-compaction history is gone past retention
+        except Exception:
+            pruned = True
+        r4b, r5 = agg(4), agg(5)
+        assert r4b == r4  # survivors re-verify after the GC
+        rows = [
+            (2, *r2, bool(files_shrunk), pruned),
+            (3, *r3, bool(files_shrunk), pruned),
+            (4, *r4b, bool(files_shrunk), pruned),
+            (5, *r5, bool(files_shrunk), pruned),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version int, n_rows bigint, cents bigint, "
+            "files_shrunk boolean, gc_pruned_history boolean",
         ).orderBy("version")
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -242,3 +242,70 @@ def test_vacuum_deletes_only_unreachable_orphans(spark, tmp_path):
         assert got == list(range(1, v + 1))
     # idempotent: nothing left to collect
     assert tl.vacuum(base, min_age_sec=0.0) == ([], 0)
+
+
+# ---- compaction commits (Delta OPTIMIZE analog) ----
+
+
+def test_compaction_preserves_rows_and_time_travel(spark, tmp_path):
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    for i in (1, 2, 3):
+        tl.commit(
+            base,
+            tl.write_data_files(_mk(spark, [(i, float(i))]), base, f"c{i}"),
+            "A",
+        )
+    pre = tl.manifest(base, 3)
+    assert tl.compact(spark, base) == 4
+    assert len(tl.manifest(base, 4)) < len(pre)  # files shrank
+    # live rows identical, pre-compaction history intact
+    assert sorted(r.k for r in tl.read_version(spark, base, 4).collect()) == [1, 2, 3]
+    assert sorted(r.k for r in tl.read_version(spark, base, 2).collect()) == [1, 2]
+    # post-compaction appends stack on the consolidated set
+    tl.commit(base, tl.write_data_files(_mk(spark, [(9, 9.0)]), base, "c9"), "A")
+    assert sorted(r.k for r in tl.read_version(spark, base, 5).collect()) == [1, 2, 3, 9]
+    # retention-bounded vacuum deletes exactly the compacted originals
+    deleted, freed = tl.vacuum(base, min_age_sec=0.0, keep_versions=2)
+    assert sorted(deleted) == sorted(pre) and freed > 0
+    assert sorted(r.k for r in tl.read_version(spark, base, 5).collect()) == [1, 2, 3, 9]
+    # full-retention vacuum never touches committed files
+    assert tl.vacuum(base, min_age_sec=0.0) == ([], 0)
+
+
+def test_compaction_commit_keeps_concurrent_appends(tmp_path):
+    """An append that lands between the compactor's snapshot read and
+    its version claim must survive: the compaction entry removes only
+    the exact set it consolidated (fake-file protocol test)."""
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    tl.commit(base, ["data/a/1.parquet"], "A")
+    tl.commit(base, ["data/a/2.parquet"], "A")
+    snapshot = tl.manifest(base, 2)  # compactor reads the live set
+    tl.commit(base, ["data/b/3.parquet"], "B")  # concurrent append
+    tl.commit(base, ["data/cp/all.parquet"], "C", compacts=snapshot)
+    assert sorted(tl.manifest(base, 4)) == [
+        "data/b/3.parquet", "data/cp/all.parquet"
+    ]
+    assert tl.manifest(base, 2) == snapshot  # time travel intact
+
+
+def test_checkpoint_after_compaction_equals_full_walk(tmp_path):
+    """Checkpoints must consolidate the NET file set: a compaction
+    inside the checkpointed prefix may not resurrect removed files,
+    and reads planned from the checkpoint equal the full walk at
+    every version."""
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    for i in range(1, 8):
+        tl.commit(base, [f"data/a/{i}.parquet"], "A", checkpoint_interval=5)
+    old = tl.manifest(base, 7)
+    tl.commit(base, ["data/cp/all.parquet"], "C", compacts=old,
+              checkpoint_interval=5)
+    for i in range(9, 12):
+        tl.commit(base, [f"data/a/{i}.parquet"], "A", checkpoint_interval=5)
+    assert tl.checkpoint_versions(base) == [5, 10]
+    for v in range(1, 12):
+        assert tl.manifest(base, v) == tl.manifest_full_walk(base, v), v
+    assert "data/a/3.parquet" not in tl.manifest(base, 11)
+    assert "data/a/3.parquet" in tl.manifest(base, 7)
