@@ -17,6 +17,12 @@ Per-run knobs tuned to the scale factor, not the contract:
   every shuffle stage as its own job — pure fixed overhead when all
   shuffles move <10 MB. At 100 TB the engine default (session.py)
   keeps AQE ON for skew/coalesce; this is a bench-scale setting.
+  (Round 12: this setting was silently overridden for rounds — the
+  first catalog.load() lazily re-applied apply_session_defaults,
+  flipping AQE back ON after the conf.set below; sessions built by
+  get_spark are now stamped `_lsd_defaults_applied`, so the OFF
+  actually holds. Cutting the per-shuffle-stage jobs took q_fof
+  1.06 s -> ~0.45 s and shaved every other query's floor.)
 - 4 shuffle partitions / 8 MB file splits: ~2 waves of meaningful
   work at sf0.1 instead of 32 near-empty tasks.
 """
@@ -349,6 +355,22 @@ def main() -> None:
         ) as fh:
             json.dump(freshness_report(), fh, indent=1, sort_keys=True)
             fh.write("\n")
+    except Exception:  # noqa: BLE001 — reporting must never fail bench
+        pass
+
+    # round-tail leak-scan redaction (round-12, VERDICT #4): keep the
+    # committable summary in lockstep with the driver's raw scan so
+    # the flatness gate (tests/test_leakcheck.py) always judges the
+    # CURRENT round's artifact, never a stale one.
+    try:
+        import subprocess
+
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "redact_leakcheck.py")],
+            check=False, capture_output=True, timeout=60,
+        )
     except Exception:  # noqa: BLE001 — reporting must never fail bench
         pass
 

@@ -56,6 +56,10 @@ def _ensure_defaults(spark: SparkSession) -> None:
     critical session defaults here so results don't depend on the
     caller's session (the driver builds its own: Spark 4 defaults to
     ANSI on, which changes cast/overflow semantics vs DuckDB)."""
+    if getattr(spark, "_lsd_defaults_applied", False):
+        return  # get_spark/apply_session_defaults already ran; never
+        # re-apply — a lazy re-apply would override confs the caller
+        # set after session construction (bench.py's AQE-off, found r12)
     sk = session_key(spark)
     if sk in _DEFAULTED:
         return

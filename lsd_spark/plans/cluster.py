@@ -107,35 +107,38 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     undirected edge set as (u, v) one-way; returns
     (vec_id, object_id).
 
-    Phase order (round 10 — two-level contraction, loop-free on
-    every graph whose label quotient fits one task):
+    Phase order (round 12 — two-level contraction, TWO jobs + the
+    caller's collect on every graph whose label quotient fits one
+    task; round 10 introduced the quotient level, round 12 collapsed
+    its three control jobs into one bounded collect after finding the
+    bench VM's job floor dominated the wall clock):
     (1) SEED: per-partition union-find contraction (_local_cc_labels,
-    one Arrow job, checkpointed) consuming the LAZY one-way edge plan
-    directly — union-find connectivity is direction-agnostic, so the
-    symmetrized view is never needed here, and fusing edge generation
-    into the contraction job removes both a barrier and a DISK_ONLY
-    round-trip of the full edge set; (2) PROBE + SIZE in one
-    aggregate over the contraction output: n_q = Σ(|labels(v)|−1)
-    counts the QUOTIENT-GRAPH edges (one per extra partition-local
-    label a node received). n_q == 0 means no node received two
-    distinct labels, so the min-aggregated labeling provably IS the
-    min-label fixpoint (see the inline soundness note) and the
-    labeling stays lazy — 2 barriers plus the caller's collect.
-    (3) LEVEL-2 CONTRACTION (the round-10 addition): when
-    0 < n_q <= QUOTIENT_SINGLE_TASK_MAX, the quotient graph —
-    vertices = partition-local component labels, edges = (min label,
-    other label) per disagreeing node — is repartition(1)-ed (only
-    the tiny quotient edges move; upstream stays parallel) through
-    the SAME union-find kernel, and the resulting label→root mapping
-    is broadcast-joined back onto the seed. Labels are node ids and
-    union-find keeps the smaller id as root, so root(lmin(v)) is
-    exactly the component's global min id: the min-label fixpoint,
-    with ZERO propagation rounds, no edge re-execution, no seed
-    checkpoint — ~4 barriers total regardless of component diameter
-    or supercriticality (a giant component spread over P partitions
-    quotients down to ≤ P·(local components) labels). (4) Only a
-    quotient too big for one task (n_q past the threshold — at that
-    point the graph has millions of CROSS-PARTITION merges) pays the
+    one Arrow stage) consuming the LAZY one-way edge plan directly —
+    union-find connectivity is direction-agnostic, so the symmetrized
+    view is never needed here, and fusing edge generation into the
+    contraction job removes both a barrier and a DISK_ONLY round-trip
+    of the full edge set. The per-node aggregate (min label + label
+    set) is persisted LAZILY; (2) PROBE + QUOTIENT SOLVE in ONE
+    bounded collect, which doubles as the persist's materializing
+    action: the quotient edges — one (lmin, other-label) row per
+    extra partition-local label a node received — are collected under
+    a limit(QUOTIENT_SINGLE_TASK_MAX + 1) guard. Zero rows == the old
+    n_q == 0 probe: no node received two distinct labels, the
+    min-aggregated labeling provably IS the min-label fixpoint (see
+    the inline soundness note) and it stays lazy for the caller's
+    collect. (3) LEVEL-2 CONTRACTION, driver-side: <= cap rows means
+    the limit did NOT truncate, so this is the COMPLETE quotient
+    graph; the same union-find (a dict the size of the quotient —
+    the budget the old repartition(1) single task had, minus its job
+    and its broadcast-materialization job) maps each label to its
+    component's min node id, and the mapping returns as a broadcast
+    LocalRelation (materializes with NO Spark job) joined onto the
+    seed. root(lmin(v)) is exactly the component's global min id —
+    the min-label fixpoint with ZERO propagation rounds, whatever
+    the component diameter or supercriticality (a giant component
+    spread over P partitions quotients down to ≤ P·(local
+    components) labels). (4) Only a quotient past the cap — at that
+    point the graph has ~a million CROSS-PARTITION merges — pays the
     heavy path: checkpoint the one-way edges and route by average
     degree 2E/N — above DEGREE_SUPERCRITICAL the O(log n)
     large-star/small-star loop, else the Pregel min-label loop from
@@ -167,6 +170,13 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
         # shuffle into the contraction barrier, so the probe itself
         # degrades to a filter-limit-count over checkpointed,
         # node-sized data (a floor-cost job, no shuffle).
+        # LAZY persist, not an eager localCheckpoint: the quotient
+        # collect right below is the frame's first action, so ONE job
+        # materializes the contraction into the cache AND returns the
+        # quotient edges (round 12 — was two sequential jobs; on the
+        # noisy bench VM every job barrier costs a floor). Lineage
+        # truncation isn't needed on the loop-free paths; the heavy
+        # paths below still checkpoint what they iterate on.
         local_agg = (
             _local_cc_labels(pairs)
             .groupBy("vec_id")
@@ -174,29 +184,50 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
                 F.min("lmin").alias("lmin"),
                 F.collect_set("lmin").alias("labels"),
             )
-            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+            .persist(StorageLevel.DISK_ONLY)
         )
-        # Convergence probe + quotient sizing in ONE aggregate over
-        # the contraction output — NO edge join needed. Soundness:
-        # within a partition, an edge's endpoints always share the
-        # partition-local component label, so if every node received
-        # ONE distinct lmin across all the partitions it appears in,
-        # the min-aggregated global labels equal the per-partition
-        # labels everywhere and no edge can join two different
-        # labels — which is exactly the min-label fixpoint condition
-        # (labels are same-component node ids and the component
-        # minimum labels itself). n_q additionally counts the
-        # quotient edges the level-2 contraction would consume.
-        n_q = (
-            local_agg.agg(
-                F.sum(F.size("labels") - F.lit(1)).alias("q")
-            ).first()["q"]
-            or 0
-        )
+        # Convergence probe + quotient SOLVE in ONE bounded collect
+        # (round 12 — was an aggregate probe job PLUS a repartition(1)
+        # kernel job PLUS its broadcast job): the quotient edges —
+        # one (lmin, other-label) row per extra partition-local label
+        # a node received — are collected with a limit(cap+1) guard.
+        # len == 0 reproduces the old n_q == 0 probe (soundness:
+        # within a partition an edge's endpoints always share the
+        # partition-local label, so if no node received two distinct
+        # lmins the min-aggregated labeling provably IS the min-label
+        # fixpoint). len <= cap means the limit did NOT truncate, so
+        # this is the COMPLETE quotient graph and union-find solves
+        # it driver-side (same bounded-single-task budget the old
+        # repartition(1) kernel had, minus two job barriers); the
+        # mapping returns as a broadcast LocalRelation, which
+        # materializes with NO Spark job. len == cap+1 routes to the
+        # heavy paths exactly like the old n_q > cap branch.
+        # initialNumPartitions high: CollectLimit otherwise probes one
+        # partition, then scales up 4x per extra JOB — three jobs to
+        # discover ~3k rows. One scan of the node-sized checkpoint is
+        # a single job.
+        old_lim = spark.conf.get("spark.sql.limit.initialNumPartitions", "1")
+        spark.conf.set("spark.sql.limit.initialNumPartitions", "100000")
+        try:
+            q_pd = (
+                local_agg.filter(F.size("labels") > 1)
+                .select(
+                    F.col("lmin").alias("u"), F.explode("labels").alias("v")
+                )
+                .filter(F.col("u") != F.col("v"))
+                .limit(QUOTIENT_SINGLE_TASK_MAX + 1)
+                .toPandas()
+            )
+        finally:
+            spark.conf.set("spark.sql.limit.initialNumPartitions", old_lim)
+        n_q = len(q_pd)
         local = local_agg.select("vec_id", "lmin")
+        # shuffle_hash: `local` is node-sized (never broadcastable at
+        # 100 TB) and a BroadcastExchange would cost one more job at
+        # bench scale; the hash join folds into the caller's collect.
         seed = (
             emb.select("vec_id")
-            .join(local, "vec_id", "left")
+            .join(local.hint("shuffle_hash"), "vec_id", "left")
             .select(
                 "vec_id",
                 F.coalesce(F.col("lmin"), F.col("vec_id")).alias("object_id"),
@@ -208,32 +239,27 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
             LAST_FIXPOINT_PATH["path"] = "probe-converged"
             return seed.orderBy("vec_id")
         if n_q <= QUOTIENT_SINGLE_TASK_MAX:
-            # LEVEL-2 CONTRACTION: run the quotient graph (one edge
-            # per extra label a node received — exactly n_q rows)
-            # through the same union-find kernel in a single task.
-            # All of a node's labels are pairwise quotient-connected
-            # through that node, and every label of one global
-            # component joins one quotient component, whose
-            # union-find root (smaller-id-wins) is the component's
-            # global min node id — so mapping lmin -> root and
-            # defaulting absent labels to themselves IS the exact
-            # min-label fixpoint, with no propagation loop.
-            # repartition(1), not coalesce(1): coalesce would
-            # collapse the upstream node-sized checkpoint scan into
-            # the same single task; repartition keeps the scan
-            # parallel and moves only the quotient edges.
+            # LEVEL-2 CONTRACTION, driver-side: all of a node's
+            # labels are pairwise quotient-connected through that
+            # node, and every label of one global component joins one
+            # quotient component, whose union-find root
+            # (smaller-id-wins) is the component's global min node id
+            # — so mapping lmin -> root and defaulting absent labels
+            # to themselves IS the exact min-label fixpoint, with no
+            # propagation loop.
             LAST_FIXPOINT_PATH["path"] = "quotient"
-            q_edges = (
-                local_agg.filter(F.size("labels") > 1)
-                .select(
-                    F.col("lmin").alias("u"), F.explode("labels").alias("v")
-                )
-                .filter(F.col("u") != F.col("v"))
-                .repartition(1)
+            import pandas as pd
+
+            roots = _uf_roots(
+                zip(q_pd["u"].to_numpy(), q_pd["v"].to_numpy())
             )
-            mapping = _local_cc_labels(q_edges).select(
-                F.col("vec_id").alias("q_label"),
-                F.col("lmin").alias("q_root"),
+            mapping = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "q_label": list(roots.keys()),
+                        "q_root": list(roots.values()),
+                    }
+                ).astype("int64")
             )
             return (
                 seed.join(
@@ -288,6 +314,36 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
 # components are already deep enough that min-label's round count
 # climbs steeply, and large-star/small-star is never slower there.
 DEGREE_SUPERCRITICAL = 3.0
+
+
+def _uf_roots(edges) -> dict[int, int]:
+    """Driver-side union-find over an iterable of (u, v) int pairs;
+    returns node -> root with the component MINIMUM id as root
+    (smaller id stays root on union, path-halving find). The
+    mapInPandas kernel in _local_cc_labels carries its own inline
+    copy of this logic ON PURPOSE: a kernel closing over a
+    module-level function pickles it by reference and executors
+    without lsd_spark on sys.path die with ModuleNotFoundError."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        u, v = int(u), int(v)
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return {n: find(n) for n in parent}
 
 
 def _local_cc_labels(edges: DataFrame) -> DataFrame:

@@ -69,9 +69,26 @@ _CAND_SQL = (
 )
 
 
-def points(spark, sf_dir: str, etype: str) -> DataFrame:
-    """(event_id, x, y) for one event type on the synthetic plane."""
-    ev = load(spark, sf_dir, "events")
+def points(spark, sf_dir: str, etype: str, spread: bool = False) -> DataFrame:
+    """(event_id, x, y) for one event type on the synthetic plane.
+
+    `spread=True` round-robins the filtered ids across
+    defaultParallelism BEFORE the md5 projection: a small cached
+    events table arrives as ONE partition, and everything downstream
+    of it (the double-md5 derivation, a probe-side explode, a join's
+    streamed side) inherits that single task — the round-8
+    cluster_fof_exact lesson, round 12: q_fof's whole edge
+    generation ran serially (0.6 s of its 1.0 s budget). The shuffle
+    moves only (event_id) rows pre-derivation; at 100 TB the scan
+    arrives already wide and the exchange is a cheap width guard on
+    the dominant compute stage."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == etype
+    )
+    if spread:
+        ev = ev.select("event_id").repartition(
+            spark.sparkContext.defaultParallelism
+        )
     x = (
         F.expr(
             "CAST(conv(substr(md5(CAST(event_id AS STRING) || 'x'), 1, 15), 16, 10) AS BIGINT)"
@@ -84,9 +101,7 @@ def points(spark, sf_dir: str, etype: str) -> DataFrame:
         )
         % 100000
     ).cast("double") / 1000.0
-    return ev.filter(F.col("event_type") == etype).select(
-        "event_id", x.alias("x"), y.alias("y")
-    )
+    return ev.select("event_id", x.alias("x"), y.alias("y"))
 
 
 def radius_candidates(spark, sf_dir: str) -> DataFrame:
@@ -562,7 +577,17 @@ def self_radius_pairs(spark, sf_dir: str, etype: str, radius: float):
     the FoF job, so the half-plane cut is nearly a 2x on the wire.
     (The cross-set variant, radius_candidates, keeps the full 3x3 —
     there is no symmetry to exploit between two distinct sets.)"""
-    cell = lambda c: F.floor(F.col(c) / F.lit(radius))  # noqa: E731
+    # coalesce(-1) never fires (x, y are md5-derived, never null) —
+    # it makes the cell join keys STATICALLY non-nullable so
+    # constraint inference doesn't push asymmetric isnotnull(FLOOR..)
+    # filters under the two sides' exchanges: with identical children
+    # the ReuseExchangeAndSubquery rule folds the self-join's two
+    # serial cached-events scans into ONE (the [[numeric-traps]]
+    # Divide-nullability lesson, applied for plan reuse instead of
+    # md5-copy suppression).
+    cell = lambda c: F.coalesce(  # noqa: E731
+        F.floor(F.col(c) / F.lit(radius)), F.lit(-1)
+    )
     probe_cells = F.array(
         *[
             F.struct(
@@ -573,7 +598,11 @@ def self_radius_pairs(spark, sf_dir: str, etype: str, radius: float):
             for dx, dy in ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
         ]
     )
-    pts = points(spark, sf_dir, etype)
+    # probe side spread=True: the exploded 5x probe copies and the
+    # join's streamed distance refine are the dominant compute of the
+    # whole FoF job — on a 1-partition cached input they all ran in
+    # ONE task (round-12 profile: 0.6 s serial vs ~0.1 s spread)
+    pts = points(spark, sf_dir, etype, spread=True)
     l = pts.select(
         F.col("event_id").alias("u"),
         F.col("x").alias("lx"),
@@ -596,9 +625,16 @@ def self_radius_pairs(spark, sf_dir: str, etype: str, radius: float):
         (F.col("lx") - F.col("rx")) * (F.col("lx") - F.col("rx"))
         + (F.col("ly") - F.col("ry")) * (F.col("ly") - F.col("ry"))
     )
+    # shuffle_hash, not broadcast: a SELF-join's build side is the
+    # full point set — never broadcastable at 100 TB — and at bench
+    # scale each BroadcastExchange materializes as its OWN Spark job
+    # (round-12 profile: q_fof's cost is job-count x job-floor, so a
+    # hint that folds the join into the parent job's stage graph is
+    # worth more than any kernel micro-optimization). SHJ over SMJ:
+    # cell keys are near-unique per (cx, cy), no sort needed.
     return (
         l.join(
-            r,
+            r.hint("shuffle_hash"),
             (F.col("cx") == F.col("r_cx"))
             & (F.col("cy") == F.col("r_cy"))
             & (~F.col("home") | (F.col("u") < F.col("v"))),

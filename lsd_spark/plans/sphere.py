@@ -970,6 +970,33 @@ def agg_density_adaptive(spark, sf_dir):
     )
 
 
+def adaptive_layout_frame(spark, sf_dir: str):
+    """The LAZY (event_id, nside, cell) routing frame
+    sink_density_adaptive writes — factored out of the builder
+    (round-12, VERDICT #2) so its BUILD SHAPE is pinnable without
+    executing the write: sink ops are excluded from PLAN_RATCHET by
+    design (their returned plan reflects result size), so this
+    pre-write plan carries the ratchet instead
+    (tests/test_plans.py::test_density_adaptive_build_plan_shape)."""
+    pts = _adaptive_cells(spark, sf_dir)
+    hot = (
+        pts.groupBy("c8")
+        .agg(F.count("*").alias("nc"))
+        .filter(F.col("nc") > ADAPTIVE_SPLIT_T)
+        .select("c8", F.lit(1).alias("is_hot"))
+    )
+    return pts.join(F.broadcast(hot), "c8", "left").select(
+        "event_id",
+        F.when(F.col("is_hot").isNull(), F.lit(8))
+        .otherwise(F.lit(16))
+        .cast("int")
+        .alias("nside"),
+        F.when(F.col("is_hot").isNull(), F.col("c8"))
+        .otherwise(F.col("c16"))
+        .alias("cell"),
+    )
+
+
 @register(
     "sink_density_adaptive",
     oracle=(
@@ -1008,25 +1035,9 @@ def sink_density_adaptive(spark, sf_dir):
     from lsd_spark.plans.materialize import materialized
 
     def build(tmp: str) -> str:
-        pts = _adaptive_cells(spark, sf_dir)
-        hot = (
-            pts.groupBy("c8")
-            .agg(F.count("*").alias("nc"))
-            .filter(F.col("nc") > ADAPTIVE_SPLIT_T)
-            .select("c8", F.lit(1).alias("is_hot"))
-        )
-        adaptive = pts.join(F.broadcast(hot), "c8", "left").select(
-            "event_id",
-            F.when(F.col("is_hot").isNull(), F.lit(8))
-            .otherwise(F.lit(16))
-            .cast("int")
-            .alias("nside"),
-            F.when(F.col("is_hot").isNull(), F.col("c8"))
-            .otherwise(F.col("c16"))
-            .alias("cell"),
-        )
         (
-            adaptive.repartition("nside", "cell")
+            adaptive_layout_frame(spark, sf_dir)
+            .repartition("nside", "cell")
             .write.partitionBy("nside", "cell")
             .mode("overwrite")
             .parquet(f"{tmp}/adaptive")

@@ -31,7 +31,7 @@ def get_spark(
     """
     active = SparkSession.getActiveSession()
     if active is not None:
-        return active
+        return active  # NOT stamped: defaults lazily applied on first load()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sp = shuffle_partitions or int(os.environ.get("LSD_SHUFFLE_PARTITIONS", "32"))
     builder = (
@@ -47,7 +47,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("LSD_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # The builder configs above ARE the engine defaults, so mark the
+    # session defaulted now. Without this stamp, the first
+    # catalog.load() lazily re-applies apply_session_defaults and
+    # silently OVERRIDES any conf the caller set in between — bench.py
+    # sets adaptive.enabled=false before its warm loads, and the lazy
+    # re-apply flipped it back on, so every "AQE OFF" bench run since
+    # the stamp-less version actually ran with AQE materializing each
+    # shuffle stage as its own job (found round 12: q_fof's budget
+    # breach was ~10 AQE stage-jobs x the VM's job floor).
+    spark._lsd_defaults_applied = True
+    return spark
 
 
 def apply_session_defaults(spark: SparkSession) -> SparkSession:
@@ -59,4 +70,5 @@ def apply_session_defaults(spark: SparkSession) -> SparkSession:
     except Exception:
         pass  # non-runtime-settable on some builds; queries avoid ANSI traps
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark._lsd_defaults_applied = True
     return spark

@@ -91,13 +91,19 @@ COMMENTARY = {
     "cluster_fof_2d": (
         "q_fof (friends-of-friends clustering)",
         "ITERATIVE op — the meaningful 'plan' is the barrier sequence, not one "
-        "tree: (1) zone-bucketed candidate pair join checkpointed once (one-way; "
-        "the symmetrized view is a lazy union over the checkpoint), (2) "
-        "per-partition union-find contraction seed (one Arrow job), (3) one "
-        "cross-label-edge probe proving the seed IS the min-label fixpoint "
-        "(subcritical common case — no propagation loop at all), else the "
-        "Pregel loop runs from the seed with quotient-graph-bounded rounds. "
-        "The tree below is the returned labeling (checkpoint scan + sort).",
+        "tree (round 12: TWO jobs + the caller's collect on the common path): "
+        "(1) edge-gen fused into the per-partition union-find contraction — the "
+        "zone-bucketed candidate SELF-join is a ShuffledHashJoin on "
+        "non-nullable cell keys (never broadcast: both sides are the full "
+        "point set; the coalesce()-non-nullable keys let ReuseExchange fold "
+        "the duplicate scan), probe side spread across cores before the "
+        "md5-derivation+explode, per-node label agg persisted lazily; (2) ONE "
+        "bounded limit-collect that both materializes the persist and returns "
+        "the quotient edges — zero rows proves the seed IS the min-label "
+        "fixpoint, <=cap rows are union-found DRIVER-side and broadcast back "
+        "as a LocalRelation (no job); only a too-big quotient pays the "
+        "checkpoint + degree-routed Pregel / large-star-small-star loops. "
+        "The tree below is the returned labeling (cache scan + sort).",
     ),
 }
 

@@ -714,3 +714,28 @@ def test_survey_ingest_is_broadcast_then_one_agg_exchange(spark):
         if "Exchange" in ln and "Broadcast" not in ln
     ]
     assert len(shuffles) <= 4, p  # formatted mode lists nodes twice
+
+
+def test_density_adaptive_build_plan_shape(spark):
+    """Build-shape ratchet for sink_density_adaptive (round-12
+    VERDICT #2 — sinks are excluded from PLAN_RATCHET.json by design,
+    so the pre-write routing frame is pinned here instead): the
+    layout plan must stay ONE broadcast hash join (hot-cell table is
+    always tiny) over TWO passes of the events scan (points + the
+    hot-cell aggregate) with <= 2 exchanges (the hot agg's
+    partial/final split), and no sort-merge join, cartesian product
+    or extra scan may creep in."""
+    import io
+    from contextlib import redirect_stdout
+
+    from lsd_spark.plans.sphere import adaptive_layout_frame
+
+    df = adaptive_layout_frame(spark, SF_DIR)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="simple")
+    p = buf.getvalue()
+    assert p.count("BroadcastHashJoin") == 1, p
+    assert p.count("SortMergeJoin") == 0 and "Cartesian" not in p, p
+    assert p.count("Scan parquet") <= 2, p
+    assert p.count("Exchange") <= 2, p
