@@ -151,13 +151,14 @@ def test_missing_or_stale_pointer_falls_back(tmp_path):
     with open(ptr, "w") as fh:
         _json.dump({"version": 5}, fh)  # stale pointer
     assert tl.manifest(base, 20) == want  # longer walk, same answer
-    # pointer only moves forward: an old checkpointer can't roll back
+    # pointer moves forward; round-12 self-healing advance goes all
+    # the way to the NEWEST published checkpoint it can see (20 here
+    # — checkpoints 5/10/15/20 already exist from _fake_commits),
+    # not just the writer's own version
     tl.write_checkpoint(base, 10, "late")
-    assert tl._pointer_version(base) == 10  # (was stale-5, 10 > 5)
-    tl.write_checkpoint(base, 20, "fresh")
     assert tl._pointer_version(base) == 20
     tl.write_checkpoint(base, 15, "laggard")
-    assert tl._pointer_version(base) == 20  # not rolled back
+    assert tl._pointer_version(base) == 20  # never rolled back
 
 
 def test_multi_writer_checkpoint_stress(tmp_path):
@@ -235,7 +236,12 @@ def test_vacuum_deletes_only_unreachable_orphans(spark, tmp_path):
     assert guarded == [] and freed0 == 0
     assert all(_os.path.exists(p) for p in orphan)  # age-guarded
     deleted, freed = tl.vacuum(base, min_age_sec=0.0)
-    assert sorted(deleted) == sorted(orphan) and freed > 0
+    # every orphan goes; the only extras are the crashed dir's
+    # non-data markers (_SUCCESS/.crc — round-12 marker cleanup)
+    assert set(orphan) <= set(deleted) and freed > 0
+    assert all(
+        not p.endswith(".parquet") for p in set(deleted) - set(orphan)
+    )
     assert not any(_os.path.exists(p) for p in orphan)
     for v in (1, 2):
         got = sorted(r.k for r in tl.read_version(spark, base, v).collect())
@@ -267,7 +273,9 @@ def test_compaction_preserves_rows_and_time_travel(spark, tmp_path):
     assert sorted(r.k for r in tl.read_version(spark, base, 5).collect()) == [1, 2, 3, 9]
     # retention-bounded vacuum deletes exactly the compacted originals
     deleted, freed = tl.vacuum(base, min_age_sec=0.0, keep_versions=2)
-    assert sorted(deleted) == sorted(pre) and freed > 0
+    # all originals + only the emptied dirs' markers (round-12)
+    assert set(pre) <= set(deleted) and freed > 0
+    assert all(not p.endswith(".parquet") for p in set(deleted) - set(pre))
     assert sorted(r.k for r in tl.read_version(spark, base, 5).collect()) == [1, 2, 3, 9]
     # full-retention vacuum never touches committed files
     assert tl.vacuum(base, min_age_sec=0.0) == ([], 0)
@@ -309,3 +317,177 @@ def test_checkpoint_after_compaction_equals_full_walk(tmp_path):
         assert tl.manifest(base, v) == tl.manifest_full_walk(base, v), v
     assert "data/a/3.parquet" not in tl.manifest(base, 11)
     assert "data/a/3.parquet" in tl.manifest(base, 7)
+
+
+def test_claim_seam_conditional_put_mock_two_writer_race(tmp_path):
+    """The claim primitive is a swappable strategy (round-12 —
+    SCALING.md 'Table-log claim primitive'): drive try_commit through
+    a mock object-store conditional PUT and check the contract the
+    log relies on — exactly one winner per version slot, the loser's
+    content never becomes visible, and the loser converges at the
+    next version through the normal retry loop."""
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+
+    puts: list[tuple[str, str]] = []
+
+    def conditional_put(src: str, dst: str) -> bool:
+        # If-None-Match: * semantics — atomic create-if-absent, here
+        # emulated with the POSIX claim but with call logging so the
+        # race interleaving below is observable.
+        puts.append((src, dst))
+        return tl.posix_link_claim(src, dst)
+
+    orig = tl.CLAIM["fn"]
+    tl.CLAIM["fn"] = conditional_put
+    try:
+        tl.commit(base, ["data/a/1.parquet"], "A")
+        # both writers observe head=1 and target version 2
+        target = tl.latest_version(base) + 1
+        assert tl.try_commit(base, target, ["data/a/2.parquet"], "A")
+        assert not tl.try_commit(base, target, ["data/b/2.parquet"], "B")
+        vb = tl.commit(base, ["data/b/2.parquet"], "B")
+        assert vb == 3
+        assert tl.manifest(base, 2) == ["data/a/1.parquet", "data/a/2.parquet"]
+        assert "data/b/2.parquet" not in tl.manifest(base, 2)
+        assert "data/b/2.parquet" in tl.manifest(base, 3)
+        # every claim ran through the seam
+        assert len(puts) >= 4
+    finally:
+        tl.CLAIM["fn"] = orig
+
+
+def test_compact_conflict_detection_and_empty_guard(spark, tmp_path):
+    """Round-12 ADVICE: (a) compact() on an empty table raises a
+    clear ValueError instead of a confusing zero-path read; (b) a
+    compaction that lost the race to ANOTHER compaction raises
+    ConcurrentCompactionError instead of publishing a duplicate
+    consolidated copy (the double-rows hazard)."""
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    with pytest.raises(ValueError, match="nothing to compact"):
+        tl.compact(spark, base)
+
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    for i in range(2):
+        tl.commit(
+            base, tl.write_data_files(df, base, f"c{i}"), "A",
+            checkpoint_interval=None,
+        )
+    # a rival compaction lands between our snapshot and our claim:
+    # simulate by intercepting the claim to inject the rival entry
+    # the first time our compactor tries to publish
+    orig = tl.CLAIM["fn"]
+    state = {"injected": False}
+
+    def inject_rival_then_claim(src: str, dst: str) -> bool:
+        if not state["injected"]:
+            state["injected"] = True
+            rival_old = tl.manifest(base, tl.latest_version(base))
+            rival = tl.write_data_files(
+                spark.read.parquet(*rival_old).coalesce(1), base, "rival"
+            )
+            assert tl.try_commit(
+                base, tl.latest_version(base) + 1, rival, "R",
+                compacts=rival_old,
+            )
+        return orig(src, dst)
+
+    tl.CLAIM["fn"] = inject_rival_then_claim
+    try:
+        with pytest.raises(tl.ConcurrentCompactionError):
+            tl.compact(spark, base)
+    finally:
+        tl.CLAIM["fn"] = orig
+    # the rival's consolidation stands; no duplicate rows
+    head = tl.latest_version(base)
+    assert tl.read_version(spark, base, head).count() == 20
+    # our aborted compactor's staged files are vacuumable orphans
+    deleted, _ = tl.vacuum(base, min_age_sec=0.0)
+    assert any("/compact-v" in p for p in deleted)
+    assert tl.read_version(spark, base, head).count() == 20
+
+
+def test_checkpoint_pointer_self_heals_forward(tmp_path):
+    """Round-12 ADVICE: the pointer advance is best-effort under
+    concurrency, but write_checkpoint re-validates after its replace
+    — a laggard checkpointer that regresses the pointer repairs it
+    before returning (pointer ends at the newest published
+    checkpoint)."""
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    for i in range(1, 11):
+        tl.commit(base, [f"data/a/{i}.parquet"], "A", checkpoint_interval=5)
+    assert tl._pointer_version(base) == 10
+    # simulate the laggard: an old checkpointer re-publishing v5
+    # AFTER v10's pointer landed — the transient regression must be
+    # repaired by its own re-validation pass before it returns
+    tl.write_checkpoint(base, 5, writer="laggard")
+    assert tl._pointer_version(base) == 10
+    assert tl.checkpoint_versions(base) == [5, 10]
+
+
+def test_vacuum_cleans_markers_and_prunes_empty_dirs(spark, tmp_path):
+    """Round-12 ADVICE: after a staging dir's orphaned parquet files
+    are reclaimed, its _SUCCESS/.crc markers and the dir itself go
+    too (bounded data/ tree); committed dirs keep their markers."""
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    df = spark.range(5).selectExpr("id")
+    tl.commit(base, tl.write_data_files(df, base, "live"), "A")
+    tl.write_data_files(df, base, "crashed")  # staged, never committed
+    crash_dir = os.path.join(base, "data", "crashed")
+    assert os.path.isdir(crash_dir)
+    deleted, freed = tl.vacuum(base, min_age_sec=0.0)
+    assert not os.path.exists(crash_dir)  # markers gone, dir pruned
+    assert freed > 0
+    live_dir = os.path.join(base, "data", "live")
+    assert any(f.endswith(".parquet") for f in os.listdir(live_dir))
+    assert spark.read.parquet(*tl.manifest(base, 1)).count() == 5
+    # age guard: a YOUNG crashed dir survives a production-window run
+    tl.write_data_files(df, base, "crashed2")
+    guarded, _ = tl.vacuum(base)
+    assert guarded == []
+    assert os.path.isdir(os.path.join(base, "data", "crashed2"))
+
+
+def test_data_skipping_point_predicate_opens_one_file(spark, tmp_path):
+    """Data skipping (round-12): four range-disjoint commits with
+    footer-harvested stats; a point predicate's pruned manifest is
+    ONE file, results equal the unpruned read, a stat-less commit is
+    always kept, and checkpoints carry the stats through."""
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    for i in range(4):
+        df = spark.range(i * 100, (i + 1) * 100).selectExpr("id")
+        fs = tl.write_data_files(df.coalesce(1), base, f"s{i}")
+        tl.commit(
+            base, fs, "A", checkpoint_interval=4,
+            stats=tl.parquet_file_stats(fs, ["id"]),
+        )
+    head = tl.latest_version(base)
+    kept, total = tl.manifest_pruned(base, head, "id", 250, 250)
+    assert total == 4 and len(kept) == 1 and "/s2/" in kept[0]
+    got = tl.read_version(spark, base, head, prune=("id", 250, 250))
+    assert [r.id for r in got.filter("id = 250").collect()] == [250]
+    # a stats-less commit is never pruned (skipping = optimization)
+    fs = tl.write_data_files(
+        spark.range(1000, 1010).selectExpr("id").coalesce(1), base, "nostats"
+    )
+    tl.commit(base, fs, "A", checkpoint_interval=None)
+    kept3, total3 = tl.manifest_pruned(
+        base, tl.latest_version(base), "id", 250, 250
+    )
+    assert total3 == 5 and len(kept3) == 2
+    assert any("/nostats/" in f for f in kept3)
+    # the checkpoint at v4 must carry stats: drop the walked-over
+    # entries and prune again off the checkpoint + suffix alone
+    for v in range(1, 5):
+        os.unlink(tl._entry_path(base, v))
+    kept2, total2 = tl.manifest_pruned(base, head, "id", 250, 250)
+    assert (kept2, total2) == (kept, total)
+    # fully-pruned interval: empty frame, schema intact, no error
+    empty = tl.read_version(
+        spark, base, head, prune=("id", 10_000, 20_000)
+    )
+    assert empty.columns == ["id"] and empty.count() == 0
