@@ -544,12 +544,63 @@ _R11_TOUCHED: list[str] = [
 ]
 
 
+# Ops whose PHYSICAL PLAN (or kernel/log format code) changed in
+# round 12 — their newest driver row predates the current code.
+_R12_TOUCHED: list[str] = [
+    # round-12 q_fof perf work: self_radius_pairs gained the spread
+    # repartition, shuffle_hash build-side hint and non-nullable cell
+    # keys (ReuseExchange folds the self-join's duplicate scan)
+    "cluster_fof_2d",
+    "cluster_fof_2d_super",
+    "agg_object_coadd",
+    # min_label_fixpoint's quotient level-2 now solves driver-side
+    # off ONE bounded collect (persist folded into it) instead of a
+    # probe job + repartition(1) kernel job + broadcast job
+    "cluster_fof",
+    "cluster_fof_exact",
+    "llm_dedup_keep_best",
+    "llm_dedup_cluster",
+    "llm_dedup_simhash_clusters",
+    # table-log round-12: claim-primitive seam, stats-aware entries/
+    # checkpoints, compact conflict detection, vacuum marker pass
+    "sink_table_log",
+    "sink_table_log_checkpoint",
+    "sink_table_log_vacuum",
+    "sink_table_log_compact",
+]
+
+
+# The 50 ops recorded by the round-11 driver run (all green — the
+# exact key list of CORRECTNESS_r11.json): the 10 round-11 additions,
+# the full _R11_TOUCHED re-verification, and the rotation head.
+_R11_LEDGER = [
+    "mm_decode_video_ip", "source_schema_rename", "source_schema_drop",
+    "source_schema_widen", "source_fits_wcs_sin", "source_fits_wcs_sip",
+    "sink_table_log_checkpoint", "sink_table_log_vacuum",
+    "sink_table_log_compact", "source_fits_gzip", "win_ntile_percent",
+    "cluster_fof", "source_fits_rice", "source_fits_rice_cutout",
+    "pipeline_survey_ingest", "fn_healpix_key", "fn_healpix_nest",
+    "agg_sky_coverage", "agg_density_adaptive", "sink_density_adaptive",
+    "mm_decode", "mm_resize", "mm_decode_png", "mm_decode_gif",
+    "mm_decode_jpeg", "mm_phash_dedup", "mm_decode_video",
+    "mm_frame_sample", "agg_cube", "agg_density_multilevel",
+    "agg_filtered", "agg_funnel_conversion", "agg_lightcurve_stats",
+    "agg_path_sequences", "agg_retention_cohorts",
+    "filter_scalar_subquery", "fn_anonymize", "fn_morton_key",
+    "fn_unpivot", "fn_vector_math", "join_asof_union_window",
+    "join_full_outer", "join_interval_overlap", "join_xmatch_2d",
+    "join_xmatch_2d_knn", "join_xmatch_2d_margin", "knn_ivf_kmeans",
+    "llm_bm25_score", "llm_char_entropy", "llm_decontaminate",
+]
+
+
 # (round, exact recorded key list) — r05 re-recorded the r04 window
 # verbatim, so _R4_LEDGER carries freshness 5, not 4.
 _LEDGER_HISTORY = [
     (1, _R1_LEDGER), (2, _R2_LEDGER), (3, _R3_LEDGER),
     (5, _R4_LEDGER), (6, _R6_LEDGER), (7, _R7_LEDGER),
     (8, _R8_LEDGER), (9, _R9_LEDGER), (10, _R10_LEDGER),
+    (11, _R11_LEDGER),
 ]
 
 
@@ -584,7 +635,7 @@ def _refresh_rotation() -> list[str]:
 def _reorder_for_ledger() -> None:
     """Three tiers: (1) ops with no driver-recorded row in any prior
     round's CORRECTNESS ledger (i.e., new this round), (2) ops whose
-    plan changed this round (_R11_TOUCHED — their old green rows no
+    plan changed this round (_R12_TOUCHED — their old green rows no
     longer witness the current code), (3) the refresh rotation —
     every already-recorded op ordered oldest-confirmation-first (its
     tail is by construction the freshest-recorded ids) — so a capped
@@ -592,7 +643,7 @@ def _reorder_for_ledger() -> None:
     re-confirms stale ones, in that order."""
     all_recorded = set(_latest_confirmed())
     tier1 = [k for k in QUERIES if k not in all_recorded]
-    tier2 = [k for k in _R11_TOUCHED if k in QUERIES]
+    tier2 = [k for k in _R12_TOUCHED if k in QUERIES]
     seen = set(tier1) | set(tier2)
     tier3 = [k for k in _refresh_rotation()
              if k in QUERIES and k not in seen]
@@ -622,7 +673,7 @@ def freshness_report() -> dict[str, Any]:
         "n_ops": len(QUERIES),
         "never_recorded": sorted(k for k in QUERIES if k not in latest),
         "latest_round_histogram": dict(sorted(by_round.items())),
-        "touched_this_round": [k for k in _R11_TOUCHED if k in QUERIES],
+        "touched_this_round": [k for k in _R12_TOUCHED if k in QUERIES],
         "rotation_head": rotation[:50],
         "rotation_len": len(rotation),
         "latest_by_op": {k: latest.get(k, 0) for k in QUERIES},

@@ -52,3 +52,27 @@ def test_no_leak_markers_in_working_tree():
         "leak markers present in tracked working-tree files "
         f"(category, file): {bad}"
     )
+
+
+def test_leakcheck_summary_is_current_and_flat():
+    """Round-12 (round-11 VERDICT What's-wrong #1 + next-round #4):
+    LEAKCHECK_SUMMARY.json must be regenerated each round and the
+    git-history echo count is a FROZEN FLOOR — commits made before
+    the raw artifact was gitignored quote the marker 409 times and
+    git history is immutable, so n_hits == 409 exactly; any growth
+    means a NEW leak landed in a commit, any working_tree hit means
+    the current tree regressed."""
+    import json
+
+    with open(ROOT / "LEAKCHECK_SUMMARY.json") as fh:
+        d = json.load(fh)
+    assert d["round"] >= 11
+    assert d["n_hits"] == 409, (
+        "git-history echo floor moved — a NEW leak was committed"
+    )
+    assert all(
+        c["working_tree"] == 0 for c in d["by_category"].values()
+    )
+    assert all(
+        c["gitlog_echo"] == c["n"] for c in d["by_category"].values()
+    )

@@ -289,3 +289,86 @@ def test_source_overlap_sets(spark):
         union = len(vocab[r.src_a] | vocab[r.src_b])
         assert r.n_common == inter
         assert r.jaccard_x1e4 == math.floor(inter * 10000.0 / union + 0.5)
+
+
+def test_bpe_apply_zero_merges_identity_and_monotone(spark):
+    """Property pins for llm_bpe_apply (round-12): applying ZERO
+    merges counts exactly the characters of every whitespace token
+    (the identity baseline), each extra merge is monotone
+    non-increasing in token count, and the registered op's output
+    matches a pure-python greedy reimplementation on sample docs."""
+    from lsd_spark.llm.textstats import (
+        BPE_APPLY_K,
+        bpe_merge_table,
+        bpe_tokens_expr,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+
+    def tok_counts(merges):
+        ntok = bpe_tokens_expr(merges)
+        agg = F.expr(
+            "aggregate(filter(split(text, ' '), w -> length(w) >= 1),"
+            f" 0L, (acc, w) -> acc + ({ntok}), acc -> acc)"
+        )
+        return {
+            r.doc_id: r.t
+            for r in docs.select("doc_id", agg.alias("t")).collect()
+        }
+
+    merges = bpe_merge_table(spark, SF_DIR)
+    assert len(merges) == BPE_APPLY_K
+
+    # zero merges == whitespace-token character counts
+    zero = tok_counts([])
+    chars = {
+        r.doc_id: r.c
+        for r in docs.select(
+            "doc_id",
+            F.expr(
+                "aggregate(filter(split(text, ' '), w -> length(w) >= 1),"
+                " 0L, (acc, w) -> acc + length(w), acc -> acc)"
+            ).alias("c"),
+        ).collect()
+    }
+    assert zero == chars
+
+    # each merge round is monotone non-increasing
+    prev = zero
+    for k in range(1, BPE_APPLY_K + 1):
+        cur = tok_counts(merges[:k])
+        assert all(cur[d] <= prev[d] for d in cur)
+        prev = cur
+
+    # python third opinion: greedy leftmost non-overlapping merges
+    def py_tokens(text):
+        total = 0
+        for w in text.split(" "):
+            if not w:
+                continue
+            syms = list(w)
+            for m in merges:
+                out = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == m[0]
+                        and syms[i + 1] == m[1]
+                    ):
+                        out.append(m)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            total += len(syms)
+        return total
+
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in QUERIES["llm_bpe_apply"](spark, SF_DIR).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        assert got[r.doc_id] == py_tokens(r.text), r.doc_id
