@@ -283,18 +283,34 @@ def compact(
         path,
         f"compact-v{v}-{writer}",
     )
+    return _publish_compaction(path, v, new, old, writer)
+
+
+def _publish_compaction(
+    path: str,
+    snapshot_v: int,
+    new: list[str],
+    old: list[str],
+    writer: str,
+    stats: dict | None = None,
+) -> int:
+    """Conflict-checked compaction publish shared by compact() and
+    compact_zorder(): never blind-retry past another compaction —
+    re-read every entry that landed after the snapshot before each
+    claim and abort if one carries `compacts` (see compact()'s
+    docstring for the duplicate-rows hazard this prevents)."""
     while True:
         head = latest_version(path)
-        for w in range(v + 1, head + 1):
+        for w in range(snapshot_v + 1, head + 1):
             with open(_entry_path(path, w)) as fh:
                 if json.load(fh).get("compacts"):
                     raise ConcurrentCompactionError(
                         f"compaction commit {w} landed after snapshot "
-                        f"version {v}; aborting this compaction "
+                        f"version {snapshot_v}; aborting this compaction "
                         f"(staged files left for vacuum)"
                     )
         nv = head + 1
-        if try_commit(path, nv, new, writer, compacts=old):
+        if try_commit(path, nv, new, writer, compacts=old, stats=stats):
             if CHECKPOINT_INTERVAL and nv % CHECKPOINT_INTERVAL == 0:
                 write_checkpoint(path, nv, writer)
             return nv
@@ -1157,3 +1173,152 @@ def stream_table_log_sink(spark, sf_dir):
     finally:
         for d in (stage, table, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def compact_zorder(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    n_out: int = 4,
+    writer: str = "zorder",
+) -> int:
+    """OPTIMIZE ... ZORDER BY (Delta's clustering compaction): rewrite
+    the live set RANGE-CLUSTERED on `col` so the per-file [min, max]
+    stats committed with the compaction entry become disjoint — the
+    rewrite that turns the manifest-level data skipping from
+    "keeps everything" (interleaved appends span the full key range)
+    into "opens ~1 file per point probe". Bucket i holds exactly
+    col*n_out div (max+1) == i (explicit integer arithmetic, NOT a
+    sampled range partitioner, so file boundaries — and therefore the
+    differential oracle's pinned pruning counts — are deterministic);
+    one shuffle on the bucket key + a partitionBy write makes one
+    sorted file per bucket whatever the bucket->task hashing does.
+    Publishing is the same conflict-checked compaction commit as
+    compact() (ConcurrentCompactionError on a rival OPTIMIZE)."""
+    v = latest_version(path)
+    old = manifest(path, v)
+    if not old:
+        raise ValueError(
+            f"nothing to compact at {path}: no visible data files at "
+            f"version {v}"
+        )
+    df = spark.read.parquet(*old)
+    from pyspark.sql import functions as _F
+
+    mx = df.agg(_F.max(col).cast("long")).first()[0]
+    out = os.path.join(path, "data", f"zorder-v{v}-{writer}")
+    (
+        df.withColumn(
+            "_zb", _F.expr(f"CAST((CAST({col} AS BIGINT) * {n_out}) "
+                           f"DIV {int(mx) + 1} AS INT)")
+        )
+        .repartition("_zb")
+        .sortWithinPartitions(col)
+        .write.partitionBy("_zb")
+        .mode("errorifexists")
+        .parquet(out)
+    )
+    new = sorted(
+        os.path.join(dp, f)
+        for dp, _dirs, files in os.walk(out)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return _publish_compaction(
+        path, v, new, old, writer,
+        stats=parquet_file_stats(new, [col]),
+    )
+
+
+def _zprobe_sql(phase: str, opened: int, pruned: int) -> str:
+    return (
+        f"SELECT '{phase}' AS phase, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS cents, "
+        f"CAST({opened} AS INT) AS files_opened, "
+        f"CAST({pruned} AS INT) AS files_pruned "
+        "FROM orders WHERE o_orderkey <= "
+        "(SELECT MAX(o_orderkey) // 4 FROM orders)"
+    )
+
+
+@register(
+    "sink_table_log_compact_zorder",
+    oracle=(
+        _zprobe_sql("post", 1, 3)
+        + " UNION ALL "
+        + _zprobe_sql("pre", 4, 0)
+        + " ORDER BY phase"
+    ),
+    cacheable=False,
+)
+def sink_table_log_compact_zorder(spark, sf_dir):
+    """OPTIMIZE ZORDER end-to-end — clustering compaction x data
+    skipping, the pair that actually fixes a streamed-in table at
+    100 TB: four INTERLEAVED appends (o_orderkey % 4 slices — every
+    file spans the full key range, the worst case streaming ingest
+    produces) each commit footer stats, and the same first-quartile
+    probe opens ALL FOUR files pre-compaction (stats overlap
+    everywhere => skipping can prune nothing) but exactly ONE file
+    after compact_zorder re-clusters the live set into
+    range-disjoint files — same rows, same cents, 4x less IO, pinned
+    by the oracle's literal opened/pruned counts on both phases.
+    Time travel still resolves the pre-compaction files at the old
+    version, exercised by running the 'pre' probe THROUGH version 4
+    after version 5 exists. A zorder that misrouted a row across its
+    bucket boundary breaks n_rows/cents; one that wrote overlapping
+    files breaks the pinned counts via the in-op asserts."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = tempfile.mkdtemp(prefix="lsd_tlzord_")
+    try:
+        init_table(base)
+        for i in range(4):
+            fs = write_data_files(
+                o.filter(F.col("o_orderkey") % 4 == i).coalesce(1),
+                base,
+                f"i{i}",
+            )
+            commit(
+                base, fs, "A",
+                stats=parquet_file_stats(fs, ["o_orderkey"]),
+            )
+        m = int(o.agg(F.max("o_orderkey").cast("long")).first()[0])
+        hi = m // 4  # bucket-0 range under compact_zorder's n_out=4
+
+        def probe(phase: str, version: int, want_open: int):
+            kept, total = manifest_pruned(
+                base, version, "o_orderkey", None, hi
+            )
+            assert (len(kept), total) == (want_open, 4), (phase, kept)
+            r = (
+                read_version(
+                    spark, base, version, prune=("o_orderkey", None, hi)
+                )
+                .filter(F.col("o_orderkey") <= hi)
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum(
+                        F.floor(F.col("o_totalprice") * 100 + 0.5)
+                        .cast("long")
+                    ).alias("cents"),
+                )
+                .first()
+            )
+            return (phase, r["n"], r["cents"], want_open, 4 - want_open)
+
+        v_pre = latest_version(base)
+        assert compact_zorder(spark, base, "o_orderkey", n_out=4) == 5
+        pre = probe("pre", v_pre, 4)    # time travel THROUGH the zorder
+        post = probe("post", 5, 1)
+        assert pre[1:3] == post[1:3]  # clustering must not change rows
+        return spark.createDataFrame(
+            [post, pre],
+            "phase string, n_rows bigint, cents bigint, "
+            "files_opened int, files_pruned int",
+        ).orderBy("phase")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

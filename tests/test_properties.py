@@ -184,3 +184,48 @@ def test_margin_refresh_commutes_with_any_split(spark, tmp_path):
     assert rows(spark.read.parquet(inc).select(*cols)) == rows(
         spark.read.parquet(full).select(*cols)
     )
+
+
+def test_uf_roots_matches_bfs_components_property():
+    """Property (round-12): the driver-side union-find used by
+    min_label_fixpoint's quotient solve must label every node with
+    its connected component's MINIMUM id — checked against an
+    independent BFS over hypothesis-generated random edge sets,
+    including duplicate and self-referencing edges."""
+    from hypothesis import given, settings, strategies as st
+
+    from lsd_spark.plans.cluster import _uf_roots
+
+    edges_st = st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)),
+        min_size=0,
+        max_size=200,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(edges_st)
+    def run(edges):
+        roots = _uf_roots(edges)
+        # reference: BFS components over the same undirected graph
+        adj: dict[int, set[int]] = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        want: dict[int, int] = {}
+        seen: set[int] = set()
+        for start in adj:
+            if start in seen:
+                continue
+            comp, frontier = set(), {start}
+            while frontier:
+                comp |= frontier
+                frontier = {
+                    n for f in frontier for n in adj[f]
+                } - comp
+            m = min(comp)
+            seen |= comp
+            for n in comp:
+                want[n] = m
+        assert roots == want
+
+    run()
