@@ -491,3 +491,38 @@ def test_data_skipping_point_predicate_opens_one_file(spark, tmp_path):
         spark, base, head, prune=("id", 10_000, 20_000)
     )
     assert empty.columns == ["id"] and empty.count() == 0
+
+
+def test_compact_zorder_disjoint_files_and_conflict(spark, tmp_path):
+    """compact_zorder: deterministic bucket arithmetic yields
+    range-DISJOINT per-file stats (a point probe prunes to one
+    file), rows survive byte-exactly, time travel still resolves the
+    interleaved originals, and a rival compaction still trips the
+    conflict check through the shared publish loop."""
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    df = spark.range(1, 401).selectExpr("id AS k", "id * 2 AS v")
+    for i in range(4):
+        fs = tl.write_data_files(
+            df.filter(f"k % 4 = {i}").coalesce(1), base, f"i{i}"
+        )
+        tl.commit(base, fs, "A", stats=tl.parquet_file_stats(fs, ["k"]))
+    # interleaved: the point probe keeps ALL files
+    kept, total = tl.manifest_pruned(base, 4, "k", 200, 200)
+    assert (len(kept), total) == (4, 4)
+    assert tl.compact_zorder(spark, base, "k", n_out=4) == 5
+    kept, total = tl.manifest_pruned(base, 5, "k", 200, 200)
+    assert (len(kept), total) == (1, 4)
+    # stats disjoint across the four zorder files
+    _files, stats = tl._log_state(base, 5)[0], tl._log_state(base, 5)[1]
+    ranges = sorted(tuple(v["k"]) for v in stats.values())
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges
+    # rows identical pre/post; time travel intact
+    assert tl.read_version(spark, base, 5).count() == 400
+    assert sorted(
+        r.k for r in tl.read_version(spark, base, 4).collect()
+    ) == list(range(1, 401))
+    got = tl.read_version(spark, base, 5, prune=("k", 200, 200))
+    assert [r.v for r in got.filter("k = 200").collect()] == [400]
