@@ -1721,3 +1721,232 @@ def pipeline_survey_ingest(spark, sf_dir):
         )
         .orderBy("hpx")
     )
+
+
+# --- ARC / ZEA zenithal projections (round-11 VERDICT missing #5) ---------
+#
+# Both share the generic zenithal de-projection (Calabretta & Greisen
+# 2002 §5.1, public formulas; native pole at CRVAL): with (x, y) the
+# CD-transformed intermediate coords in RADIANS, each projection
+# defines the direction-cosine triple
+#     xi  = sin(z) * x/R,  eta = sin(z) * y/R,  zeta = cos(z)
+# (R = sqrt(x^2+y^2), z the native zenith distance), and then
+#     dec = asin(zeta sin d0 + eta cos d0)
+#     ra  = ra0 + atan2(xi, zeta cos d0 - eta sin d0)
+# — exactly the structure source_fits_wcs_sin already uses (SIN is
+# the special case xi=x, eta=y, zeta=sqrt(1-x^2-y^2)).
+#
+#   ARC (zenithal equidistant, Schmidt telescopes / guider optics):
+#     R = z  =>  xi = x sin(R)/R, eta = y sin(R)/R, zeta = cos(R)
+#   ZEA (zenithal equal-area, the all-sky survey tiling choice):
+#     R = 2 sin(z/2)  =>  closed form without any arcsine:
+#     sin(z)/R = sqrt(1 - R^2/4), cos(z) = 1 - R^2/2, so
+#     xi = x sqrt(1 - R^2/4), eta = y sqrt(1 - R^2/4),
+#     zeta = 1 - R^2/2.
+#
+# The fixtures reuse the SIN op's WIDE field (0.5 deg/px, ~2.5 deg
+# corner radius) because the projection CHOICE must be
+# oracle-visible at the 1e-6 grid: at the corners ARC differs from
+# TAN by ~z^3/3 (1.6e-3 deg), from SIN by ~z^3/6 (8e-4 deg), and
+# from ZEA by ~z^3/24 (2e-4 deg) — every pair separated by >=200
+# grid units, so running the WRONG projection's math (or a CD sign
+# slip, larger still) breaks the hash ([[numeric-traps]]
+# separation-scale rule).
+
+
+def _wcs_zenithal_fixture_path(
+    spark: SparkSession, sf_dir: str, code: str
+) -> str:
+    """25 single-HDU exposures with the closed-form wcs_cards
+    pointing/roll, CTYPE 'RA---{code}', and the SIN fixture's wide
+    0.5 deg/px scale."""
+    from lsd_spark.plans.materialize import materialized
+
+    def build(base: str) -> str:
+        keys = [
+            r["n_nationkey"]
+            for r in load(spark, sf_dir, "nation")
+            .select("n_nationkey")
+            .collect()
+        ]
+        d = os.path.join(base, f"images_{code.lower()}")
+        os.makedirs(d)
+        idx = np.arange(64, dtype=np.int64).reshape(8, 8)
+        for k in keys:
+            cards = {"NATKEY": int(k)}
+            cards.update(wcs_cards(int(k)))
+            cards["CTYPE1"] = f"RA---{code}"
+            cards["CTYPE2"] = f"DEC--{code}"
+            for c in ("CD1_1", "CD1_2", "CD2_1", "CD2_2"):
+                cards[c] = cards[c] * 500.0
+            write_fits_image(
+                os.path.join(d, f"{code.lower()}_{int(k):02d}.fits"),
+                257 * int(k) + 13 * idx,
+                extra_cards=cards,
+            )
+        return d
+
+    return materialized(
+        spark, f"fits_wcs_{code.lower()}", sf_dir, build,
+        prefix=f"lsd_fits{code.lower()}_",
+    )
+
+
+def _zenithal_cte_sql(code: str) -> str:
+    """DuckDB oracle for one zenithal projection: the same wide-field
+    closed-form headers and the same direction-cosine formulas."""
+    if code == "ARC":
+        scale = "CASE WHEN sqrt(x*x + y*y) = 0.0 THEN 1.0 "\
+                "ELSE sin(sqrt(x*x + y*y)) / sqrt(x*x + y*y) END"
+        zeta = "cos(sqrt(x*x + y*y))"
+    else:  # ZEA
+        scale = "sqrt(1.0 - (x*x + y*y)/4.0)"
+        zeta = "1.0 - (x*x + y*y)/2.0"
+    return (
+        "WITH probe AS (SELECT * FROM (VALUES "
+        + ", ".join(f"({px}, {py})" for px, py in _WCS_PROBE_PIXELS)
+        + ") AS t(px, py)), "
+        "w AS (SELECT CAST(n_nationkey AS INT) AS natkey, "
+        "  radians(10.0*n_nationkey + 5.0) AS r0, "
+        "  radians(3.0*n_nationkey - 36.0) AS d0, "
+        "  0.5*cos(radians(7.0*n_nationkey)) AS cd11, "
+        "  -0.5*sin(radians(7.0*n_nationkey)) AS cd12, "
+        "  0.5*sin(radians(7.0*n_nationkey)) AS cd21, "
+        "  0.5*cos(radians(7.0*n_nationkey)) AS cd22 "
+        "FROM nation), "
+        "c AS (SELECT natkey, px, py, r0, d0, "
+        "  radians(cd11*(px - 4.5) + cd12*(py - 4.5)) AS x, "
+        "  radians(cd21*(px - 4.5) + cd22*(py - 4.5)) AS y "
+        "FROM w CROSS JOIN probe), "
+        f"g AS (SELECT natkey, px, py, r0, d0, x, y, {scale} AS sc, "
+        f"  {zeta} AS zeta FROM c) "
+        "SELECT natkey, px, py, "
+        "  FLOOR(((degrees(r0 + atan2(x*sc, zeta*cos(d0) "
+        "    - y*sc*sin(d0))) % 360.0 + 360.0) % 360.0) * 1000000 + 0.5) "
+        "    / 1000000 AS ra, "
+        "  FLOOR(degrees(asin(zeta*sin(d0) + y*sc*cos(d0))) "
+        "    * 1000000 + 0.5) / 1000000 AS dec, "
+        "  0.0 AS roundtrip_err "
+        "FROM g ORDER BY natkey, px, py"
+    )
+
+
+def _wcs_zenithal_op(spark, sf_dir: str, code: str):
+    """Shared Spark body for ARC/ZEA: header parse -> CTYPE dispatch
+    -> de-projection -> forward re-projection through CD^-1 -> pixel
+    residual on the 1e-6 grid (the source_fits_wcs_sin contract)."""
+    d = _wcs_zenithal_fixture_path(spark, sf_dir, code)
+    img = read_fits_images(spark, d)
+    hdr = img.filter(F.col("hdu_index") == 0).select(
+        F.element_at("_hdr", "NATKEY").cast("int").alias("natkey"),
+        F.element_at("_hdr", "CRVAL1").cast("double").alias("crval1"),
+        F.element_at("_hdr", "CRVAL2").cast("double").alias("crval2"),
+        F.element_at("_hdr", "CRPIX1").cast("double").alias("crpix1"),
+        F.element_at("_hdr", "CRPIX2").cast("double").alias("crpix2"),
+        F.element_at("_hdr", "CD1_1").cast("double").alias("cd11"),
+        F.element_at("_hdr", "CD1_2").cast("double").alias("cd12"),
+        F.element_at("_hdr", "CD2_1").cast("double").alias("cd21"),
+        F.element_at("_hdr", "CD2_2").cast("double").alias("cd22"),
+        F.element_at("_hdr", "CTYPE1").alias("ctype1"),
+    )
+    probes = F.array(
+        *[
+            F.struct(F.lit(px).alias("px"), F.lit(py).alias("py"))
+            for px, py in _WCS_PROBE_PIXELS
+        ]
+    )
+    g = (
+        hdr.filter(F.col("ctype1") == f"RA---{code}")
+        .select("*", F.explode(probes).alias("p"))
+        .select(
+            "natkey",
+            F.col("p.px").alias("px"),
+            F.col("p.py").alias("py"),
+            F.radians("crval1").alias("r0"),
+            F.radians("crval2").alias("d0"),
+            "crpix1", "crpix2", "cd11", "cd12", "cd21", "cd22",
+            F.radians(
+                F.col("cd11") * (F.col("p.px") - F.col("crpix1"))
+                + F.col("cd12") * (F.col("p.py") - F.col("crpix2"))
+            ).alias("x"),
+            F.radians(
+                F.col("cd21") * (F.col("p.px") - F.col("crpix1"))
+                + F.col("cd22") * (F.col("p.py") - F.col("crpix2"))
+            ).alias("y"),
+        )
+    )
+    rho2 = F.col("x") * F.col("x") + F.col("y") * F.col("y")
+    if code == "ARC":
+        r_nat = F.sqrt(rho2)
+        sc = F.when(r_nat == 0.0, F.lit(1.0)).otherwise(
+            F.sin(r_nat) / r_nat
+        )
+        zeta = F.cos(r_nat)
+    else:  # ZEA
+        sc = F.sqrt(1.0 - rho2 / 4.0)
+        zeta = 1.0 - rho2 / 2.0
+    xi, eta = F.col("x") * sc, F.col("y") * sc
+    ra_f = F.degrees(
+        F.col("r0")
+        + F.atan2(xi, zeta * F.cos("d0") - eta * F.sin("d0"))
+    )
+    dec_f = F.degrees(F.asin(zeta * F.sin("d0") + eta * F.cos("d0")))
+    g = g.withColumn("ra_f", ra_f).withColumn("dec_f", dec_f)
+    # inverse: direction cosines from (ra_f, dec_f), then the
+    # projection's radial re-scaling, then CD^-1 -> pixel
+    rr, dd = F.radians("ra_f"), F.radians("dec_f")
+    xi_b = F.cos(dd) * F.sin(rr - F.col("r0"))
+    eta_b = F.sin(dd) * F.cos("d0") - F.cos(dd) * F.sin("d0") * F.cos(
+        rr - F.col("r0")
+    )
+    zeta_b = F.sin(dd) * F.sin("d0") + F.cos(dd) * F.cos("d0") * F.cos(
+        rr - F.col("r0")
+    )
+    if code == "ARC":
+        sinz = F.sqrt(xi_b * xi_b + eta_b * eta_b)
+        z_b = F.atan2(sinz, zeta_b)
+        inv = F.when(sinz == 0.0, F.lit(1.0)).otherwise(z_b / sinz)
+    else:  # ZEA: R = sqrt(2(1-zeta)); R/sin(z) = sqrt(2/(1+zeta))
+        inv = F.sqrt(2.0 / (1.0 + zeta_b))
+    x_b = F.degrees(xi_b * inv)
+    y_b = F.degrees(eta_b * inv)
+    det = F.col("cd11") * F.col("cd22") - F.col("cd12") * F.col("cd21")
+    px_b = F.col("crpix1") + (F.col("cd22") * x_b - F.col("cd12") * y_b) / det
+    py_b = F.col("crpix2") + (F.col("cd11") * y_b - F.col("cd21") * x_b) / det
+    grid = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        g.select(
+            "natkey", "px", "py",
+            grid(((F.col("ra_f") % 360.0) + 360.0) % 360.0).alias("ra"),
+            grid(F.col("dec_f")).alias("dec"),
+            grid(
+                F.greatest(
+                    F.abs(px_b - F.col("px")), F.abs(py_b - F.col("py"))
+                )
+            ).alias("roundtrip_err"),
+        )
+        .orderBy("natkey", "px", "py")
+    )
+
+
+@register(
+    "source_fits_wcs_arc", oracle=_zenithal_cte_sql("ARC"), cacheable=False
+)
+def source_fits_wcs_arc(spark, sf_dir):
+    """ARC (zenithal equidistant) WCS de-projection — the Schmidt
+    telescope / guide-camera solution where native radius equals
+    zenith distance (R = z). See the zenithal family note above for
+    formulas, fixture scale and the cross-projection separation
+    analysis that keeps the choice oracle-visible."""
+    return _wcs_zenithal_op(spark, sf_dir, "ARC")
+
+
+@register(
+    "source_fits_wcs_zea", oracle=_zenithal_cte_sql("ZEA"), cacheable=False
+)
+def source_fits_wcs_zea(spark, sf_dir):
+    """ZEA (zenithal equal-area, R = 2 sin(z/2)) WCS de-projection —
+    the all-sky tiling choice (equal pixel solid angles); closed-form
+    direction cosines without an arcsine (sin z/R = sqrt(1 - R^2/4),
+    cos z = 1 - R^2/2). See the zenithal family note above."""
+    return _wcs_zenithal_op(spark, sf_dir, "ZEA")

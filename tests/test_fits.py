@@ -494,3 +494,98 @@ def test_wcs_sip_distortion_is_load_bearing(spark):
         if (r["px"], r["py"]) != (4, 5):
             assert r["dist_px"] > 0.0, r
     assert gap > 1e-5, gap
+
+
+def test_wcs_arc_zea_match_numpy_and_separate_from_each_other(spark):
+    """Round-12 zenithal breadth: ARC and ZEA must each agree with an
+    independent numpy implementation, round-trip to zero residual,
+    and all four zenithal projections (TAN/SIN/ARC/ZEA) must be
+    pairwise oracle-distinguishable on the wide field (the
+    [[numeric-traps]] separation-scale rule: smallest pair gap ARC vs
+    ZEA ~ z^3/24 ~ 2e-4 deg at the corners, >=100x the 1e-6 grid)."""
+    import math
+
+    from lsd_spark.registry import QUERIES, load_all
+    from lsd_spark.sources.fits import wcs_cards
+    from tests.conftest import SF_DIR
+
+    load_all()
+
+    def sky_of(code, x, y, r0, d0):
+        rho = math.hypot(x, y)
+        if code == "ARC":
+            sc = math.sin(rho) / rho if rho else 1.0
+            zeta = math.cos(rho)
+        elif code == "ZEA":
+            sc = math.sqrt(1.0 - rho * rho / 4.0)
+            zeta = 1.0 - rho * rho / 2.0
+        elif code == "SIN":
+            sc, zeta = 1.0, math.sqrt(1.0 - rho * rho)
+        else:  # TAN
+            sc = 1.0 / math.sqrt(1.0 + rho * rho)
+            zeta = sc
+        dec = math.asin(zeta * math.sin(d0) + y * sc * math.cos(d0))
+        ra = r0 + math.atan2(
+            x * sc, zeta * math.cos(d0) - y * sc * math.sin(d0)
+        )
+        return ra, dec
+
+    def ang_gap(a, b):
+        # full angular separation in degrees (the dec component alone
+        # vanishes for roll angles that put the radial shift along RA)
+        (ra1, d1), (ra2, d2) = a, b
+        s = math.sin((d1 - d2) / 2) ** 2 + math.cos(d1) * math.cos(
+            d2
+        ) * math.sin((ra1 - ra2) / 2) ** 2
+        return math.degrees(2 * math.asin(min(1.0, math.sqrt(s))))
+
+    min_pair_gap = float("inf")
+    for code in ("ARC", "ZEA"):
+        rows = QUERIES[f"source_fits_wcs_{code.lower()}"](
+            spark, SF_DIR
+        ).collect()
+        assert len(rows) == 125
+        for r in rows:
+            w = wcs_cards(r["natkey"])
+            x = math.radians(
+                500.0 * w["CD1_1"] * (r["px"] - w["CRPIX1"])
+                + 500.0 * w["CD1_2"] * (r["py"] - w["CRPIX2"])
+            )
+            y = math.radians(
+                500.0 * w["CD2_1"] * (r["px"] - w["CRPIX1"])
+                + 500.0 * w["CD2_2"] * (r["py"] - w["CRPIX2"])
+            )
+            d0 = math.radians(w["CRVAL2"])
+            r0 = math.radians(w["CRVAL1"])
+            rho = math.hypot(x, y)
+            if code == "ARC":
+                sc = math.sin(rho) / rho if rho else 1.0
+                zeta = math.cos(rho)
+            else:
+                sc = math.sqrt(1.0 - rho * rho / 4.0)
+                zeta = 1.0 - rho * rho / 2.0
+            ra = math.degrees(
+                r0
+                + math.atan2(
+                    x * sc, zeta * math.cos(d0) - y * sc * math.sin(d0)
+                )
+            ) % 360.0
+            dec = math.degrees(
+                math.asin(zeta * math.sin(d0) + y * sc * math.cos(d0))
+            )
+            assert abs(r["ra"] - ra) < 2e-6, (code, r, ra)
+            assert abs(r["dec"] - dec) < 2e-6, (code, r, dec)
+            assert r["roundtrip_err"] == 0.0, (code, r)
+            # pairwise separation at the corner probes
+            if (r["px"], r["py"]) in ((1, 1), (8, 8)):
+                sky = {
+                    c: sky_of(c, x, y, r0, d0)
+                    for c in ("TAN", "SIN", "ARC", "ZEA")
+                }
+                codes = list(sky)
+                for i, a in enumerate(codes):
+                    for b in codes[i + 1:]:
+                        min_pair_gap = min(
+                            min_pair_gap, ang_gap(sky[a], sky[b])
+                        )
+    assert min_pair_gap > 1e-4, min_pair_gap
