@@ -545,28 +545,70 @@ _R11_TOUCHED: list[str] = [
 
 
 # Ops whose PHYSICAL PLAN (or kernel/log format code) changed in
-# round 12 — their newest driver row predates the current code.
+# round 12 — kept for the ledger history comment trail; superseded
+# by _R13_TOUCHED below (all 12 were re-hash-verified by the r12
+# driver run, see _R12_LEDGER).
 _R12_TOUCHED: list[str] = [
-    # round-12 q_fof perf work: self_radius_pairs gained the spread
-    # repartition, shuffle_hash build-side hint and non-nullable cell
-    # keys (ReuseExchange folds the self-join's duplicate scan)
+    "cluster_fof_2d", "cluster_fof_2d_super", "agg_object_coadd",
+    "cluster_fof", "cluster_fof_exact", "llm_dedup_keep_best",
+    "llm_dedup_cluster", "llm_dedup_simhash_clusters",
+    "sink_table_log", "sink_table_log_checkpoint",
+    "sink_table_log_vacuum", "sink_table_log_compact",
+]
+
+
+# Ops whose PHYSICAL PLAN (or kernel/log format code) changed in
+# round 13 — their newest driver row predates the current code.
+_R13_TOUCHED: list[str] = [
+    # round-13 ADVICE: min_label_fixpoint's probe-converged/quotient
+    # paths now register their DISK_ONLY contraction cache for
+    # deferred release (was pinned until DataFrame GC)
+    "cluster_fof",
+    "cluster_fof_exact",
     "cluster_fof_2d",
     "cluster_fof_2d_super",
     "agg_object_coadd",
-    # min_label_fixpoint's quotient level-2 now solves driver-side
-    # off ONE bounded collect (persist folded into it) instead of a
-    # probe job + repartition(1) kernel job + broadcast job
-    "cluster_fof",
-    "cluster_fof_exact",
     "llm_dedup_keep_best",
     "llm_dedup_cluster",
     "llm_dedup_simhash_clusters",
-    # table-log round-12: claim-primitive seam, stats-aware entries/
-    # checkpoints, compact conflict detection, vacuum marker pass
-    "sink_table_log",
-    "sink_table_log_checkpoint",
-    "sink_table_log_vacuum",
+    # round-13 ADVICE: llm_bpe_apply gained the oracle-aligning
+    # non-empty-word filter + merge-table completeness guard
+    "llm_bpe_apply",
+    # round-13 table-log: compact() harvests footer stats for its
+    # consolidated output + bounded retry; vacuum's marker pass is
+    # now subtree-aware (partitioned compaction output kept intact)
     "sink_table_log_compact",
+    "sink_table_log_compact_zorder",
+    "sink_table_log_vacuum",
+    # round-13: string-column data skipping (bounded-prefix UTF-8
+    # footer stats) extends the skipping probe op
+    "sink_table_log_skipping",
+]
+
+
+# The 50 ops recorded by the round-12 driver run (all green — the
+# exact key list of CORRECTNESS_r12.json): the 6 round-12 additions,
+# the full _R12_TOUCHED re-verification, and the rotation head.
+_R12_LEDGER = [
+    "llm_bpe_apply", "source_fits_wcs_arc", "source_fits_wcs_zea",
+    "sink_table_log_skipping", "stream_table_log_sink",
+    "sink_table_log_compact_zorder", "cluster_fof_2d",
+    "cluster_fof_2d_super", "agg_object_coadd", "cluster_fof",
+    "cluster_fof_exact", "llm_dedup_keep_best", "llm_dedup_cluster",
+    "llm_dedup_simhash_clusters", "sink_table_log",
+    "sink_table_log_checkpoint", "sink_table_log_vacuum",
+    "sink_table_log_compact", "llm_mix_sources", "llm_pack_sequences",
+    "llm_repetition_score", "llm_sample_stratified",
+    "llm_unigram_logprob", "llm_winnowing", "merge_upsert",
+    "profile_table", "set_intersect_all", "sink_compact",
+    "source_fits_datasource", "source_fits_import",
+    "stream_foreach_sink", "stream_session_real", "stream_static_join",
+    "stream_stream_join", "win_cume_dist", "win_rolling_median",
+    "xmatch_2d_count", "join_xmatch_sphere", "join_xmatch_sphere_knn",
+    "join_xmatch_sphere_margin", "xmatch_sphere_count",
+    "agg_density_sphere", "agg_phase_fold", "agg_period_search",
+    "llm_cluster_assign", "mm_decode_wav", "source_fits_scaled",
+    "sink_fits", "source_text_import", "sink_into",
 ]
 
 
@@ -600,7 +642,7 @@ _LEDGER_HISTORY = [
     (1, _R1_LEDGER), (2, _R2_LEDGER), (3, _R3_LEDGER),
     (5, _R4_LEDGER), (6, _R6_LEDGER), (7, _R7_LEDGER),
     (8, _R8_LEDGER), (9, _R9_LEDGER), (10, _R10_LEDGER),
-    (11, _R11_LEDGER),
+    (11, _R11_LEDGER), (12, _R12_LEDGER),
 ]
 
 
@@ -635,7 +677,7 @@ def _refresh_rotation() -> list[str]:
 def _reorder_for_ledger() -> None:
     """Three tiers: (1) ops with no driver-recorded row in any prior
     round's CORRECTNESS ledger (i.e., new this round), (2) ops whose
-    plan changed this round (_R12_TOUCHED — their old green rows no
+    plan changed this round (_R13_TOUCHED — their old green rows no
     longer witness the current code), (3) the refresh rotation —
     every already-recorded op ordered oldest-confirmation-first (its
     tail is by construction the freshest-recorded ids) — so a capped
@@ -643,7 +685,7 @@ def _reorder_for_ledger() -> None:
     re-confirms stale ones, in that order."""
     all_recorded = set(_latest_confirmed())
     tier1 = [k for k in QUERIES if k not in all_recorded]
-    tier2 = [k for k in _R12_TOUCHED if k in QUERIES]
+    tier2 = [k for k in _R13_TOUCHED if k in QUERIES]
     seen = set(tier1) | set(tier2)
     tier3 = [k for k in _refresh_rotation()
              if k in QUERIES and k not in seen]
@@ -673,7 +715,7 @@ def freshness_report() -> dict[str, Any]:
         "n_ops": len(QUERIES),
         "never_recorded": sorted(k for k in QUERIES if k not in latest),
         "latest_round_histogram": dict(sorted(by_round.items())),
-        "touched_this_round": [k for k in _R12_TOUCHED if k in QUERIES],
+        "touched_this_round": [k for k in _R13_TOUCHED if k in QUERIES],
         "rotation_head": rotation[:50],
         "rotation_len": len(rotation),
         "latest_by_op": {k: latest.get(k, 0) for k in QUERIES},

@@ -66,7 +66,27 @@ def test_leakcheck_summary_is_current_and_flat():
 
     with open(ROOT / "LEAKCHECK_SUMMARY.json") as fh:
         d = json.load(fh)
-    assert d["round"] >= 11
+    # Round currency (round-12 VERDICT wrong #1: `>= 11` let the
+    # field go stale for a round without failing anything). Single
+    # source of truth = the driver's RAW scan: the summary is a pure
+    # redaction of it, so their `round` fields must be EQUAL whenever
+    # the raw artifact exists (it is gitignored, so a fresh clone
+    # without it still gets the floor check below).
+    raw = ROOT / "LEAKCHECK.json"
+    if raw.exists():
+        with open(raw) as fh:
+            raw_round = json.load(fh).get("round")
+        assert d["round"] == raw_round, (
+            f"LEAKCHECK_SUMMARY.json round={d['round']} lags the raw "
+            f"scan's round={raw_round} — re-run "
+            "scripts/redact_leakcheck.py (bench.py does this at round "
+            "tail)"
+        )
+    # floor: the summary can never predate the newest absorbed
+    # driver ledger (registry._LEDGER_HISTORY is append-only)
+    from lsd_spark.registry import _LEDGER_HISTORY
+
+    assert d["round"] >= max(r for r, _ in _LEDGER_HISTORY)
     assert d["n_hits"] == 409, (
         "git-history echo floor moved — a NEW leak was committed"
     )
