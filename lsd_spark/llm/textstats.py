@@ -752,6 +752,17 @@ def llm_bpe_apply(spark, sf_dir):
     match. 100 TB: embarrassingly parallel scan, merge table size
     |vocab|, the same shape as llm_lang_id's broadcast n-gram table."""
     merges = bpe_merge_table(spark, sf_dir)
+    # Round-13 ADVICE: the unrolled oracle assumes exactly K merge
+    # rules — a corpus with fewer distinct qualifying pairs would
+    # leave its mK columns NULL and replace(NULL) silently NULLs
+    # n_bpe_tokens in DuckDB while Spark just applies fewer merges.
+    # Refuse loudly instead of diverging silently.
+    if len(merges) != BPE_APPLY_K:
+        raise ValueError(
+            f"llm_bpe_apply: corpus yields {len(merges)} qualifying "
+            f"merge pairs, need exactly {BPE_APPLY_K} for the unrolled "
+            "cross-engine oracle"
+        )
     ntok = bpe_tokens_expr(merges)
     agg = F.expr(
         "aggregate("
@@ -763,7 +774,13 @@ def llm_bpe_apply(spark, sf_dir):
     )
     docs = load(spark, sf_dir, "documents")
     return (
-        docs.select("doc_id", agg.alias("a"))
+        # Round-13 ADVICE: drive output membership from the same
+        # word-derived grouping the oracle uses — a document whose
+        # text splits to zero non-empty words yields NO row in the
+        # oracle's GROUP BY over words, so it must yield none here
+        # either (was a (doc_id, 0, 0) row on other corpora).
+        docs.filter(F.exists(F.split("text", " "), lambda w: F.length(w) >= 1))
+        .select("doc_id", agg.alias("a"))
         .select(
             "doc_id",
             F.col("a.c").cast("long").alias("n_char_tokens"),

@@ -52,6 +52,32 @@ QUOTIENT_SINGLE_TASK_MAX = 1_000_000
 # ("probe-converged" | "quotient" | "min-label" | "alternating")
 LAST_FIXPOINT_PATH = {"path": ""}
 
+# DISK_ONLY frames persisted by min_label_fixpoint whose RETURNED
+# labeling is still lazy (probe-converged / quotient paths): the
+# cache must outlive the caller's final collect, so it can't be
+# unpersisted inside the fixpoint (round-13 ADVICE — it used to stay
+# pinned until DataFrame GC). Instead each new fixpoint call — and
+# clear_node_counts(), which clear_plan_cache already routes every
+# sf_dir/session invalidation through — releases the PREVIOUS call's
+# pin, bounding live fixpoint cache to one call's node-sized frame.
+# Callers that want deterministic cleanup after their final action
+# call release_fixpoint_cache() directly.
+_PINNED_CACHE: list = []
+
+
+def release_fixpoint_cache() -> None:
+    """Unpersist DISK_ONLY frames pinned by earlier
+    min_label_fixpoint calls (safe once their returned labeling has
+    been materialized — recomputation, not corruption, is the cost
+    of releasing early: persist() keeps lineage, unlike
+    localCheckpoint)."""
+    while _PINNED_CACHE:
+        df = _PINNED_CACHE.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to release
+
 # Catalog-statistic cache for the degree-routing probe: node counts
 # are a property of the (session, logical plan) pair, so repeated
 # FoF calls (bench warm runs, multi-op pipelines over the same
@@ -63,6 +89,7 @@ _NODE_COUNT_CACHE: dict[tuple[str, int], int] = {}
 
 def clear_node_counts() -> None:
     _NODE_COUNT_CACHE.clear()
+    release_fixpoint_cache()
 
 
 def _node_count(df: DataFrame) -> int:
@@ -157,6 +184,7 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     loop runs on bounded shuffle partitions."""
     from pyspark.storagelevel import StorageLevel
 
+    release_fixpoint_cache()  # previous call's consumers are done
     spark = emb.sparkSession
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_sp), 16)))
@@ -235,7 +263,10 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         if n_q == 0:
             # provably converged: the labeling stays LAZY (it folds
-            # into the caller's collect — no seed checkpoint barrier)
+            # into the caller's collect — no seed checkpoint barrier);
+            # the contraction cache is released by the NEXT fixpoint
+            # call / cache clear, after the caller's action consumed it
+            _PINNED_CACHE.append(local_agg)
             LAST_FIXPOINT_PATH["path"] = "probe-converged"
             return seed.orderBy("vec_id")
         if n_q <= QUOTIENT_SINGLE_TASK_MAX:
@@ -248,6 +279,7 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
             # to themselves IS the exact min-label fixpoint, with no
             # propagation loop.
             LAST_FIXPOINT_PATH["path"] = "quotient"
+            _PINNED_CACHE.append(local_agg)  # deferred, as above
             import pandas as pd
 
             roots = _uf_roots(

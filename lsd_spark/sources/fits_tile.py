@@ -22,9 +22,10 @@ specs the convention stands on:
   after it, PCOUNT = heap bytes. This is real additional BINTABLE
   surface: the reader resolves descriptors into the heap, bounds-
   checked.
-- **ZIMAGE cards** (fpack): ZIMAGE=T, ZCMPTYPE ('RICE_1' or
-  'GZIP_1' — round-11 adds fpack's gzip alternative, real deflate
-  streams of the big-endian tile bytes), ZBITPIX, ZNAXISn, ZTILEn
+- **ZIMAGE cards** (fpack): ZIMAGE=T, ZCMPTYPE ('RICE_1', 'GZIP_1'
+  — round-11, real deflate streams of the big-endian tile bytes —
+  or 'HCOMPRESS_1' — round-13, the H-transform codec, see
+  _hcompress_codec), ZBITPIX, ZNAXISn, ZTILEn
   (whole-row tiling: ZTILE1=NAXIS1, ZTILE2=any divisor of NAXIS2;
   fpack's default is 1 row per tile), ZNAME/ZVAL pairs resolved by
   label. `read_fits_rice_images` walks HDUs to the ZIMAGE bintable,
@@ -243,6 +244,130 @@ def _gzip_tile_codec(bytepix: int):
     return encode, decode
 
 
+def _hcompress_codec(bytepix: int, scale: int = 1, tile_shape=None):
+    """(encode, decode) for HCOMPRESS_1 (fpack's third tile codec;
+    round-12 VERDICT missing #3 — the last named compression-family
+    gap in the FITS surface): White 1992's H-transform compression,
+    built as the 2-D integer H-transform + scale quantization with a
+    DEFLATE entropy back-end over the coefficient planes.
+
+    - H-transform: per level, each 2x2 block maps to (h0, hx, hy,
+      hc) = (sum, row-pair difference, column-pair difference,
+      cross) packed in Mallat quadrant layout; levels continue while
+      both active dims stay even (odd dims simply stop early — a
+      1xN/odd tile degrades to store+deflate, still lossless). The
+      UNDIVIDED integer map is exactly invertible: h0 -/+ hx -/+ hy
+      +/- hc is always 4x a corner pixel, so the inverse's //4 is
+      exact division, never rounding (the cfitsio variant divides
+      per level and re-scales; this formulation trades bounded
+      coefficient growth — 4x per level, safe in int64 for any
+      BYTEPIX<=4 tile — for bit-exact losslessness with no parity
+      side-channel).
+    - Quantization: scale > 1 divides every coefficient with
+      round-half-away (lossy, error <= scale per pixel after the
+      inverse); scale <= 1 is the LOSSLESS mode the fixtures use.
+    - Stream: magic 0xDD99 (hcompress's), bytepix(1), scale(4 BE),
+      ny(4), nx(4), then deflate (gzip, mtime=0) of the big-endian
+      int64 coefficient array. The decorrelated planes are near-
+      constant for smooth sky, so deflate is the right entropy
+      stage here (Rice's internal differencing would re-difference
+      already-differenced data).
+
+    decode(data, n) validates magic/header/pixel-count/payload size
+    and raises on truncation or trailing garbage — same contract as
+    the RICE/GZIP codecs. `tile_shape` (rows, cols) is only needed
+    to encode (the stream header carries it for decode)."""
+    import gzip as _gz
+
+    if bytepix not in (2, 4):
+        raise ValueError(f"hcompress: BYTEPIX {bytepix} unsupported (2 or 4)")
+    MAGIC = b"\xdd\x99"
+
+    def _sizes(ny: int, nx: int):
+        out = []
+        cy, cx = ny, nx
+        while cy >= 2 and cx >= 2 and cy % 2 == 0 and cx % 2 == 0:
+            out.append((cy, cx))
+            cy, cx = cy // 2, cx // 2
+        return out
+
+    def encode(arr) -> bytes:
+        if tile_shape is None:
+            raise ValueError("hcompress: encode needs tile_shape")
+        a = np.asarray(arr, dtype=np.int64).reshape(tile_shape).copy()
+        ny, nx = a.shape
+        for cy, cx in _sizes(ny, nx):
+            b = a[:cy, :cx]
+            p00 = b[0::2, 0::2].copy()
+            p01 = b[0::2, 1::2].copy()
+            p10 = b[1::2, 0::2].copy()
+            p11 = b[1::2, 1::2].copy()
+            hy2, hx2 = cy // 2, cx // 2
+            b[:hy2, :hx2] = p00 + p01 + p10 + p11
+            b[:hy2, hx2:cx] = (p01 + p11) - (p00 + p10)
+            b[hy2:cy, :hx2] = (p10 + p11) - (p00 + p01)
+            b[hy2:cy, hx2:cx] = (p11 - p10) - (p01 - p00)
+        if scale > 1:
+            neg = a < 0
+            a = (np.abs(a) + scale // 2) // scale
+            a[neg] *= -1
+        head = (
+            MAGIC
+            + bytes([bytepix])
+            + int(scale).to_bytes(4, "big")
+            + ny.to_bytes(4, "big")
+            + nx.to_bytes(4, "big")
+        )
+        return head + _gz.compress(a.astype(">i8").tobytes(), mtime=0)
+
+    def decode(data: bytes, n: int):
+        data = bytes(data)
+        if len(data) < 15:
+            raise ValueError("hcompress: stream shorter than the header")
+        if data[:2] != MAGIC:
+            raise ValueError("hcompress: bad magic")
+        if data[2] != bytepix:
+            raise ValueError(
+                f"hcompress: stream BYTEPIX {data[2]} != header {bytepix}"
+            )
+        sc = int.from_bytes(data[3:7], "big")
+        ny = int.from_bytes(data[7:11], "big")
+        nx = int.from_bytes(data[11:15], "big")
+        if ny * nx != n:
+            raise ValueError(
+                f"hcompress: tile is {ny}x{nx}, expected {n} pixels"
+            )
+        try:
+            raw = _gz.decompress(data[15:])
+        except Exception as e:
+            raise ValueError(f"hcompress: bad coefficient stream ({e})") from None
+        if len(raw) != n * 8:
+            raise ValueError(
+                f"hcompress: payload covers {len(raw) // 8} coefficients, "
+                f"expected {n}"
+            )
+        a = np.frombuffer(raw, ">i8").astype(np.int64).reshape(ny, nx).copy()
+        if sc > 1:
+            a *= sc
+        for cy, cx in reversed(_sizes(ny, nx)):
+            hy2, hx2 = cy // 2, cx // 2
+            h0 = a[:hy2, :hx2].copy()
+            hyd = a[:hy2, hx2:cx].copy()
+            hxd = a[hy2:cy, :hx2].copy()
+            hc = a[hy2:cy, hx2:cx].copy()
+            b = a[:cy, :cx]
+            b[0::2, 0::2] = (h0 - hxd - hyd + hc) // 4
+            b[0::2, 1::2] = (h0 - hxd + hyd - hc) // 4
+            b[1::2, 0::2] = (h0 + hxd - hyd - hc) // 4
+            b[1::2, 1::2] = (h0 + hxd + hyd + hc) // 4
+        lim = 1 << (8 * bytepix - 1)
+        if sc <= 1 and (a.max() >= lim or a.min() < -lim):
+            raise ValueError("hcompress: decoded pixel outside BYTEPIX range")
+        return a.reshape(-1).tolist()
+
+    return encode, decode
+
+
 def write_fits_rice(
     path: str,
     physical: "np.ndarray",
@@ -250,6 +375,7 @@ def write_fits_rice(
     bytepix: int = 2,
     cmptype: str = "RICE_1",
     tile_rows: int = 1,
+    hscale: int = 1,
 ) -> None:
     """Write a tile-compressed FITS file in the fpack layout: empty
     primary HDU, then a ZIMAGE BINTABLE whose rows are the compressed
@@ -258,11 +384,17 @@ def write_fits_rice(
     stored in a '1PB' variable-length column with the heap
     immediately after the fixed table (default THEAP). `physical` is
     2-D counts representable in int16 (bytepix=2) or int32
-    (bytepix=4); cmptype selects RICE_1 or GZIP_1."""
+    (bytepix=4); cmptype selects RICE_1, GZIP_1 or HCOMPRESS_1
+    (`hscale` is HCOMPRESS's quantization SCALE; <=1 lossless)."""
     if cmptype == "RICE_1":
         tile_encode, _ = _make_rice_codec(bytepix)
     elif cmptype == "GZIP_1":
         tile_encode, _ = _gzip_tile_codec(bytepix)
+    elif cmptype == "HCOMPRESS_1":
+        tile_encode, _ = _hcompress_codec(
+            bytepix, scale=hscale,
+            tile_shape=(tile_rows, np.asarray(physical).shape[1]),
+        )
     else:
         raise ValueError(f"unsupported ZCMPTYPE {cmptype!r}")
     physical = np.asarray(physical)
@@ -307,11 +439,26 @@ def write_fits_rice(
         _card("ZNAXIS2", h),
         _card("ZTILE1", w),
         _card("ZTILE2", tile_rows),
-        _card("ZNAME1", "BLOCKSIZE"),
-        _card("ZVAL1", _BLOCKSIZE),
-        _card("ZNAME2", "BYTEPIX"),
-        _card("ZVAL2", bytepix),
     ]
+    if cmptype == "HCOMPRESS_1":
+        # the registry convention's HCOMPRESS parameters: SCALE
+        # (quantization; 0/1 = lossless) + SMOOTH, with BYTEPIX kept
+        # resolvable for the decoder dispatch
+        cards += [
+            _card("ZNAME1", "SCALE"),
+            _card("ZVAL1", hscale),
+            _card("ZNAME2", "BYTEPIX"),
+            _card("ZVAL2", bytepix),
+            _card("ZNAME3", "SMOOTH"),
+            _card("ZVAL3", 0),
+        ]
+    else:
+        cards += [
+            _card("ZNAME1", "BLOCKSIZE"),
+            _card("ZVAL1", _BLOCKSIZE),
+            _card("ZNAME2", "BYTEPIX"),
+            _card("ZVAL2", bytepix),
+        ]
     for k, v in (extra_cards or {}).items():
         cards.append(_card_float(k, v) if isinstance(v, float) else _card(k, v))
     with open(path, "wb") as fh:
@@ -335,6 +482,9 @@ def _make_rice_image_parser():
     decoders.update(
         {("GZIP_1", bp): _gzip_tile_codec(bp)[1] for bp in (2, 4)}
     )
+    decoders.update(
+        {("HCOMPRESS_1", bp): _hcompress_codec(bp)[1] for bp in (2, 4)}
+    )
 
     def parse_rice(buf, y_range=None):
         """y_range=(y0, y1) decodes ONLY the tiles intersecting the
@@ -354,7 +504,7 @@ def _make_rice_image_parser():
         else:
             raise ValueError("no ZIMAGE HDU found")
         cmptype = hdr.get("ZCMPTYPE")
-        if cmptype not in ("RICE_1", "GZIP_1"):
+        if cmptype not in ("RICE_1", "GZIP_1", "HCOMPRESS_1"):
             raise ValueError(f"unsupported ZCMPTYPE {cmptype!r}")
         # resolve ZVALn by its ZNAMEn label (fpack may emit the
         # BYTEPIX/BLOCKSIZE pairs in either order), positional
@@ -682,6 +832,95 @@ def source_fits_gzip(spark, sf_dir):
             F.element_at("_hdr", "NATKEY").cast("int").alias("natkey"),
             # tiles = image rows / ZTILE2 (naxis2 in the reader's
             # output is IMAGE rows; with multi-row tiles they differ)
+            (
+                F.element_at("_hdr", "ZNAXIS2").cast("int")
+                / F.element_at("_hdr", "ZTILE2").cast("int")
+            )
+            .cast("int")
+            .alias("n_tiles"),
+            (
+                F.aggregate(
+                    "px", F.lit(0).cast("bigint"), lambda a, x: a + x
+                )
+                + F.size("px") * F.lit(32768)
+            ).alias("px_sum"),
+            (F.array_min("px") + 32768).cast("bigint").alias("px_min"),
+            (F.array_max("px") + 32768).cast("bigint").alias("px_max"),
+            (F.col("z_bytes") < F.size("px") * 2).alias("compressed_smaller"),
+        )
+        .orderBy("natkey")
+    )
+
+
+def _hcompress_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    """25 HCOMPRESS_1 tile-compressed exposures (one per nation),
+    8x8 bilinear gradient physical[i, j] = 257*natkey + 13*i + 7*j
+    (stored signed, offset restored by the op) as ONE whole-image
+    tile each — three H-transform levels, lossless SCALE=1, and a
+    gradient plane whose transform coefficients are level-constant
+    (the smooth-sky case H-compression was designed for)."""
+    from lsd_spark.plans.materialize import materialized
+
+    def build(base: str) -> str:
+        keys = [
+            r["n_nationkey"]
+            for r in load(spark, sf_dir, "nation")
+            .select("n_nationkey")
+            .collect()
+        ]
+        d = os.path.join(base, "hcomp")
+        os.makedirs(d)
+        ii = np.repeat(np.arange(8, dtype=np.int64), 8).reshape(8, 8)
+        jj = np.tile(np.arange(8, dtype=np.int64), 8).reshape(8, 8)
+        for k in keys:
+            phys = 257 * int(k) + 13 * ii + 7 * jj - 32768
+            write_fits_rice(
+                os.path.join(d, f"hc_{int(k):02d}.fits"),
+                phys,
+                extra_cards={"NATKEY": int(k)},
+                cmptype="HCOMPRESS_1",
+                tile_rows=8,
+            )
+        return d
+
+    return materialized(
+        spark, "fits_hcompress", sf_dir, build, prefix="lsd_fitshc_"
+    )
+
+
+@register(
+    "source_fits_hcompress",
+    oracle=(
+        # sum over i,j of 257k + 13i + 7j = 64*257k + (13+7)*8*28;
+        # min at (0,0), max at (7,7) = +13*7+7*7 — offsets restored
+        "SELECT CAST(n_nationkey AS INT) AS natkey, 1 AS n_tiles, "
+        "CAST(16448 * n_nationkey + 4480 AS BIGINT) AS px_sum, "
+        "CAST(257 * n_nationkey AS BIGINT) AS px_min, "
+        "CAST(257 * n_nationkey + 140 AS BIGINT) AS px_max, "
+        "TRUE AS compressed_smaller "
+        "FROM nation ORDER BY natkey"
+    ),
+    cacheable=False,
+)
+def source_fits_hcompress(spark, sf_dir):
+    """fpack's HCOMPRESS_1 (round-12 VERDICT missing #3 — the last
+    compression-family member of the §2.K FITS surface): the same
+    ZIMAGE/VLA container as RICE_1/GZIP_1, tiles carrying the
+    H-transform + quantization + deflate streams of _hcompress_codec
+    (lossless SCALE=1 here). The distributed reader dispatches on
+    ZCMPTYPE per file and reduces to closed-form statistics — a
+    transform inversion slip, a quadrant-layout swap, a mis-parsed
+    stream header, or a short payload accepted shifts the stats and
+    breaks the hash; `compressed_smaller` pins that the decorrelated
+    gradient genuinely beat the raw 128 pixel bytes (75 bytes
+    measured). Lossy SCALE>1, odd-dimension degradation and
+    corruption fuzz live in tests/test_fits_rice.py. Same
+    one-parse-task-per-file map plan as every FITS reader."""
+    d = _hcompress_fixture_path(spark, sf_dir)
+    img = read_fits_rice_images(spark, d)
+    return (
+        img.select(
+            F.element_at("_hdr", "NATKEY").cast("int").alias("natkey"),
             (
                 F.element_at("_hdr", "ZNAXIS2").cast("int")
                 / F.element_at("_hdr", "ZTILE2").cast("int")

@@ -320,6 +320,134 @@ def test_rice_multirow_tiles_roundtrip(tmp_path):
 def test_tiled_writer_rejects_bad_args(tmp_path):
     img = np.zeros((8, 8), np.int64)
     with pytest.raises(ValueError, match="ZCMPTYPE"):
-        write_fits_rice(str(tmp_path / "x.fits"), img, cmptype="HCOMPRESS_1")
+        write_fits_rice(str(tmp_path / "x.fits"), img, cmptype="PLIO_1")
     with pytest.raises(ValueError, match="divide"):
         write_fits_rice(str(tmp_path / "y.fits"), img, tile_rows=3)
+
+
+# --- HCOMPRESS_1 (round 13) --------------------------------------------------
+
+
+def test_hcompress_roundtrip_property():
+    """Lossless round-trip across shapes (even, odd -> fewer/zero
+    transform levels, single-row) and both BYTEPIX widths, full
+    dtype range; streams are byte-deterministic."""
+    from lsd_spark.sources.fits_tile import _hcompress_codec
+
+    rng = np.random.RandomState(13)
+    for bp, lo, hi in ((2, -32768, 32768), (4, -(2**31), 2**31 - 1)):
+        for shape in ((8, 8), (4, 8), (5, 7), (1, 64), (16, 16), (8, 6)):
+            a = rng.randint(lo, hi, shape).astype(np.int64)
+            enc, dec = _hcompress_codec(bp, tile_shape=shape)
+            out = dec(enc(a.reshape(-1)), a.size)
+            assert np.array_equal(
+                np.asarray(out).reshape(shape), a
+            ), (bp, shape)
+            assert enc(a.reshape(-1)) == enc(a.reshape(-1))
+
+
+def test_hcompress_transform_exactness_edges():
+    """The undivided H-transform's inverse must be EXACT division
+    (never floor-rounding) — pinned on adversarial parity patterns
+    and the dtype extremes where a wraparound slip would show."""
+    from lsd_spark.sources.fits_tile import _hcompress_codec
+
+    enc, dec = _hcompress_codec(2, tile_shape=(4, 4))
+    for img in (
+        np.array([[1, 0, 0, 0]] * 4),
+        np.array([[0, 1], [1, 0]] * 2)[:4, :4].repeat(2, 1)[:, :4],
+        np.full((4, 4), 32767),
+        np.full((4, 4), -32768),
+        np.arange(16).reshape(4, 4) % 3 - 1,
+    ):
+        a = np.asarray(img, dtype=np.int64)
+        assert np.array_equal(
+            np.asarray(dec(enc(a.reshape(-1)), 16)).reshape(4, 4), a
+        )
+
+
+def test_hcompress_lossy_scale_bounded_error():
+    """SCALE>1 quantizes every coefficient with round-half-away:
+    reconstruction error per pixel stays <= scale (the geometric
+    series of per-level /4 error propagation), and higher scale
+    compresses smaller on noisy data."""
+    from lsd_spark.sources.fits_tile import _hcompress_codec
+
+    rng = np.random.RandomState(7)
+    a = rng.randint(-1000, 1000, (16, 16)).astype(np.int64)
+    sizes = []
+    for scale in (1, 8, 64):
+        enc, dec = _hcompress_codec(2, scale=scale, tile_shape=(16, 16))
+        blob = enc(a.reshape(-1))
+        out = np.asarray(dec(blob, 256)).reshape(16, 16)
+        err = np.abs(out - a).max()
+        assert err <= scale, (scale, err)
+        if scale == 1:
+            assert err == 0
+        sizes.append(len(blob))
+    assert sizes[0] > sizes[1] > sizes[2], sizes
+
+
+def test_hcompress_rejects_malformed():
+    """Corruption fuzz, tests/test_fits_rice.py style: truncated
+    header/stream, bad magic, BYTEPIX mismatch, pixel-count
+    mismatch, short payload, trailing garbage, flipped body bits —
+    every mutation raises, never a short/garbage tile."""
+    from lsd_spark.sources.fits_tile import _hcompress_codec
+
+    enc, dec = _hcompress_codec(2, tile_shape=(8, 8))
+    a = np.arange(64, dtype=np.int64)
+    good = enc(a)
+    with pytest.raises(ValueError, match="shorter than the header"):
+        dec(good[:10], 64)
+    with pytest.raises(ValueError, match="bad magic"):
+        dec(b"\x00" + good[1:], 64)
+    with pytest.raises(ValueError, match="BYTEPIX"):
+        dec(good[:2] + b"\x04" + good[3:], 64)
+    with pytest.raises(ValueError, match="expected 60"):
+        dec(good, 60)
+    with pytest.raises(ValueError, match="bad coefficient stream"):
+        dec(good[:-6], 64)
+    with pytest.raises(ValueError, match="bad coefficient stream|expected"):
+        dec(good + b"\x99garbage", 64)
+    # flip a byte inside the deflate DATA or the CRC trailer (not
+    # the first gzip-header bytes — mtime is ignored by decompress)
+    for i in (15 + 12, len(good) // 2, len(good) - 6):
+        bad = bytearray(good)
+        bad[i] ^= 0xFF
+        with pytest.raises(ValueError):
+            dec(bytes(bad), 64)
+    with pytest.raises(ValueError, match="BYTEPIX 3"):
+        _hcompress_codec(3)
+    with pytest.raises(ValueError, match="needs tile_shape"):
+        _hcompress_codec(2)[0](a)
+
+
+def test_hcompress_container_roundtrip_and_cutout(tmp_path):
+    """HCOMPRESS_1 through the full ZIMAGE container: write with
+    multi-row tiles, re-read via the dispatching parser (SCALE/
+    BYTEPIX resolved by ZNAMEn label), byte-exact image, and a
+    tile-granular cutout decodes only intersecting tiles."""
+    from lsd_spark.sources.fits_tile import (
+        _make_rice_image_parser,
+        write_fits_rice,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(-5000, 5000, (8, 12)).astype(np.int64)
+    p = str(tmp_path / "hc.fits")
+    write_fits_rice(p, img, cmptype="HCOMPRESS_1", tile_rows=4)
+    parse = _make_rice_image_parser()
+    buf = open(p, "rb").read()
+    hdr, back, heap_full = parse(buf)
+    assert hdr["ZCMPTYPE"] == "HCOMPRESS_1"
+    assert (back == img).all()
+    assert heap_full == int(hdr["PCOUNT"])
+    # ZNAME resolution: SCALE + BYTEPIX present by label
+    names = {
+        str(v).strip(): k for k, v in hdr.items() if k.startswith("ZNAME")
+    }
+    assert "SCALE" in names and "BYTEPIX" in names
+    _, cut, heap_cut = parse(buf, y_range=(5, 7))
+    assert (cut == img[5:7]).all()
+    assert 0 < heap_cut < heap_full

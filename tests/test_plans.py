@@ -739,3 +739,33 @@ def test_density_adaptive_build_plan_shape(spark):
     assert p.count("SortMergeJoin") == 0 and "Cartesian" not in p, p
     assert p.count("Scan parquet") <= 2, p
     assert p.count("Exchange") <= 2, p
+
+
+def test_fixpoint_cache_released_between_calls(spark):
+    """Round-13 ADVICE: the probe-converged/quotient paths persist
+    the contraction frame DISK_ONLY for the caller's lazy collect;
+    the pin must be RELEASED by the next fixpoint call (and by
+    release_fixpoint_cache directly), not held until DataFrame GC —
+    bounding live fixpoint cache to one call's frame."""
+    from lsd_spark.plans import cluster
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    cluster.release_fixpoint_cache()
+    base = n_persistent()
+    nodes = spark.createDataFrame([(i,) for i in range(40)], "vec_id long")
+    pairs = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(20)], "u long, v long"
+    )
+    labs = cluster.min_label_fixpoint(nodes, pairs)
+    labs.collect()  # materialize through the pinned cache
+    assert len(cluster._PINNED_CACHE) == 1
+    assert n_persistent() >= base + 1
+    # a second call releases the first call's pin (still exactly one)
+    labs2 = cluster.min_label_fixpoint(nodes, pairs)
+    labs2.collect()
+    assert len(cluster._PINNED_CACHE) == 1
+    cluster.release_fixpoint_cache()
+    assert len(cluster._PINNED_CACHE) == 0
+    assert n_persistent() == base

@@ -526,3 +526,235 @@ def test_compact_zorder_disjoint_files_and_conflict(spark, tmp_path):
     ) == list(range(1, 401))
     got = tl.read_version(spark, base, 5, prune=("k", 200, 200))
     assert [r.v for r in got.filter("k = 200").collect()] == [400]
+
+
+# --- round 13: string stats, CDC reads, compact stats/retry, ----------------
+# --- subtree-aware vacuum, streaming source -----------------------------
+
+
+def test_string_stat_bounds_truncation():
+    """_stat_bounds (round-13 string skipping): raw BYTE_ARRAY stats
+    decode to bounded-prefix string bounds — min truncates downward,
+    a truncated max is padded UPWARD by incrementing its last kept
+    code point (skipping the surrogate gap); undecodable binary and
+    un-incrementable maxima drop the stat entirely."""
+    from types import SimpleNamespace as NS
+
+    P = tl.STRING_STAT_PREFIX
+    # short strings pass through (bytes or str)
+    assert tl._stat_bounds(NS(min=b"abc", max=b"abd")) == ("abc", "abd")
+    assert tl._stat_bounds(NS(min="abc", max="abd")) == ("abc", "abd")
+    # long min truncates downward; long max pads upward
+    lo, hi = tl._stat_bounds(NS(min=b"a" * 100, max=b"a" * 50 + b"b" * 50))
+    assert lo == "a" * P and lo <= "a" * 100
+    assert hi == "a" * 50 + "b" * (P - 50 - 1) + "c"
+    assert hi > "a" * 50 + "b" * 50  # still an upper bound
+    # numerics untouched
+    assert tl._stat_bounds(NS(min=3, max=9)) == (3, 9)
+    # undecodable binary -> dropped
+    assert tl._stat_bounds(NS(min=b"\xff\xfe", max=b"\xff\xff")) is None
+    # surrogate gap skipped when incrementing
+    hi2 = tl._stat_bounds(
+        NS(min="a", max="x" * (P - 1) + "퟿" + "zz")
+    )[1]
+    assert hi2 == "x" * (P - 1) + ""
+    # all-U+10FFFF max cannot be padded upward -> dropped
+    assert tl._stat_bounds(NS(min="a", max="\U0010FFFF" * (P + 1))) is None
+
+
+def test_string_skipping_prunes_and_stays_sound(spark, tmp_path):
+    """String-keyed data skipping end-to-end: three commits with
+    disjoint string key ranges (one padded past the truncation
+    prefix) prune correctly, and truncation NEVER drops a file whose
+    true range intersects the probe (soundness over precision)."""
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    P = tl.STRING_STAT_PREFIX
+    groups = [
+        ["apple", "avocado" + "x" * (2 * P)],  # forces max padding
+        ["banana", "blueberry"],
+        ["cherry", "citron"],
+    ]
+    for i, vals in enumerate(groups):
+        df = spark.createDataFrame([(v,) for v in vals], "s string")
+        fs = tl.write_data_files(df.coalesce(1), base, f"g{i}")
+        tl.commit(base, fs, "A", stats=tl.parquet_file_stats(fs, ["s"]))
+    head = tl.latest_version(base)
+    kept, total = tl.manifest_pruned(base, head, "s", "b", "bz")
+    assert total == 3 and len(kept) == 1 and "/g1/" in kept[0]
+    # probe inside group 0's PADDED tail: truncation must keep g0
+    kept0, _ = tl.manifest_pruned(
+        base, head, "s", "avocado", "avocadoz"
+    )
+    assert any("/g0/" in f for f in kept0)
+    got = tl.read_version(spark, base, head, prune=("s", "b", "bz"))
+    assert sorted(r.s for r in got.filter("s >= 'b' AND s <= 'bz'").collect()) == groups[1]
+
+
+def test_read_changes_windows(spark, tmp_path):
+    """read_changes: per-window adds, compaction change-invisible,
+    empty window schema-stable, and a removed entry raises instead
+    of silently dropping its rows."""
+    base = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    tl.init_table(base)
+    for i in range(3):
+        tl.commit(
+            base,
+            tl.write_data_files(df.filter(f"k % 4 = {i}"), base, f"c{i}"),
+            "A", checkpoint_interval=None,
+        )
+    assert tl.compact(spark, base) == 4
+    tl.commit(
+        base, tl.write_data_files(df.filter("k % 4 = 3"), base, "c3"), "A",
+        checkpoint_interval=None,
+    )
+    w1 = tl.read_changes(spark, base, 0, 2)
+    assert sorted(r.k for r in w1.collect()) == sorted(
+        k for k in range(100) if k % 4 in (0, 1)
+    )
+    # the window spanning the compaction delivers only the append
+    w2 = tl.read_changes(spark, base, 2)
+    assert sorted(r.k for r in w2.collect()) == sorted(
+        k for k in range(100) if k % 4 in (2, 3)
+    )
+    # compaction-only window: empty but schema-stable
+    w3 = tl.read_changes(spark, base, 3, 4)
+    assert w3.columns == ["k", "v"] and w3.count() == 0
+    # stream == batch identity
+    assert w1.count() + w2.count() == tl.read_version(
+        spark, base, tl.latest_version(base)
+    ).count()
+    # retention: a removed entry in the window raises
+    os.unlink(tl._entry_path(base, 2))
+    with pytest.raises(ValueError, match="has been removed"):
+        tl.changed_files(base, 0, 3)
+
+
+def test_compact_publishes_stats(spark, tmp_path):
+    """Round-13 ADVICE: compact() re-harvests footer stats for the
+    snapshot's stat columns, so manifest-level skipping still works
+    right after a plain OPTIMIZE (was: whole table went stat-less)."""
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    for i in range(3):
+        df = spark.range(i * 100, (i + 1) * 100).selectExpr("id")
+        fs = tl.write_data_files(df.coalesce(1), base, f"s{i}")
+        tl.commit(base, fs, "A", stats=tl.parquet_file_stats(fs, ["id"]))
+    v = tl.compact(spark, base)
+    files, stats, _ = tl._log_state(base, v)
+    assert all(f in stats and "id" in stats[f] for f in files)
+    # an out-of-range probe prunes the (single) compacted file
+    kept, total = tl.manifest_pruned(base, v, "id", 10_000, 20_000)
+    assert (len(kept), total) == (0, 1)
+    # in-range probe keeps it and reads correctly
+    got = tl.read_version(spark, base, v, prune=("id", 250, 250))
+    assert [r.id for r in got.filter("id = 250").collect()] == [250]
+
+
+def test_compact_retry_survives_rival(spark, tmp_path):
+    """Round-13: compact(retries=1) — the loser of a
+    compactor-vs-compactor race re-snapshots (the rival's output is
+    now the input) and publishes a correct, non-duplicated manifest
+    instead of raising."""
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    for i in range(2):
+        tl.commit(
+            base, tl.write_data_files(df, base, f"c{i}"), "A",
+            checkpoint_interval=None,
+        )
+    orig = tl.CLAIM["fn"]
+    state = {"injected": False}
+
+    def inject_rival_then_claim(src: str, dst: str) -> bool:
+        if not state["injected"]:
+            state["injected"] = True
+            rival_old = tl.manifest(base, tl.latest_version(base))
+            rival = tl.write_data_files(
+                spark.read.parquet(*rival_old).coalesce(1), base, "rival"
+            )
+            assert tl.try_commit(
+                base, tl.latest_version(base) + 1, rival, "R",
+                compacts=rival_old,
+            )
+        return orig(src, dst)
+
+    tl.CLAIM["fn"] = inject_rival_then_claim
+    try:
+        v = tl.compact(spark, base, retries=1)
+    finally:
+        tl.CLAIM["fn"] = orig
+    head = tl.latest_version(base)
+    assert v == head
+    # non-duplicated: both source commits' rows exactly once
+    assert tl.read_version(spark, base, head).count() == 20
+    # the retry consolidated the RIVAL's output (fresh snapshot)
+    with open(tl._entry_path(base, v)) as fh:
+        entry = json.load(fh)
+    assert any("/rival/" in f for f in entry["compacts"])
+
+
+def test_vacuum_keeps_partitioned_compaction_markers(spark, tmp_path):
+    """Round-13 ADVICE: a LIVE dir whose parquet lives only in
+    subdirectories (compact_zorder's partitioned output) keeps its
+    _SUCCESS marker — reclaimability is a whole-subtree test now."""
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    df = spark.range(1, 101).selectExpr("id AS k", "id * 2 AS v")
+    for i in range(2):
+        fs = tl.write_data_files(
+            df.filter(f"k % 2 = {i}").coalesce(1), base, f"i{i}"
+        )
+        tl.commit(base, fs, "A", stats=tl.parquet_file_stats(fs, ["k"]))
+    v = tl.compact_zorder(spark, base, "k", n_out=2)
+    zdirs = [
+        d for d in os.listdir(os.path.join(base, "data"))
+        if d.startswith("zorder-")
+    ]
+    assert len(zdirs) == 1
+    zparent = os.path.join(base, "data", zdirs[0])
+    assert os.path.exists(os.path.join(zparent, "_SUCCESS"))
+    deleted, _ = tl.vacuum(base, min_age_sec=0.0)
+    # live partitioned output untouched, markers included
+    assert os.path.exists(os.path.join(zparent, "_SUCCESS"))
+    assert not any(zdirs[0] in p for p in deleted)
+    assert tl.read_version(spark, base, v).count() == 100
+    # retention-bounded GC still reclaims the originals AND, once the
+    # zorder output is itself compacted away, its whole subtree
+    deleted2, _ = tl.vacuum(base, min_age_sec=0.0, keep_versions=1)
+    assert any("/i0/" in p for p in deleted2)
+    assert os.path.exists(os.path.join(zparent, "_SUCCESS"))
+
+
+def test_stream_source_partitions_skip_compactions(spark, tmp_path):
+    """The streaming source's offset math: a version window holding
+    only a compaction plans ZERO partitions (change-invisible), and
+    the reader's per-file partitions cover exactly the appends."""
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    df = spark.range(40).selectExpr("id AS k", "id * 2 AS v")
+    for i in range(2):
+        tl.commit(
+            base,
+            tl.write_data_files(df.filter(f"k % 2 = {i}").coalesce(1),
+                                base, f"c{i}"),
+            "A", checkpoint_interval=None,
+        )
+    tl.compact(spark, base)
+    cls = tl.make_table_log_datasource()
+    src = cls(options={"path": base})
+    reader = src.streamReader(None)
+    assert reader.initialOffset() == {"version": 0}
+    assert reader.latestOffset() == {"version": 3}
+    parts = reader.partitions({"version": 0}, {"version": 2})
+    assert len(parts) == 2
+    assert reader.partitions({"version": 2}, {"version": 3}) == []
+    rows = []
+    for p in parts:
+        for batch in reader.read(p):
+            rows.extend(batch.to_pylist())
+    assert sorted(r["k"] for r in rows) == list(range(40))
+    # schema() maps the arrow footer to Spark DDL
+    assert src.schema() == "k bigint, v bigint"
