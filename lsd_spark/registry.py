@@ -583,6 +583,12 @@ _R13_TOUCHED: list[str] = [
     # round-13: string-column data skipping (bounded-prefix UTF-8
     # footer stats) extends the skipping probe op
     "sink_table_log_skipping",
+    # round-13 delete/merge: the `removes` (data-change) entry kind
+    # threads through _apply_entry/_log_state/try_commit — the log
+    # walk every table-log op plans with
+    "sink_table_log",
+    "sink_table_log_checkpoint",
+    "stream_table_log_sink",
 ]
 
 

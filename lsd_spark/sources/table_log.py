@@ -62,6 +62,17 @@ class ConcurrentCompactionError(RuntimeError):
     vacuum)."""
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A row-level rewrite (delete_where / merge_into) lost its
+    version claim: ANY commit landing between the snapshot read and
+    the claim may carry rows the rewrite should have seen (an append
+    with matching keys, another merge touching the same files), so —
+    unlike compaction, which tolerates concurrent appends — the whole
+    operation must re-run from a fresh snapshot. This is Delta's
+    Serializable isolation level, specialized to the strictest entry
+    kind this log has; staged files are vacuumable orphans."""
+
+
 def posix_link_claim(src: str, dst: str) -> bool:
     """Claim `dst` with the content already written at `src`; True
     iff this caller created `dst` (atomic create-if-absent). POSIX
@@ -146,6 +157,7 @@ def try_commit(
     compacts: list[str] | None = None,
     stats: dict | None = None,
     txn: dict | None = None,
+    removes: list[str] | None = None,
 ) -> bool:
     """Publish `files` as commit `version`. Returns False if another
     writer already owns that version (the caller re-reads the log
@@ -155,10 +167,18 @@ def try_commit(
     exactly one writer wins and no reader ever observes a partially
     written entry. `compacts` marks a COMPACTION commit: the listed
     files leave the visible set from this version on (they remain
-    reachable via time travel to older versions until vacuumed)."""
+    reachable via time travel to older versions until vacuumed).
+    `removes` is the DATA-CHANGE removal kind (delete_where /
+    merge_into rewrites): same manifest effect as `compacts`, but
+    change readers must NOT treat the commit as invisible — its adds
+    rewrite old rows minus deletions / plus upserts, so
+    changed_files() refuses to cross it (Delta's dataChange=true
+    remove action vs OPTIMIZE's dataChange=false)."""
     entry = {"version": version, "writer": writer, "files": files}
     if compacts:
         entry["compacts"] = compacts
+    if removes:
+        entry["removes"] = removes
     if stats:
         entry["stats"] = stats
     if txn:
@@ -405,9 +425,11 @@ def _best_checkpoint(path: str, version: int) -> int:
 
 
 def _apply_entry(files: list[str], entry: dict) -> list[str]:
-    """One log entry against a running file list: compaction removals
-    first (an entry never compacts its own additions), then adds."""
-    drop = set(entry.get("compacts", ()))
+    """One log entry against a running file list: removals first (an
+    entry never removes its own additions), then adds. `compacts`
+    (reorganization) and `removes` (row-level rewrite) differ only
+    for CHANGE readers; the manifest treats both as file exits."""
+    drop = set(entry.get("compacts", ())) | set(entry.get("removes", ()))
     if drop:
         files = [f for f in files if f not in drop]
     return files + list(entry["files"])
@@ -437,7 +459,9 @@ def _log_state(path: str, version: int) -> tuple[list[str], dict, dict]:
     for v in range(start, version + 1):
         with open(_entry_path(path, v)) as fh:
             entry = json.load(fh)
-        drop = set(entry.get("compacts", ()))
+        drop = set(entry.get("compacts", ())) | set(
+            entry.get("removes", ())
+        )
         if drop:
             files = [f for f in files if f not in drop]
             for f in drop:
@@ -728,6 +752,15 @@ def changed_files(
             ) from None
         if entry.get("compacts"):
             continue
+        if entry.get("removes"):
+            raise ValueError(
+                f"change read over ({since_version}, {v1}] crosses "
+                f"commit {v}, a row-level rewrite (delete/merge): its "
+                "adds re-deliver rows older commits already produced, "
+                "minus deletions — an adds-only change stream cannot "
+                "express that. Re-snapshot with read_version instead "
+                "(Delta CDF has the same rule for non-CDC rewrites)"
+            )
         out.extend(entry["files"])
     return out, v1
 
@@ -752,6 +785,278 @@ def read_changes(
     if not all_files:
         raise ValueError(f"table at {path} has no commit <= {v1}")
     return spark.read.parquet(all_files[0]).limit(0)
+
+
+def _uri_to_path(p: str) -> str:
+    """Spark's `_metadata.file_path` is a URI — and Hadoop's
+    Path.toString prints the single-slash form (file:/root/...), not
+    file:///root/... — while manifest entries are plain local paths.
+    urlparse handles both URI shapes; a bare path has no scheme and
+    passes through."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(p)
+    return unquote(u.path) if u.scheme else p
+
+
+def _staged_rows(files: list[str]) -> int:
+    """Row count of staged parquet from the FOOTERS (driver-side
+    metadata, no Spark job — the same place stats are harvested)."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def _rewrite_stats_cols(
+    old_stats: dict, stats_cols: list[str] | None
+) -> list[str]:
+    """Columns to re-harvest for a rewrite's output: whatever the
+    snapshot's stats block covered (so skipping survives the rewrite,
+    same rule compact() follows) unless the caller overrides."""
+    if stats_cols is not None:
+        return list(stats_cols)
+    return sorted({c for per in old_stats.values() for c in per})
+
+
+def _publish_rewrite(
+    path: str,
+    snapshot_v: int,
+    new: list[str],
+    removed: list[str],
+    writer: str,
+    stats: dict | None,
+) -> int | None:
+    """Serializable publish for row-level rewrites: claim EXACTLY
+    snapshot_v + 1 — if any other commit (append, compaction, rival
+    merge) owns that slot, the rewrite read a stale snapshot and must
+    re-run, so return None rather than retry at a later version (the
+    blind-retry compact() tolerates is only sound because compaction
+    changes no rows)."""
+    nv = snapshot_v + 1
+    if not try_commit(
+        path, nv, new, writer, removes=removed, stats=stats
+    ):
+        return None
+    if CHECKPOINT_INTERVAL and nv % CHECKPOINT_INTERVAL == 0:
+        write_checkpoint(path, nv, writer)
+    return nv
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    writer: str = "delete",
+    prune: tuple | None = None,
+    stats_cols: list[str] | None = None,
+    retries: int = 0,
+) -> dict:
+    """Row-level DELETE, copy-on-write (Delta's DELETE): rewrite ONLY
+    the files that contain matching rows, publish one commit that
+    adds the survivors and `removes` the touched originals. Returns
+    {version, files_total, files_candidates, files_rewritten,
+    rows_deleted}; version is None for a no-op (no matching row —
+    nothing committed, the manifest is untouched).
+
+    File touch detection is two-tier, so a selective delete on a 10^5
+    -file table rewrites a handful of files, not the table:
+    (1) manifest-level data skipping (`prune=(col, lo, hi)`) drops
+        files whose committed [min, max] cannot intersect — driver
+        metadata, zero IO;
+    (2) one scan of the surviving candidates tagged with
+        `_metadata.file_path` finds the files with actual matches —
+        the collect is FILE-COUNT-sized (path + count per touched
+        file), never row-sized.
+    Untouched files are never read again, never rewritten, and keep
+    their committed stats; rewritten output re-harvests footer stats
+    for the snapshot's stat columns so skipping survives the delete.
+
+    Isolation is SERIALIZABLE: the commit claims exactly
+    snapshot+1; if ANY rival lands first the whole delete re-runs
+    from a fresh snapshot (bounded by `retries`, then
+    ConcurrentWriteError) — a concurrent append may carry matching
+    rows this pass never saw, so the compaction-style "keep my exact
+    set" tolerance would silently miss them. Time travel to
+    pre-delete versions still resolves the original files until
+    vacuum's retention lets them go; changed_files() refuses to
+    cross the delete (adds-only CDC cannot express row removal)."""
+    cond = F.expr(condition)
+    for attempt in range(max(0, retries) + 1):
+        v0 = latest_version(path)
+        files, old_stats = _manifest_and_stats(path, v0)
+        if not files:
+            return {
+                "version": None, "files_total": 0, "files_candidates": 0,
+                "files_rewritten": 0, "rows_deleted": 0,
+            }
+        if prune is not None:
+            col, lo, hi = prune
+            candidates, _total = manifest_pruned(path, v0, col, lo, hi)
+        else:
+            candidates = files
+        touched: list[str] = []
+        n_del = 0
+        if candidates:
+            hits = (
+                spark.read.parquet(*candidates)
+                .filter(cond)
+                .groupBy(F.col("_metadata.file_path").alias("_f"))
+                .agg(F.count("*").alias("_n"))
+                .collect()
+            )
+            by_file = {_uri_to_path(r["_f"]): r["_n"] for r in hits}
+            touched = sorted(f for f in candidates if f in by_file)
+            n_del = sum(by_file.values())
+        if not touched:
+            return {
+                "version": None, "files_total": len(files),
+                "files_candidates": len(candidates),
+                "files_rewritten": 0, "rows_deleted": 0,
+            }
+        # survivors = NOT TRUE (i.e. FALSE or NULL): SQL DELETE only
+        # removes rows whose predicate is literally true, so a NULL
+        # predicate keeps its row — plain ~cond would drop it.
+        new = write_data_files(
+            spark.read.parquet(*touched).filter(
+                F.coalesce(~cond, F.lit(True))
+            ),
+            path,
+            f"delete-v{v0}a{attempt}-{writer}",
+        )
+        if _staged_rows(new) == 0:
+            new = []  # fully-deleted files: staged output is orphaned
+        cols = _rewrite_stats_cols(old_stats, stats_cols)
+        nv = _publish_rewrite(
+            path, v0, new, touched, writer,
+            stats=parquet_file_stats(new, cols) if cols and new else None,
+        )
+        if nv is not None:
+            return {
+                "version": nv, "files_total": len(files),
+                "files_candidates": len(candidates),
+                "files_rewritten": len(touched), "rows_deleted": n_del,
+            }
+        if attempt == retries:
+            raise ConcurrentWriteError(
+                f"delete at {path} lost the claim for version "
+                f"{v0 + 1}; snapshot stale (staged files left for "
+                "vacuum)"
+            )
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    writer: str = "merge",
+    prune_col: str | None = None,
+    stats_cols: list[str] | None = None,
+    retries: int = 0,
+    check_unique: bool = True,
+) -> dict:
+    """MERGE / upsert, whole-row semantics (Delta's `WHEN MATCHED
+    UPDATE SET * WHEN NOT MATCHED INSERT *`): source rows replace
+    target rows sharing `keys`; unmatched source rows insert;
+    unmatched target rows persist. Copy-on-write like delete_where:
+    only files holding a matching key are rewritten, and the
+    rewritten set = (touched rows anti-joined against source keys)
+    UNION ALL source — matched targets drop out, every source row
+    lands exactly once. Returns {version, files_total,
+    files_candidates, files_rewritten, n_updated, n_inserted}.
+
+    Touch detection: `prune_col` skips files whose committed
+    [min, max] cannot intersect the source's [min, max] for that
+    column (one 1-row agg on the source), then a key semi-join over
+    the survivors tagged with `_metadata.file_path` finds real
+    matches — the source key side is broadcast (a merge source is
+    dimension-sized by design; a 100 TB-scale source should be
+    split into key-ranged merges). Inserts need no full-table read:
+    touch candidates provably cover every file containing a source
+    key, so source rows matching nothing in the TOUCHED set match
+    nothing anywhere.
+
+    n_updated/n_inserted come from footer row counts of the staged
+    output (no extra jobs): new = base - matched + src, so matched =
+    base + src - new. `check_unique` guards the upsert contract —
+    duplicate source keys would land duplicate rows (same as Delta's
+    multiple-matches error). Isolation is the same serializable
+    exact-claim as delete_where."""
+    if check_unique:
+        dup = (
+            source.groupBy(*keys).count().filter(F.col("count") > 1)
+        )
+        if dup.limit(1).count():
+            raise ValueError(
+                f"merge source has duplicate keys on {keys}; whole-row "
+                "upsert needs at most one source row per key"
+            )
+    src = source.localCheckpoint(eager=True)  # stable across retries
+    n_src = src.count()
+    for attempt in range(max(0, retries) + 1):
+        v0 = latest_version(path)
+        files, old_stats = _manifest_and_stats(path, v0)
+        candidates = files
+        if prune_col is not None and files:
+            b = src.agg(
+                F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
+            ).first()
+            candidates, _total = manifest_pruned(
+                path, v0, prune_col, b["lo"], b["hi"]
+            )
+        touched: list[str] = []
+        if candidates:
+            # _metadata must be projected on the file-source relation
+            # itself — it is not resolvable through a join's output
+            touched = sorted(
+                _uri_to_path(r["_f"])
+                for r in (
+                    spark.read.parquet(*candidates)
+                    .select(
+                        F.col("_metadata.file_path").alias("_f"), *keys
+                    )
+                    .join(
+                        F.broadcast(src.select(*keys).distinct()),
+                        on=keys,
+                        how="left_semi",
+                    )
+                    .select("_f")
+                    .distinct()
+                    .collect()
+                )
+            )
+        if touched:
+            base = spark.read.parquet(*touched)
+            n_base = _staged_rows(touched)
+            merged = base.join(
+                F.broadcast(src.select(*keys)), on=keys, how="left_anti"
+            ).unionByName(src.select(*base.columns))
+        else:
+            n_base = 0
+            merged = src  # empty table or pure-insert merge
+        new = write_data_files(
+            merged, path, f"merge-v{v0}a{attempt}-{writer}"
+        )
+        cols = _rewrite_stats_cols(old_stats, stats_cols)
+        nv = _publish_rewrite(
+            path, v0, new, touched, writer,
+            stats=parquet_file_stats(new, cols) if cols else None,
+        )
+        if nv is not None:
+            n_new = _staged_rows(new)
+            n_upd = n_base + n_src - n_new
+            return {
+                "version": nv, "files_total": len(files),
+                "files_candidates": len(candidates),
+                "files_rewritten": len(touched),
+                "n_updated": n_upd, "n_inserted": n_src - n_upd,
+            }
+        if attempt == retries:
+            raise ConcurrentWriteError(
+                f"merge at {path} lost the claim for version "
+                f"{v0 + 1}; snapshot stale (staged files left for "
+                "vacuum)"
+            )
 
 
 def _version_agg_sql(pred: str, v: int) -> str:
@@ -1670,6 +1975,13 @@ def make_table_log_datasource():
                 e = _json.load(fh)
             if e.get("compacts"):
                 continue  # rewrites of already-delivered rows
+            if e.get("removes"):
+                raise ValueError(
+                    f"table_log stream source: commit {v} is a "
+                    "row-level rewrite (delete/merge); an adds-only "
+                    "stream cannot express it — restart the consumer "
+                    "from a snapshot"
+                )
             out.extend(e["files"])
         return out
 
@@ -1843,3 +2155,303 @@ def stream_table_log_source(spark, sf_dir):
     finally:
         for d in (table, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+_DEL_PRED = (
+    "o_orderkey > {q} AND o_orderkey <= 2 * {q} "
+    "AND o_orderpriority LIKE '1%'"
+)
+
+
+def _del_probe_sql(probe: int, pred: str) -> str:
+    return (
+        f"SELECT CAST({probe} AS INT) AS probe, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS cents, "
+        "CAST(1 AS INT) AS files_rewritten, "
+        "CAST(3 AS INT) AS files_kept, TRUE AS invariants_ok "
+        f"FROM orders, (SELECT MAX(o_orderkey) // 4 AS q FROM orders) b "
+        f"WHERE {pred}"
+    )
+
+
+@register(
+    "sink_table_log_delete",
+    oracle=(
+        _del_probe_sql(1, "NOT (" + _DEL_PRED.format(q="b.q") + ")")
+        + " UNION ALL "
+        + _del_probe_sql(2, "TRUE")
+        + " UNION ALL "
+        + _del_probe_sql(3, _DEL_PRED.format(q="b.q"))
+        + " ORDER BY probe"
+    ),
+    cacheable=False,
+)
+def sink_table_log_delete(spark, sf_dir):
+    """Row-level DELETE on the commit log (delete_where — Delta's
+    DELETE, round 13): four orderkey-range slices are committed with
+    footer stats, then one predicate (an orderkey interval inside
+    slice 2, narrowed by priority class) is deleted copy-on-write.
+    Probes pin the full contract:
+
+    - probe 1: the post-delete snapshot — every row except the
+      predicate's, recomputed by the oracle from the source table;
+    - probe 2: TIME TRAVEL to the pre-delete version still returns
+      the complete original table (the rewrite removed the touched
+      file from the HEAD manifest only; the original stays reachable
+      until vacuum's retention drops it);
+    - probe 3: the deleted rows themselves (oracle-recomputed), with
+      rows_deleted asserted equal in-op.
+
+    files_rewritten=1 / files_kept=3 are pinned literals: manifest
+    stats pruning (tier 1) plus the match scan (tier 2) must touch
+    ONLY the one file containing matching rows — the three untouched
+    files keep their exact paths (asserted) and are never rewritten.
+    invariants_ok additionally covers: NULL-predicate rows survive
+    (SQL DELETE semantics), the rewritten output carries re-harvested
+    stats (post-delete pruning still opens just the new file), and
+    changed_files() REFUSES to cross the delete commit — an adds-only
+    change stream cannot express row removal (Delta CDF's rule for
+    non-CDC rewrites).
+
+    100 TB: touch detection is manifest-metadata pruning plus one
+    candidate-file scan whose collect is file-count-sized; a
+    selective delete rewrites its few matching files, never the
+    table."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    m = int(o.agg(F.max("o_orderkey").cast("long")).first()[0])
+    q = m // 4
+    base = tempfile.mkdtemp(prefix="lsd_tldel_")
+    try:
+        init_table(base)
+        bounds = [(None, q), (q, 2 * q), (2 * q, 3 * q), (3 * q, None)]
+        for i, (lo, hi) in enumerate(bounds):
+            sl = o
+            if lo is not None:
+                sl = sl.filter(F.col("o_orderkey") > lo)
+            if hi is not None:
+                sl = sl.filter(F.col("o_orderkey") <= hi)
+            fs = write_data_files(sl.coalesce(1), base, f"s{i}")
+            commit(
+                base, fs, "A",
+                stats=parquet_file_stats(fs, ["o_orderkey"]),
+            )
+        v_before = latest_version(base)
+        before = set(manifest(base, v_before))
+        res = delete_where(
+            spark, base, _DEL_PRED.format(q=q),
+            prune=("o_orderkey", q + 1, 2 * q),
+        )
+        assert res["files_total"] == 4 and res["files_rewritten"] == 1, res
+        assert res["files_candidates"] == 1, res  # stats pruned 3 of 4
+        v_after = res["version"]
+        after = set(manifest(base, v_after))
+        touched = before - after
+        assert len(touched) == 1 and (before - touched) <= after, (
+            before, after,
+        )
+        # re-harvested stats keep skipping alive: the interval probe
+        # opens only the rewritten file(s), never the 3 untouched
+        kept, total = manifest_pruned(
+            base, v_after, "o_orderkey", q + 1, 2 * q
+        )
+        assert len(kept) == total - 3, (kept, total)
+        try:
+            changed_files(base, 0, v_after)
+            raise AssertionError("change read crossed a delete commit")
+        except ValueError:
+            pass
+
+        def ag(df):
+            r = df.agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                ).alias("cents"),
+            ).first()
+            return (r["n"], r["cents"])
+
+        p1 = ag(read_version(spark, base, v_after))
+        p2 = ag(read_version(spark, base, v_before))
+        pred = F.expr(_DEL_PRED.format(q=q))
+        p3 = ag(o.filter(pred))
+        assert p3[0] == res["rows_deleted"] and p1[0] + p3[0] == p2[0]
+        rows = [(i + 1, *p, 1, 3, True) for i, p in enumerate((p1, p2, p3))]
+        return spark.createDataFrame(
+            rows,
+            "probe int, n_rows bigint, cents bigint, "
+            "files_rewritten int, files_kept int, invariants_ok boolean",
+        ).orderBy("probe")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_Q_SQL = "(SELECT MAX(o_orderkey) // 4 FROM orders)"
+_UPD_PRED = (
+    "o_orderkey > {q} AND o_orderkey <= 2 * {q} AND o_orderkey % 5 = 0"
+)
+_INS_PRED = "o_orderkey <= {q} AND o_orderkey % 7 = 0"
+_MERGED_SQL = (
+    "(SELECT o_orderkey, o_totalprice FROM orders WHERE NOT ("
+    + _UPD_PRED.format(q=_Q_SQL)
+    + ") UNION ALL SELECT o_orderkey, o_totalprice * 2 AS o_totalprice "
+    "FROM orders WHERE " + _UPD_PRED.format(q=_Q_SQL)
+    + " UNION ALL SELECT o_orderkey + 10 * " + _Q_SQL
+    + " AS o_orderkey, o_totalprice FROM orders WHERE "
+    + _INS_PRED.format(q=_Q_SQL) + ")"
+)
+
+
+def _merge_probe_sql(probe: int, relation: str, pred: str) -> str:
+    return (
+        f"SELECT CAST({probe} AS INT) AS probe, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS cents, "
+        "CAST(1 AS INT) AS files_rewritten, "
+        "CAST(3 AS INT) AS files_kept, TRUE AS invariants_ok "
+        f"FROM {relation} m WHERE {pred}"
+    )
+
+
+@register(
+    "sink_table_log_merge",
+    oracle=(
+        _merge_probe_sql(1, _MERGED_SQL, "TRUE")
+        + " UNION ALL "
+        + _merge_probe_sql(
+            2, _MERGED_SQL,
+            _UPD_PRED.format(q=_Q_SQL),
+        )
+        + " UNION ALL "
+        + _merge_probe_sql(
+            3, _MERGED_SQL,
+            "o_orderkey > (SELECT MAX(o_orderkey) FROM orders)",
+        )
+        + " ORDER BY probe"
+    ),
+    cacheable=False,
+)
+def sink_table_log_merge(spark, sf_dir):
+    """MERGE / upsert on the commit log (merge_into — Delta's WHEN
+    MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *, round 13):
+    four orderkey-range slices committed with stats, then one merge
+    whose source carries UPDATES (slice-2 keys divisible by 5, price
+    doubled) and INSERTS (fresh keys at +10q, provably colliding with
+    nothing). The oracle recomputes the ENTIRE merged relation from
+    the source table — (target minus matched keys) UNION ALL source —
+    and the three probes read it back:
+
+    - probe 1: the full post-merge snapshot (rows + cents);
+    - probe 2: the matched keys — their stored prices must be the
+      DOUBLED values (an upsert that kept old rows, or landed both
+      copies, breaks rows or cents here);
+    - probe 3: the inserted keys (all beyond the original max key),
+      prices unchanged.
+
+    files_rewritten=1 / files_kept=3 pin copy-on-write minimality:
+    source bounds prune slice 1 via manifest stats, the key semi-join
+    finds matches only in slice 2, and slices 3-4 survive untouched
+    with their exact paths (asserted). invariants_ok also covers:
+    n_updated/n_inserted from footer row-count accounting match the
+    predicate counts, TIME TRAVEL to the pre-merge version returns
+    the original table, duplicate source keys are rejected, and
+    changed_files() refuses to cross the merge commit.
+
+    100 TB: the source key side broadcasts (dimension-sized by
+    design), touch detection collects file paths not rows, and only
+    matching files rewrite — the upsert cost scales with the touched
+    key range, not the table."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    m = int(o.agg(F.max("o_orderkey").cast("long")).first()[0])
+    q = m // 4
+    assert 10 * q > m  # insert keys collide with nothing
+    base = tempfile.mkdtemp(prefix="lsd_tlmrg_")
+    try:
+        init_table(base)
+        bounds = [(None, q), (q, 2 * q), (2 * q, 3 * q), (3 * q, None)]
+        for i, (lo, hi) in enumerate(bounds):
+            sl = o
+            if lo is not None:
+                sl = sl.filter(F.col("o_orderkey") > lo)
+            if hi is not None:
+                sl = sl.filter(F.col("o_orderkey") <= hi)
+            fs = write_data_files(sl.coalesce(1), base, f"s{i}")
+            commit(
+                base, fs, "A",
+                stats=parquet_file_stats(fs, ["o_orderkey"]),
+            )
+        upd = F.expr(_UPD_PRED.format(q=q))
+        ins = F.expr(_INS_PRED.format(q=q))
+        source = (
+            o.filter(upd)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .unionByName(
+                o.filter(ins).withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(10 * q)
+                )
+            )
+        )
+        n_upd_want = o.filter(upd).count()
+        n_ins_want = o.filter(ins).count()
+        v_before = latest_version(base)
+        before = set(manifest(base, v_before))
+        try:
+            merge_into(
+                spark, base,
+                source.unionByName(source.limit(1)),  # duplicate key
+                keys=["o_orderkey"],
+            )
+            raise AssertionError("duplicate source keys were accepted")
+        except ValueError:
+            pass
+        res = merge_into(
+            spark, base, source, keys=["o_orderkey"],
+            prune_col="o_orderkey",
+        )
+        assert res["files_total"] == 4 and res["files_rewritten"] == 1, res
+        assert res["files_candidates"] == 3, res  # slice 1 stats-pruned
+        assert res["n_updated"] == n_upd_want, (res, n_upd_want)
+        assert res["n_inserted"] == n_ins_want, (res, n_ins_want)
+        v_after = res["version"]
+        after = set(manifest(base, v_after))
+        touched = before - after
+        assert len(touched) == 1 and (before - touched) <= after
+        try:
+            changed_files(base, 0, v_after)
+            raise AssertionError("change read crossed a merge commit")
+        except ValueError:
+            pass
+
+        def ag(df):
+            r = df.agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                ).alias("cents"),
+            ).first()
+            return (r["n"], r["cents"])
+
+        merged = read_version(spark, base, v_after)
+        p1 = ag(merged)
+        p2 = ag(merged.filter(upd))
+        p3 = ag(merged.filter(F.col("o_orderkey") > m))
+        assert ag(read_version(spark, base, v_before)) == ag(o)
+        assert p1[0] == ag(o)[0] + n_ins_want and p3[0] == n_ins_want
+        rows = [(i + 1, *p, 1, 3, True) for i, p in enumerate((p1, p2, p3))]
+        return spark.createDataFrame(
+            rows,
+            "probe int, n_rows bigint, cents bigint, "
+            "files_rewritten int, files_kept int, invariants_ok boolean",
+        ).orderBy("probe")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -758,3 +758,230 @@ def test_stream_source_partitions_skip_compactions(spark, tmp_path):
     assert sorted(r["k"] for r in rows) == list(range(40))
     # schema() maps the arrow footer to Spark DDL
     assert src.schema() == "k bigint, v bigint"
+
+
+def _ranged_table(spark, base, n_files=3, per=10):
+    """k = 0..n*per-1 split into range files with k stats."""
+    tl.init_table(base)
+    df = spark.range(n_files * per).selectExpr(
+        "id AS k", "CAST(id * 2 AS DOUBLE) AS v"
+    )
+    for i in range(n_files):
+        fs = tl.write_data_files(
+            df.filter(f"k >= {i * per} AND k < {(i + 1) * per}").coalesce(1),
+            base, f"r{i}",
+        )
+        tl.commit(base, fs, "A", stats=tl.parquet_file_stats(fs, ["k"]))
+    return df
+
+
+def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
+    """Round-13 DELETE: stats pruning + match scan touch exactly the
+    one file with qualifying rows; the others keep their paths, the
+    rewrite re-harvests stats, time travel sees the original."""
+    base = str(tmp_path / "t")
+    _ranged_table(spark, base)
+    before = set(tl.manifest(base, 3))
+    res = tl.delete_where(
+        spark, base, "k >= 12 AND k < 15", prune=("k", 12, 14)
+    )
+    assert res == {
+        "version": 4, "files_total": 3, "files_candidates": 1,
+        "files_rewritten": 1, "rows_deleted": 3,
+    }
+    after = set(tl.manifest(base, 4))
+    assert len(before - after) == 1 and len(after - before) >= 1
+    got = sorted(r.k for r in tl.read_version(spark, base, 4).collect())
+    assert got == [k for k in range(30) if not 12 <= k < 15]
+    # time travel: the pre-delete version is intact
+    assert tl.read_version(spark, base, 3).count() == 30
+    # rewritten output carries fresh stats: a point probe inside the
+    # rewritten range opens 1 file
+    kept, total = tl.manifest_pruned(base, 4, "k", 16, 16)
+    assert len(kept) == 1 and total == 3
+    # CDC refuses to cross the delete; windows after it still work
+    with pytest.raises(ValueError, match="row-level rewrite"):
+        tl.changed_files(base, 0, 4)
+    assert tl.changed_files(base, 4) == ([], 4)
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE semantics: only predicate-TRUE rows go; a NULL
+    predicate (NULL v) keeps its row."""
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    fs = tl.write_data_files(
+        _mk(spark, [(1, 1.0), (2, None), (3, 9.0)]).coalesce(1), base, "c"
+    )
+    tl.commit(base, fs, "A")
+    res = tl.delete_where(spark, base, "v > 5")
+    assert res["rows_deleted"] == 1
+    got = sorted(
+        r.k for r in tl.read_version(
+            spark, base, res["version"]
+        ).collect()
+    )
+    assert got == [1, 2]
+
+
+def test_delete_where_noop_and_full_file(spark, tmp_path):
+    """No match -> no commit at all; deleting an entire file's rows
+    publishes zero replacement files (the file just exits)."""
+    base = str(tmp_path / "t")
+    _ranged_table(spark, base)
+    res = tl.delete_where(spark, base, "k > 1000", prune=("k", 1001, None))
+    assert res["version"] is None and tl.latest_version(base) == 3
+    res = tl.delete_where(
+        spark, base, "k >= 10 AND k < 20", prune=("k", 10, 19)
+    )
+    assert res["rows_deleted"] == 10 and res["files_rewritten"] == 1
+    with open(tl._entry_path(base, res["version"])) as fh:
+        entry = json.load(fh)
+    assert entry["files"] == [] and len(entry["removes"]) == 1
+    assert tl.read_version(spark, base, res["version"]).count() == 20
+
+
+def test_merge_into_update_insert_and_prune(spark, tmp_path):
+    """Whole-row upsert: matched keys take source values exactly
+    once, new keys insert, non-matching files are never rewritten."""
+    base = str(tmp_path / "t")
+    _ranged_table(spark, base)
+    src = spark.createDataFrame(
+        [(12, 999.0), (14, 888.0), (100, 1.0)], "k bigint, v double"
+    )
+    before = set(tl.manifest(base, 3))
+    res = tl.merge_into(spark, base, src, keys=["k"], prune_col="k")
+    assert res["files_total"] == 3 and res["files_rewritten"] == 1
+    assert res["n_updated"] == 2 and res["n_inserted"] == 1
+    after = set(tl.manifest(base, res["version"]))
+    assert len(before - after) == 1  # only the k=10..19 file left
+    rows = {
+        r.k: r.v
+        for r in tl.read_version(spark, base, res["version"]).collect()
+    }
+    assert len(rows) == 31
+    assert rows[12] == 999.0 and rows[14] == 888.0 and rows[100] == 1.0
+    assert rows[13] == 26.0  # untouched row in the rewritten file
+    assert tl.read_version(spark, base, 3).count() == 30  # time travel
+    with pytest.raises(ValueError, match="duplicate keys"):
+        tl.merge_into(
+            spark, base, src.unionByName(src.limit(1)), keys=["k"]
+        )
+
+
+def test_merge_into_empty_table_inserts_all(spark, tmp_path):
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    src = _mk(spark, [(1, 1.0), (2, 2.0)])
+    res = tl.merge_into(spark, base, src, keys=["k"])
+    assert res["version"] == 1 and res["files_rewritten"] == 0
+    assert res["n_updated"] == 0 and res["n_inserted"] == 2
+    assert tl.read_version(spark, base, 1).count() == 2
+
+
+def test_merge_serializable_vs_concurrent_append(spark, tmp_path):
+    """THE isolation property: a rival append with a MATCHING key
+    lands between snapshot and claim. retries=0 must raise (the
+    merge provably missed that row); retries=1 must re-snapshot and
+    fold the rival's row in — exactly one copy of the key survives,
+    carrying the SOURCE value."""
+    base = str(tmp_path / "t")
+    _ranged_table(spark, base)
+    src = _mk(spark, [(5, 555.0)])
+    orig = tl.CLAIM["fn"]
+    state = {"injected": False}
+
+    def inject_rival_append(s, d):
+        if not state["injected"]:
+            state["injected"] = True
+            rival = tl.write_data_files(
+                _mk(spark, [(5, -1.0)]).coalesce(1), base, "rival"
+            )
+            assert tl.try_commit(
+                base, tl.latest_version(base) + 1, rival, "R"
+            )
+        return orig(s, d)
+
+    tl.CLAIM["fn"] = inject_rival_append
+    try:
+        with pytest.raises(tl.ConcurrentWriteError):
+            tl.merge_into(spark, base, src, keys=["k"], retries=0)
+        state["injected"] = True  # rival already landed
+        res = tl.merge_into(spark, base, src, keys=["k"], retries=1)
+    finally:
+        tl.CLAIM["fn"] = orig
+    # the retry saw BOTH k=5 copies (original file + rival append),
+    # rewrote both files, and exactly one k=5 row survives: 555.0
+    rows = [
+        r.v
+        for r in tl.read_version(spark, base, res["version"])
+        .filter("k = 5").collect()
+    ]
+    assert rows == [555.0]
+    assert res["files_rewritten"] == 2
+    # 30 original + 1 rival dup - 2 matched copies + 1 source row
+    assert tl.read_version(spark, base, res["version"]).count() == 30
+
+
+def test_delete_conflict_raises_then_retry_wins(spark, tmp_path):
+    """delete_where's claim is exact-version too: a rival append
+    forces a fresh-snapshot retry whose scan covers the rival's rows
+    (here: a matching one, deleted on the second pass)."""
+    base = str(tmp_path / "t")
+    _ranged_table(spark, base)
+    orig = tl.CLAIM["fn"]
+    state = {"injected": False}
+
+    def inject(s, d):
+        if not state["injected"]:
+            state["injected"] = True
+            rival = tl.write_data_files(
+                _mk(spark, [(7, 7.5)]).coalesce(1), base, "rival"
+            )
+            assert tl.try_commit(
+                base, tl.latest_version(base) + 1, rival, "R"
+            )
+        return orig(s, d)
+
+    tl.CLAIM["fn"] = inject
+    try:
+        res = tl.delete_where(spark, base, "k = 7", retries=1)
+    finally:
+        tl.CLAIM["fn"] = orig
+    # both k=7 rows (original + rival's) were visible to the retry
+    assert res["rows_deleted"] == 2 and res["files_rewritten"] == 2
+    assert tl.read_version(
+        spark, base, res["version"]
+    ).filter("k = 7").count() == 0
+
+
+def test_checkpoint_folds_removes(spark, tmp_path):
+    """A checkpoint written past a delete commit must fold the
+    removal: the checkpointed manifest equals the full walk and the
+    deleted file's stats are gone from the checkpoint body."""
+    base = str(tmp_path / "t")
+    _ranged_table(spark, base)
+    res = tl.delete_where(
+        spark, base, "k >= 10 AND k < 20", prune=("k", 10, 19)
+    )
+    tl.write_checkpoint(base, res["version"])
+    assert tl.manifest(base, res["version"]) == tl.manifest_full_walk(
+        base, res["version"]
+    )
+    with open(tl._ckpt_path(base, res["version"])) as fh:
+        body = json.load(fh)
+    removed = set(tl.manifest(base, 3)) - set(body["files"])
+    assert len(removed) == 1
+    assert not any(f in body.get("stats", {}) for f in removed)
+
+
+def test_stream_source_raises_on_removes(spark, tmp_path):
+    """The streaming reader refuses a window crossing a row-level
+    rewrite instead of silently re-delivering rewritten rows."""
+    base = str(tmp_path / "t")
+    _ranged_table(spark, base)
+    tl.delete_where(spark, base, "k = 3", prune=("k", 3, 3))
+    cls = tl.make_table_log_datasource()
+    reader = cls(options={"path": base}).streamReader(None)
+    with pytest.raises(ValueError, match="row-level rewrite"):
+        reader.partitions({"version": 0}, {"version": 4})
