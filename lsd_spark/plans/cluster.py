@@ -48,6 +48,13 @@ MAX_ITERS = 60
 # it to force the fallback routing.
 QUOTIENT_SINGLE_TASK_MAX = 1_000_000
 
+# Quotient mappings at or below this many labels are applied as a
+# literal map() expression in the final projection (no broadcast
+# exchange, no driver->JVM DataFrame round trip); larger mappings
+# keep the broadcast LocalRelation join (a 10k-entry map literal is a
+# ~200 KB SQL string — fine; a 1M-entry one would be a parser DoS).
+QUOTIENT_MAP_LITERAL_MAX = 10_000
+
 # observability: which routing min_label_fixpoint took last
 # ("probe-converged" | "quotient" | "min-label" | "alternating")
 LAST_FIXPOINT_PATH = {"path": ""}
@@ -128,11 +135,27 @@ _BUCKETED_PAIRS_SQL = (
 )
 
 
-def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
+def min_label_fixpoint(
+    emb: DataFrame,
+    pairs: DataFrame,
+    local_labels: DataFrame | None = None,
+    seed_complete: bool = False,
+) -> DataFrame:
     """Connected components by min-label propagation to the exact
     fixpoint (Pregel-style, like GraphX CC). `pairs` is the
     undirected edge set as (u, v) one-way; returns
     (vec_id, object_id).
+
+    `local_labels` (round 13) optionally replaces the built-in
+    per-partition contraction with a caller-supplied (vec_id, lmin)
+    frame carrying the same contract as _local_cc_labels (multi-row
+    per node allowed; min/collect_set aggregate resolves) — e.g. the
+    tile-partitioned spatial kernel (plans/spatial.tiled_local_labels)
+    that fuses edge generation into the contraction. With
+    seed_complete=True the caller asserts local_labels covers EVERY
+    node of `emb`, so the seed skips the join back to the node set
+    entirely (two exchanges and one scan less in the final job);
+    `pairs` remains the edge plan for the heavy fallback paths.
 
     Phase order (round 12 — two-level contraction, TWO jobs + the
     caller's collect on every graph whose label quotient fits one
@@ -205,8 +228,11 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
         # noisy bench VM every job barrier costs a floor). Lineage
         # truncation isn't needed on the loop-free paths; the heavy
         # paths below still checkpoint what they iterate on.
+        contraction = (
+            local_labels if local_labels is not None else _local_cc_labels(pairs)
+        )
         local_agg = (
-            _local_cc_labels(pairs)
+            contraction
             .groupBy("vec_id")
             .agg(
                 F.min("lmin").alias("lmin"),
@@ -250,17 +276,27 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
             spark.conf.set("spark.sql.limit.initialNumPartitions", old_lim)
         n_q = len(q_pd)
         local = local_agg.select("vec_id", "lmin")
-        # shuffle_hash: `local` is node-sized (never broadcastable at
-        # 100 TB) and a BroadcastExchange would cost one more job at
-        # bench scale; the hash join folds into the caller's collect.
-        seed = (
-            emb.select("vec_id")
-            .join(local.hint("shuffle_hash"), "vec_id", "left")
-            .select(
-                "vec_id",
-                F.coalesce(F.col("lmin"), F.col("vec_id")).alias("object_id"),
+        if seed_complete:
+            # the contraction covers every node (isolated ones label
+            # themselves in the kernel): the seed IS the aggregated
+            # labeling — no join back to the node set, so the final
+            # job is one scan of the persisted aggregate
+            seed = local.select(
+                "vec_id", F.col("lmin").alias("object_id")
             )
-        )
+        else:
+            # shuffle_hash: `local` is node-sized (never broadcastable
+            # at 100 TB) and a BroadcastExchange would cost one more
+            # job at bench scale; the hash join folds into the
+            # caller's collect.
+            seed = (
+                emb.select("vec_id")
+                .join(local.hint("shuffle_hash"), "vec_id", "left")
+                .select(
+                    "vec_id",
+                    F.coalesce(F.col("lmin"), F.col("vec_id")).alias("object_id"),
+                )
+            )
         if n_q == 0:
             # provably converged: the labeling stays LAZY (it folds
             # into the caller's collect — no seed checkpoint barrier);
@@ -280,11 +316,28 @@ def min_label_fixpoint(emb: DataFrame, pairs: DataFrame) -> DataFrame:
             # propagation loop.
             LAST_FIXPOINT_PATH["path"] = "quotient"
             _PINNED_CACHE.append(local_agg)  # deferred, as above
-            import pandas as pd
-
             roots = _uf_roots(
                 zip(q_pd["u"].to_numpy(), q_pd["v"].to_numpy())
             )
+            if len(roots) <= QUOTIENT_MAP_LITERAL_MAX:
+                # small quotient: apply the label mapping as a literal
+                # MAP expression — a scalar lookup in the projection,
+                # so the final job is scan -> project -> sort with no
+                # BroadcastExchange and no createDataFrame round-trip
+                # (round 13; identical output, one less exchange)
+                lit = ",".join(f"{k}L,{v}L" for k, v in roots.items())
+                return (
+                    seed.select(
+                        "vec_id",
+                        F.coalesce(
+                            F.expr(f"element_at(map({lit}), object_id)"),
+                            F.col("object_id"),
+                        ).alias("object_id"),
+                    )
+                    .orderBy("vec_id")
+                )
+            import pandas as pd
+
             mapping = spark.createDataFrame(
                 pd.DataFrame(
                     {

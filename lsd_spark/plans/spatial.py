@@ -647,6 +647,151 @@ def self_radius_pairs(spark, sf_dir: str, etype: str, radius: float):
     )
 
 
+# Tile edge for the fused FoF contraction, in units of the linking
+# length (cells). Halo duplication is the boundary-cell ring,
+# ~4/TILE_CELLS of each tile's area — 25% at 16. Larger tiles mean
+# fewer cross-tile merges (smaller quotient) but more per-task state;
+# per-task state stays bounded by points-per-tile, the same envelope
+# a hash aggregate's biggest group needs.
+FOF_TILE_CELLS = 16
+
+
+def tiled_local_labels(spark, sf_dir: str, etype: str, radius: float) -> DataFrame:
+    """Tile-partitioned FoF contraction: ONE shuffle of the point set
+    (with halo copies), then pairing + union-find FUSED in a single
+    Arrow kernel per tile. Emits (vec_id, lmin) rows with the same
+    contract as plans/cluster._local_cc_labels — a node split across
+    tiles emits one row per tile, resolved by the fixpoint's
+    min/collect_set aggregate — plus one property the join-based edge
+    generation cannot give: EVERY point appears (isolated points
+    label themselves), so the fixpoint's seed needs no join back to
+    the point set (seed_complete=True).
+
+    This is the guide-§8 "move heavy bytes once" restructure applied
+    to FoF, and it is LSD's own cell+margins sharding: points are
+    hash-partitioned by spatial tile, each point is duplicated into
+    the neighbor tile(s) whose region lies within one cell of it (the
+    margin/halo cache), and each tile solves its local subgraph
+    independently; only partition-local LABELS cross the network
+    afterwards. Versus the round-12 shape (5-way probe explode ->
+    shuffle-hash self-join -> distance refine -> union-find kernel:
+    two scans, three exchanges before the label aggregate) this is
+    one scan and one exchange of ~1.26x the point rows, and the
+    pairing runs as vectorized numpy instead of codegen'd row joins.
+
+    Pair discovery is exhaustive: a within-R pair spans cells
+    differing by <=1 in each axis; every point is shipped to every
+    tile covering its 3x3 cell neighborhood, so both endpoints of any
+    qualifying pair meet in at least one tile (a pair discovered in
+    two tiles unions twice — idempotent). Within a tile the kernel
+    uses the same forward-half-plane 5-direction probe as
+    self_radius_pairs, vectorized as one pandas hash-merge per task.
+
+    100 TB: the shuffle moves (id, x, y, cell, tile) rows — never
+    payloads; per-task memory is the tile's point dict (bounded by
+    tile area x density, the operator's declared envelope, tunable
+    via FOF_TILE_CELLS); the label aggregate and the driver-side
+    quotient solve are unchanged from the round-12 audit."""
+    pts = points(spark, sf_dir, etype)
+    cell = lambda c: F.floor(F.col(c) / F.lit(radius))  # noqa: E731
+    tiles = F.array_distinct(
+        F.array(
+            *[
+                F.struct(
+                    F.floor((cell("x") + dx) / FOF_TILE_CELLS).alias("tx"),
+                    F.floor((cell("y") + dy) / FOF_TILE_CELLS).alias("ty"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    tagged = (
+        pts.select(
+            "event_id",
+            "x",
+            "y",
+            cell("x").alias("cx"),
+            cell("y").alias("cy"),
+            F.explode(tiles).alias("t"),
+        )
+        .select(
+            "event_id", "x", "y", "cx", "cy",
+            F.col("t.tx").alias("tx"), F.col("t.ty").alias("ty"),
+        )
+        .repartition(F.col("tx"), F.col("ty"))
+    )
+    r2 = radius * radius
+
+    def kernel(batches):
+        # self-contained on purpose: closing over module-level helpers
+        # pickles them by reference and executors without lsd_spark on
+        # sys.path die with ModuleNotFoundError (see _uf_roots note)
+        import numpy as np
+        import pandas as pd
+
+        dfs = list(batches)
+        if not dfs:
+            return
+        df = pd.concat(dfs, ignore_index=True)
+        home = df[["tx", "ty", "cx", "cy"]].copy()
+        home["idx"] = np.arange(len(df))
+        probes = []
+        for dx, dy, is_home in (
+            (0, 0, True), (0, 1, False), (1, -1, False),
+            (1, 0, False), (1, 1, False),
+        ):
+            p = df[["tx", "ty"]].copy()
+            p["cx"] = df["cx"] + dx
+            p["cy"] = df["cy"] + dy
+            p["pidx"] = np.arange(len(df))
+            p["home"] = is_home
+            probes.append(p)
+        cand = pd.concat(probes, ignore_index=True).merge(
+            home, on=["tx", "ty", "cx", "cy"]
+        )
+        ui = cand["pidx"].to_numpy()
+        vi = cand["idx"].to_numpy()
+        uh = cand["home"].to_numpy()
+        uid = df["event_id"].to_numpy()
+        x = df["x"].to_numpy()
+        y = df["y"].to_numpy()
+        u, v = uid[ui], uid[vi]
+        # home cell: u < v emits each same-cell pair once; forward
+        # cells: u != v (each cross-cell pair reached from its lower
+        # cell only — the self_radius_pairs half-plane argument)
+        keep = np.where(uh, u < v, u != v)
+        dx_ = x[ui] - x[vi]
+        dy_ = y[ui] - y[vi]
+        keep &= (dx_ * dx_ + dy_ * dy_) <= r2
+        u, v = u[keep], v[keep]
+        parent: dict[int, int] = {}
+
+        def find(a: int) -> int:
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for n in uid:  # every point, so isolated ones label themselves
+            n = int(n)
+            if n not in parent:
+                parent[n] = n
+        for a, b in zip(u, v):
+            a, b = int(a), int(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        nodes = list(parent)
+        yield pd.DataFrame(
+            {"vec_id": nodes, "lmin": [find(n) for n in nodes]}
+        )
+
+    return tagged.mapInPandas(kernel, "vec_id bigint, lmin bigint")
+
+
 @register(
     "cluster_fof_2d",
     oracle=(
@@ -678,11 +823,20 @@ def cluster_fof_2d(spark, sf_dir):
             F.col("event_id").alias("vec_id")
         ),
     )
+    # heavy-fallback edge plan only (lazy; executes IFF the quotient
+    # overflows its single-task cap) — the happy paths run entirely
+    # off the fused tile contraction below
     pairs = cached_plan(
         spark, sf_dir, "fof2d_pairs",
         lambda: self_radius_pairs(spark, sf_dir, "view", FOF2D_R),
     )
-    labels = min_label_fixpoint(pts, pairs)
+    local = cached_plan(
+        spark, sf_dir, "fof2d_tiled",
+        lambda: tiled_local_labels(spark, sf_dir, "view", FOF2D_R),
+    )
+    labels = min_label_fixpoint(
+        pts, pairs, local_labels=local, seed_complete=True
+    )
     return labels.select(
         F.col("vec_id").alias("point_id"), "object_id"
     ).orderBy("point_id")
@@ -728,11 +882,21 @@ def agg_object_coadd(spark, sf_dir):
     flooring the correctly-rounded integer quotient is
     boundary-free."""
     from lsd_spark.plans.cluster import min_label_fixpoint
+    from lsd_spark.registry import cached_plan
 
     pts = points(spark, sf_dir, "view")
     ids = pts.select(F.col("event_id").alias("vec_id"))
-    pairs = self_radius_pairs(spark, sf_dir, "view", FOF2D_R)
-    labels = min_label_fixpoint(ids, pairs)
+    pairs = cached_plan(
+        spark, sf_dir, "fof2d_pairs",
+        lambda: self_radius_pairs(spark, sf_dir, "view", FOF2D_R),
+    )
+    local = cached_plan(
+        spark, sf_dir, "fof2d_tiled",
+        lambda: tiled_local_labels(spark, sf_dir, "view", FOF2D_R),
+    )
+    labels = min_label_fixpoint(
+        ids, pairs, local_labels=local, seed_complete=True
+    )
     return (
         pts.join(labels, pts.event_id == labels.vec_id)
         .groupBy("object_id")
