@@ -1611,7 +1611,21 @@ def _minhash_scored_over(spark, sf_dir, docs, sig_tag):
     checkpointed signatures, slim id-only band self-join, arrays
     joined back from the settled signature frame for the exact-
     Jaccard refine; returns the thresholded
-    (doc_a, doc_b, jaccard, mh_est) hit set, lazy."""
+    (doc_a, doc_b, jaccard, mh_est) hit set, lazy.
+
+    Round 13 (guide §2.5 input skew): the signature projection is the
+    single heaviest compute of the whole dedup surface — H x
+    |shingle instances| md5+conv evaluations (3.1M at sf0.1, measured
+    4.3-4.7 s of q_dedup_minhash's 5.8 s) — and a small cached corpus
+    arrives as ONE partition, so it all ran in one task. When the
+    input has fewer partitions than cores, a round-robin repartition
+    of the tiny (doc_id, text) rows spreads the md5 stage across the
+    executor; at 100 TB the scan already arrives as thousands of
+    splits and the guard never fires, keeping the pass map-only."""
+    n_in = docs.rdd.getNumPartitions()
+    dp = spark.sparkContext.defaultParallelism
+    if n_in < dp:
+        docs = docs.repartition(dp)
     sig = ckpt_shared(
         spark, sf_dir, sig_tag,
         lambda: _shingled(docs).selectExpr(
