@@ -515,8 +515,12 @@ def stream_foreach_sink(spark, sf_dir):
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     ckpt = _tf.mkdtemp(prefix="lsd_fsink_ckpt_")
+    from lsd_spark.streaming.ops import stream_state_partitions
+
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_state_partitions(spark))
+    )
     try:
         q = (
             agg.writeStream.foreachBatch(write_batch)

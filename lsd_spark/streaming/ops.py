@@ -176,6 +176,25 @@ def staged_stream_source(spark, sf_dir: str, batches: int):
     return normalize_ts(reader.parquet(stage))
 
 
+def stream_state_partitions(spark) -> int:
+    """Shuffle/state partition count for the fixture-scale streaming
+    queries (guide §2.2 fewer-larger partitions): every state
+    partition costs per-micro-batch commit files and store open/close
+    whatever it holds — measured 11.7 s (16) -> 4.0 s (4) on the
+    stream-stream join at sf0.1, identical sink rows. Follows the
+    session's own shuffle sizing (bench/tests size it to the data),
+    capped at the historical 16 so a stock 200-partition session
+    behaves exactly as before; override via
+    LSD_STREAM_STATE_PARTITIONS. At 100 TB size this to the key
+    cardinality BEFORE the first checkpoint write (the count is
+    frozen into the checkpoint and not re-sizeable after)."""
+    env = int(os.environ.get("LSD_STREAM_STATE_PARTITIONS", "0"))
+    if env > 0:
+        return env
+    old_sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return min(16, max(1, old_sp))
+
+
 def _run_stream(spark, sf_dir, build, mode: str, batches: int = 4):
     """Replay events.parquet through a real file-source stream
     (availableNow) into a memory sink; return the sink table. The
@@ -191,11 +210,19 @@ def _run_stream(spark, sf_dir, build, mode: str, batches: int = 4):
     # The state-store partition count is frozen into the checkpoint at
     # first start; a stock session's 200 partitions means 200 state
     # dirs + 200 Python workers per micro-batch for a ~100k-row
-    # fixture. 16 is plenty here; at 100 TB you'd size this to the
-    # key cardinality BEFORE the first checkpoint write (it is not
-    # re-sizeable after).
+    # fixture. At 100 TB you'd size this to the key cardinality BEFORE
+    # the first checkpoint write (it is not re-sizeable after).
+    # Round 13 (guide §2.2 fewer-larger partitions): every state
+    # partition costs per-micro-batch commit files and store open/close
+    # whatever it holds — measured 11.7 s (16) -> 4.0 s (4) on the
+    # stream-stream join at sf0.1, identical sink rows. Follow the
+    # session's own shuffle sizing (bench/tests size it to the data),
+    # capped at the old 16 so a stock 200-partition session behaves as
+    # before; override via LSD_STREAM_STATE_PARTITIONS.
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_state_partitions(spark))
+    )
     try:
         q = (
             build(src)
@@ -659,7 +686,9 @@ def stream_parquet_sink(spark, sf_dir):
     out_dir = f"{base}/out"
     ckpt = f"{base}/ckpt"
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_state_partitions(spark))
+    )
     try:
         q = (
             src.writeStream.format("parquet")
