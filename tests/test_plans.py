@@ -364,29 +364,56 @@ def test_min_label_quotient_path_forced_min_label_loop(spark, monkeypatch):
 
 def test_supercritical_fof_log_rounds_and_exact_labels(spark):
     """cluster_fof_2d_super at sf0.1: the match graph is SUPERCRITICAL
-    (avg degree ~6.2, giant component ~98.7% of 19,941 view points) —
-    the regime where min-label propagation needs O(plane diameter/R)
-    rounds and raises at its cap. The alternating large-star/
-    small-star solver must (a) converge in a LOG-bounded number of
-    rounds and (b) produce the exact component labeling, checked
-    against an independent numpy union-find over the same md5-derived
-    coordinates (third opinion: neither Spark nor DuckDB)."""
+    (avg degree ~6.2, giant component ~98.7% of 19,941 view points).
+    Round 13: the op routes through the tile-contraction + quotient
+    fixpoint (loop-free — supercriticality bloats propagation rounds,
+    not the label quotient), so the pin is (a) the op takes the
+    quotient path with NO propagation loop, (b) the labels equal an
+    independent numpy union-find over the same md5-derived
+    coordinates (third opinion: neither Spark nor DuckDB), and (c)
+    the alternating large-star/small-star HEAVY path — the fallback a
+    quotient overflow would route to — still converges in LOG-bounded
+    rounds to the identical labeling on the same sf0.1 edge set."""
     import hashlib
 
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql import functions as SF
+
     from lsd_spark.plans import cluster
-    from lsd_spark.plans.spatial import FOF2D_R_SUPER
+    from lsd_spark.plans.spatial import (
+        FOF2D_R_SUPER,
+        points,
+        self_radius_pairs,
+    )
 
     sf_dir = "/root/testdata/sf0.1"
+    cluster.LAST_CC_ROUNDS["rounds"] = -1
     got = {
         (r.point_id, r.object_id)
         for r in QUERIES["cluster_fof_2d_super"](spark, sf_dir).collect()
     }
-    rounds = cluster.LAST_CC_ROUNDS["rounds"]
+    # loop-free either way: quotient solve, or (when the halo copies
+    # already union every cross-tile merge inside the partitions)
+    # probe-converged
+    assert cluster.LAST_FIXPOINT_PATH["path"] in ("quotient", "probe-converged")
+    assert cluster.LAST_CC_ROUNDS["rounds"] == -1  # no loop ran
     n = len(got)
-    assert rounds >= 1 and rounds <= int(np.log2(n)) , (rounds, n)
+
+    # (c) the heavy fallback solver, driven directly on the same
+    # supercritical edge set: log-bounded rounds, identical labels
+    pts = points(spark, sf_dir, "view").select(
+        SF.col("event_id").alias("vec_id")
+    )
+    pairs = self_radius_pairs(spark, sf_dir, "view", FOF2D_R_SUPER)
+    alt = {
+        (r.vec_id, r.object_id)
+        for r in cluster.alternating_cc(pts, pairs).collect()
+    }
+    rounds = cluster.LAST_CC_ROUNDS["rounds"]
+    assert rounds >= 1 and rounds <= int(np.log2(n)), (rounds, n)
+    assert alt == {(p, o) for p, o in got}
 
     ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
     ids = np.sort(ev[ev.event_type == "view"]["event_id"].to_numpy())
