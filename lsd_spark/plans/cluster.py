@@ -656,35 +656,91 @@ def cluster_fof_exact(spark, sf_dir):
     """FoF over the exact all-pairs edge set — the fixture-scale
     baseline the bucketed op's edge recall is measured against
     (tests/test_invariants.py). O(n^2) edge generation; never the
-    production path. The streamed side of the broadcast theta join
-    is repartitioned so the pairwise cosines spread across cores
-    instead of folding on the fixture parquet's single input split
-    (65.2 s -> seconds at sf0.1, round-8 VERDICT #3; bit-identical
-    per-row results), and norms are precomputed once per row (one
-    HOF fold per pair instead of three — the bucketed refine's
-    bit-identical dot/(na*nb) association)."""
-    from lsd_spark.operators.joins import DOT_SPARK, NORM_SPARK
+    production path.
+
+    Round 13 (guide §4.2): the pairwise cosines used to run as
+    interpreted higher-order-function folds inside a broadcast theta
+    join — HOFs do not whole-stage-codegen, so 12.5M pairs x 32 dims
+    of interpreted lambda steps measured 31.6 s at sf0.1. The kernel
+    below hands whole batches to numpy while replicating the JVM
+    arithmetic BIT-EXACTLY: dot and norm accumulate dimension-by-
+    dimension in float64 (the same left-fold order as
+    AGGREGATE(ZIP_WITH(...)); IEEE multiply is commutative and the
+    per-element add sequence is identical), sqrt/divide are
+    correctly-rounded IEEE on identical operands, and the only
+    inexact step — Spark's decimal-string ROUND at the 1e-6 threshold
+    boundary — stays in the JVM: the kernel pre-filters with a 1e-6
+    safety margin and emits (u, v, dot, n_a, n_b), and the exact
+    `round(dot/(n_a*n_b), 6) >= T` filter runs as the same Spark
+    expression as before on bit-identical doubles. Same pair set,
+    ~16x less wall clock (31.6 s -> ~2 s). The driver-side collect of
+    the embedding matrix is the same fixture-scale budget the old
+    plan's BroadcastExchange paid."""
+    import numpy as np
 
     emb = load(spark, sf_dir, "embeddings")
-    norm = F.expr(NORM_SPARK.format(a="embedding"))
-    a = emb.select(
-        F.col("vec_id").alias("u"), F.col("embedding").alias("e_a"),
-        norm.alias("n_a"),
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    a_ids = pdf["vec_id"].to_numpy().astype("int64")
+    a_mat = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
     )
-    b = emb.select(
-        F.col("vec_id").alias("v"), F.col("embedding").alias("e_b"),
-        norm.alias("n_b"),
-    ).repartition(spark.sparkContext.defaultParallelism)
-    sim = F.round(
-        F.expr(DOT_SPARK.format(a="e_a", b="e_b"))
-        / (F.col("n_a") * F.col("n_b")),
-        6,
+    bc = spark.sparkContext.broadcast((a_ids, a_mat))
+    margin = EMBCOS_T - 1e-6
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_a, A = bc.value
+        ndim = A.shape[1]
+        na2 = np.zeros(len(ids_a))
+        for k in range(ndim):  # the JVM fold order, vectorized per dim
+            na2 += A[:, k] * A[:, k]
+        na = np.sqrt(na2)
+        BLOCK = 512  # bounds the (block x n) dot matrix to ~20 MB
+        for bdf in batches:
+            ids_b = bdf["vec_id"].to_numpy().astype("int64")
+            B = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in bdf["embedding"]]
+            ) if len(bdf) else np.zeros((0, ndim))
+            nb2 = np.zeros(len(ids_b))
+            for k in range(ndim):
+                nb2 += B[:, k] * B[:, k]
+            nb = np.sqrt(nb2)
+            for s in range(0, len(ids_b), BLOCK):
+                Bb = B[s:s + BLOCK]
+                idb = ids_b[s:s + BLOCK]
+                nbb = nb[s:s + BLOCK]
+                dot = np.zeros((len(idb), len(ids_a)))
+                for k in range(ndim):
+                    dot += np.outer(Bb[:, k], A[:, k])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = dot / (nbb[:, None] * na[None, :])
+                mask = (ids_a[None, :] < idb[:, None]) & (sim >= margin)
+                bi, ai = np.nonzero(mask)
+                if len(bi) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "u": ids_a[ai],
+                        "v": idb[bi],
+                        "dot": dot[bi, ai],
+                        "n_a": na[ai],
+                        "n_b": nbb[bi],
+                    }
+                )
+
+    b = emb.select("vec_id", "embedding").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cand = b.mapInPandas(
+        kernel, "u bigint, v bigint, dot double, n_a double, n_b double"
     )
     pairs = (
-        F.broadcast(a)
-        .join(b, F.col("u") < F.col("v"))
-        .select("u", "v", sim.alias("sim"))
-        .filter(F.col("sim") >= EMBCOS_T)
+        cand.filter(
+            F.round(F.col("dot") / (F.col("n_a") * F.col("n_b")), 6)
+            >= EMBCOS_T
+        )
         .select("u", "v")
     )
     return min_label_fixpoint(emb, pairs)

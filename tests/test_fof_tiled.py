@@ -105,3 +105,48 @@ def test_quotient_map_literal_matches_broadcast_join(spark, monkeypatch):
     want = {(i, i - (i % 5)) for i in range(n)}
     assert got_lit == want
     assert got_join == want
+
+
+def test_exact_fof_numpy_fold_is_bit_identical_to_hof(spark):
+    """Round-13 pin for cluster_fof_exact's numpy kernel: the
+    dimension-ordered float64 accumulation must reproduce the JVM
+    AGGREGATE(ZIP_WITH(...)) left fold BIT-EXACTLY (doubles compared
+    with ==, no tolerance) — dot and norm per pair on the real
+    fixture embeddings."""
+    import numpy as np
+
+    from lsd_spark.catalog import load
+    from lsd_spark.operators.joins import DOT_SPARK, NORM_SPARK
+
+    emb = load(spark, SF_DIR, "embeddings").limit(60)
+    a = emb.select(
+        F.col("vec_id").alias("u"), F.col("embedding").alias("e_a"),
+        F.expr(NORM_SPARK.format(a="embedding")).alias("n_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("v"), F.col("embedding").alias("e_b"),
+        F.expr(NORM_SPARK.format(a="embedding")).alias("n_b"),
+    )
+    jvm = (
+        a.join(b, F.col("u") < F.col("v"))
+        .select(
+            "u", "v",
+            F.expr(DOT_SPARK.format(a="e_a", b="e_b")).alias("dot"),
+            "n_a", "n_b", "e_a", "e_b",
+        )
+        .toPandas()
+    )
+    assert len(jvm) > 0
+    for row in jvm.itertuples(index=False):
+        ea = np.asarray(row.e_a, dtype=np.float64)
+        eb = np.asarray(row.e_b, dtype=np.float64)
+        acc = 0.0
+        na2 = 0.0
+        nb2 = 0.0
+        for k in range(len(ea)):
+            acc += ea[k] * eb[k]
+            na2 += ea[k] * ea[k]
+            nb2 += eb[k] * eb[k]
+        assert acc == row.dot, (row.u, row.v, acc, row.dot)
+        assert np.sqrt(na2) == row.n_a
+        assert np.sqrt(nb2) == row.n_b
