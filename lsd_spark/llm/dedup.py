@@ -484,7 +484,9 @@ def _simhash_clusters_naive(spark, sf_dir):
         ),
     )
     nodes = pairs.select(F.explode(F.array("u", "v")).alias("vec_id")).distinct()
-    return _simhash_cluster_summary(min_label_fixpoint(nodes, pairs))
+    return _simhash_cluster_summary(
+        min_label_fixpoint(nodes, pairs, edges_bounded=True)
+    )
 
 
 def _simhash_clusters_collapsed(spark, sf_dir):
@@ -524,7 +526,7 @@ def _simhash_clusters_collapsed(spark, sf_dir):
     nodes = rep_pairs.select(
         F.explode(F.array("u", "v")).alias("vec_id")
     ).distinct()
-    rep_lab = min_label_fixpoint(nodes, rep_pairs).select(
+    rep_lab = min_label_fixpoint(nodes, rep_pairs, edges_bounded=True).select(
         F.col("vec_id").alias("rid"), F.col("object_id").alias("label")
     )
     # multi-doc groups whose rep touched no rep pair still cluster
@@ -1795,7 +1797,9 @@ def llm_dedup_cluster(spark, sf_dir):
     nodes = pairs.select(
         F.explode(F.array("u", "v")).alias("vec_id")
     ).distinct()
-    labels = min_label_fixpoint(nodes, pairs)
+    # the hit set is ckpt_shared-settled and dedup graphs are edge-
+    # sparse: try the one-collect driver solve first (round 13)
+    labels = min_label_fixpoint(nodes, pairs, edges_bounded=True)
     return (
         labels.groupBy(F.col("object_id").cast("long").alias("cluster_id"))
         .agg(

@@ -55,6 +55,13 @@ QUOTIENT_SINGLE_TASK_MAX = 1_000_000
 # ~200 KB SQL string — fine; a 1M-entry one would be a parser DoS).
 QUOTIENT_MAP_LITERAL_MAX = 10_000
 
+# Max edges collected whole by the edges_bounded fast path (the same
+# bounded control-plane budget as the quotient collect): dedup-style
+# graphs with settled (checkpointed) edge frames and few edges solve
+# in ONE collect + one map-only labeling job, skipping the
+# contraction kernel, its aggregate exchange, and the DISK persist.
+EDGE_SINGLE_TASK_MAX = 500_000
+
 # observability: which routing min_label_fixpoint took last
 # ("probe-converged" | "quotient" | "min-label" | "alternating")
 LAST_FIXPOINT_PATH = {"path": ""}
@@ -140,6 +147,7 @@ def min_label_fixpoint(
     pairs: DataFrame,
     local_labels: DataFrame | None = None,
     seed_complete: bool = False,
+    edges_bounded: bool = False,
 ) -> DataFrame:
     """Connected components by min-label propagation to the exact
     fixpoint (Pregel-style, like GraphX CC). `pairs` is the
@@ -156,6 +164,19 @@ def min_label_fixpoint(
     node of `emb`, so the seed skips the join back to the node set
     entirely (two exchanges and one scan less in the final job);
     `pairs` remains the edge plan for the heavy fallback paths.
+
+    `edges_bounded=True` (round 13) is a caller's assertion that
+    `pairs` reads a SETTLED frame (ckpt_shared hit sets / candidate
+    frames — a cheap scan, never a recompute) whose edge count is
+    usually small: the fixpoint then tries ONE
+    limit(EDGE_SINGLE_TASK_MAX + 1) collect of the edges themselves
+    and, when not truncated, solves union-find driver-side and labels
+    `emb` with a map-only projection — no contraction kernel, no
+    aggregate exchange, no DISK persist, two jobs total including the
+    caller's collect. A truncated collect falls through to the
+    contraction machinery unchanged (the wasted pass is one scan of a
+    checkpointed frame). Same bounded control-plane budget as the
+    quotient collect. Ignored when local_labels is supplied.
 
     Phase order (round 12 — two-level contraction, TWO jobs + the
     caller's collect on every graph whose label quotient fits one
@@ -209,6 +230,57 @@ def min_label_fixpoint(
 
     release_fixpoint_cache()  # previous call's consumers are done
     spark = emb.sparkSession
+    if edges_bounded and local_labels is None:
+        old_lim = spark.conf.get("spark.sql.limit.initialNumPartitions", "1")
+        spark.conf.set("spark.sql.limit.initialNumPartitions", "100000")
+        try:
+            e_pd = pairs.limit(EDGE_SINGLE_TASK_MAX + 1).toPandas()
+        finally:
+            spark.conf.set("spark.sql.limit.initialNumPartitions", old_lim)
+        if len(e_pd) <= EDGE_SINGLE_TASK_MAX:
+            LAST_FIXPOINT_PATH["path"] = "edges-collect"
+            roots = _uf_roots(
+                zip(e_pd.iloc[:, 0].to_numpy(), e_pd.iloc[:, 1].to_numpy())
+            )
+            if not roots:
+                return emb.select(
+                    "vec_id", F.col("vec_id").alias("object_id")
+                ).orderBy("vec_id")
+            if len(roots) <= QUOTIENT_MAP_LITERAL_MAX:
+                lit = ",".join(f"{k}L,{v}L" for k, v in roots.items())
+                return (
+                    emb.select(
+                        "vec_id",
+                        F.coalesce(
+                            F.expr(f"element_at(map({lit}), vec_id)"),
+                            F.col("vec_id"),
+                        ).alias("object_id"),
+                    )
+                    .orderBy("vec_id")
+                )
+            import pandas as pd
+
+            mapping = spark.createDataFrame(
+                pd.DataFrame(
+                    {"q_label": list(roots.keys()),
+                     "q_root": list(roots.values())}
+                ).astype("int64")
+            )
+            return (
+                emb.select("vec_id")
+                .join(
+                    F.broadcast(mapping),
+                    F.col("vec_id") == mapping["q_label"],
+                    "left",
+                )
+                .select(
+                    "vec_id",
+                    F.coalesce("q_root", "vec_id").alias("object_id"),
+                )
+                .orderBy("vec_id")
+            )
+        # truncated: the graph is not small — discard and run the
+        # distributed contraction below (rare; one settled-frame scan)
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_sp), 16)))
     try:
@@ -648,7 +720,9 @@ def cluster_fof(spark, sf_dir):
         embcos_near_pairs(spark, sf_dir)
         .select(F.col("vec_a").alias("u"), F.col("vec_b").alias("v"))
     )
-    return min_label_fixpoint(emb, pairs)
+    # the candidate frame is ckpt_shared-settled; near-dup graphs are
+    # edge-sparse, so the one-collect driver solve usually applies
+    return min_label_fixpoint(emb, pairs, edges_bounded=True)
 
 
 @register("cluster_fof_exact", oracle=_fof_oracle(_EXACT_PAIRS_SQL), cacheable=False)
@@ -1024,7 +1098,7 @@ def llm_dedup_keep_best(spark, sf_dir):
         embcos_near_pairs(spark, sf_dir)
         .select(F.col("vec_a").alias("u"), F.col("vec_b").alias("v"))
     )
-    comp = min_label_fixpoint(emb, pairs)
+    comp = min_label_fixpoint(emb, pairs, edges_bounded=True)
     docs = load(spark, sf_dir, "documents")
     ntok = F.size(F.split("text", " "))
     score = (

@@ -150,3 +150,30 @@ def test_exact_fof_numpy_fold_is_bit_identical_to_hof(spark):
         assert acc == row.dot, (row.u, row.v, acc, row.dot)
         assert np.sqrt(na2) == row.n_a
         assert np.sqrt(nb2) == row.n_b
+
+
+def test_edges_collect_matches_distributed_paths(spark, monkeypatch):
+    """Round-13 edges-collect fast path: the one-collect driver solve
+    must label identically to the contraction machinery it bypasses,
+    and a truncated collect (cap forced to 0) must fall through to
+    that machinery transparently."""
+    from lsd_spark.plans import cluster
+
+    n = 500
+    chain = [(i, i + 1) for i in range(n) if i % 3 != 2]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "vec_id long")
+    pairs = spark.createDataFrame(chain, "u long, v long").repartition(8)
+    want = {(i, i - (i % 3)) for i in range(n)}
+
+    got_fast = _labels(
+        cluster.min_label_fixpoint(nodes, pairs, edges_bounded=True)
+    )
+    assert cluster.LAST_FIXPOINT_PATH["path"] == "edges-collect"
+    assert got_fast == want
+
+    monkeypatch.setattr(cluster, "EDGE_SINGLE_TASK_MAX", 0)
+    got_fb = _labels(
+        cluster.min_label_fixpoint(nodes, pairs, edges_bounded=True)
+    )
+    assert cluster.LAST_FIXPOINT_PATH["path"] in ("quotient", "probe-converged")
+    assert got_fb == want
