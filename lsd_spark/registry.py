@@ -589,6 +589,29 @@ _R13_TOUCHED: list[str] = [
     "sink_table_log",
     "sink_table_log_checkpoint",
     "stream_table_log_sink",
+    # round-13 OPTIMIZATION round: plan restructures (results pinned
+    # identical by tests + fresh driver_sim oracle runs, but the
+    # driver should re-hash against the new physical plans) —
+    # tile-contraction FoF + seed_complete + quotient map-literal
+    # (cluster_fof_2d / _super / agg_object_coadd), fold-exact numpy
+    # all-pairs kernel (cluster_fof_exact), edges-collect fast path
+    # (cluster_fof, llm_dedup_cluster, llm_dedup_simhash_clusters,
+    # llm_dedup_keep_best — already listed above), spread signature
+    # pass (llm_dedup_minhash_md5, llm_dedup_near), streaming state
+    # partition sizing (the _run_stream family below)
+    "llm_dedup_minhash_md5",
+    "llm_dedup_near",
+    "stream_watermark_late",
+    "stream_dedup",
+    "stream_stateful_count",
+    "stream_custom_state",
+    "stream_stream_join",
+    "stream_session_real",
+    "stream_xmatch_sphere",
+    "stream_topk_windowed",
+    "stream_parquet_sink",
+    "stream_foreach_sink",
+    "stream_static_join",
 ]
 
 

@@ -91,19 +91,23 @@ COMMENTARY = {
     "cluster_fof_2d": (
         "q_fof (friends-of-friends clustering)",
         "ITERATIVE op — the meaningful 'plan' is the barrier sequence, not one "
-        "tree (round 12: TWO jobs + the caller's collect on the common path): "
-        "(1) edge-gen fused into the per-partition union-find contraction — the "
-        "zone-bucketed candidate SELF-join is a ShuffledHashJoin on "
-        "non-nullable cell keys (never broadcast: both sides are the full "
-        "point set; the coalesce()-non-nullable keys let ReuseExchange fold "
-        "the duplicate scan), probe side spread across cores before the "
-        "md5-derivation+explode, per-node label agg persisted lazily; (2) ONE "
-        "bounded limit-collect that both materializes the persist and returns "
-        "the quotient edges — zero rows proves the seed IS the min-label "
-        "fixpoint, <=cap rows are union-found DRIVER-side and broadcast back "
-        "as a LocalRelation (no job); only a too-big quotient pays the "
-        "checkpoint + degree-routed Pregel / large-star-small-star loops. "
-        "The tree below is the returned labeling (cache scan + sort).",
+        "tree (round 13: TWO jobs + the caller's collect on the common path): "
+        "(1) the TILE-CONTRACTION job — points hash-partitioned by spatial "
+        "tile with halo copies into every tile covering their 3x3 cell "
+        "neighborhood (LSD's cell+margins sharding; ~1.26x row duplication), "
+        "then ONE Arrow kernel per tile does the forward-half-plane cell "
+        "pairing (vectorized pandas merge + numpy distance refine) AND the "
+        "union-find — one scan, one exchange where the round-12 self-join "
+        "shape paid two scans and three; every point labels itself, so the "
+        "seed is complete and never joins back to the node set; per-node "
+        "label agg persisted lazily; (2) ONE bounded limit-collect that both "
+        "materializes the persist and returns the quotient edges — zero rows "
+        "proves the seed IS the min-label fixpoint, <=cap rows are "
+        "union-found DRIVER-side and applied as a literal map() projection "
+        "(<=10k labels; broadcast LocalRelation above); only a too-big "
+        "quotient pays the checkpoint + degree-routed Pregel / "
+        "large-star-small-star loops. The tree below is the returned "
+        "labeling (cache scan + map projection + sort).",
     ),
 }
 
