@@ -1035,9 +1035,19 @@ def sink_density_adaptive(spark, sf_dir):
     from lsd_spark.plans.materialize import materialized
 
     def build(tmp: str) -> str:
+        # Keyed repartition inherits spark.sql.shuffle.partitions; in
+        # a session sized for small shuffles (4-8) that leaves 3072
+        # cell dirs to as few write tasks, each creating hundreds of
+        # files serially (52 s at sf0.1). Widening to at least the
+        # core count keeps one file per cell (each key still lands in
+        # exactly one task) and parallelizes the file creation (10 s).
+        width = max(
+            spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+        )
         (
             adaptive_layout_frame(spark, sf_dir)
-            .repartition("nside", "cell")
+            .repartition(width, "nside", "cell")
             .write.partitionBy("nside", "cell")
             .mode("overwrite")
             .parquet(f"{tmp}/adaptive")
