@@ -244,3 +244,23 @@ def test_multibatch_stream_stream_join_evicts_state(spark):
         .select(F.col("p.event_id"), F.col("c.event_id"))
     )
     assert got == sorted(map(tuple, batch.collect()))
+
+
+def test_state_partition_sizing_python_state_floor(spark):
+    """stream_state_partitions: python-stateful ops (real per-key
+    Python work in the state partition's worker) take a floor of 8 so
+    small-shuffle sessions keep the op's Python parallelism, while
+    JVM-state ops follow the session sizing down; both stay capped at
+    the historical 16 so a stock 200-partition session is unchanged."""
+    from lsd_spark.streaming.ops import stream_state_partitions
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        assert stream_state_partitions(spark) == 4
+        assert stream_state_partitions(spark, python_state=True) == 8
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        assert stream_state_partitions(spark) == 16
+        assert stream_state_partitions(spark, python_state=True) == 16
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
