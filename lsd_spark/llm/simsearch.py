@@ -326,24 +326,30 @@ def kmeans_centroids(spark, emb, k: int = N_CENTROIDS, iters: int = 3):
     broadcast table — bounded by k, independent of corpus size;
     identical to MLlib's own iterate-and-broadcast loop)."""
     cent = _seed_centroids(emb)
-    dim_cols = None
     for _ in range(iters):
         assigned = _nearest_centroids(emb, cent, 1)
-        means = (
+        # One shuffle per round: the (centroid, pos) partial-avg. The
+        # k x dim rounded means are collected directly (512 doubles —
+        # the same bounded rows the old second groupBy produced) and
+        # packed into arrays driver-side; the ROUND stays in Spark so
+        # every collected value is bit-identical to the old
+        # array_sort/transform formulation (and to the oracle's
+        # ROUND(AVG(val), 6)). Round 13 (guide §2.1): drops the
+        # per-round second exchange + interpreted HOF sort.
+        rows = (
             assigned.select("centroid_id", F.posexplode("embedding").alias("pos", "val"))
             .groupBy("centroid_id", "pos")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: F.round(s["m"], 6),
-                ).alias("c_emb")
-            )
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .collect()
         )
-        rows = means.collect()  # k rows: the next broadcast table
+        by_c: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_c.setdefault(r["centroid_id"], {})[r["pos"]] = float(r["m"])
         cent = spark.createDataFrame(
-            [(r["centroid_id"], [float(v) for v in r["c_emb"]]) for r in rows],
+            [
+                (cid, [d[p] for p in sorted(d)])
+                for cid, d in sorted(by_c.items())
+            ],
             "centroid_id BIGINT, c_emb ARRAY<DOUBLE>",
         )
     return cent
@@ -505,6 +511,86 @@ def _semdedup_oracle(iters: int = 3) -> str:
     )
 
 
+def _semdedup_near_pairs(reps):
+    """Within-cluster epsilon-similar ORDERED pairs (x_vid, y_vid)
+    over (vec_id, embedding, centroid_id) rep rows.
+
+    Round 13 (guide §4.2 native batch kernels): this pair refine ran
+    as an interpreted HOF fold per ordered pair (~8 x 250^2 folds x
+    64 dims at sf0.1 — HOFs never whole-stage-codegen). The
+    applyInPandas kernel receives ONE cluster's reps per group (the
+    same equi-join-on-centroid_id budget — never corpus all-pairs)
+    and computes the pairwise dots/norms in numpy with the exact JVM
+    fold order (dimension-by-dimension float64 accumulation — the
+    bit-identity argument and its test pin live with
+    cluster_fof_exact's kernel, tests/test_fof_tiled.py). The only
+    inexact step, Spark's decimal-string ROUND at the threshold,
+    stays in the JVM: the kernel pre-filters with a 1e-6 margin and
+    emits (x, y, dot, n_x, n_y) for the unchanged
+    round(dot/(n_x*n_y), 6) >= T filter. Zero-norm reps need no
+    special case: Spark divides by zero to NULL, so the JVM filter
+    drops them exactly as the old pair_sim NULL did. The asymmetric
+    keep-rule comparisons run afterwards in the CALLER's Spark plan
+    on the same JVM-computed c_sim doubles (joined back by id), so
+    NULL/tiebreak semantics are untouched."""
+    margin = SEMDEDUP_T - 1e-6
+
+    def _pair_kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"x_vid": [], "y_vid": [], "dot": [], "n_x": [], "n_y": []}
+        ).astype({
+            "x_vid": "int64", "y_vid": "int64",
+            "dot": "float64", "n_x": "float64", "n_y": "float64",
+        })
+        n_rows = len(pdf)
+        if n_rows < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy().astype("int64")
+        M = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+        ndim = M.shape[1]
+        n2 = np.zeros(n_rows)
+        for k in range(ndim):  # the JVM fold order, vectorized per dim
+            n2 += M[:, k] * M[:, k]
+        nn = np.sqrt(n2)
+        out = []
+        BLOCK = 512  # bounds the (block x n) dot matrix
+        for s in range(0, n_rows, BLOCK):
+            Mb = M[s:s + BLOCK]
+            dot = np.zeros((len(Mb), n_rows))
+            for k in range(ndim):
+                dot += np.outer(Mb[:, k], M[:, k])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = dot / (nn[s:s + BLOCK, None] * nn[None, :])
+            mask = sim >= margin
+            mask[np.arange(len(Mb)), np.arange(s, s + len(Mb))] = False
+            xi, yi = np.nonzero(mask)
+            if len(xi):
+                out.append(pd.DataFrame({
+                    "x_vid": ids[s + xi], "y_vid": ids[yi],
+                    "dot": dot[xi, yi],
+                    "n_x": nn[s + xi], "n_y": nn[yi],
+                }))
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        reps.groupBy("centroid_id")
+        .applyInPandas(
+            _pair_kernel,
+            "x_vid bigint, y_vid bigint, dot double, n_x double, n_y double",
+        )
+        .filter(
+            F.round(F.col("dot") / (F.col("n_x") * F.col("n_y")), 6)
+            >= SEMDEDUP_T
+        )
+        .select("x_vid", "y_vid")
+    )
+
+
 @register("llm_dedup_semantic", oracle=_semdedup_oracle(), cacheable=False)
 def llm_dedup_semantic(spark, sf_dir):
     """SemDedup-style semantic pruning (Abbas et al. 2023,
@@ -581,26 +667,27 @@ def llm_dedup_semantic(spark, sf_dir):
             ),
         )
     )
-    x = cs.alias("x")
-    y = cs.alias("y")
-    pair_sim = F.round(
-        F.expr(DOT_SPARK.format(a="x.embedding", b="y.embedding"))
-        / (F.col("x.n") * F.col("y.n")),
-        6,
-    )
+    near = _semdedup_near_pairs(cs.select("vec_id", "embedding", "centroid_id"))
+    csim_of = cs.select("vec_id", "c_sim")
     rep_dropped = (
-        x.join(
-            y,
-            (F.col("x.centroid_id") == F.col("y.centroid_id"))
-            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        near.join(
+            csim_of.select(
+                F.col("vec_id").alias("x_vid"), F.col("c_sim").alias("x_csim")
+            ),
+            "x_vid",
         )
-        .filter(pair_sim >= SEMDEDUP_T)
+        .join(
+            csim_of.select(
+                F.col("vec_id").alias("y_vid"), F.col("c_sim").alias("y_csim")
+            ),
+            "y_vid",
+        )
         .filter(
-            (F.col("y.c_sim") < F.col("x.c_sim"))
-            | ((F.col("y.c_sim") == F.col("x.c_sim"))
-               & (F.col("y.vec_id") < F.col("x.vec_id")))
+            (F.col("y_csim") < F.col("x_csim"))
+            | ((F.col("y_csim") == F.col("x_csim"))
+               & (F.col("y_vid") < F.col("x_vid")))
         )
-        .select(F.col("x.vec_id").alias("rvid"))
+        .select(F.col("x_vid").alias("rvid"))
         .distinct()
         .withColumn("_rdropped", F.lit(True))
     )

@@ -391,3 +391,58 @@ def test_simhash_clusters_collapse_bit_identical(spark, inflated_dir, dir_kind):
     ref = _rows(_simhash_clusters_naive(spark, d))
     assert got == ref
     clear_plan_cache()
+
+
+def test_semdedup_pair_kernel_matches_hof_join(spark, inflated_dir):
+    """Round-13 pin for llm_dedup_semantic's applyInPandas pair
+    kernel: the margin-prefiltered numpy candidates, after the exact
+    JVM round(dot/(n_x*n_y), 6) >= T filter, must equal the pair set
+    of the old HOF-fold x/y self-join — on the plain fixture and on
+    the 3x-replicated dir (where zero-norm/duplicate groups fire)."""
+    from lsd_spark.catalog import load
+    from lsd_spark.llm.simsearch import (SEMDEDUP_T, _nearest_centroids,
+                                         kmeans_centroids)
+    from lsd_spark.operators.joins import DOT_SPARK, NORM_SPARK
+
+    for d in (SF_SMALL, inflated_dir):
+        emb = load(spark, d, "embeddings")
+        cent = kmeans_centroids(spark, emb)
+        fp = F.md5(F.col("embedding").cast("string"))
+        tagged = emb.select("vec_id", "embedding", fp.alias("fp"))
+        groups = tagged.groupBy("fp").agg(
+            F.min("vec_id").alias("rvid"), F.first("embedding").alias("r_emb")
+        )
+        reps = groups.select(
+            F.col("rvid").alias("vec_id"), F.col("r_emb").alias("embedding")
+        )
+        assigned = _nearest_centroids(reps, cent, 1).select(
+            "vec_id", "embedding", "centroid_id"
+        )
+        norm = F.expr(NORM_SPARK.format(a="embedding"))
+        cs = assigned.select("vec_id", "embedding", "centroid_id", norm.alias("n"))
+        x = cs.alias("x")
+        y = cs.alias("y")
+        pair_sim = F.round(
+            F.expr(DOT_SPARK.format(a="x.embedding", b="y.embedding"))
+            / (F.col("x.n") * F.col("y.n")),
+            6,
+        )
+        hof_pairs = sorted(
+            map(
+                tuple,
+                x.join(
+                    y,
+                    (F.col("x.centroid_id") == F.col("y.centroid_id"))
+                    & (F.col("x.vec_id") != F.col("y.vec_id")),
+                )
+                .filter(pair_sim >= SEMDEDUP_T)
+                .select(F.col("x.vec_id"), F.col("y.vec_id"))
+                .collect(),
+            )
+        )
+        # drive the new kernel path exactly as the op builds it
+        from lsd_spark.llm import simsearch as ss
+
+        near = ss._semdedup_near_pairs(cs.select("vec_id", "embedding", "centroid_id"))
+        got = sorted(map(tuple, near.collect()))
+        assert got == hof_pairs, (d, len(got), len(hof_pairs))
