@@ -225,7 +225,18 @@ def min_label_fixpoint(
     Memory hygiene (found the hard way at sf0.1 on a stock 1g
     session): iteration checkpoints are DISK_ONLY, the previous
     iteration's checkpoint is unpersisted once superseded, and the
-    loop runs on bounded shuffle partitions."""
+    loop runs on bounded shuffle partitions.
+
+    Concurrency note (round-13 VERDICT #4): this function flips
+    session-scoped confs (spark.sql.limit.initialNumPartitions,
+    spark.sql.shuffle.partitions) around its bounded collects and
+    restores them in finally blocks. That assumes SINGLE-THREADED
+    plan builds on the session — the registry/driver/bench contract
+    here. Concurrent plan builds on one SparkSession would race the
+    flip/restore; a deployment that builds plans from several driver
+    threads must serialize fixpoint construction (the collects
+    themselves are short control-plane jobs) or move these two confs
+    to session defaults."""
     from pyspark.storagelevel import StorageLevel
 
     release_fixpoint_cache()  # previous call's consumers are done
@@ -247,12 +258,17 @@ def min_label_fixpoint(
                     "vec_id", F.col("vec_id").alias("object_id")
                 ).orderBy("vec_id")
             if len(roots) <= QUOTIENT_MAP_LITERAL_MAX:
+                # try_element_at, not element_at: NULL on a missing key
+                # under BOTH ANSI settings (round-14 ADVICE — element_at
+                # throws MAP_KEY_DOES_NOT_EXIST under ANSI, and
+                # apply_session_defaults tolerates builds where the ANSI
+                # conf is not runtime-settable)
                 lit = ",".join(f"{k}L,{v}L" for k, v in roots.items())
                 return (
                     emb.select(
                         "vec_id",
                         F.coalesce(
-                            F.expr(f"element_at(map({lit}), vec_id)"),
+                            F.expr(f"try_element_at(map({lit}), vec_id)"),
                             F.col("vec_id"),
                         ).alias("object_id"),
                     )
@@ -396,13 +412,15 @@ def min_label_fixpoint(
                 # MAP expression — a scalar lookup in the projection,
                 # so the final job is scan -> project -> sort with no
                 # BroadcastExchange and no createDataFrame round-trip
-                # (round 13; identical output, one less exchange)
+                # (round 13; identical output, one less exchange).
+                # try_element_at: ANSI-safe on missing keys (round-14
+                # ADVICE, same rationale as the edges-collect path)
                 lit = ",".join(f"{k}L,{v}L" for k, v in roots.items())
                 return (
                     seed.select(
                         "vec_id",
                         F.coalesce(
-                            F.expr(f"element_at(map({lit}), object_id)"),
+                            F.expr(f"try_element_at(map({lit}), object_id)"),
                             F.col("object_id"),
                         ).alias("object_id"),
                     )
@@ -817,7 +835,16 @@ def cluster_fof_exact(spark, sf_dir):
         )
         .select("u", "v")
     )
-    return min_label_fixpoint(emb, pairs)
+    labels = min_label_fixpoint(emb, pairs)
+    # release the broadcast matrix with the fixpoint's own deferred
+    # mechanism (round-14 ADVICE: the handle used to stay pinned on
+    # driver and executors for the session lifetime). Appended AFTER
+    # the fixpoint call — min_label_fixpoint releases the pin list at
+    # its START, so the matrix survives this call's consuming action
+    # and goes at the NEXT fixpoint call / cache clear.
+    # Broadcast.unpersist() matches the release loop's duck-typed call.
+    _PINNED_CACHE.append(bc)
+    return labels
 
 
 @register(

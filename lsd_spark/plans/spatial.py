@@ -688,10 +688,26 @@ def tiled_local_labels(spark, sf_dir: str, etype: str, radius: float) -> DataFra
     self_radius_pairs, vectorized as one pandas hash-merge per task.
 
     100 TB: the shuffle moves (id, x, y, cell, tile) rows — never
-    payloads; per-task memory is the tile's point dict (bounded by
-    tile area x density, the operator's declared envelope, tunable
-    via FOF_TILE_CELLS); the label aggregate and the driver-side
-    quotient solve are unchanged from the round-12 audit."""
+    payloads. Per-task memory (round-14 ADVICE — the old docstring
+    overclaimed "bounded by tile area x density"): a task buffers its
+    whole shuffle partition's point rows (every tile hashed to it,
+    ~1.26x halo), but the QUADRATIC structures — the 5-direction
+    probe frame, the candidate hash-merge, and the union-find dict —
+    are built PER TILE via a groupby, so the big multiplier is
+    bounded by one tile's area x density. For the strict per-tile row
+    envelope too, size shuffle partitions to the distinct tile count
+    (the repartition below inherits the session's scale-adaptive
+    shuffle sizing; AQE coalescing keeps small runs dense). The label
+    aggregate and the driver-side quotient solve are unchanged from
+    the round-12 audit.
+
+    The distance predicate is sqrt(dx*dx + dy*dy) <= radius —
+    operand-for-operand the SAME float64 expression self_radius_pairs
+    and the DuckDB oracle evaluate (round-14 ADVICE: the previous
+    d2 <= radius*radius form is not bit-equivalent at the boundary;
+    fl(d2) slightly above fl(R*R) can still give fl(sqrt(d2)) <= R,
+    so a boundary pair kept by the fallback/oracle could be dropped
+    here, splitting a component)."""
     pts = points(spark, sf_dir, etype)
     cell = lambda c: F.floor(F.col(c) / F.lit(radius))  # noqa: E731
     tiles = F.array_distinct(
@@ -721,8 +737,6 @@ def tiled_local_labels(spark, sf_dir: str, etype: str, radius: float) -> DataFra
         )
         .repartition(F.col("tx"), F.col("ty"))
     )
-    r2 = radius * radius
-
     def kernel(batches):
         # self-contained on purpose: closing over module-level helpers
         # pickles them by reference and executors without lsd_spark on
@@ -733,61 +747,72 @@ def tiled_local_labels(spark, sf_dir: str, etype: str, radius: float) -> DataFra
         dfs = list(batches)
         if not dfs:
             return
-        df = pd.concat(dfs, ignore_index=True)
-        home = df[["tx", "ty", "cx", "cy"]].copy()
-        home["idx"] = np.arange(len(df))
-        probes = []
-        for dx, dy, is_home in (
-            (0, 0, True), (0, 1, False), (1, -1, False),
-            (1, 0, False), (1, 1, False),
-        ):
-            p = df[["tx", "ty"]].copy()
-            p["cx"] = df["cx"] + dx
-            p["cy"] = df["cy"] + dy
-            p["pidx"] = np.arange(len(df))
-            p["home"] = is_home
-            probes.append(p)
-        cand = pd.concat(probes, ignore_index=True).merge(
-            home, on=["tx", "ty", "cx", "cy"]
-        )
-        ui = cand["pidx"].to_numpy()
-        vi = cand["idx"].to_numpy()
-        uh = cand["home"].to_numpy()
-        uid = df["event_id"].to_numpy()
-        x = df["x"].to_numpy()
-        y = df["y"].to_numpy()
-        u, v = uid[ui], uid[vi]
-        # home cell: u < v emits each same-cell pair once; forward
-        # cells: u != v (each cross-cell pair reached from its lower
-        # cell only — the self_radius_pairs half-plane argument)
-        keep = np.where(uh, u < v, u != v)
-        dx_ = x[ui] - x[vi]
-        dy_ = y[ui] - y[vi]
-        keep &= (dx_ * dx_ + dy_ * dy_) <= r2
-        u, v = u[keep], v[keep]
-        parent: dict[int, int] = {}
+        # ONE tile at a time (round-14 ADVICE): the probe frame, the
+        # candidate merge and the union-find dict are the quadratic
+        # structures — per tile they stay inside the tile-area x
+        # density envelope whatever mix of tiles this partition holds
+        whole = pd.concat(dfs, ignore_index=True)
+        for _t, df in whole.groupby(["tx", "ty"], sort=False):
+            df = df.reset_index(drop=True)
+            home = df[["cx", "cy"]].copy()
+            home["idx"] = np.arange(len(df))
+            probes = []
+            for dx, dy, is_home in (
+                (0, 0, True), (0, 1, False), (1, -1, False),
+                (1, 0, False), (1, 1, False),
+            ):
+                p = pd.DataFrame(
+                    {
+                        "cx": df["cx"] + dx,
+                        "cy": df["cy"] + dy,
+                        "pidx": np.arange(len(df)),
+                        "home": is_home,
+                    }
+                )
+                probes.append(p)
+            cand = pd.concat(probes, ignore_index=True).merge(
+                home, on=["cx", "cy"]
+            )
+            ui = cand["pidx"].to_numpy()
+            vi = cand["idx"].to_numpy()
+            uh = cand["home"].to_numpy()
+            uid = df["event_id"].to_numpy()
+            x = df["x"].to_numpy()
+            y = df["y"].to_numpy()
+            u, v = uid[ui], uid[vi]
+            # home cell: u < v emits each same-cell pair once; forward
+            # cells: u != v (each cross-cell pair reached from its lower
+            # cell only — the self_radius_pairs half-plane argument)
+            keep = np.where(uh, u < v, u != v)
+            dx_ = x[ui] - x[vi]
+            dy_ = y[ui] - y[vi]
+            # sqrt(d2) <= radius, NOT d2 <= radius^2: bit-identical to
+            # the JVM/oracle predicate (round-14 ADVICE, see docstring)
+            keep &= np.sqrt(dx_ * dx_ + dy_ * dy_) <= radius
+            u, v = u[keep], v[keep]
+            parent: dict[int, int] = {}
 
-        def find(a: int) -> int:
-            while parent[a] != a:
-                parent[a] = parent[parent[a]]
-                a = parent[a]
-            return a
+            def find(a: int) -> int:
+                while parent[a] != a:
+                    parent[a] = parent[parent[a]]
+                    a = parent[a]
+                return a
 
-        for n in uid:  # every point, so isolated ones label themselves
-            n = int(n)
-            if n not in parent:
-                parent[n] = n
-        for a, b in zip(u, v):
-            a, b = int(a), int(b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                if rb < ra:
-                    ra, rb = rb, ra
-                parent[rb] = ra
-        nodes = list(parent)
-        yield pd.DataFrame(
-            {"vec_id": nodes, "lmin": [find(n) for n in nodes]}
-        )
+            for n in uid:  # every point: isolated ones label themselves
+                n = int(n)
+                if n not in parent:
+                    parent[n] = n
+            for a, b in zip(u, v):
+                a, b = int(a), int(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            nodes = list(parent)
+            yield pd.DataFrame(
+                {"vec_id": nodes, "lmin": [find(n) for n in nodes]}
+            )
 
     return tagged.mapInPandas(kernel, "vec_id bigint, lmin bigint")
 

@@ -558,7 +558,9 @@ _R12_TOUCHED: list[str] = [
 
 
 # Ops whose PHYSICAL PLAN (or kernel/log format code) changed in
-# round 13 — their newest driver row predates the current code.
+# round 13 — kept for the ledger history comment trail; superseded
+# by _R14_TOUCHED below (re-verified by the r13 driver run, see
+# _R13_LEDGER — except the six gaps carried into _R14_TOUCHED).
 _R13_TOUCHED: list[str] = [
     # round-13 ADVICE: min_label_fixpoint's probe-converged/quotient
     # paths now register their DISK_ONLY contraction cache for
@@ -612,6 +614,69 @@ _R13_TOUCHED: list[str] = [
     "stream_parquet_sink",
     "stream_foreach_sink",
     "stream_static_join",
+]
+
+
+# Ops whose PHYSICAL PLAN (or kernel code) changed in round 14 —
+# their newest driver row predates the current code — PLUS the six
+# round-13 plan-changed ops that missed _R13_TOUCHED (round-13
+# VERDICT "What's wrong" #1: commits eedeaef/faed153 landed after
+# the touched-list commit, so the driver's rotation never
+# prioritized their NEW plans; knn_ivf was re-hashed green by
+# rotation luck but the ratchet should not rely on that).
+# _ROWS_ONLY_BY_DESIGN ops are filtered out at use sites (round-13
+# VERDICT #2: llm_dedup_near burned a capped ledger slot on a row
+# that can only ever read no_oracle).
+_R14_TOUCHED: list[str] = [
+    # round-13 gaps: SemDedup pair-refine kernel + Lloyd-round
+    # shuffle slim (eedeaef), density layout write + listing (faed153)
+    "llm_dedup_semantic",
+    "knn_ivf_kmeans",
+    "llm_cluster_assign",
+    "knn_ivf",
+    "sink_density_adaptive",
+    "agg_density_adaptive",
+    # round-14 ADVICE: the tiled FoF kernel's distance predicate is
+    # now sqrt(d2) <= radius (bit-identical to the JVM/oracle form)
+    # and the kernel runs tile-by-tile; the quotient/edges-collect
+    # map-literal paths use try_element_at (ANSI-safe) — both change
+    # the physical plan of every fixpoint consumer
+    "cluster_fof",
+    "cluster_fof_exact",
+    "cluster_fof_2d",
+    "cluster_fof_2d_super",
+    "agg_object_coadd",
+    "llm_dedup_keep_best",
+    "llm_dedup_cluster",
+    "llm_dedup_simhash_clusters",
+]
+
+
+# The 50 ops recorded by the round-13 driver run (the exact key list
+# of CORRECTNESS_r13.json — 49 hash-green plus the rows-only-by-design
+# llm_dedup_near, whose row can only ever read no_oracle): the 5
+# round-13 additions, the _R13_TOUCHED re-verification, and the
+# rotation head.
+_R13_LEDGER = [
+    "sink_table_log_changes", "stream_table_log_source",
+    "sink_table_log_delete", "sink_table_log_merge",
+    "source_fits_hcompress", "cluster_fof", "cluster_fof_exact",
+    "cluster_fof_2d", "cluster_fof_2d_super", "agg_object_coadd",
+    "llm_dedup_keep_best", "llm_dedup_cluster",
+    "llm_dedup_simhash_clusters", "llm_bpe_apply",
+    "sink_table_log_compact", "sink_table_log_compact_zorder",
+    "sink_table_log_vacuum", "sink_table_log_skipping",
+    "sink_table_log", "sink_table_log_checkpoint",
+    "stream_table_log_sink", "llm_dedup_minhash_md5", "llm_dedup_near",
+    "stream_watermark_late", "stream_dedup", "stream_stateful_count",
+    "stream_custom_state", "stream_stream_join", "stream_session_real",
+    "stream_xmatch_sphere", "stream_topk_windowed",
+    "stream_parquet_sink", "stream_foreach_sink", "stream_static_join",
+    "sink_output_formats", "knn_ivf", "knn_lsh", "llm_lang_id",
+    "sink_bucketed", "source_schema_evolution", "sink_snapshot",
+    "win_streak", "win_sessionize", "llm_ngram_freq", "llm_oov_rate",
+    "merge_scd2", "fn_fits_keyword", "llm_mix_temperature",
+    "filter_region_cone", "filter_region_poly",
 ]
 
 
@@ -671,7 +736,7 @@ _LEDGER_HISTORY = [
     (1, _R1_LEDGER), (2, _R2_LEDGER), (3, _R3_LEDGER),
     (5, _R4_LEDGER), (6, _R6_LEDGER), (7, _R7_LEDGER),
     (8, _R8_LEDGER), (9, _R9_LEDGER), (10, _R10_LEDGER),
-    (11, _R11_LEDGER), (12, _R12_LEDGER),
+    (11, _R11_LEDGER), (12, _R12_LEDGER), (13, _R13_LEDGER),
 ]
 
 
@@ -714,7 +779,12 @@ def _reorder_for_ledger() -> None:
     re-confirms stale ones, in that order."""
     all_recorded = set(_latest_confirmed())
     tier1 = [k for k in QUERIES if k not in all_recorded]
-    tier2 = [k for k in _R13_TOUCHED if k in QUERIES]
+    # rows-only-by-design ops are filtered here too (round-13 VERDICT
+    # #2): their re-hash slot can only ever record no_oracle
+    tier2 = [
+        k for k in _R14_TOUCHED
+        if k in QUERIES and k not in _ROWS_ONLY_BY_DESIGN
+    ]
     seen = set(tier1) | set(tier2)
     tier3 = [k for k in _refresh_rotation()
              if k in QUERIES and k not in seen]
@@ -744,7 +814,10 @@ def freshness_report() -> dict[str, Any]:
         "n_ops": len(QUERIES),
         "never_recorded": sorted(k for k in QUERIES if k not in latest),
         "latest_round_histogram": dict(sorted(by_round.items())),
-        "touched_this_round": [k for k in _R13_TOUCHED if k in QUERIES],
+        "touched_this_round": [
+            k for k in _R14_TOUCHED
+            if k in QUERIES and k not in _ROWS_ONLY_BY_DESIGN
+        ],
         "rotation_head": rotation[:50],
         "rotation_len": len(rotation),
         "latest_by_op": {k: latest.get(k, 0) for k in QUERIES},

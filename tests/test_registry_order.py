@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from lsd_spark.registry import (
     _LEDGER_HISTORY,
-    _R13_TOUCHED,
+    _R14_TOUCHED,
     _ROWS_ONLY_BY_DESIGN,
     _latest_confirmed,
     _refresh_rotation,
@@ -37,7 +37,8 @@ def test_tier2_is_touched_then_rotation():
     newest-confirmation first) minus the touched set."""
     names = list(QUERIES)
     n_new = sum(1 for k in names if k not in _ALL_RECORDED)
-    touched = [k for k in _R13_TOUCHED if k in QUERIES]
+    touched = [k for k in _R14_TOUCHED
+               if k in QUERIES and k not in _ROWS_ONLY_BY_DESIGN]
     assert names[n_new:n_new + len(touched)] == touched
     rotation = [k for k in _refresh_rotation()
                 if k in QUERIES and k not in set(touched)]
@@ -63,7 +64,8 @@ def test_r09_window_covers_new_touched_and_stale():
     window = set(names)
     n_new = sum(1 for k in QUERIES if k not in _ALL_RECORDED)
     assert all(k in window for k in QUERIES if k not in _ALL_RECORDED)
-    touched = [k for k in _R13_TOUCHED if k in QUERIES]
+    touched = [k for k in _R14_TOUCHED
+               if k in QUERIES and k not in _ROWS_ONLY_BY_DESIGN]
     n_touched_fit = min(len(touched), max(0, 50 - n_new))
     assert all(k in window for k in touched[:n_touched_fit])
     rotation = [k for k in _refresh_rotation()
@@ -113,7 +115,8 @@ def test_committed_freshness_matches_live_registry():
         f"{len(QUERIES)} — re-run bench.py (or freshness_report()) "
         "before committing"
     )
-    live_touched = [k for k in _R13_TOUCHED if k in QUERIES]
+    live_touched = [k for k in _R14_TOUCHED
+                    if k in QUERIES and k not in _ROWS_ONLY_BY_DESIGN]
     assert committed["touched_this_round"] == live_touched
 
 
