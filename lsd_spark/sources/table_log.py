@@ -149,6 +149,138 @@ def write_data_files(df: DataFrame, path: str, tag: str) -> list[str]:
     )
 
 
+def stage_sliced_files(
+    df: DataFrame,
+    path: str,
+    slice_col,
+    tags: list[str],
+    single_file: bool = True,
+) -> list[list[str]]:
+    """Stage MANY commits' data files with ONE Spark job (round-14
+    optimization, guide §2.4/§6: the table-log ops' wall time was
+    dominated by the per-job floor of N separate filtered writes —
+    each one a full scan of the input). Writes `df` once, partitioned
+    by the integer `slice_col` (0..len(tags)-1), into a transient
+    staging dir, then MOVES each slice's parquet files into its
+    commit-unique `data/<tag>` dir driver-side (os.replace — pure
+    metadata, no bytes copied, same filesystem by construction).
+
+    Commit semantics are untouched: staged files are invisible until
+    a log entry publishes them, exactly as with write_data_files, and
+    the staging dir is removed before returning so vacuum never sees
+    it. `single_file=True` repartitions by the slice id so every
+    slice lands in exactly ONE task and therefore ONE file — the
+    coalesce(1)-per-slice layout the skipping/zorder ops pin their
+    pruning counts on. Relative to per-slice writes, only the file
+    names and intra-file row order differ; row values, footer
+    min/max stats, and manifest path structure are identical in kind,
+    so every consumer (aggregates, parquet_file_stats, vacuum,
+    time travel) sees the same results. A slice with no rows yields
+    an empty file list (write_data_files would have staged one empty
+    part file; no registered op commits an empty slice).
+    """
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as _F
+
+    tagged = df.withColumn("_sl", slice_col.cast("int"))
+    if single_file:
+        tagged = tagged.repartition(len(tags), "_sl")
+    stage = os.path.join(path, "data", f"_stage-{_uuid.uuid4().hex}")
+    tagged.write.partitionBy("_sl").mode("errorifexists").parquet(stage)
+    out: list[list[str]] = []
+    for i, tag in enumerate(tags):
+        dst = os.path.join(path, "data", tag)
+        os.makedirs(dst, exist_ok=False)
+        src = os.path.join(stage, f"_sl={i}")
+        moved: list[str] = []
+        if os.path.isdir(src):
+            for f in sorted(os.listdir(src)):
+                if f.endswith(".parquet"):
+                    os.replace(
+                        os.path.join(src, f), os.path.join(dst, f)
+                    )
+                    moved.append(os.path.join(dst, f))
+        out.append(moved)
+    _shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
+def copy_staged_orphan(src_files: list[str], path: str, tag: str) -> list[str]:
+    """Stage a crashed-writer / replay orphan by COPYING existing
+    staged parquet driver-side (round-14: the orphan's CONTENT is
+    never read by any consumer — only its existence as unreferenced
+    staged parquet matters to vacuum and to the invisibility
+    asserts — so a byte copy replaces a whole Spark write job)."""
+    import shutil as _shutil
+
+    dst = os.path.join(path, "data", tag)
+    os.makedirs(dst, exist_ok=False)
+    out = []
+    for f in src_files:
+        t = os.path.join(dst, os.path.basename(f))
+        _shutil.copyfile(f, t)
+        out.append(t)
+    return sorted(out)
+
+
+def fused_cents_aggs(tagged_frames) -> dict[int, tuple[int, int]]:
+    """Fuse N per-frame (COUNT(*), SUM(FLOOR(o_totalprice*100+0.5)))
+    aggregates into ONE Spark action (round-14 optimization, guide
+    §1.4/§2.4: each .first() was its own job pair and the family's
+    wall time was job-floor-bound). Takes [(tag, df), ...] where df
+    has o_totalprice; unions the frames with a literal tag, grouping
+    by tag. Per-row expressions are operand-identical to the per-frame
+    form and both COUNT and the long SUM are order-insensitive and
+    exact, so the fused result is pointwise equal. A tag whose frame
+    is EMPTY has no group — COUNT(*)=0 iff the group is absent, so
+    callers read missing tags as (0, 0), the same identity the
+    per-frame coalesce(SUM, 0) produced."""
+    from functools import reduce
+
+    from pyspark.sql import functions as _F
+
+    parts = [
+        df.select(
+            _F.lit(int(t)).alias("_t"),
+            _F.floor(_F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("_c"),
+        )
+        for t, df in tagged_frames
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    rows = (
+        u.groupBy("_t")
+        .agg(
+            _F.count("*").cast("long").alias("n"),
+            _F.sum("_c").alias("cents"),
+        )
+        .collect()
+    )
+    return {r["_t"]: (r["n"], r["cents"]) for r in rows}
+
+
+def fused_counts(tagged_frames) -> dict[int, int]:
+    """COUNT(*)-only sibling of fused_cents_aggs: one action for N
+    per-frame counts; a tag with no group counted 0 rows."""
+    from functools import reduce
+
+    from pyspark.sql import functions as _F
+
+    parts = [
+        df.select(_F.lit(int(t)).alias("_t")) for t, df in tagged_frames
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    rows = (
+        u.groupBy("_t")
+        .agg(_F.count("*").cast("long").alias("n"))
+        .collect()
+    )
+    return {r["_t"]: r["n"] for r in rows}
+
+
 def try_commit(
     path: str,
     version: int,
@@ -981,26 +1113,46 @@ def merge_into(
     base + src - new. `check_unique` guards the upsert contract —
     duplicate source keys would land duplicate rows (same as Delta's
     multiple-matches error). Isolation is the same serializable
-    exact-claim as delete_where."""
-    if check_unique:
-        dup = (
-            source.groupBy(*keys).count().filter(F.col("count") > 1)
-        )
-        if dup.limit(1).count():
-            raise ValueError(
-                f"merge source has duplicate keys on {keys}; whole-row "
-                "upsert needs at most one source row per key"
-            )
+    exact-claim as delete_where.
+
+    Round-14 (guide §1.4/§2.4): the dup check, the source count, and
+    — when `prune_col` is one of `keys` — the prune bounds all come
+    from ONE per-key aggregate over the checkpointed source (SUM of
+    group counts = n_src; MAX of group counts > 1 = duplicate; MIN/
+    MAX of a key column over groups = over rows), replacing three
+    separate actions. The checkpoint now happens before the dup
+    check, so a rejected source pays one materialization — three
+    fewer jobs on every accepted merge."""
     src = source.localCheckpoint(eager=True)  # stable across retries
-    n_src = src.count()
+    per_key = src.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    aggs = [
+        F.sum("_n").cast("long").alias("n"),
+        F.max("_n").alias("mx"),
+    ]
+    key_bounds = prune_col is not None and prune_col in keys
+    if key_bounds:
+        aggs += [
+            F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
+        ]
+    st = per_key.agg(*aggs).first()
+    n_src = int(st["n"] or 0)
+    if check_unique and (st["mx"] or 0) > 1:
+        raise ValueError(
+            f"merge source has duplicate keys on {keys}; whole-row "
+            "upsert needs at most one source row per key"
+        )
     for attempt in range(max(0, retries) + 1):
         v0 = latest_version(path)
         files, old_stats = _manifest_and_stats(path, v0)
         candidates = files
         if prune_col is not None and files:
-            b = src.agg(
-                F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
-            ).first()
+            if key_bounds:
+                b = {"lo": st["lo"], "hi": st["hi"]}
+            else:
+                b = src.agg(
+                    F.min(prune_col).alias("lo"),
+                    F.max(prune_col).alias("hi"),
+                ).first()
             candidates, _total = manifest_pruned(
                 path, v0, prune_col, b["lo"], b["hi"]
             )
@@ -1096,21 +1248,29 @@ def sink_table_log(spark, sf_dir):
     (row count, exact cents sum); the oracle recomputes each
     version's cumulative slice from the source table, so a row
     leaked by the orphan, dropped by the race, or double-counted by
-    the retry breaks the hash."""
+    the retry breaks the hash.
+
+    Round-14 (guide §2.4/§6, §1.4): the three slices stage with ONE
+    partitioned write instead of three filtered scans, the crashed
+    writer's orphan is a driver-side byte copy (its content is never
+    read), and the three per-version aggregates fuse into one
+    union-by-version action — 16 Spark jobs down to ~5, commit/race
+    semantics untouched (staging order is free; files stay invisible
+    until their entry publishes)."""
     import shutil
     import tempfile
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    sl = [o.filter(F.col("o_orderkey") % 3 == i) for i in (0, 1, 2)]
     base = tempfile.mkdtemp(prefix="lsd_tlog_")
     try:
         init_table(base)
-        v1 = commit(base, write_data_files(sl[0], base, "a1"), "A")
+        fa1, fa, fb = stage_sliced_files(
+            o, base, F.col("o_orderkey") % 3, ["a1", "a2", "b1"]
+        )
+        v1 = commit(base, fa1, "A")
         assert v1 == 1
-        # the race: both writers stage, both observe latest=1 and
+        # the race: both writers staged, both observe latest=1 and
         # target version 2; A's atomic create wins, B must retry
-        fa = write_data_files(sl[1], base, "a2")
-        fb = write_data_files(sl[2], base, "b1")
         target = latest_version(base) + 1
         assert try_commit(base, target, fa, "A")
         assert not try_commit(base, target, fb, "B")  # lost the race
@@ -1118,20 +1278,11 @@ def sink_table_log(spark, sf_dir):
         assert vb == 3
         # crash simulation: staged data files with NO log entry —
         # must stay invisible to every read below
-        write_data_files(sl[0], base, "crashed-writer")
-        rows = []
-        for v in (1, 2, 3):
-            got = (
-                read_version(spark, base, v)
-                .agg(
-                    F.count("*").cast("long").alias("n"),
-                    F.sum(
-                        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
-                    ).alias("cents"),
-                )
-                .first()
-            )
-            rows.append((v, got["n"], got["cents"]))
+        copy_staged_orphan(fa1, base, "crashed-writer")
+        agg = fused_cents_aggs(
+            [(v, read_version(spark, base, v)) for v in (1, 2, 3)]
+        )
+        rows = [(v, *agg[v]) for v in (1, 2, 3)]
         return spark.createDataFrame(
             rows, "version int, n_rows bigint, cents bigint"
         ).orderBy("version")
@@ -1163,41 +1314,44 @@ def sink_table_log_checkpoint(spark, sf_dir):
     re-reads versions 10 and 12 — proving the planner runs off the
     checkpoint + suffix, not the walked-over entries. Returns
     per-version (rows, exact cents); the oracle recomputes each
-    cumulative slice from the source table."""
+    cumulative slice from the source table.
+
+    Round-14 (guide §2.4/§1.4): the 12 per-commit filtered writes
+    collapse into ONE partitioned staging write (the 12 commits — and
+    the checkpoints at 5 and 10 — still publish one by one through
+    the unchanged log machinery), and the four version aggregates
+    fuse into TWO union actions, not one: versions 10/12 must be read
+    AFTER the walked-over entries are deleted — that post-deletion
+    read is the op's checkpoint-planning proof — so they cannot share
+    an action with 5/7. 27 jobs down to ~6."""
     import shutil
     import tempfile
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     base = tempfile.mkdtemp(prefix="lsd_tlogck_")
-
-    def agg(v: int):
-        got = (
-            read_version(spark, base, v)
-            .agg(
-                F.count("*").cast("long").alias("n"),
-                F.sum(
-                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
-                ).alias("cents"),
-            )
-            .first()
-        )
-        return (v, got["n"], got["cents"])
-
     try:
         init_table(base)
-        for i in range(12):
-            fs = write_data_files(
-                o.filter(F.col("o_orderkey") % 12 == i), base, f"c{i:02d}"
-            )
+        staged = stage_sliced_files(
+            o, base, F.col("o_orderkey") % 12,
+            [f"c{i:02d}" for i in range(12)],
+        )
+        for fs in staged:
             commit(base, fs, "A", checkpoint_interval=5)
         assert checkpoint_versions(base) == [5, 10]
         assert _pointer_version(base) == 10
         for v in (5, 7, 10, 12):
             assert manifest(base, v) == manifest_full_walk(base, v)
-        rows = [agg(5), agg(7)]
+        pre = fused_cents_aggs(
+            [(v, read_version(spark, base, v)) for v in (5, 7)]
+        )
         for v in range(1, 11):  # checkpoint 10 covers these entries
             os.unlink(_entry_path(base, v))
-        rows += [agg(10), agg(12)]
+        post = fused_cents_aggs(
+            [(v, read_version(spark, base, v)) for v in (10, 12)]
+        )
+        rows = [(v, *pre[v]) for v in (5, 7)] + [
+            (v, *post[v]) for v in (10, 12)
+        ]
         return spark.createDataFrame(
             rows, "version int, n_rows bigint, cents bigint"
         ).orderBy("version")
@@ -1241,7 +1395,14 @@ def sink_table_log_vacuum(spark, sf_dir):
     sets go, committed files stay, and every version's time-travel
     read still matches the oracle's cumulative slices afterwards. A
     vacuum that trusted a directory listing, ignored the checkpoint
-    walk, or deleted a reachable file breaks the hash."""
+    walk, or deleted a reachable file breaks the hash.
+
+    Round-14 (guide §2.4/§1.4): one partitioned staging write for
+    the three commits, driver-side byte copies for the two orphan
+    writers (their content is never read — only their existence as
+    unreferenced staged parquet is what vacuum must find and the
+    reads must NOT), and one fused post-vacuum union aggregate for
+    the three time-travel reads. 19 jobs down to ~4."""
     import shutil
     import tempfile
 
@@ -1249,34 +1410,22 @@ def sink_table_log_vacuum(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="lsd_tlvac_")
     try:
         init_table(base)
-        for i in range(3):
-            commit(
-                base,
-                write_data_files(
-                    o.filter(F.col("o_orderkey") % 3 == i), base, f"c{i}"
-                ),
-                "A",
-            )
+        staged = stage_sliced_files(
+            o, base, F.col("o_orderkey") % 3, ["c0", "c1", "c2"]
+        )
+        for fs in staged:
+            commit(base, fs, "A")
         # two crashed writers: staged, never published
-        write_data_files(o.limit(7), base, "crash-1")
-        write_data_files(o.limit(3), base, "crash-2")
+        copy_staged_orphan(staged[0][:1], base, "crash-1")
+        copy_staged_orphan(staged[1][:1], base, "crash-2")
         guarded, _ = vacuum(base)  # production window: orphans too young
         deleted, freed = vacuum(base, min_age_sec=0.0)
         dirs = {p.split("/data/")[1].split("/")[0] for p in deleted}
         assert dirs == {"crash-1", "crash-2"} and freed > 0, (dirs, freed)
-        rows = []
-        for v in (1, 2, 3):
-            got = (
-                read_version(spark, base, v)
-                .agg(
-                    F.count("*").cast("long").alias("n"),
-                    F.sum(
-                        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
-                    ).alias("cents"),
-                )
-                .first()
-            )
-            rows.append((v, got["n"], got["cents"], len(guarded), len(dirs)))
+        agg = fused_cents_aggs(
+            [(v, read_version(spark, base, v)) for v in (1, 2, 3)]
+        )
+        rows = [(v, *agg[v], len(guarded), len(dirs)) for v in (1, 2, 3)]
         return spark.createDataFrame(
             rows,
             "version int, n_rows bigint, cents bigint, "
@@ -1325,47 +1474,35 @@ def sink_table_log_compact(spark, sf_dir):
     history is pruned (v3 unreadable, documented retention semantics)
     while v4/v5 re-verify byte-identical. A compaction that lost or
     duplicated a row, dropped a concurrent append's files, or a
-    vacuum that trusted a listing breaks the hash."""
+    vacuum that trusted a listing breaks the hash.
+
+    Round-14 (guide §2.4/§1.4): one partitioned staging write for all
+    four appends (c3 stays invisible until its post-compaction
+    commit), pre-vacuum aggregates (v2/v3/v4) fused into one action
+    and post-vacuum re-verification (v4/v5) into another — they
+    cannot share one: the GC between them is the thing being proven.
+    24 jobs down to ~8 (the compaction rewrite keeps its own jobs —
+    it IS the operator under test)."""
     import shutil
     import tempfile
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     base = tempfile.mkdtemp(prefix="lsd_tlcomp_")
-
-    def agg(v):
-        got = (
-            read_version(spark, base, v)
-            .agg(
-                F.count("*").cast("long").alias("n"),
-                F.sum(
-                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
-                ).alias("cents"),
-            )
-            .first()
-        )
-        return (got["n"], got["cents"])
-
     try:
         init_table(base)
-        for i in range(3):
-            commit(
-                base,
-                write_data_files(
-                    o.filter(F.col("o_orderkey") % 4 == i), base, f"c{i}"
-                ),
-                "A",
-            )
+        staged = stage_sliced_files(
+            o, base, F.col("o_orderkey") % 4, ["c0", "c1", "c2", "c3"]
+        )
+        for fs in staged[:3]:
+            commit(base, fs, "A")
         pre_files = manifest(base, 3)
         assert compact(spark, base) == 4
-        commit(
-            base,
-            write_data_files(
-                o.filter(F.col("o_orderkey") % 4 == 3), base, "c3"
-            ),
-            "A",
-        )
+        commit(base, staged[3], "A")
         files_shrunk = len(manifest(base, 4)) < len(pre_files)
-        r2, r3, r4 = agg(2), agg(3), agg(4)
+        pre = fused_cents_aggs(
+            [(v, read_version(spark, base, v)) for v in (2, 3, 4)]
+        )
+        r2, r3, r4 = pre[2], pre[3], pre[4]
         assert r4 == r3  # compaction preserves the live rows
         # retention-bounded GC: originals only v1..v3 can see go away
         deleted, freed = vacuum(base, min_age_sec=0.0, keep_versions=2)
@@ -1378,10 +1515,15 @@ def sink_table_log_compact(spark, sf_dir):
         )
         pruned = False
         try:
-            agg(3)  # pre-compaction history is gone past retention
+            # pre-compaction history is gone past retention: the log
+            # walk fails at plan or execute time, either counts
+            fused_cents_aggs([(3, read_version(spark, base, 3))])
         except Exception:
             pruned = True
-        r4b, r5 = agg(4), agg(5)
+        post = fused_cents_aggs(
+            [(v, read_version(spark, base, v)) for v in (4, 5)]
+        )
+        r4b, r5 = post[4], post[5]
         assert r4b == r4  # survivors re-verify after the GC
         rows = [
             (2, *r2, bool(files_shrunk), pruned),
@@ -1454,7 +1596,15 @@ def sink_table_log_skipping(spark, sf_dir):
     O(CHECKPOINT_INTERVAL) log walk every read plans with; the file
     set Spark receives is already minimal before any task launches —
     the log-level analog of parquet row-group skipping, one level
-    coarser and usable without opening ANY data footer at read time."""
+    coarser and usable without opening ANY data footer at read time.
+
+    Round-14 (guide §2.4/§1.4): the two tables' 4+4 coalesce(1)
+    writes become two single-job partitioned staging writes (the
+    repartition-by-slice keeps exactly one file per commit — the
+    layout the pinned opened/pruned counts assume), and the six probe
+    aggregates (pruned + full per probe) fuse into ONE action whose
+    pruned-vs-full comparison happens driver-side. 31 jobs down
+    to ~6."""
     import shutil
     import tempfile
 
@@ -1467,51 +1617,32 @@ def sink_table_log_skipping(spark, sf_dir):
     base2 = tempfile.mkdtemp(prefix="lsd_tlskipstr_")
     try:
         init_table(base)
-        bounds = [(None, q), (q, 2 * q), (2 * q, 3 * q), (3 * q, None)]
-        for i, (lo, hi) in enumerate(bounds):
-            sl = o
-            if lo is not None:
-                sl = sl.filter(F.col("o_orderkey") > lo)
-            if hi is not None:
-                sl = sl.filter(F.col("o_orderkey") <= hi)
-            fs = write_data_files(sl.coalesce(1), base, f"s{i}")
+        # slice id reproduces the range bounds exactly: keys 1..q ->
+        # 0, q+1..2q -> 1, 2q+1..3q -> 2, >3q -> 3 (integer DIV)
+        for fs in stage_sliced_files(
+            o, base,
+            F.expr(f"least(CAST((o_orderkey - 1) DIV {q} AS INT), 3)"),
+            [f"s{i}" for i in range(4)],
+        ):
             commit(
                 base, fs, "A",
                 stats=parquet_file_stats(fs, ["o_orderkey"]),
             )
         init_table(base2)
-        pr1 = F.substring("o_orderpriority", 1, 1)
-        for i, first in enumerate((["1"], ["2"], ["3"], ["4", "5"])):
-            fs = write_data_files(
-                o.filter(pr1.isin(first)).coalesce(1), base2, f"p{i}"
-            )
+        # priority classes 1..5, class 5 folded into slice 3 — the
+        # same ["1"], ["2"], ["3"], ["4", "5"] grouping as before
+        for fs in stage_sliced_files(
+            o, base2,
+            F.expr(
+                "least(CAST(substring(o_orderpriority, 1, 1) AS INT)"
+                " - 1, 3)"
+            ),
+            [f"p{i}" for i in range(4)],
+        ):
             commit(
                 base2, fs, "A",
                 stats=parquet_file_stats(fs, ["o_orderpriority"]),
             )
-
-        def ag(df, cond):
-            r = (
-                df.filter(cond)
-                .agg(
-                    F.count("*").cast("long").alias("n"),
-                    F.sum(
-                        F.floor(
-                            F.col("o_totalprice") * 100 + 0.5
-                        ).cast("long")
-                    ).alias("cents"),
-                )
-                .first()
-            )
-            return (r["n"], r["cents"])
-
-        def probe(pid, tbl, col, lo, hi, cond, want_open):
-            v = latest_version(tbl)
-            kept, total = manifest_pruned(tbl, v, col, lo, hi)
-            assert len(kept) == want_open and total == 4, (kept, total)
-            pr = ag(read_version(spark, tbl, v, prune=(col, lo, hi)), cond)
-            full = ag(read_version(spark, tbl, v), cond)
-            return (pid, pr[0], pr[1], want_open, 4 - want_open, pr == full)
 
         def num_cond(lo, hi):
             cond = F.col("o_orderkey") >= F.lit(lo)
@@ -1519,16 +1650,40 @@ def sink_table_log_skipping(spark, sf_dir):
                 cond = cond & (F.col("o_orderkey") <= hi)
             return cond
 
-        rows = [
-            probe(1, base, "o_orderkey", q + 1, 2 * q,
-                  num_cond(q + 1, 2 * q), 1),
-            probe(2, base, "o_orderkey", 2 * q + 1, None,
-                  num_cond(2 * q + 1, None), 2),
+        specs = [
+            (1, base, "o_orderkey", q + 1, 2 * q,
+             num_cond(q + 1, 2 * q), 1),
+            (2, base, "o_orderkey", 2 * q + 1, None,
+             num_cond(2 * q + 1, None), 2),
             # the string probe: priority class '2' lives in exactly
             # one committed slice; '2z' upper-bounds every '2-*'
             # literal while staying below the '3-*' file's min
-            probe(3, base2, "o_orderpriority", "2", "2z",
-                  F.col("o_orderpriority").startswith("2"), 1),
+            (3, base2, "o_orderpriority", "2", "2z",
+             F.col("o_orderpriority").startswith("2"), 1),
+        ]
+        tagged = []
+        for pid, tbl, col, lo, hi, cond, want_open in specs:
+            v = latest_version(tbl)
+            kept, total = manifest_pruned(tbl, v, col, lo, hi)
+            assert len(kept) == want_open and total == 4, (kept, total)
+            tagged.append((
+                pid * 10 + 1,
+                read_version(spark, tbl, v, prune=(col, lo, hi))
+                .filter(cond),
+            ))
+            tagged.append(
+                (pid * 10, read_version(spark, tbl, v).filter(cond))
+            )
+        agg = fused_cents_aggs(tagged)
+        rows = [
+            (
+                pid,
+                *agg.get(pid * 10 + 1, (0, 0)),
+                want_open,
+                4 - want_open,
+                agg.get(pid * 10 + 1, (0, 0)) == agg.get(pid * 10, (0, 0)),
+            )
+            for pid, _t, _c, _lo, _hi, _cond, want_open in specs
         ]
         return spark.createDataFrame(
             rows,
@@ -1573,7 +1728,16 @@ def stream_table_log_sink(spark, sf_dir):
     (sink_table_log_compact) bin-packs them behind readers, vacuum
     reclaims replay orphans — the full small-files lifecycle of a
     streaming lakehouse table, all against the same claim-primitive
-    seam (SCALING.md)."""
+    seam (SCALING.md).
+
+    Round-14 (guide §2.4/§1.4): the three source files stage with one
+    partitioned write (one scan of events, not three), the replay's
+    staged orphan is a driver-side byte copy of source file 0 (the
+    engine re-runs the batch VERBATIM — a copy is exactly that, and
+    the files are never read, only vacuumed), and the per-version
+    monotonicity counts fuse into one action. 25 jobs down to ~13
+    (the three micro-batches and their commits are the operator
+    under test)."""
     import shutil
     import tempfile
 
@@ -1583,18 +1747,26 @@ def stream_table_log_sink(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="lsd_tlstr_ckpt_")
     app = "events-ingest"
     try:
-        # three deterministic source files -> three micro-batches
+        # three deterministic source files -> three micro-batches,
+        # staged by ONE partitioned write
+        tmp = os.path.join(stage, "_w")
+        (
+            ev.withColumn("_sl", (F.col("event_id") % 3).cast("int"))
+            .repartition(3, "_sl")
+            .write.partitionBy("_sl")
+            .mode("errorifexists")
+            .parquet(tmp)
+        )
         for i in range(3):
-            sl = ev.filter(F.col("event_id") % 3 == i).coalesce(1)
-            tmp = os.path.join(stage, f"_w{i}")
-            sl.write.mode("errorifexists").parquet(tmp)
+            d = os.path.join(tmp, f"_sl={i}")
             part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
+                f for f in os.listdir(d) if f.endswith(".parquet")
             )
             os.replace(
-                os.path.join(tmp, part), os.path.join(stage, f"{i:03d}.parquet")
+                os.path.join(d, part),
+                os.path.join(stage, f"{i:03d}.parquet"),
             )
-            shutil.rmtree(tmp)
+        shutil.rmtree(tmp)
         init_table(table)
         schema = spark.read.parquet(os.path.join(stage, "000.parquet")).schema
         src = (
@@ -1618,17 +1790,17 @@ def stream_table_log_sink(spark, sf_dir):
         assert versions == 3, versions
         # crash-replay of micro-batch 0: the engine re-runs the last
         # un-checkpointed batch verbatim; the sink must be a no-op
-        replay_fs = write_data_files(
-            ev.filter(F.col("event_id") % 3 == 0).coalesce(1),
-            table,
-            f"{app}-replay",
+        # (a byte copy of source file 0 IS the verbatim batch)
+        replay_fs = copy_staged_orphan(
+            [os.path.join(stage, "000.parquet")], table, f"{app}-replay"
         )
         assert commit_stream_batch(table, replay_fs, app, 0) is None
         assert latest_version(table) == versions  # nothing published
-        counts = [
-            read_version(spark, table, v).count()
-            for v in range(1, versions + 1)
-        ]
+        cnt = fused_counts(
+            [(v, read_version(spark, table, v))
+             for v in range(1, versions + 1)]
+        )
+        counts = [cnt.get(v, 0) for v in range(1, versions + 1)]
         assert counts == sorted(counts) and min(counts) > 0
         # the replay's staged files are exactly what vacuum reclaims
         deleted, _freed = vacuum(table, min_age_sec=0.0)
@@ -1659,6 +1831,7 @@ def compact_zorder(
     n_out: int = 4,
     writer: str = "zorder",
     retries: int = 0,
+    col_max: int | None = None,
 ) -> int:
     """OPTIMIZE ... ZORDER BY (Delta's clustering compaction): rewrite
     the live set RANGE-CLUSTERED on `col` so the per-file [min, max]
@@ -1671,6 +1844,11 @@ def compact_zorder(
     differential oracle's pinned pruning counts — are deterministic);
     one shuffle on the bucket key + a partitionBy write makes one
     sorted file per bucket whatever the bucket->task hashing does.
+    `col_max` (round-14, guide §1.4) lets a caller that already knows
+    MAX(col) over the live rows skip the per-attempt 1-row agg job;
+    it must be the true max — only sound when no concurrent writer
+    can extend the range between snapshot and claim (the bucket map
+    would misroute rows past it).
     Publishing is the same conflict-checked compaction commit as
     compact() (ConcurrentCompactionError on a rival OPTIMIZE), with
     the same bounded `retries` fresh-snapshot re-run (round-13)."""
@@ -1685,7 +1863,11 @@ def compact_zorder(
                 f"version {v}"
             )
         df = spark.read.parquet(*old)
-        mx = df.agg(_F.max(col).cast("long")).first()[0]
+        mx = (
+            col_max
+            if col_max is not None
+            else df.agg(_F.max(col).cast("long")).first()[0]
+        )
         tag = f"zorder-v{v}-{writer}" if attempt == 0 else (
             f"zorder-v{v}a{attempt}-{writer}"
         )
@@ -1756,7 +1938,16 @@ def sink_table_log_compact_zorder(spark, sf_dir):
     version, exercised by running the 'pre' probe THROUGH version 4
     after version 5 exists. A zorder that misrouted a row across its
     bucket boundary breaks n_rows/cents; one that wrote overlapping
-    files breaks the pinned counts via the in-op asserts."""
+    files breaks the pinned counts via the in-op asserts.
+
+    Round-14 (guide §2.4/§1.4): the four interleaved appends stage
+    with one partitioned write (still one file per commit — the
+    pinned 4-file pre-compaction layout), the already-known MAX(key)
+    is handed to compact_zorder instead of re-aggregated, and the
+    pre/post probes fuse into one action (both run after the zorder,
+    so the time-travel-THROUGH-it proof is unchanged). 20 jobs down
+    to ~7 (the clustering rewrite keeps its own shuffle+write — it
+    IS the operator under test)."""
     import shutil
     import tempfile
 
@@ -1764,12 +1955,9 @@ def sink_table_log_compact_zorder(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="lsd_tlzord_")
     try:
         init_table(base)
-        for i in range(4):
-            fs = write_data_files(
-                o.filter(F.col("o_orderkey") % 4 == i).coalesce(1),
-                base,
-                f"i{i}",
-            )
+        for fs in stage_sliced_files(
+            o, base, F.col("o_orderkey") % 4, [f"i{i}" for i in range(4)]
+        ):
             commit(
                 base, fs, "A",
                 stats=parquet_file_stats(fs, ["o_orderkey"]),
@@ -1777,31 +1965,30 @@ def sink_table_log_compact_zorder(spark, sf_dir):
         m = int(o.agg(F.max("o_orderkey").cast("long")).first()[0])
         hi = m // 4  # bucket-0 range under compact_zorder's n_out=4
 
-        def probe(phase: str, version: int, want_open: int):
+        v_pre = latest_version(base)
+        assert (
+            compact_zorder(spark, base, "o_orderkey", n_out=4, col_max=m)
+            == 5
+        )
+
+        def probe_frames(phase: str, tag: int, version: int, want_open: int):
             kept, total = manifest_pruned(
                 base, version, "o_orderkey", None, hi
             )
             assert (len(kept), total) == (want_open, 4), (phase, kept)
-            r = (
+            return (
+                tag,
                 read_version(
                     spark, base, version, prune=("o_orderkey", None, hi)
-                )
-                .filter(F.col("o_orderkey") <= hi)
-                .agg(
-                    F.count("*").cast("long").alias("n"),
-                    F.sum(
-                        F.floor(F.col("o_totalprice") * 100 + 0.5)
-                        .cast("long")
-                    ).alias("cents"),
-                )
-                .first()
+                ).filter(F.col("o_orderkey") <= hi),
             )
-            return (phase, r["n"], r["cents"], want_open, 4 - want_open)
 
-        v_pre = latest_version(base)
-        assert compact_zorder(spark, base, "o_orderkey", n_out=4) == 5
-        pre = probe("pre", v_pre, 4)    # time travel THROUGH the zorder
-        post = probe("post", 5, 1)
+        agg = fused_cents_aggs([
+            probe_frames("pre", 0, v_pre, 4),  # travel THROUGH the zorder
+            probe_frames("post", 1, 5, 1),
+        ])
+        pre = ("pre", *agg[0], 4, 0)
+        post = ("post", *agg[1], 1, 3)
         assert pre[1:3] == post[1:3]  # clustering must not change rows
         return spark.createDataFrame(
             [post, pre],
@@ -1861,53 +2048,39 @@ def sink_table_log_changes(spark, sf_dir):
     window 2 row counts equal the head snapshot's count; the oracle
     recomputes each window's rows/cents from the source table, so a
     change reader that leaked compaction output, dropped an append,
-    or mis-bounded a window breaks the hash."""
+    or mis-bounded a window breaks the hash.
+
+    Round-14 (guide §2.4/§1.4): the four appends stage with one
+    partitioned write (c3 invisible until its post-compaction
+    commit), and the three change windows + the snapshot fuse into
+    ONE action — window 3's empty change set has no group in the
+    fused aggregate, which is exactly its (0, 0) identity (COUNT=0
+    iff no rows). 20 jobs down to ~6."""
     import shutil
     import tempfile
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     base = tempfile.mkdtemp(prefix="lsd_tlcdc_")
-
-    def ag(df):
-        r = df.agg(
-            F.count("*").cast("long").alias("n"),
-            F.coalesce(
-                F.sum(
-                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
-                ),
-                F.lit(0).cast("long"),
-            ).alias("cents"),
-        ).first()
-        return (r["n"], r["cents"])
-
     try:
         init_table(base)
-        for i in range(3):
-            commit(
-                base,
-                write_data_files(
-                    o.filter(F.col("o_orderkey") % 4 == i).coalesce(1),
-                    base,
-                    f"c{i}",
-                ),
-                "A",
-            )
-        assert compact(spark, base) == 4
-        commit(
-            base,
-            write_data_files(
-                o.filter(F.col("o_orderkey") % 4 == 3).coalesce(1),
-                base,
-                "c3",
-            ),
-            "A",
+        staged = stage_sliced_files(
+            o, base, F.col("o_orderkey") % 4, ["c0", "c1", "c2", "c3"]
         )
+        for fs in staged[:3]:
+            commit(base, fs, "A")
+        assert compact(spark, base) == 4
+        commit(base, staged[3], "A")
         head = latest_version(base)
-        w1 = ag(read_changes(spark, base, 0, 2))
-        w2 = ag(read_changes(spark, base, 2))  # spans the compaction
-        w3 = ag(read_changes(spark, base, 3, 4))  # compaction only
+        agg = fused_cents_aggs([
+            (1, read_changes(spark, base, 0, 2)),
+            (2, read_changes(spark, base, 2)),  # spans the compaction
+            (3, read_changes(spark, base, 3, 4)),  # compaction only
+            (4, read_version(spark, base, head)),
+        ])
+        w1, w2 = agg[1], agg[2]
+        w3 = agg.get(3, (0, 0))
+        snap = agg[4]
         assert w3 == (0, 0), w3  # change-invisible, schema-stable
-        snap = ag(read_version(spark, base, head))
         assert w1[0] + w2[0] == snap[0] and w1[1] + w2[1] == snap[1]
         rows = [(1, *w1, True), (2, *w2, True), (3, *w3, True)]
         return spark.createDataFrame(
@@ -2079,7 +2252,17 @@ def stream_table_log_source(spark, sf_dir):
     table: a source that replayed delivered commits (phase-2 restart
     from version 0), leaked the compaction's consolidated copies, or
     dropped the post-compaction append breaks the hash; the in-op
-    asserts pin per-phase row totals on top."""
+    asserts pin per-phase row totals on top.
+
+    Round-14 (guide §2.4/§1.4, VERDICT r13 #1): the four appends'
+    files stage with ONE partitioned write up front (slice 3 stays
+    invisible until its between-phases commit — staged files are
+    unreferenced until a log entry publishes them), and the two
+    expected-rows validation counts come from the staged parquet
+    FOOTERS driver-side (_staged_rows — exact, zero jobs) instead of
+    two filtered count jobs. 18 jobs down to ~8 (the two streaming
+    phases and their micro-batch reads are the operator under
+    test)."""
     import shutil
     import tempfile
 
@@ -2088,17 +2271,12 @@ def stream_table_log_source(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="lsd_tlsrc_ckpt_")
     try:
         init_table(table)
+        staged = stage_sliced_files(
+            ev, table, F.col("event_id") % 4, [f"s{i}" for i in range(4)]
+        )
 
         def append(i: int) -> int:
-            return commit(
-                table,
-                write_data_files(
-                    ev.filter(F.col("event_id") % 4 == i).coalesce(1),
-                    table,
-                    f"s{i}",
-                ),
-                "A",
-            )
+            return commit(table, staged[i], "A")
 
         for i in range(3):
             append(i)
@@ -2132,13 +2310,15 @@ def stream_table_log_source(spark, sf_dir):
             return total
 
         n1 = run_phase()
-        want1 = ev.filter(F.col("event_id") % 4 != 3).count()
+        # expected rows from the staged files' parquet footers —
+        # driver-side metadata, exact, no Spark job
+        want1 = sum(_staged_rows(staged[i]) for i in range(3))
         assert n1 == want1, (n1, want1)
         # between phases: OPTIMIZE + one more append
         compact(spark, table)
         append(3)
         n2 = run_phase()
-        want2 = ev.filter(F.col("event_id") % 4 == 3).count()
+        want2 = _staged_rows(staged[3])
         assert n2 == want2, (n2, want2)  # no replay, no compaction leak
         phase_rows = [(t, c) for t, c in acc.items()]
         return (
@@ -2218,7 +2398,14 @@ def sink_table_log_delete(spark, sf_dir):
     100 TB: touch detection is manifest-metadata pruning plus one
     candidate-file scan whose collect is file-count-sized; a
     selective delete rewrites its few matching files, never the
-    table."""
+    table.
+
+    Round-14 (guide §2.4/§1.4): the four range slices stage with one
+    partitioned write (one file per commit preserved — the pinned
+    rewrite/keep counts assume it), and the three probes fuse into
+    one post-delete action. 22 jobs down to ~8 (delete_where's
+    candidate scan + rewrite keep their own jobs — they ARE the
+    operator under test)."""
     import shutil
     import tempfile
 
@@ -2230,14 +2417,11 @@ def sink_table_log_delete(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="lsd_tldel_")
     try:
         init_table(base)
-        bounds = [(None, q), (q, 2 * q), (2 * q, 3 * q), (3 * q, None)]
-        for i, (lo, hi) in enumerate(bounds):
-            sl = o
-            if lo is not None:
-                sl = sl.filter(F.col("o_orderkey") > lo)
-            if hi is not None:
-                sl = sl.filter(F.col("o_orderkey") <= hi)
-            fs = write_data_files(sl.coalesce(1), base, f"s{i}")
+        for fs in stage_sliced_files(
+            o, base,
+            F.expr(f"least(CAST((o_orderkey - 1) DIV {q} AS INT), 3)"),
+            [f"s{i}" for i in range(4)],
+        ):
             commit(
                 base, fs, "A",
                 stats=parquet_file_stats(fs, ["o_orderkey"]),
@@ -2268,19 +2452,13 @@ def sink_table_log_delete(spark, sf_dir):
         except ValueError:
             pass
 
-        def ag(df):
-            r = df.agg(
-                F.count("*").cast("long").alias("n"),
-                F.sum(
-                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
-                ).alias("cents"),
-            ).first()
-            return (r["n"], r["cents"])
-
-        p1 = ag(read_version(spark, base, v_after))
-        p2 = ag(read_version(spark, base, v_before))
         pred = F.expr(_DEL_PRED.format(q=q))
-        p3 = ag(o.filter(pred))
+        agg = fused_cents_aggs([
+            (1, read_version(spark, base, v_after)),
+            (2, read_version(spark, base, v_before)),
+            (3, o.filter(pred)),
+        ])
+        p1, p2, p3 = agg[1], agg[2], agg[3]
         assert p3[0] == res["rows_deleted"] and p1[0] + p3[0] == p2[0]
         rows = [(i + 1, *p, 1, 3, True) for i, p in enumerate((p1, p2, p3))]
         return spark.createDataFrame(
@@ -2367,7 +2545,16 @@ def sink_table_log_merge(spark, sf_dir):
     100 TB: the source key side broadcasts (dimension-sized by
     design), touch detection collects file paths not rows, and only
     matching files rewrite — the upsert cost scales with the touched
-    key range, not the table."""
+    key range, not the table.
+
+    Round-14 (guide §2.4/§1.4): the four range slices stage with one
+    partitioned write, and the expected update/insert counts move
+    into the single post-merge fused action alongside the three
+    probes and the time-travel/source cross-checks — every assert
+    runs driver-side on the fused result, after merge_into returns,
+    comparing identical values. 47 jobs down to ~13 (merge_into's
+    dup check, checkpoint, touch scan and rewrite keep their own
+    jobs — they ARE the operator under test)."""
     import shutil
     import tempfile
 
@@ -2378,14 +2565,11 @@ def sink_table_log_merge(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="lsd_tlmrg_")
     try:
         init_table(base)
-        bounds = [(None, q), (q, 2 * q), (2 * q, 3 * q), (3 * q, None)]
-        for i, (lo, hi) in enumerate(bounds):
-            sl = o
-            if lo is not None:
-                sl = sl.filter(F.col("o_orderkey") > lo)
-            if hi is not None:
-                sl = sl.filter(F.col("o_orderkey") <= hi)
-            fs = write_data_files(sl.coalesce(1), base, f"s{i}")
+        for fs in stage_sliced_files(
+            o, base,
+            F.expr(f"least(CAST((o_orderkey - 1) DIV {q} AS INT), 3)"),
+            [f"s{i}" for i in range(4)],
+        ):
             commit(
                 base, fs, "A",
                 stats=parquet_file_stats(fs, ["o_orderkey"]),
@@ -2401,8 +2585,6 @@ def sink_table_log_merge(spark, sf_dir):
                 )
             )
         )
-        n_upd_want = o.filter(upd).count()
-        n_ins_want = o.filter(ins).count()
         v_before = latest_version(base)
         before = set(manifest(base, v_before))
         try:
@@ -2420,8 +2602,6 @@ def sink_table_log_merge(spark, sf_dir):
         )
         assert res["files_total"] == 4 and res["files_rewritten"] == 1, res
         assert res["files_candidates"] == 3, res  # slice 1 stats-pruned
-        assert res["n_updated"] == n_upd_want, (res, n_upd_want)
-        assert res["n_inserted"] == n_ins_want, (res, n_ins_want)
         v_after = res["version"]
         after = set(manifest(base, v_after))
         touched = before - after
@@ -2432,21 +2612,23 @@ def sink_table_log_merge(spark, sf_dir):
         except ValueError:
             pass
 
-        def ag(df):
-            r = df.agg(
-                F.count("*").cast("long").alias("n"),
-                F.sum(
-                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
-                ).alias("cents"),
-            ).first()
-            return (r["n"], r["cents"])
-
         merged = read_version(spark, base, v_after)
-        p1 = ag(merged)
-        p2 = ag(merged.filter(upd))
-        p3 = ag(merged.filter(F.col("o_orderkey") > m))
-        assert ag(read_version(spark, base, v_before)) == ag(o)
-        assert p1[0] == ag(o)[0] + n_ins_want and p3[0] == n_ins_want
+        agg = fused_cents_aggs([
+            (1, merged),
+            (2, merged.filter(upd)),
+            (3, merged.filter(F.col("o_orderkey") > m)),
+            (4, read_version(spark, base, v_before)),
+            (5, o),
+            (6, o.filter(upd)),   # n_upd_want
+            (7, o.filter(ins)),   # n_ins_want
+        ])
+        p1, p2, p3 = agg[1], agg[2], agg[3]
+        n_upd_want = agg.get(6, (0, 0))[0]
+        n_ins_want = agg.get(7, (0, 0))[0]
+        assert res["n_updated"] == n_upd_want, (res, n_upd_want)
+        assert res["n_inserted"] == n_ins_want, (res, n_ins_want)
+        assert agg[4] == agg[5]  # time travel returns the original
+        assert p1[0] == agg[5][0] + n_ins_want and p3[0] == n_ins_want
         rows = [(i + 1, *p, 1, 3, True) for i, p in enumerate((p1, p2, p3))]
         return spark.createDataFrame(
             rows,

@@ -985,3 +985,91 @@ def test_stream_source_raises_on_removes(spark, tmp_path):
     reader = cls(options={"path": base}).streamReader(None)
     with pytest.raises(ValueError, match="row-level rewrite"):
         reader.partitions({"version": 0}, {"version": 4})
+
+
+def test_stage_sliced_files_matches_per_slice_writes(spark, tmp_path):
+    """Round-14: the single-job partitioned staging write must land
+    each slice's exact rows in its own commit dir (one file per slice
+    with single_file=True), the staging dir must be gone, and commits
+    over the staged lists must time-travel identically to per-slice
+    write_data_files commits."""
+    import pyarrow.parquet as pq
+
+    rows = [(i, float(i)) for i in range(1, 41)]
+    df = _mk(spark, rows)
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    from pyspark.sql import functions as F
+
+    staged = tl.stage_sliced_files(df, base, F.col("k") % 3, ["a", "b", "c"])
+    assert [len(fs) for fs in staged] == [1, 1, 1]  # single_file layout
+    # no transient staging dir left behind for vacuum to see
+    assert not [
+        d for d in os.listdir(os.path.join(base, "data"))
+        if d.startswith("_stage-")
+    ]
+    for i, fs in enumerate(staged):
+        assert all(f"/data/{'abc'[i]}/" in f for f in fs)
+        got = sorted(
+            pq.read_table(fs[0]).to_pydict()["k"]
+        )
+        assert got == sorted(k for k, _v in rows if k % 3 == i)
+    for fs in staged:
+        tl.commit(base, fs, "A")
+    assert tl.read_version(spark, base, 2).count() == sum(
+        1 for k, _v in rows if k % 3 in (0, 1)
+    )
+
+
+def test_stage_sliced_files_empty_slice_yields_empty_list(spark, tmp_path):
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    from pyspark.sql import functions as F
+
+    df = _mk(spark, [(1, 1.0), (3, 3.0)])  # slice 0 (k%2==0) is empty
+    staged = tl.stage_sliced_files(df, base, F.col("k") % 2, ["e", "o"])
+    assert staged[0] == [] and len(staged[1]) == 1
+
+
+def test_fused_aggs_match_per_frame_aggs(spark, tmp_path):
+    """Round-14: fused_cents_aggs / fused_counts must be pointwise
+    identical to per-frame aggregation, including the missing-group
+    (0, 0) identity for an empty frame."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, 100.0 + i / 7.0) for i in range(1, 30)],
+        "k bigint, o_totalprice double",
+    )
+    frames = [
+        (1, df.filter(F.col("k") % 2 == 0)),
+        (2, df.filter(F.col("k") % 2 == 1)),
+        (3, df.filter(F.col("k") < 0)),  # empty
+    ]
+    fused = tl.fused_cents_aggs(frames)
+    counts = tl.fused_counts(frames)
+    for t, f in frames:
+        r = f.agg(
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                ),
+                F.lit(0).cast("long"),
+            ).alias("cents"),
+        ).first()
+        assert fused.get(t, (0, 0)) == (r["n"], r["cents"])
+        assert counts.get(t, 0) == r["n"]
+    assert 3 not in fused and 3 not in counts  # empty frame -> no group
+
+
+def test_copy_staged_orphan_invisible_and_vacuumable(spark, tmp_path):
+    base = str(tmp_path / "t")
+    tl.init_table(base)
+    fs = tl.write_data_files(_mk(spark, [(1, 1.0)]), base, "c1")
+    tl.commit(base, fs, "A")
+    orph = tl.copy_staged_orphan(fs, base, "crashed")
+    assert all(os.path.exists(f) for f in orph)
+    assert tl.read_version(spark, base, 1).count() == 1  # invisible
+    deleted, freed = tl.vacuum(base, min_age_sec=0.0)
+    assert set(deleted) >= set(orph) and freed > 0
