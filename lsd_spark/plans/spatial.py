@@ -655,6 +655,14 @@ def self_radius_pairs(spark, sf_dir: str, etype: str, radius: float):
 # a hash aggregate's biggest group needs.
 FOF_TILE_CELLS = 16
 
+# Max rows per vectorized pairing batch inside the tiled FoF kernel
+# (round-14): bounds the probe frame / candidate merge / union-find
+# dict per batch (~tens of MB at 5 probes x 131072 rows) while
+# keeping the hash-merge one vectorized call per batch instead of
+# one per tile. A single tile larger than this still processes as
+# one batch — the per-tile envelope is the true lower bound.
+FOF_KERNEL_BATCH_ROWS = 131072
+
 
 def tiled_local_labels(spark, sf_dir: str, etype: str, radius: float) -> DataFrame:
     """Tile-partitioned FoF contraction: ONE shuffle of the point set
@@ -691,13 +699,12 @@ def tiled_local_labels(spark, sf_dir: str, etype: str, radius: float) -> DataFra
     payloads. Per-task memory (round-14 ADVICE — the old docstring
     overclaimed "bounded by tile area x density"): a task buffers its
     whole shuffle partition's point rows (every tile hashed to it,
-    ~1.26x halo), but the QUADRATIC structures — the 5-direction
-    probe frame, the candidate hash-merge, and the union-find dict —
-    are built PER TILE via a groupby, so the big multiplier is
-    bounded by one tile's area x density. For the strict per-tile row
-    envelope too, size shuffle partitions to the distinct tile count
-    (the repartition below inherits the session's scale-adaptive
-    shuffle sizing; AQE coalescing keeps small runs dense). The label
+    ~1.26x halo — bounded by data/partitions via the explicit
+    kernel-stage partition count below), and the QUADRATIC
+    structures — the 5-direction probe frame, the candidate
+    hash-merge, and the union-find dict — are bounded by
+    FOF_KERNEL_BATCH_ROWS per tile-aligned batch (or one tile's
+    area x density where a single tile exceeds it). The label
     aggregate and the driver-side quotient solve are unchanged from
     the round-12 audit.
 
@@ -735,7 +742,24 @@ def tiled_local_labels(spark, sf_dir: str, etype: str, radius: float) -> DataFra
             "event_id", "x", "y", "cx", "cy",
             F.col("t.tx").alias("tx"), F.col("t.ty").alias("ty"),
         )
-        .repartition(F.col("tx"), F.col("ty"))
+        # Explicit kernel-stage partition count (round-14, guide §2.2
+        # + §4: a Python kernel's per-ROW cost dwarfs the per-BYTE
+        # cost AQE's advisory sizing assumes, so the keyless
+        # repartition either under-splits — AQE coalesced the 10x
+        # stress dir to 4 partitions of 63k rows, serializing the
+        # kernel — or over-splits at a stock 200-partition session).
+        # max(cores, input scan splits) scales with BOTH the session
+        # (the driver's low-core bench run keeps its proportional
+        # share) and the data (a 100 TB scan arrives as thousands of
+        # splits); per-task memory stays bounded by the in-kernel
+        # row batching below, not by the partition count.
+        .repartition(
+            max(
+                spark.sparkContext.defaultParallelism,
+                pts.rdd.getNumPartitions(),
+            ),
+            F.col("tx"), F.col("ty"),
+        )
     )
     def kernel(batches):
         # self-contained on purpose: closing over module-level helpers
@@ -747,31 +771,55 @@ def tiled_local_labels(spark, sf_dir: str, etype: str, radius: float) -> DataFra
         dfs = list(batches)
         if not dfs:
             return
-        # ONE tile at a time (round-14 ADVICE): the probe frame, the
-        # candidate merge and the union-find dict are the quadratic
-        # structures — per tile they stay inside the tile-area x
-        # density envelope whatever mix of tiles this partition holds
         whole = pd.concat(dfs, ignore_index=True)
-        for _t, df in whole.groupby(["tx", "ty"], sort=False):
-            df = df.reset_index(drop=True)
-            home = df[["cx", "cy"]].copy()
+        if not len(whole):
+            return
+        # Tile-aligned ROW BATCHES (round-14): the round-14 ADVICE fix
+        # processed one tile per loop iteration, which bounded the
+        # quadratic structures but paid per-tile pandas overhead —
+        # 2x the kernel time at the 10x stress dir (441 tiles). A
+        # batch groups whole tiles up to FOF_KERNEL_BATCH_ROWS and
+        # runs ONE vectorized 5-probe hash-merge keyed by
+        # (tx, ty, cx, cy) — the tile keys in the join mean pairs
+        # still form only within a tile, and the probe frame, the
+        # candidate merge and the union-find dict stay bounded by the
+        # batch size (max(batch, largest single tile)), preserving
+        # the ADVICE's memory envelope. A shared halo node occurring
+        # in two tiles of one batch may union their labels early —
+        # sound (only real pairs are ever unioned; the fixpoint's
+        # converged component minima are unchanged, pinned by the
+        # tiled-vs-join equality test).
+        whole = whole.sort_values(
+            ["tx", "ty"], kind="stable", ignore_index=True
+        )
+        sizes = whole.groupby(["tx", "ty"], sort=False).size().to_numpy()
+        cuts = [0]
+        acc = 0
+        pos = 0
+        for s in sizes:
+            if acc and acc + s > FOF_KERNEL_BATCH_ROWS:
+                cuts.append(pos)
+                acc = 0
+            acc += int(s)
+            pos += int(s)
+        cuts.append(len(whole))
+        for lo, hi in zip(cuts, cuts[1:]):
+            df = whole.iloc[lo:hi].reset_index(drop=True)
+            home = df[["tx", "ty", "cx", "cy"]].copy()
             home["idx"] = np.arange(len(df))
             probes = []
             for dx, dy, is_home in (
                 (0, 0, True), (0, 1, False), (1, -1, False),
                 (1, 0, False), (1, 1, False),
             ):
-                p = pd.DataFrame(
-                    {
-                        "cx": df["cx"] + dx,
-                        "cy": df["cy"] + dy,
-                        "pidx": np.arange(len(df)),
-                        "home": is_home,
-                    }
-                )
+                p = df[["tx", "ty"]].copy()
+                p["cx"] = df["cx"] + dx
+                p["cy"] = df["cy"] + dy
+                p["pidx"] = np.arange(len(df))
+                p["home"] = is_home
                 probes.append(p)
             cand = pd.concat(probes, ignore_index=True).merge(
-                home, on=["cx", "cy"]
+                home, on=["tx", "ty", "cx", "cy"]
             )
             ui = cand["pidx"].to_numpy()
             vi = cand["idx"].to_numpy()
