@@ -485,7 +485,9 @@ def _simhash_clusters_naive(spark, sf_dir):
     )
     nodes = pairs.select(F.explode(F.array("u", "v")).alias("vec_id")).distinct()
     return _simhash_cluster_summary(
-        min_label_fixpoint(nodes, pairs, edges_bounded=True)
+        min_label_fixpoint(
+            nodes, pairs, edges_bounded=True, nodes_from_edges=True
+        )
     )
 
 
@@ -526,7 +528,9 @@ def _simhash_clusters_collapsed(spark, sf_dir):
     nodes = rep_pairs.select(
         F.explode(F.array("u", "v")).alias("vec_id")
     ).distinct()
-    rep_lab = min_label_fixpoint(nodes, rep_pairs, edges_bounded=True).select(
+    rep_lab = min_label_fixpoint(
+        nodes, rep_pairs, edges_bounded=True, nodes_from_edges=True
+    ).select(
         F.col("vec_id").alias("rid"), F.col("object_id").alias("label")
     )
     # multi-doc groups whose rep touched no rep pair still cluster
@@ -1798,8 +1802,12 @@ def llm_dedup_cluster(spark, sf_dir):
         F.explode(F.array("u", "v")).alias("vec_id")
     ).distinct()
     # the hit set is ckpt_shared-settled and dedup graphs are edge-
-    # sparse: try the one-collect driver solve first (round 13)
-    labels = min_label_fixpoint(nodes, pairs, edges_bounded=True)
+    # sparse: try the one-collect driver solve first (round 13);
+    # nodes IS pairs' endpoint set, so the driver solve labels from
+    # its own collect without re-scanning the hit frame (round 14)
+    labels = min_label_fixpoint(
+        nodes, pairs, edges_bounded=True, nodes_from_edges=True
+    )
     return (
         labels.groupBy(F.col("object_id").cast("long").alias("cluster_id"))
         .agg(

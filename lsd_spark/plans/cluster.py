@@ -148,6 +148,7 @@ def min_label_fixpoint(
     local_labels: DataFrame | None = None,
     seed_complete: bool = False,
     edges_bounded: bool = False,
+    nodes_from_edges: bool = False,
 ) -> DataFrame:
     """Connected components by min-label propagation to the exact
     fixpoint (Pregel-style, like GraphX CC). `pairs` is the
@@ -177,6 +178,17 @@ def min_label_fixpoint(
     contraction machinery unchanged (the wasted pass is one scan of a
     checkpointed frame). Same bounded control-plane budget as the
     quotient collect. Ignored when local_labels is supplied.
+
+    `nodes_from_edges=True` (round 14, guide §2.4) strengthens
+    edges_bounded: the caller asserts `emb` IS the distinct endpoint
+    set of `pairs` (the dedup cluster consumers build it exactly so:
+    pairs.explode.distinct). On the un-truncated edges-collect path
+    the driver then already holds the whole node universe, so the
+    labeling returns as a LocalRelation — the emb plan (one more
+    scan of the settled hit frame + a distinct exchange + the
+    map-literal projection) is never executed, removing a job and an
+    exchange from every dedup-cluster consumer. The truncated
+    fallback uses `emb` unchanged.
 
     Phase order (round 12 — two-level contraction, TWO jobs + the
     caller's collect on every graph whose label quotient fits one
@@ -250,6 +262,47 @@ def min_label_fixpoint(
             spark.conf.set("spark.sql.limit.initialNumPartitions", old_lim)
         if len(e_pd) <= EDGE_SINGLE_TASK_MAX:
             LAST_FIXPOINT_PATH["path"] = "edges-collect"
+            if nodes_from_edges:
+                # round-14 (guide §2.4): the caller declared emb ==
+                # the distinct endpoint set of `pairs` (the dedup
+                # consumers build it exactly that way), so after the
+                # bounded collect the driver holds the ENTIRE node
+                # universe — the labeling returns as a LocalRelation
+                # and the emb plan (a scan of the settled hit set +
+                # a distinct exchange + the map-literal projection)
+                # is never executed. Bounded by the same
+                # EDGE_SINGLE_TASK_MAX budget as the collect itself.
+                import numpy as np
+                import pandas as pd
+
+                LAST_FIXPOINT_PATH["path"] = "edges-collect-local"
+                ids = np.unique(
+                    np.concatenate(
+                        [
+                            e_pd.iloc[:, 0].to_numpy(),
+                            e_pd.iloc[:, 1].to_numpy(),
+                        ]
+                    )
+                    if len(e_pd)
+                    else np.array([], dtype="int64")
+                )
+                roots = _uf_roots(
+                    zip(
+                        e_pd.iloc[:, 0].to_numpy(),
+                        e_pd.iloc[:, 1].to_numpy(),
+                    )
+                )
+                lab = pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "object_id": [
+                            roots.get(int(i), int(i)) for i in ids
+                        ],
+                    }
+                ).astype("int64")
+                return spark.createDataFrame(
+                    lab, schema="vec_id bigint, object_id bigint"
+                ).orderBy("vec_id")
             roots = _uf_roots(
                 zip(e_pd.iloc[:, 0].to_numpy(), e_pd.iloc[:, 1].to_numpy())
             )

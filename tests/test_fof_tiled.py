@@ -177,3 +177,38 @@ def test_edges_collect_matches_distributed_paths(spark, monkeypatch):
     )
     assert cluster.LAST_FIXPOINT_PATH["path"] in ("quotient", "probe-converged")
     assert got_fb == want
+
+
+def test_nodes_from_edges_local_solve_matches(spark, monkeypatch):
+    """Round-14 nodes_from_edges: when the caller's node set IS the
+    edge endpoint set, the edges-collect path must return the
+    identical labeling as a LocalRelation (no emb scan), and the
+    truncated fallback must still consume emb and agree."""
+    from lsd_spark.plans import cluster
+
+    n = 300
+    chain = [(i, i + 1) for i in range(n) if i % 3 != 2]
+    pairs = spark.createDataFrame(chain, "u long, v long").repartition(4)
+    from pyspark.sql import functions as F
+
+    nodes = pairs.select(
+        F.explode(F.array("u", "v")).alias("vec_id")
+    ).distinct()
+    want = _labels(
+        cluster.min_label_fixpoint(nodes, pairs, edges_bounded=True)
+    )
+
+    got_local = cluster.min_label_fixpoint(
+        nodes, pairs, edges_bounded=True, nodes_from_edges=True
+    )
+    assert cluster.LAST_FIXPOINT_PATH["path"] == "edges-collect-local"
+    assert _labels(got_local) == want
+
+    monkeypatch.setattr(cluster, "EDGE_SINGLE_TASK_MAX", 0)
+    got_fb = _labels(
+        cluster.min_label_fixpoint(
+            nodes, pairs, edges_bounded=True, nodes_from_edges=True
+        )
+    )
+    assert cluster.LAST_FIXPOINT_PATH["path"] != "edges-collect-local"
+    assert got_fb == want
