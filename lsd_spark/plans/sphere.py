@@ -174,11 +174,52 @@ def sphere_xmatch(
     nb = zone_counts(radius)
     nz = len(nb)
     nb_arr = F.array(*[F.lit(v) for v in nb])
+    # Per-zone SALT factors (round 14, guide §2.5 hot keys): a zone
+    # with few RA buckets concentrates its whole dec band into a
+    # handful of cells — at the 10x stress dir the six nb(z)=1 polar
+    # cells owned 68% of all candidate-pair work (~11M haversine
+    # evals EACH in one task; 8 vs 32 cores measured flat). Salting
+    # is geometric and deterministic: S(z) = max(nb)/nb(z), so a
+    # pole cell splits into as many salt shards as an equatorial
+    # zone has buckets — per-shard pair work ~ one equatorial
+    # cell's. The data side takes ONE shard (hash of its id); the
+    # probe side explodes over all S(z) shards of each probed cell
+    # (the salt-the-big-side/explode-the-other recipe; every
+    # qualifying pair still meets exactly once, in exactly one
+    # shard). Equatorial zones have S(z)=1 — zero overhead where
+    # there is no skew.
+    nb_mid = max(nb)
+    # cap the shard count: past ~32 shards the probe-side
+    # replication (each probe row duplicates S(z) times) costs more
+    # than the residual per-shard pair work saves — a pole cell's
+    # couple-million candidate pairs over 32 shards is already
+    # equatorial-cell-sized per task
+    salt_f = [max(1, min(32, nb_mid // v)) for v in nb]
+    salt_arr = F.array(*[F.lit(v) for v in salt_f])
 
     def zone_of(dec):
         return F.least(F.floor((dec + F.lit(90.0)) / F.lit(radius)), F.lit(nz - 1)).cast(
             "int"
         )
+
+    # Input spread (round 14, same §2.5 guard as the minhash
+    # signature pass): a small cached point table arrives as 1-3
+    # partitions, so the bucket/cells/salt map stage — the explode
+    # and the shuffle WRITE of the probe rows — ran in that many
+    # tasks whatever the join parallelism (measured: the whole
+    # pipeline flat 8 vs 32 cores at the 10x dir). When the input
+    # has fewer partitions than cores, round-robin the point rows
+    # first; a real multi-split 100 TB scan is untouched.
+    spark = l_pts.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+
+    def _spread(df):
+        if df.isStreaming:  # micro-batch sizing is the source's call
+            return df
+        return df.repartition(dp) if df.rdd.getNumPartitions() < dp else df
+
+    l_pts = _spread(l_pts)
+    r_pts = _spread(r_pts)
 
     r = r_pts.select(
         F.col("event_id").alias("r_id"),
@@ -188,8 +229,18 @@ def sphere_xmatch(
     )
     rz = zone_of(F.col("rdec"))
     rnb = F.element_at(nb_arr, rz + 1)
-    r = r.withColumn("z", rz).withColumn(
-        "b", F.floor(F.col("rra") * rnb / F.lit(360.0)).cast("int")
+    r = (
+        r.withColumn("z", rz)
+        .withColumn(
+            "b", F.floor(F.col("rra") * rnb / F.lit(360.0)).cast("int")
+        )
+        .withColumn(
+            "salt",
+            F.pmod(
+                F.xxhash64(F.col("r_id")),
+                F.element_at(salt_arr, F.col("z") + 1),
+            ).cast("int"),
+        )
     )
 
     l = l_pts.select(
@@ -211,20 +262,54 @@ def sphere_xmatch(
                 F.when(valid, F.struct(zp.cast("int").alias("z"), bk.cast("int").alias("b")))
             )
     cells = F.array_distinct(F.filter(F.array(*keys), lambda x: x.isNotNull()))
-    l = l.select(
-        "l_id", "lra", "ldec", *extra_keys, F.explode(cells).alias("cell")
-    ).select(
-        "l_id",
-        "lra",
-        "ldec",
-        *extra_keys,
-        F.col("cell.z").alias("z"),
-        F.col("cell.b").alias("b"),
+    l = (
+        l.select(
+            "l_id", "lra", "ldec", *extra_keys, F.explode(cells).alias("cell")
+        )
+        .select(
+            "l_id",
+            "lra",
+            "ldec",
+            *extra_keys,
+            F.col("cell.z").alias("z"),
+            F.col("cell.b").alias("b"),
+        )
+        # probe every salt shard of the cell (S(z)=1 off the poles)
+        .withColumn(
+            "salt",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.element_at(salt_arr, F.col("z") + 1) - 1,
+                )
+            ),
+        )
     )
 
     dist = F.expr(DIST_SPHERE.format(ldec="ldec", rdec="rdec", lra="lra", rra="rra"))
+    # Explicit join parallelism (round 14, guide §2.2): the cell join
+    # is the one shape whose POST-shuffle work is CPU-heavy — every
+    # same-cell candidate pair pays the haversine — so running it at
+    # the session's (bench-scale: 4) shuffle partitions caps the
+    # speedup at 4 tasks however many cores the executor has
+    # (measured: 10x dir, 8 vs 32 cores both ~7.2s, flat). Hash-
+    # partitioning both sides to max(cores, session shuffle
+    # partitions) replaces the planner's ENSURE_REQUIREMENTS
+    # exchanges one-for-one (same exchange count — the join reuses
+    # the explicit partitioning) and lets the refine scale with the
+    # executor; a deployment's tuned shuffle.partitions still wins
+    # when larger.
+    # Only when the session's shuffle sizing is BELOW the core count
+    # (the bench's 4-partition small-shuffle tuning) does the
+    # explicit repartition pay for itself; a deployment-tuned
+    # shuffle.partitions >= cores already gives the join its
+    # parallelism, and at broadcast-size inputs the planner's BHJ
+    # makes any hash repartition pure overhead.
+    if dp > int(spark.conf.get("spark.sql.shuffle.partitions")):
+        l = l.repartition(dp, F.col("z"), F.col("b"), F.col("salt"))
+        r = r.repartition(dp, F.col("z"), F.col("b"), F.col("salt"))
     return (
-        l.join(r, ["z", "b", *extra_keys])
+        l.join(r, ["z", "b", "salt", *extra_keys])
         .withColumn("dist", dist)
         .filter(F.col("dist") <= radius)
         .select("l_id", "r_id", "dist", "lra", "ldec", "rra", "rdec", *extra_keys)

@@ -649,6 +649,34 @@ _R14_TOUCHED: list[str] = [
     "llm_dedup_keep_best",
     "llm_dedup_cluster",
     "llm_dedup_simhash_clusters",
+    # round-14 table-log job fusion (batched staging writes, fused
+    # union aggregates, footer-based validation counts — results
+    # bit-identical, write/read job structure changed)
+    "sink_table_log",
+    "sink_table_log_checkpoint",
+    "sink_table_log_vacuum",
+    "sink_table_log_compact",
+    "sink_table_log_skipping",
+    "sink_table_log_compact_zorder",
+    "sink_table_log_changes",
+    "sink_table_log_delete",
+    "sink_table_log_merge",
+    "stream_table_log_sink",
+    "stream_table_log_source",
+    # round-14 sphere_xmatch restructure (polar-cell salting, input
+    # spread, cores-aware join parallelism) — every consumer's plan
+    "join_xmatch_sphere",
+    "xmatch_sphere_count",
+    "join_xmatch_sphere_knn",
+    "join_tracklet_link",
+    "join_xmatch_sphere_chain",
+    "agg_angular_corr",
+    "join_xmatch_bayes",
+    "join_xmatch_mutual",
+    "agg_completeness_mag",
+    "join_xmatch_pm_epoch",
+    "join_self_nearest_sphere",
+    "stream_xmatch_sphere",
 ]
 
 
