@@ -305,7 +305,16 @@ def sphere_xmatch(
     # shuffle.partitions >= cores already gives the join its
     # parallelism, and at broadcast-size inputs the planner's BHJ
     # makes any hash repartition pure overhead.
-    if dp > int(spark.conf.get("spark.sql.shuffle.partitions")):
+    # Streaming plans are exempt (same reasoning as _spread): the
+    # stream-static join should keep the planner's per-batch
+    # broadcast of the static side — forcing both sides onto a hash
+    # exchange would shuffle the reference catalog EVERY micro-batch
+    # and size the probe shuffle for a full-table batch that a
+    # micro-batch never is.
+    is_streaming = l.isStreaming or r.isStreaming
+    if not is_streaming and dp > int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    ):
         l = l.repartition(dp, F.col("z"), F.col("b"), F.col("salt"))
         r = r.repartition(dp, F.col("z"), F.col("b"), F.col("salt"))
     return (

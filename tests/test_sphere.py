@@ -440,3 +440,26 @@ def test_healpix_nest_sql_matches_numpy_and_ring_partition(spark):
     c1 = sorted(collections.Counter(pdf["nest"]).values())
     c2 = sorted(collections.Counter(pdf["ring"]).values())
     assert c1 == c2
+
+
+def test_streaming_xmatch_skips_explicit_join_repartition(spark, tmp_path):
+    """The cores-aware join repartition (round 14) must fire for batch
+    plans when the session's shuffle sizing is below the core count,
+    and must NOT fire for streaming plans — the stream-static join
+    keeps the planner's per-batch broadcast of the static side."""
+    rows = [(i, float(i % 360), float(i % 120) - 60.0) for i in range(50)]
+    static = _df(spark, rows)
+    stage = str(tmp_path / "pts")
+    static.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(static.schema).parquet(stage)
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        batch_plan = sphere_xmatch(static, static, R_SPHERE)._jdf.queryExecution().analyzed().toString()
+        stream_plan = sphere_xmatch(stream, static, R_SPHERE)._jdf.queryExecution().analyzed().toString()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    assert "RepartitionByExpression" in batch_plan
+    assert "RepartitionByExpression" not in stream_plan
